@@ -1,0 +1,109 @@
+"""Local differential harness: Spark result ≡ DuckDB oracle.
+
+Mimics the driver's t2 check (row-count + column names + value
+comparison after sorting columns by name) so mismatches surface before
+the driver runs. Comparison is EXACT — floats must match bitwise, which
+the catalog guarantees via decimal-exact aggregation.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import date, datetime
+from typing import Any
+
+import duckdb
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ravelytics_spark.sources.tables import TABLE_NAMES
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Register the testdata parquet tables as DuckDB views (the driver
+    pre-registers the same names)."""
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {name} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    return con
+
+
+def _norm_cell(v: Any) -> Any:
+    if v is None:
+        return None
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        return None if math.isnan(f) else f
+    if isinstance(v, np.integer):
+        return int(v)
+    if isinstance(v, (np.ndarray, list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime().replace(tzinfo=None)
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None)
+    if isinstance(v, date):
+        return datetime(v.year, v.month, v.day)
+    if v is pd.NaT:
+        return None
+    return v
+
+
+def _normalize(df: pd.DataFrame) -> tuple[list[str], list[tuple]]:
+    cols = sorted(df.columns)
+    df = df[cols]
+    rows = [tuple(_norm_cell(v) for v in row) for row in df.itertuples(index=False, name=None)]
+    rows.sort(key=lambda r: tuple((x is None, str(type(x)), x) for x in r))
+    return cols, rows
+
+
+def compare(
+    spark_df: DataFrame,
+    con: duckdb.DuckDBPyConnection,
+    oracle_sql: str,
+    name: str = "query",
+) -> list[str]:
+    """Return a list of mismatch descriptions (empty = pass)."""
+    problems: list[str] = []
+    sp = spark_df.toPandas()
+    dk = con.execute(oracle_sql).fetchdf()
+
+    if len(sp) != len(dk):
+        problems.append(f"{name}: row count spark={len(sp)} duckdb={len(dk)}")
+    sp_cols, sp_rows = _normalize(sp)
+    dk_cols, dk_rows = _normalize(dk)
+    if sp_cols != dk_cols:
+        problems.append(f"{name}: columns spark={sp_cols} duckdb={dk_cols}")
+        return problems
+    if problems:
+        return problems
+    for i, (a, b) in enumerate(zip(sp_rows, dk_rows)):
+        if a != b:
+            problems.append(f"{name}: first value mismatch at sorted row {i}: spark={a!r} duckdb={b!r}")
+            break
+    return problems
+
+
+def run_catalog(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> dict[str, list[str]]:
+    """Run every (or selected) catalog queries against the oracle; return
+    {name: problems}."""
+    from ravelytics_spark.plans.queries import REGISTRY
+
+    con = duckdb_connection(sf_dir)
+    results: dict[str, list[str]] = {}
+    for name, query in REGISTRY.items():
+        if names and name not in names:
+            continue
+        if query.oracle is None:
+            continue
+        try:
+            results[name] = compare(query.spark(spark, sf_dir), con, query.oracle, name)
+        except Exception as exc:  # surface, don't abort the sweep
+            results[name] = [f"{name}: EXCEPTION {type(exc).__name__}: {exc}"]
+    return results
