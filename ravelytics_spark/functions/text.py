@@ -1,0 +1,139 @@
+"""Text-analysis expressions for large-scale training-data pipelines:
+tokenization, token counting, quality scoring, language ID, document
+fingerprinting, shingling.
+
+All native column expressions (split/regexp/aggregate/hash) — these run
+inside whole-stage codegen, so a 100 TB corpus pays zero Python cost.
+Every function is deterministic (no sampling, no wall clock), so each is
+oracle-checkable against equivalent SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A BPE-ish word/number/punctuation splitter: runs of letters (with
+# optional leading apostrophe), runs of digits, or single non-space
+# punctuation — an approximation of byte-pair pretokenizers.
+BPE_ISH_PATTERN = r"'?[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]"
+
+# Minimal per-language stopword marker sets for the n-gram/stopword
+# language-ID heuristic. Public knowledge (common function words).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans"),
+    "es": ("el", "la", "los", "las", "es", "un", "una", "que"),
+}
+
+ENGLISH_STOPWORDS = LANG_MARKERS["en"] + ("that", "for", "on", "with", "as", "was")
+
+
+def tokenize_ws(text: Column | str) -> Column:
+    """Whitespace tokenization; empty string → empty array (Spark's
+    split('') yields [''], which is not a token)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, r"\s+"), lambda w: w != "")
+
+
+def tokenize_bpe_ish(text: Column | str) -> Column:
+    """Regex pretokenizer approximating BPE-style segmentation."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokenize_ws(text)).cast("long")
+
+
+def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = ENGLISH_STOPWORDS) -> Column:
+    """Fraction of whitespace tokens that are stopwords (lowercased)."""
+    toks = tokenize_ws(text)
+    stop = F.size(
+        F.filter(toks, lambda w: F.lower(w).isin(*stopwords))
+    ).cast("double")
+    n = F.size(toks)
+    return F.when(n > 0, stop / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are neither word chars nor spaces."""
+    c = F.col(text) if isinstance(text, str) else text
+    total = F.length(c)
+    punct = F.length(F.regexp_replace(c, r"[\w\s]", ""))
+    return F.when(total > 0, punct.cast("double") / total.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+def mean_word_length(text: Column | str) -> Column:
+    toks = tokenize_ws(text)
+    n = F.size(toks)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w).cast("long")
+    )
+    return F.when(n > 0, total.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic doc-quality score in [0,1]: rewards mid-length docs with
+    word-like tokens and some (but not extreme) stopword density.
+    Deterministic integer/rational arithmetic; cross-engine stable."""
+    n = token_count(text)
+    len_score = F.least(n.cast("double") / F.lit(64.0), F.lit(1.0))
+    mwl = mean_word_length(text)
+    word_score = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    stop = stopword_ratio(text)
+    stop_score = F.when(stop > 0.8, F.lit(0.25)).otherwise(F.lit(1.0))
+    return (len_score * word_score * stop_score).alias("quality_score")
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language marker-hit counts (the language-ID signal)."""
+    toks_lower = F.transform(tokenize_ws(text), lambda w: F.lower(w))
+    return {
+        lang: F.size(F.filter(toks_lower, lambda w: w.isin(*markers))).cast("long")
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column | str) -> Column:
+    """argmax over marker counts; 'und' when no marker hits. Ties break
+    by fixed language order (en, de, fr, es) for determinism."""
+    scores = lang_scores(text)
+    best_lang, best_score = F.lit("und"), F.lit(0).cast("long")
+    for lang in ("en", "de", "fr", "es"):
+        s = scores[lang]
+        improved = s > best_score
+        best_lang = F.when(improved, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(improved, s).otherwise(best_score)
+    return best_lang
+
+
+def fingerprint_md5(text: Column | str) -> Column:
+    """Stable whole-document fingerprint (md5 hex — identical output in
+    Spark and DuckDB, so oracle-checkable)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(c)
+
+
+def fingerprint_xx64(text: Column | str) -> Column:
+    """xxHash64 content fingerprint — cheaper than md5 at scale (no
+    cryptographic need for dedup keys). Spark-side only (no DuckDB
+    equivalent → harness-checked)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.xxhash64(c)
+
+
+def shingles(text: Column | str, n: int = 5) -> Column:
+    """Word n-gram shingles as strings: the MinHash/Jaccard input unit.
+    Documents shorter than n words yield a single whole-doc shingle so
+    they still participate in dedup."""
+    toks = tokenize_ws(text)
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), k - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return F.when(k >= n, grams).otherwise(F.array(F.array_join(toks, " ")))

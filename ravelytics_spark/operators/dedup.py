@@ -1,0 +1,333 @@
+"""Deduplication operators for training-data pipelines (SURVEY OP-X1/X2).
+
+Five strategies, ordered by cost:
+
+- ``dedup_exact`` — hash groupBy on the key columns. One shuffle;
+  map-side combine makes it O(distinct) across the wire.
+- ``dedup_fingerprint`` — exact dedup on a 64-bit content hash instead
+  of the full text: at 100 TB the shuffle moves 8-byte keys, not
+  documents.
+- ``ngram_jaccard_pairs`` — exact n-gram Jaccard over candidate pairs
+  produced by a shingle inverted index (explode → self-join on shingle
+  → pair counts). Exact but quadratic in the worst case; use after LSH
+  at scale.
+- ``minhash_signatures`` / ``minhash_lsh_candidates`` — MinHash + LSH
+  banding: shingle → k hash permutations → per-band buckets →
+  bucket-join. Near-linear; the scale path. Hashing is ``xxhash64(seed,
+  shingle)`` — deterministic, no fitted model needed (unlike
+  pyspark.ml's MinHashLSH, this needs no fit() and the signature is
+  reproducible across runs/clusters).
+- ``simhash_signatures`` — 64-bit SimHash; near-dups differ in few bits.
+  Native bit arithmetic (no UDF).
+
+All operators are deterministic (seeded hashes); LSH recall is
+property-tested on planted duplicates rather than oracle-hashed
+(SURVEY §7 hard-point 4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ravelytics_spark.functions.text import fingerprint_xx64, shingles
+
+
+def dedup_exact(df: DataFrame, cols: Sequence[str], keep_by: str | None = None) -> DataFrame:
+    """Keep one row per distinct value of ``cols``.
+
+    With ``keep_by`` the kept row is deterministic (min of that column —
+    'first ingested wins'); otherwise ``dropDuplicates`` (arbitrary
+    but single-shuffle).
+    """
+    if keep_by is None:
+        return df.dropDuplicates(list(cols))
+    w = Window.partitionBy(*cols).orderBy(F.col(keep_by).asc())
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def dedup_fingerprint(df: DataFrame, text_col: str, keep_by: str) -> DataFrame:
+    """Exact dedup on xxhash64(text): shuffles 8-byte keys, not documents.
+    Collision probability at 64 bits is negligible below ~2^32 docs;
+    pair (hash, length) if that ever matters."""
+    fp = df.withColumn("__fp", fingerprint_xx64(text_col))
+    w = Window.partitionBy("__fp").orderBy(F.col(keep_by).asc())
+    return fp.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop(
+        "__rn", "__fp"
+    )
+
+
+def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("__shingle"),
+    )
+
+
+def _hashed_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle-hash) rows without building shingle STRINGS: explode
+    word hashes, combine n consecutive ones per doc with window leads.
+
+    String n-gram construction (slice + array_join over a lambda) runs in
+    Spark's interpreted higher-order-function path and dominated profile
+    (~8s for 250k shingles at sf0.1); hashing word-by-word and combining
+    hashes is pure codegen. Docs shorter than n words emit one row
+    combining what exists (nulls coalesced to a pad), mirroring the
+    whole-doc-shingle fallback of ``shingles``. The window shuffle keys
+    on the doc id — the same key every downstream signature/set
+    aggregation groups on, so the exchange is reused, not repeated.
+    """
+    words = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), r"\s+")).alias("__p", "__w"),
+    ).select("__id", "__p", F.xxhash64("__w").alias("__hw"))
+    w = Window.partitionBy("__id").orderBy("__p")
+    leads = [F.col("__hw")] + [F.lead("__hw", i).over(w) for i in range(1, n)]
+    keep = F.col(f"__l{n - 1}").isNotNull() | (F.col("__p") == 0)
+    with_leads = words.select(
+        "__id", "__p", *[c.alias(f"__l{i}") for i, c in enumerate(leads)]
+    )
+    return (
+        with_leads.filter(keep)
+        .select(
+            "__id",
+            F.xxhash64(
+                *[F.coalesce(F.col(f"__l{i}"), F.lit(-1)) for i in range(n)]
+            ).alias("__shash"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
+
+    Inverted-index self-join: |common shingles| per pair, then
+    J = common / (|A| + |B| - common). Returns (id_a, id_b, jaccard)
+    with id_a < id_b, filtered to >= threshold.
+
+    Scale: the join key is the shingle string; frequent shingles create
+    skew — at 100 TB, drop shingles above a document-frequency cap first
+    (they contribute pairs that LSH would find anyway).
+    """
+    sh = _shingled(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("__id").agg(F.count("*").alias("__size"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.__shingle") == F.col("b.__shingle")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count("*").alias("__common"))
+    )
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__size").alias("__size_a"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__size").alias("__size_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("__common")
+                / (F.col("__size_a") + F.col("__size_b") - F.col("__common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5, num_hashes: int = 64
+) -> DataFrame:
+    """MinHash signature per document: for seed i in 0..k-1,
+    sig[i] = min over shingles of xxhash64(i, shingle).
+
+    Physical shape: hashed shingles (``_hashed_shingles`` — no string
+    n-grams, pure codegen) → groupBy(id) with k ``min`` aggregates (the
+    k permutations are cheap re-hashes ``h_i(x) = xxhash64(i, h(x))`` of
+    the base hash). The k mins are plain aggregate expressions with
+    map-side partial aggregation — one pre-combined row per doc crosses
+    the shuffle, and MinHash over a multiset equals MinHash over the set,
+    so no dedup pass is needed. (A no-shuffle formulation via nested
+    array ``transform`` lambdas exists but Spark executes
+    higher-order-function lambdas interpreted, measured ~50× slower —
+    the explode+hash-agg form is the scale path.)
+    """
+    hashed = _hashed_shingles(df, id_col, text_col, n)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("__shash"))).alias(f"__m{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        hashed.groupBy("__id")
+        .agg(*mins)
+        .select(
+            "__id",
+            F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("__sig"),
+        )
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding over signatures from ``minhash_signatures``.
+
+    Each signature splits into ``bands`` bands of ``rows_per_band``
+    values; documents agreeing on ALL values in any band become a
+    candidate pair. Emits distinct (id_a, id_b), id_a < id_b.
+
+    Scale: one explode (×bands) + one shuffle on (band, bucket-hash).
+    Hot buckets (boilerplate docs) are bounded with a per-bucket size
+    cap at 100 TB; not needed at test SF.
+    """
+    # Bucket per band = hash of that band's signature slice. Literal
+    # index access unrolled at plan-build time — plain codegen'd
+    # expressions, not interpreted higher-order lambdas.
+    buckets = F.array(
+        *[
+            F.hash(
+                *[F.col("__sig")[b * rows_per_band + j] for j in range(rows_per_band)]
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = signatures.select(
+        "__id", F.posexplode(buckets).alias("__band", "__bucket")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__bucket") == F.col("b.__bucket"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-dup pipeline: MinHash → LSH candidates → exact Jaccard
+    verification on candidates only. Returns (id_a, id_b, jaccard)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    cand = minhash_lsh_candidates(sigs, bands, rows_per_band)
+
+    # Exact verification on hashed shingle SETS (collect_set of 8-byte
+    # hashes — no document strings move through the join).
+    sh = _hashed_shingles(df, id_col, text_col, n).groupBy("__id").agg(
+        F.collect_set("__shash").alias("__sh")
+    )
+    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
+    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
+    verified = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+                / F.size(F.array_union("__sh_a", "__sh_b")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document, fully native bit arithmetic:
+
+    For bit j: count tokens whose xxhash64 has bit j set vs unset; the
+    signature bit is the majority. Near-duplicate docs differ in few
+    bits (compare with ``bit_count(sig_a ^ sig_b)``).
+    """
+    import functools
+
+    from pyspark.sql import Column
+
+    # Explode tokens → hash once → groupBy(id) with 64 codegen'd SUM
+    # bit-votes (map-side combined). Like minhash_signatures, this beats
+    # the interpreted array-fold formulation by orders of magnitude and
+    # shuffles one combined row per doc.
+    hashed = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("__w"),
+    ).select("__id", F.xxhash64("__w").alias("__h"))
+
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1).cast("long")) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"__v{j}")
+        for j in range(64)
+    ]
+    bits = [
+        F.when(F.col(f"__v{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+            F.lit(0).cast("long")
+        )
+        for j in range(64)
+    ]
+    sig = functools.reduce(Column.bitwiseOR, bits)
+    return hashed.groupBy("__id").agg(*votes).select("__id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    Candidate generation uses the 4-block pigeonhole trick: if two
+    64-bit signatures differ in ≤3 bits, at least one 16-bit block is
+    identical — join per block instead of N². One explode (×4) + one
+    shuffle.
+    """
+    blocks = signatures.select(
+        "__id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * 16).bitwiseAND(
+                        F.lit(0xFFFF).cast("long")
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("__block_idx", "__block"),
+    )
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.__block_idx") == F.col("b.__block_idx"))
+            & (F.col("a.__block") == F.col("b.__block"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,143 @@
+"""Multimodal column operators (SURVEY OP-X5): decode / feature-extract
+/ resize / frame-sample over opaque ``binary`` columns.
+
+The Spark-side plumbing is real and tested: schemas, Arrow-batched
+``mapInPandas`` signatures, partition sizing. The pixel/sample decode
+itself is STUBBED — image/audio codecs are not in this container — as a
+deterministic fake keyed on content bytes, behind ``_decode_image_impl``
+/ ``_decode_audio_impl``. Swapping in PIL/librosa changes ONE function
+each; nothing in the distributed plan changes.
+
+Batch shape: mapInPandas receives an iterator of pandas DataFrames
+(one Arrow batch each); we re-batch nothing and emit one output row per
+input row. Binary payloads dominate memory, so callers should
+``repartition`` so that rows_per_partition × avg_asset_size fits the
+executor (see ``partition_for_assets``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("phash", T.StringType()),
+    ]
+)
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_phash", T.StringType()),
+    ]
+)
+
+
+def _decode_image_impl(content: bytes) -> tuple[int, int, int, float, str]:
+    """STUB decode — deterministic fake derived from the content hash.
+    Production: ``img = PIL.Image.open(io.BytesIO(content))`` and return
+    real (width, height, channels, mean luma, perceptual hash).
+    """
+    h = hashlib.sha256(content).digest()
+    width = 64 + h[0] % 192
+    height = 64 + h[1] % 192
+    return width, height, 3, h[2] / 255.0, h[:8].hex()
+
+
+def _decode_audio_impl(content: bytes) -> tuple[float, int, float]:
+    """STUB decode — deterministic fake. Production: librosa/soundfile."""
+    h = hashlib.sha256(content).digest()
+    return len(content) / 16000.0, 16000, h[0] / 255.0
+
+
+def image_features(assets: DataFrame) -> DataFrame:
+    """Decode + feature-extract images: Arrow-batched mapInPandas over
+    (path, content). Column pruning keeps non-selected asset columns out
+    of the Arrow transfer."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_decode_image_impl(bytes(c)) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"].values,
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "n_channels": [f[2] for f in feats],
+                    "mean_luma": [f[3] for f in feats],
+                    "phash": [f[4] for f in feats],
+                }
+            )
+
+    return assets.select("path", "content").mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+def audio_features(assets: DataFrame) -> DataFrame:
+    """Decode + feature-extract audio previews (the OP-S9 assets)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_decode_audio_impl(bytes(c)) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"].values,
+                    "duration_s": [f[0] for f in feats],
+                    "sample_rate": [f[1] for f in feats],
+                    "rms": [f[2] for f in feats],
+                }
+            )
+
+    return assets.select("path", "content").mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+def sample_frames(assets: DataFrame, every_n: int = 10, max_frames: int = 5) -> DataFrame:
+    """Frame-sample a video column: one output row per sampled frame
+    (row explosion happens INSIDE mapInPandas, so the binary decodes
+    once per asset, not once per frame). STUB: frames are hash-derived."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            paths, idxs, hashes = [], [], []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                h = hashlib.sha256(bytes(content)).digest()
+                n = min(max_frames, 1 + h[3] % max_frames)
+                for i in range(n):
+                    paths.append(path)
+                    idxs.append(i * every_n)
+                    hashes.append(hashlib.sha256(h + bytes([i])).digest()[:8].hex())
+            yield pd.DataFrame({"path": paths, "frame_idx": idxs, "frame_phash": hashes})
+
+    return assets.select("path", "content").mapInPandas(run, FRAME_SAMPLE_SCHEMA)
+
+
+def partition_for_assets(
+    assets: DataFrame, avg_asset_bytes: int, target_partition_bytes: int = 128 << 20
+) -> DataFrame:
+    """Repartition so each task holds ~target_partition_bytes of binary
+    payload — the knob that keeps Arrow batches inside executor memory
+    at 100 TB (e.g. 5 MB images → ~26 rows/task at the 128 MB default)."""
+    rows_per_partition = max(1, target_partition_bytes // max(1, avg_asset_bytes))
+    n = assets.count()
+    num = max(1, (n + rows_per_partition - 1) // rows_per_partition)
+    return assets.repartition(num)

@@ -1,0 +1,206 @@
+"""Similarity search over embedding columns (SURVEY OP-X3).
+
+- ``cosine_topk`` — brute-force top-k against one query vector: a pure
+  map (dot/norm per row) + TakeOrderedAndProject. The correctness
+  baseline; O(N) per query but zero shuffle, and at 100 TB it
+  parallelizes perfectly.
+- ``cosine_knn_join`` — brute-force k-NN join (each left row × all right
+  rows): broadcast the smaller side; use only when one side is small.
+- ``srp_signatures`` / ``srp_topk`` — the scale path: signed random
+  projection (hyperplane) LSH. Deterministic pseudo-random hyperplanes
+  derived from xxhash64 (no fitted model, reproducible across clusters);
+  candidates from matching prefix buckets are re-ranked exactly.
+- ``ivf_topk`` — IVF-style two-stage search: k-means-ish centroids
+  chosen deterministically (hash-sampled rows), probe the closest
+  ``n_probe`` cells only. Classic FAISS-IVF structure re-expressed as
+  two broadcast joins.
+
+Embedding cosine near-dup (pair mining) composes ``srp_signatures``
+with a bucket self-join — see ``embedding_near_pairs``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ravelytics_spark.functions.vectors import cosine, dot, norm
+
+
+def _as_query_lit(query_vec: list[float]):
+    return F.array(*[F.lit(float(x)) for x in query_vec])
+
+
+def cosine_topk(
+    df: DataFrame, vec_col: str, query_vec: list[float], k: int = 10, id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact top-k by cosine against a literal query vector.
+
+    The sort+limit compiles to TakeOrderedAndProject: per-partition
+    heaps, driver merges k rows — no global sort, no shuffle of data.
+    """
+    q = _as_query_lit(query_vec)
+    scored = df.select(
+        F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim")
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+
+
+def cosine_knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_vec: str = "embedding",
+    right_vec: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """For each left row, the k most-cosine-similar right rows.
+    Broadcasts the right side — correct tool when right is a small
+    reference set (centroids, probe set). N×M otherwise: use srp_topk.
+    """
+    l_ = left.select(F.col(left_id).alias("l_id"), F.col(left_vec).alias("l_vec"))
+    r_ = right.select(F.col(right_id).alias("r_id"), F.col(right_vec).alias("r_vec"))
+    scored = l_.join(F.broadcast(r_)).select(
+        "l_id", "r_id", cosine(F.col("l_vec"), F.col("r_vec")).alias("cos_sim")
+    )
+    w = Window.partitionBy("l_id").orderBy(F.desc("cos_sim"), F.col("r_id"))
+    return scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k).drop(
+        "__rn"
+    )
+
+
+def _hyperplane(plane_idx: int, dim: int):
+    """Deterministic pseudo-random ±1 hyperplane component per (plane,
+    dim) from xxhash64 — no RNG state, identical on every executor."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.when(
+            F.xxhash64(F.lit(plane_idx), d).bitwiseAND(F.lit(1).cast("long")) == 1, F.lit(1.0)
+        ).otherwise(F.lit(-1.0)),
+    )
+
+
+def srp_signatures(
+    df: DataFrame, vec_col: str, dim: int, num_planes: int = 16, id_col: str = "vec_id"
+) -> DataFrame:
+    """Signed-random-projection bit signature: bit i = sign(v · h_i).
+    Rows with equal signatures are likely high-cosine neighbours."""
+    bits = [
+        F.when(dot(F.col(vec_col), _hyperplane(i, dim)) > 0, F.lit(1)).otherwise(F.lit(0))
+        for i in range(num_planes)
+    ]
+    sig = F.concat(*[b.cast("string") for b in bits])
+    return df.select(F.col(id_col), F.col(vec_col), sig.alias("srp_sig"))
+
+
+def srp_topk(
+    df: DataFrame,
+    vec_col: str,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: restrict the exact scan to rows whose SRP
+    signature matches the query's, then re-rank exactly. At 100 TB the
+    signature is precomputed + partitioned-by, so a probe touches one
+    bucket (~N / 2^planes rows) instead of N."""
+    sigs = srp_signatures(df, vec_col, dim, num_planes, id_col)
+    q = _as_query_lit(query_vec)
+    q_bits = [
+        F.when(dot(q, _hyperplane(i, dim)) > 0, F.lit(1)).otherwise(F.lit(0))
+        for i in range(num_planes)
+    ]
+    q_sig = F.concat(*[b.cast("string") for b in q_bits])
+    bucket = sigs.filter(F.col("srp_sig") == q_sig)
+    return (
+        bucket.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def embedding_near_pairs(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.9,
+    num_planes: int = 12,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: SRP bucket self-join →
+    exact cosine verification. One shuffle on the signature."""
+    sigs = srp_signatures(df, vec_col, dim, num_planes, id_col)
+    a = sigs.select(
+        F.col("srp_sig"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    b = sigs.select(
+        F.col("srp_sig"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    )
+    pairs = a.join(b, "srp_sig").filter(F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cos_sim")
+    ).filter(F.col("cos_sim") >= threshold)
+
+
+def ivf_centroids(df: DataFrame, vec_col: str, n_cells: int, id_col: str = "vec_id") -> DataFrame:
+    """Deterministic centroid pick: the n_cells rows with smallest
+    xxhash64(id) (a seeded sample). A k-means refinement pass can follow;
+    for IVF bucketing, spread matters more than optimality."""
+    w = Window.orderBy("__h", "cell_id")
+    return (
+        df.select(
+            F.col(id_col).alias("cell_id"),
+            F.col(vec_col).alias("cell_vec"),
+            F.xxhash64(F.col(id_col)).alias("__h"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_cells)
+        .drop("__rn", "__h")
+    )
+
+
+def ivf_assign(df: DataFrame, centroids: DataFrame, vec_col: str, id_col: str = "vec_id") -> DataFrame:
+    """Assign each row to its nearest centroid (broadcast join + window)."""
+    scored = df.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("cell_id"),
+        cosine(F.col(vec_col), F.col("cell_vec")).alias("__sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.col("cell_id"))
+    return scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop(
+        "__rn", "__sim"
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF two-stage search: rank cells by centroid similarity to the
+    query, scan only the best ``n_probe`` cells, exact re-rank inside.
+    At 100 TB the assignment table is written partitioned by cell_id, so
+    the probe prunes partitions at the scan."""
+    cents = ivf_centroids(df, vec_col, n_cells, id_col)
+    assigned = ivf_assign(df, cents, vec_col, id_col)
+    q = _as_query_lit(query_vec)
+    probe_cells = (
+        cents.select("cell_id", cosine(F.col("cell_vec"), q).alias("__qs"))
+        .orderBy(F.desc("__qs"), F.col("cell_id"))
+        .limit(n_probe)
+        .select("cell_id")
+    )
+    candidates = assigned.join(F.broadcast(probe_cells), "cell_id")
+    return (
+        candidates.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,406 @@
+"""Extension operators (SURVEY §2.10) registered into the t2 catalog:
+dedup, similarity search, text analysis — each oracle-checked where the
+semantics are SQL-expressible, harness-checked (rows-only) where
+randomized/approximate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ravelytics_spark.functions import text as TX
+from ravelytics_spark.functions.vectors import cosine, dot
+from ravelytics_spark.operators import dedup as DD
+from ravelytics_spark.operators import similarity as SIM
+from ravelytics_spark.plans.queries import REGISTRY, Query, q
+from ravelytics_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# OP-X1 — exact dedup
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "x1_dedup_exact",
+    "OP-X1",
+    "Exact dedup, keep-min-id form (deterministic): one hash-agg shuffle, "
+    "map-side combined.",
+    "SELECT text, min(doc_id) AS keep_id FROM documents GROUP BY text ORDER BY keep_id",
+)
+def x1_dedup_exact(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(F.min("doc_id").alias("keep_id")).orderBy("keep_id")
+
+
+@q(
+    "x1b_dedup_rows",
+    "OP-X1",
+    "Exact dedup returning whole surviving rows (first-ingested-wins) via "
+    "the dedup_exact operator (window row_number form).",
+    "SELECT doc_id, text, lang, source FROM documents "
+    "QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1 "
+    "ORDER BY doc_id",
+)
+def x1b_dedup_rows(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        DD.dedup_exact(d, ["text"], keep_by="doc_id")
+        .select("doc_id", "text", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# OP-X2 — n-gram Jaccard (exact pair math; LSH variants are harness+property)
+# ---------------------------------------------------------------------------
+
+_JACCARD_ORACLE = """
+WITH d AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 100 = 0
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(w) >= 5
+               THEN list_transform(range(1, len(w) - 3), i -> array_to_string(w[i:i+4], ' '))
+               ELSE [array_to_string(w, ' ')] END) AS s
+    FROM d
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           / len(list_distinct(a.s || b.s)) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+@q(
+    "x2_ngram_jaccard",
+    "OP-X2",
+    "Exact 5-gram Jaccard similarity over a deterministic document subset "
+    "— certifies the pair math that LSH candidates are verified with.",
+    _JACCARD_ORACLE,
+)
+def x2_ngram_jaccard(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 100 == 0)
+    sh = d.select(
+        "doc_id", F.array_distinct(TX.shingles("text", 5)).alias("s")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sa", "sb")).cast("double")
+                / F.size(F.array_union("sa", "sb")).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+@q(
+    "x2_minhash_lsh",
+    "OP-X2",
+    "MinHash(64) + LSH(16 bands) near-dup pipeline with exact-Jaccard "
+    "verification. Deterministic seeded hashing but recall is probabilistic "
+    "→ harness rows-check + planted-duplicate property tests.",
+    None,
+)
+def x2_minhash_lsh(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return DD.minhash_dedup_pairs(d, "doc_id", "text", n=5, threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@q(
+    "x2_simhash",
+    "OP-X2",
+    "SimHash-64 signatures + Hamming≤3 near-pairs via 16-bit block "
+    "pigeonhole join. Harness rows-check (bit-level hash not portable).",
+    None,
+)
+def x2_simhash(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    sigs = DD.simhash_signatures(d, "doc_id", "text")
+    return DD.simhash_near_pairs(sigs, max_hamming=3).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# OP-X3 — vector similarity
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "x3_self_dot",
+    "OP-X3",
+    "Self dot product in double with sequential fold — certifies the "
+    "dot/cosine kernel against DuckDB's list arithmetic; rounded to "
+    "escape FP accumulation-order noise.",
+    "SELECT vec_id, round(list_sum(list_transform(embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS self_dot "
+    "FROM embeddings ORDER BY vec_id",
+)
+def x3_self_dot(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", F.round(dot("embedding", "embedding"), 4).alias("self_dot")
+    ).orderBy("vec_id")
+
+
+# Deterministic 64-dim probe vector: 1 in dim 0/16/32/48, else 0.
+_PROBE = [1.0 if i % 16 == 0 else 0.0 for i in range(64)]
+_PROBE_SQL = "[" + ", ".join(str(x) for x in _PROBE) + "]"
+
+_TOPK_ORACLE = f"""
+WITH q AS (SELECT {_PROBE_SQL}::DOUBLE[] AS qv),
+scored AS (
+    SELECT vec_id,
+        round(
+            list_sum(list_transform(list_zip(embedding, (SELECT qv FROM q)),
+                     p -> CAST(p[1] AS DOUBLE) * p[2]))
+            / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)))
+               * sqrt(list_sum((SELECT list_transform(qv, x -> x * x) FROM q)))),
+        4) AS cos_sim
+    FROM embeddings
+)
+SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+@q(
+    "x3_cosine_topk",
+    "OP-X3",
+    "Brute-force cosine top-k against a constant probe vector: map-only "
+    "score + TakeOrderedAndProject (per-partition heaps, no global sort).",
+    _TOPK_ORACLE,
+)
+def x3_cosine_topk(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = F.array(*[F.lit(x) for x in _PROBE])
+    return (
+        e.select("vec_id", F.round(cosine("embedding", qv), 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+@q(
+    "x3_srp_topk",
+    "OP-X3",
+    "Approximate top-k via signed-random-projection LSH bucket + exact "
+    "re-rank. Deterministic hyperplanes but approximate recall → harness "
+    "rows-check + property tests.",
+    None,
+)
+def x3_srp_topk(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.srp_topk(e, "embedding", _PROBE, dim=64, k=10, num_planes=6)
+
+
+@q(
+    "x3_ivf_topk",
+    "OP-X3",
+    "IVF two-stage ANN: deterministic centroids, probe 4/16 cells, exact "
+    "re-rank. Harness rows-check + recall property tests.",
+    None,
+)
+def x3_ivf_topk(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(e, "embedding", _PROBE, k=10, n_cells=16, n_probe=4)
+
+
+@q(
+    "x3_near_pairs",
+    "OP-X2/OP-X3",
+    "Embedding-cosine near-dup pairs: SRP bucket self-join + exact "
+    "verification. Harness rows-check.",
+    None,
+)
+def x3_near_pairs(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.embedding_near_pairs(e, "embedding", dim=64, threshold=0.9, num_planes=10)
+
+
+# ---------------------------------------------------------------------------
+# OP-X4 — text analysis
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "x4_word_count",
+    "OP-X4",
+    "Corpus word frequencies (explode → count), top-50.",
+    "SELECT w, count(*) AS c FROM (SELECT unnest(string_split(lower(text), ' ')) AS w "
+    "FROM documents) GROUP BY w HAVING count(*) > 1 ORDER BY c DESC, w LIMIT 50",
+)
+def x4_word_count(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .groupBy("w")
+        .count()
+        .withColumnRenamed("count", "c")
+        .filter(F.col("c") > 1)
+        .orderBy(F.desc("c"), "w")
+        .limit(50)
+    )
+
+
+@q(
+    "x4_token_stats",
+    "OP-X4",
+    "Token counting: whitespace and BPE-ish regex tokenizers.",
+    "SELECT doc_id, len(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS n_ws, "
+    r"len(regexp_extract_all(text, '''?[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]')) AS n_bpe, "
+    "CAST(length(text) AS BIGINT) AS n_chars FROM documents ORDER BY doc_id",
+)
+def x4_token_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count("text").alias("n_ws"),
+        F.size(TX.tokenize_bpe_ish("text")).cast("long").alias("n_bpe"),
+        F.length("text").cast("long").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+_STOP_SQL = "['" + "', '".join(TX.ENGLISH_STOPWORDS) + "']"
+
+_QUALITY_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS toks
+    FROM documents
+),
+m AS (
+    SELECT doc_id,
+        len(toks) AS n,
+        CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) / len(toks) ELSE 0.0 END AS mwl,
+        CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, w -> list_contains({_STOP_SQL}, lower(w)))) AS DOUBLE) / len(toks) ELSE 0.0 END AS stop_ratio
+    FROM t
+)
+SELECT doc_id,
+    least(CAST(n AS DOUBLE) / 64.0, 1.0)
+    * (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END)
+    * (CASE WHEN stop_ratio > 0.8 THEN 0.25 ELSE 1.0 END) AS quality
+FROM m ORDER BY doc_id
+"""
+
+
+@q(
+    "x4_quality_score",
+    "OP-X4",
+    "Heuristic quality scoring (length/word-shape/stopword density) — "
+    "identical rational arithmetic on both engines.",
+    _QUALITY_ORACLE,
+)
+def x4_quality_score(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.quality_score("text").alias("quality")).orderBy("doc_id")
+
+
+@q(
+    "x4_fingerprint",
+    "OP-X4",
+    "Document fingerprint: md5 hex (identical across engines).",
+    "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
+)
+def x4_fingerprint(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.fingerprint_md5("text").alias("fp")).orderBy("doc_id")
+
+
+_MARKER_SQL = {
+    lang: "['" + "', '".join(markers) + "']" for lang, markers in TX.LANG_MARKERS.items()
+}
+
+_LANGID_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id,
+           list_transform(list_filter(string_split_regex(text, '\\s+'), w -> w <> ''),
+                          w -> lower(w)) AS toks
+    FROM documents
+),
+s AS (
+    SELECT doc_id,
+        len(list_filter(toks, w -> list_contains({_MARKER_SQL['en']}, w))) AS en,
+        len(list_filter(toks, w -> list_contains({_MARKER_SQL['de']}, w))) AS de,
+        len(list_filter(toks, w -> list_contains({_MARKER_SQL['fr']}, w))) AS fr,
+        len(list_filter(toks, w -> list_contains({_MARKER_SQL['es']}, w))) AS es
+    FROM t
+)
+SELECT doc_id,
+    CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+         WHEN en = greatest(en, de, fr, es) THEN 'en'
+         WHEN de = greatest(de, fr, es) THEN 'de'
+         WHEN fr = greatest(fr, es) THEN 'fr'
+         ELSE 'es' END AS lang_pred
+FROM s ORDER BY doc_id
+"""
+
+
+@q(
+    "x4_lang_id",
+    "OP-X4",
+    "Stopword-marker language ID with deterministic argmax tie-break "
+    "(first maximal language in en,de,fr,es order).",
+    _LANGID_ORACLE,
+)
+def x4_lang_id(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.lang_id("text").alias("lang_pred")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (OP-W3 consumer; events stream)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "x6_sessionize",
+    "OP-W3/OP-X",
+    "Gap-based sessionization (30-min inactivity): lag + running sum of "
+    "session-break flags, the batch form of session_window.",
+    "SELECT user_id, event_id, CAST(sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END) "
+    "OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id "
+    "FROM (SELECT user_id, event_id, ts, date_diff('second', lag(ts) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_s FROM events) "
+    "ORDER BY user_id, event_id",
+)
+def x6_sessionize(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    brk = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(brk).over(wsum).cast("long").alias("session_id"),
+    ).orderBy("user_id", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# approx_count_distinct (needed at 100 TB; sketches differ across engines)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "x7_approx_distinct",
+    "OP-G5-ext",
+    "HLL approx_count_distinct — the 100 TB substitute for exact "
+    "count(DISTINCT). Sketches differ across engines → harness rows-check; "
+    "accuracy property-tested vs exact.",
+    None,
+)
+def x7_approx_distinct(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.approx_count_distinct("o_custkey").alias("approx_custs"),
+        F.countDistinct("o_custkey").alias("exact_custs"),
+    )

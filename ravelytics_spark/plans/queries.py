@@ -803,3 +803,6 @@ def _register_flagship():
 
 
 _register_flagship()
+
+# Extension operators (OP-X*) register themselves on import.
+from ravelytics_spark.plans import extensions as _extensions  # noqa: E402,F401

@@ -42,6 +42,13 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Keep hive-partition values as written (ingest_month stays the
+        # string 'yyyyMM' the warehouse contract declares, not an int).
+        .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+        # Wide aggregate plans (64-hash MinHash/SimHash signatures) must
+        # stay inside whole-stage codegen; the default 100-field cap
+        # silently drops them to interpreted mode (~30x slower).
+        .config("spark.sql.codegen.maxFields", "256")
         # Small local driver heap is fine at test SFs; a real deployment
         # sizes executors so a shuffle partition fits in memory.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

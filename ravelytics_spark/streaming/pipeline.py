@@ -1,0 +1,119 @@
+"""The continuous-ingest pipeline (SURVEY OP-S7/S8, OP-T1-T4).
+
+Reference write path: Kafka topic → ClickHouse Kafka-engine table
+(001_init_spotify_tracks.sql:25-47) → materialized view cleanse per
+block (001:50-74) → partitioned MergeTree (001:6-22). Offsets live in
+the consumer group (001:43).
+
+Spark rebuild: ``readStream`` (Kafka, or file source in tests — same
+plan) → ``cleanse_tracks`` (the IDENTICAL plan builder batch uses —
+OP-T2's ingest-time transform is just a streaming select) →
+``writeStream`` parquet partitioned by ingest_month with a checkpoint
+(offsets in the checkpoint — OP-T1).
+
+Delivery semantics (OP-T3): the reference is at-least-once and its
+views tolerate duplicates (argMax / group-by-ingest_ts). The file/
+parquet sink here is exactly-once per Spark's sink contract; the
+optional ``dedupe_within_watermark`` upgrade drops wire-level
+duplicate (track_id, ingest_ts) pairs with bounded state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ravelytics_spark.plans.tracks_pipeline import cleanse_tracks
+from ravelytics_spark.schemas import TRACKS_WIRE_SCHEMA
+
+
+def read_tracks_stream_kafka(
+    spark: SparkSession, bootstrap: str, topic: str = "ravelytics.spotify.tracks"
+) -> DataFrame:
+    """OP-S7: Kafka JSONEachRow consumer (the Kafka-engine table). The
+    consumer group of 001:43 is replaced by checkpoint offsets."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load()
+    )
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), TRACKS_WIRE_SCHEMA).alias("r")
+    ).select("r.*")
+
+
+def read_tracks_stream_files(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stand-in with the same wire schema — used by the
+    harness tests (no Kafka broker in the container) and valid in
+    production for landed-JSON replay."""
+    return spark.readStream.schema(TRACKS_WIRE_SCHEMA).json(path)
+
+
+def dedupe_within_watermark(wire: DataFrame, delay: str = "1 hour") -> DataFrame:
+    """OP-T3 upgrade: drop at-least-once duplicates with bounded state.
+    Keyed on the wire identity (track_id, ingest_ts) — the same pair the
+    reference's views group by to tolerate dupes."""
+    with_ts = wire.withColumn("__event_ts", F.to_timestamp("ingest_ts"))
+    return (
+        with_ts.withWatermark("__event_ts", delay)
+        .dropDuplicatesWithinWatermark(["track_id", "ingest_ts"])
+        .drop("__event_ts")
+    )
+
+
+def start_tracks_ingest(
+    wire_stream: DataFrame,
+    warehouse_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+    dedupe: bool = False,
+) -> StreamingQuery:
+    """OP-S8: cleanse → partitioned parquet sink with checkpoint.
+
+    ``available_now=True`` reproduces the reference's daily micro-batch
+    cadence (OP-T4: Airflow @daily ≈ scheduled Trigger.AvailableNow run);
+    ``False`` runs continuously like the ClickHouse Kafka engine.
+    """
+    if dedupe:
+        wire_stream = dedupe_within_watermark(wire_stream)
+    cleaned = cleanse_tracks(wire_stream)
+    writer = (
+        cleaned.writeStream.format("parquet")
+        .option("path", warehouse_path)
+        .option("checkpointLocation", checkpoint_path)
+        .partitionBy("ingest_month")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Tumbling/sliding window aggregation with late-data watermark —
+    the streaming form of the t_window_daily batch query."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("win"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("win_start"), "n")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Session windows (gap-based) — streaming analog of x6_sessionize."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), F.col("user_id"))
+        .agg(F.count("*").alias("n"))
+        .select("user_id", F.col("win.start").alias("session_start"), "n")
+    )

@@ -1,0 +1,140 @@
+"""Property tests for the randomized/approximate extension operators
+(SURVEY §7 hard-point 4: LSH never oracle-hashed — recall on planted
+duplicates instead)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from ravelytics_spark.operators import dedup as DD
+from ravelytics_spark.operators import similarity as SIM
+
+random.seed(42)
+VOCAB = [f"w{i}" for i in range(500)]
+
+
+def _doc(n=60):
+    return " ".join(random.choice(VOCAB) for _ in range(n))
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """100 random docs + 5 planted near-dup pairs + 1 exact dup pair."""
+    docs = [(i, _doc()) for i in range(100)]
+    planted = []
+    for k in range(5):
+        base_id, base = docs[k * 10]
+        words = base.split()
+        words[3] = "CHANGED"  # one-word edit → jaccard(5-gram) still high
+        planted.append((1000 + k, " ".join(words)))
+    exact = [(2000, docs[0][1])]
+    return spark.createDataFrame(docs + planted + exact, ["doc_id", "text"])
+
+
+def test_minhash_lsh_finds_planted_dupes(corpus):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in DD.minhash_dedup_pairs(corpus, "doc_id", "text", threshold=0.5).collect()
+    }
+    # exact dup always found; ≥4/5 planted near-dupes (LSH is probabilistic
+    # but seeded-deterministic, so this is a fixed outcome, not flaky)
+    assert (0, 2000) in pairs
+    found = sum((k * 10, 1000 + k) in pairs for k in range(5))
+    assert found >= 4, f"only {found}/5 planted near-dupes found: {sorted(pairs)}"
+    # no false positives among unrelated low-jaccard docs
+    for id_a, id_b in pairs:
+        assert id_b >= 1000, f"false positive pair {(id_a, id_b)}"
+
+
+def test_ngram_jaccard_exact_math(corpus):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in DD.ngram_jaccard_pairs(corpus, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert pairs[(0, 2000)] == 1.0  # identical docs
+    assert (0, 1000) in pairs and 0.5 <= pairs[(0, 1000)] < 1.0
+
+
+def test_simhash_near_pairs(corpus):
+    sigs = DD.simhash_signatures(corpus, "doc_id", "text")
+    by_id = {r["__id"]: r["simhash"] for r in sigs.collect()}
+    assert by_id[0] == by_id[2000]  # identical text → identical signature
+    pairs = {(r.id_a, r.id_b): r.hamming for r in DD.simhash_near_pairs(sigs, 3).collect()}
+    assert pairs[(0, 2000)] == 0
+
+
+def test_dedup_fingerprint_keeps_first(spark, corpus):
+    kept = DD.dedup_fingerprint(corpus, "text", keep_by="doc_id")
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert 0 in ids and 2000 not in ids  # min doc_id survives
+    assert len(ids) == 105  # 106 docs - 1 exact dup
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    """50 random 16-dim vectors + a planted near-duplicate of vec 0."""
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(50)]
+    dup = [x + 0.001 for x in rows[0][1]]
+    rows.append((999, dup))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_cosine_topk_exact(vectors):
+    query = [1.0] + [0.0] * 15
+    top = SIM.cosine_topk(vectors, "embedding", query, k=5).collect()
+    assert len(top) == 5
+    sims = [r.cos_sim for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_embedding_near_pairs_finds_planted(vectors):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in SIM.embedding_near_pairs(
+            vectors, "embedding", dim=16, threshold=0.99, num_planes=8
+        ).collect()
+    }
+    assert (0, 999) in pairs
+    assert all(b == 999 and a == 0 for a, b in pairs)
+
+
+def test_srp_topk_recalls_self(vectors):
+    q = [x for x in vectors.filter("vec_id = 0").collect()[0].embedding]
+    got = SIM.srp_topk(vectors, "embedding", q, dim=16, k=3, num_planes=4).collect()
+    ids = [r.vec_id for r in got]
+    assert ids[0] in (0, 999)  # itself or its planted near-dup
+
+
+def test_ivf_topk_recalls_self(vectors):
+    q = [x for x in vectors.filter("vec_id = 0").collect()[0].embedding]
+    got = SIM.ivf_topk(vectors, "embedding", q, k=5, n_cells=4, n_probe=2).collect()
+    assert len(got) == 5
+    # the probed cells must contain vec 0's own cell → itself ranks first
+    assert got[0].vec_id in (0, 999)
+
+
+def test_knn_join(vectors):
+    small = vectors.filter("vec_id < 5")
+    out = SIM.cosine_knn_join(vectors, small, "vec_id", "vec_id", k=2).collect()
+    per_left = {}
+    for r in out:
+        per_left.setdefault(r.l_id, []).append(r)
+    assert all(len(v) == 2 for v in per_left.values())
+    # vec 0's nearest in the reference set is itself (cos=1)
+    self_hit = [r for r in per_left[0] if r.r_id == 0][0]
+    assert self_hit.cos_sim == pytest.approx(1.0)
+
+
+def test_approx_count_distinct_accuracy(spark, sf_dir):
+    from ravelytics_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    row = o.agg(
+        F.approx_count_distinct("o_custkey").alias("approx"),
+        F.countDistinct("o_custkey").alias("exact"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.1

@@ -1,0 +1,166 @@
+"""Streaming harness tests (SURVEY §5.4): file-source streams through
+the ingest pipeline with Trigger.AvailableNow; duplicate-injection for
+the OP-T3 tolerance/upgrade."""
+
+from __future__ import annotations
+
+import json
+import tempfile
+from pathlib import Path
+
+import pytest
+
+WIRE_RECORDS = [
+    {
+        "ingest_ts": "2025-07-30T06:00:00Z",
+        "track_id": "t1",
+        "track_name": "One",
+        "artists": ["A"],
+        "artist_ids": ["a1"],
+        "album_id": "al1",
+        "album_name": "Alb",
+        "release_date": "2021",
+        "popularity": 50,
+        "added_at": "2025-07-18T09:27:45Z",
+        "external_url": "u",
+    },
+    {
+        "ingest_ts": "2025-08-01T06:00:00Z",
+        "track_id": "t2",
+        "track_name": "Two",
+        "artists": ["B"],
+        "artist_ids": ["b1"],
+        "album_id": "al2",
+        "album_name": "Alb",
+        "release_date": "2022-03-04",
+        "popularity": None,  # → default 0
+        "added_at": "",  # → falls back to ingest_ts
+        "external_url": "u",
+    },
+]
+
+
+@pytest.fixture()
+def stream_dirs():
+    with tempfile.TemporaryDirectory() as d:
+        src = Path(d) / "src"
+        out = Path(d) / "warehouse"
+        ckpt = Path(d) / "ckpt"
+        src.mkdir()
+        yield src, out, ckpt
+
+
+def _write_batch(src: Path, name: str, records):
+    (src / name).write_text("\n".join(json.dumps(r) for r in records))
+
+
+def test_stream_ingest_end_to_end(spark, stream_dirs):
+    from ravelytics_spark.streaming.pipeline import (
+        read_tracks_stream_files,
+        start_tracks_ingest,
+    )
+
+    src, out, ckpt = stream_dirs
+    _write_batch(src, "b1.json", WIRE_RECORDS)
+    q = start_tracks_ingest(
+        read_tracks_stream_files(spark, str(src)), str(out), str(ckpt)
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(out)).orderBy("track_id").collect()
+    assert [r.track_id for r in got] == ["t1", "t2"]
+    by_id = {r.track_id: r for r in got}
+    assert str(by_id["t1"].release_date) == "2021-01-01"  # YYYY rule
+    assert by_id["t2"].popularity == 0  # null default
+    assert by_id["t2"].added_at == by_id["t2"].ingest_ts  # fallback
+    assert by_id["t1"].ingest_month == "202507"  # partition column
+    assert by_id["t2"].ingest_month == "202508"
+    # physical layout: hive partition dirs exist (partition pruning works)
+    assert (out / "ingest_month=202507").exists()
+
+
+def test_stream_incremental_and_exactly_once_restart(spark, stream_dirs):
+    from ravelytics_spark.streaming.pipeline import (
+        read_tracks_stream_files,
+        start_tracks_ingest,
+    )
+
+    src, out, ckpt = stream_dirs
+    _write_batch(src, "b1.json", WIRE_RECORDS)
+    q = start_tracks_ingest(read_tracks_stream_files(spark, str(src)), str(out), str(ckpt))
+    q.awaitTermination(120)
+    # restart with the same checkpoint + one new file: only the new file
+    # lands (offset tracking in checkpoint, OP-T1)
+    more = [dict(WIRE_RECORDS[0], track_id="t3", ingest_ts="2025-08-02T06:00:00Z")]
+    _write_batch(src, "b2.json", more)
+    q2 = start_tracks_ingest(read_tracks_stream_files(spark, str(src)), str(out), str(ckpt))
+    q2.awaitTermination(120)
+    got = spark.read.parquet(str(out)).select("track_id").orderBy("track_id").collect()
+    assert [r.track_id for r in got] == ["t1", "t2", "t3"]
+
+
+def test_duplicate_injection_tolerated_by_views(spark, stream_dirs):
+    """OP-T3: at-least-once duplicates don't corrupt the analytics —
+    the latest-state view collapses them (same tolerance the reference's
+    argMax gives)."""
+    from ravelytics_spark.operators.latest_state import latest_state
+    from ravelytics_spark.streaming.pipeline import (
+        read_tracks_stream_files,
+        start_tracks_ingest,
+    )
+
+    src, out, ckpt = stream_dirs
+    _write_batch(src, "b1.json", WIRE_RECORDS + WIRE_RECORDS)  # inject dupes
+    q = start_tracks_ingest(read_tracks_stream_files(spark, str(src)), str(out), str(ckpt))
+    q.awaitTermination(120)
+    warehouse = spark.read.parquet(str(out))
+    assert warehouse.count() == 4  # dupes landed (at-least-once)
+    latest = latest_state(
+        warehouse, key="track_id", ts="ingest_ts", value_cols=["track_name", "popularity"]
+    )
+    assert latest.count() == 2  # analytics collapse them
+
+
+def test_windowed_and_session_aggregations_run_in_streaming(spark, stream_dirs):
+    """Watermarked tumbling + session windows execute as streams (file
+    source → memory sink) and produce the batch-equivalent rollup."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from ravelytics_spark.streaming.pipeline import session_windows, windowed_event_counts
+
+    src, _, _ = stream_dirs
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        {"ts": (base + datetime.timedelta(minutes=m)).isoformat(), "user_id": 1}
+        for m in (0, 5, 90, 95)
+    ]
+    _write_batch(src, "ev.json", rows)
+    schema = "ts timestamp, user_id long"
+    stream = spark.readStream.schema(schema).json(str(src))
+
+    out = windowed_event_counts(stream, window="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    wins = {r.win_start.minute: r.n for r in spark.sql("SELECT * FROM win_counts").collect()}
+    assert wins == {0: 2, 30: 2}  # 00:00-00:10 → 2; 01:30-01:40 → 2
+
+    sess = session_windows(stream, gap="30 minutes")
+    q2 = (
+        sess.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    sessions = spark.sql("SELECT * FROM sessions").collect()
+    assert len(sessions) == 2  # two sessions split by the 85-min gap
+    assert sorted(r.n for r in sessions) == [2, 2]
