@@ -41,6 +41,11 @@ def main() -> None:
     spark = get_spark(app_name="ravelytics_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm the JVM/codegen/file-listing paths so the first measured query
+    # isn't charged ~10s of session startup.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         query = REGISTRY.get(name)
