@@ -804,5 +804,7 @@ def _register_flagship():
 
 _register_flagship()
 
-# Extension operators (OP-X*) register themselves on import.
+# Extension operators (OP-X*) and harness-only operators register
+# themselves on import.
 from ravelytics_spark.plans import extensions as _extensions  # noqa: E402,F401
+from ravelytics_spark.plans import harness_ops as _harness_ops  # noqa: E402,F401

@@ -1,0 +1,120 @@
+"""Physical-plan assertions: the properties that make these plans hold
+at 100 TB — filter pushdown, column pruning, broadcast joins, top-k
+without global sort, map-side partial aggregation. A plan regression
+here is a scale bug even when results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ravelytics_spark.plans.queries import REGISTRY
+from ravelytics_spark.sources.tables import load_table
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    df = REGISTRY["p3_filter_nonempty"].spark(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "PushedFilters: [IsNotNull(o_orderstatus), Not(EqualTo(o_orderstatus,F))" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    df = REGISTRY["p1_projection"].spark(spark, sf_dir)
+    plan = _executed_plan(df)
+    # scan reads exactly the 2 projected columns
+    assert "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>" in plan
+
+
+def test_pruning_through_view_stack(spark, sf_dir):
+    """Predicate + column pruning must flow through the 4-deep techno
+    view stack (logical-plan substitution, like ClickHouse view
+    inlining)."""
+    from ravelytics_spark.plans import views
+    from ravelytics_spark.plans.flagship import synth_artists, synth_tracks
+
+    tracks = synth_tracks(spark, sf_dir)
+    artists = synth_artists(spark, sf_dir)
+    out = views.v_track_is_techno(tracks, artists).filter(F.col("track_id") == "42")
+    plan = _optimized_plan(out)
+    # the track_id filter must reach below the aggregate, onto the
+    # orders-derived side (pushed through groupBy + join + explode)
+    agg_pos = plan.index("Aggregate")
+    assert "cast(o_orderkey" in plan[agg_pos:], "filter not pushed below the aggregate"
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    df = REGISTRY["j1_left_join"].spark(spark, sf_dir)
+    assert "BroadcastHashJoin" in _executed_plan(df)
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark, sf_dir):
+    df = REGISTRY["o1_topk"].spark(spark, sf_dir)
+    assert "TakeOrderedAndProject" in _executed_plan(df)
+
+
+def test_aggregation_is_partial_then_final(spark, sf_dir):
+    df = REGISTRY["g3_multikey_group"].spark(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "partial_" in plan, "no map-side partial aggregation"
+
+
+def test_latest_state_single_shuffle(spark, sf_dir):
+    """OP-G1 as max_by: exactly one exchange (the groupBy), with partial
+    aggregation before it."""
+    from ravelytics_spark.operators.latest_state import latest_state
+
+    ev = load_table(spark, sf_dir, "events")
+    out = latest_state(ev, key="user_id", ts="ts", value_cols=["event_type"])
+    plan = _executed_plan(out)
+    assert plan.count("Exchange") == 1
+    assert "partial_max_by" in plan
+
+
+def test_minhash_signature_partial_aggregation(spark, sf_dir):
+    """The 64-min signature aggregate must pre-combine map-side: one row
+    per doc crosses the shuffle, not one per shingle."""
+    from ravelytics_spark.operators.dedup import minhash_signatures
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = _executed_plan(minhash_signatures(d, "doc_id", "text"))
+    assert "partial_min" in plan
+
+
+def test_metadata_only_binary_query_skips_content(spark, tmp_path):
+    (tmp_path / "a.bin").write_bytes(b"x" * 100)
+    assets = spark.read.format("binaryFile").load(str(tmp_path / "*.bin"))
+    plan = _executed_plan(assets.select("path", "length"))
+    assert "content" not in plan
+
+
+def test_partition_pruning_on_warehouse_layout(spark, tmp_path):
+    """ingest_month partitioning must prune at the scan (the MergeTree
+    PARTITION BY analog)."""
+    from pyspark.sql import Row
+
+    import datetime
+
+    from ravelytics_spark.plans.tracks_pipeline import write_tracks_warehouse
+
+    rows = [
+        Row(
+            ingest_ts=datetime.datetime(2025, m, 1),
+            track_id=f"t{m}",
+            ingest_month=f"2025{m:02d}",
+        )
+        for m in (6, 7, 8)
+    ]
+    df = spark.createDataFrame(rows)
+    write_tracks_warehouse(df, str(tmp_path / "wh"))
+    back = spark.read.parquet(str(tmp_path / "wh")).filter(F.col("ingest_month") == "202507")
+    plan = _executed_plan(back)
+    assert "PartitionFilters" in plan and "202507" in plan
+    assert back.count() == 1
