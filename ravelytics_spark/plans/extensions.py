@@ -12,7 +12,7 @@ from ravelytics_spark.functions import text as TX
 from ravelytics_spark.functions.vectors import cosine, dot
 from ravelytics_spark.operators import dedup as DD
 from ravelytics_spark.operators import similarity as SIM
-from ravelytics_spark.plans.queries import REGISTRY, Query, q
+from ravelytics_spark.plans.queries import REGISTRY, Query, _dsum, _dsum_sql, q
 from ravelytics_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -388,6 +388,73 @@ def x6_sessionize(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # approx_count_distinct (needed at 100 TB; sketches differ across engines)
 # ---------------------------------------------------------------------------
+
+
+@q(
+    "x8_rollup",
+    "OP-G-ext",
+    "ROLLUP hierarchy totals (BI surface beyond the reference's flat "
+    "GROUP BY; grouping-set nulls disambiguated with grouping()).",
+    "SELECT coalesce(o_orderpriority, '<all>') AS prio, "
+    "coalesce(o_orderstatus, '<all>') AS status, "
+    "CASE WHEN GROUPING(o_orderpriority) = 1 THEN 1 ELSE 0 END AS g_prio, "
+    "count(*) AS n, " + _dsum_sql("o_totalprice") + " AS sum_price "
+    "FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus) "
+    "ORDER BY prio, status, g_prio",
+)
+def x8_rollup(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+            F.count("*").alias("n"),
+            _dsum("o_totalprice").alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("prio"),
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            "g_prio",
+            "n",
+            "sum_price",
+        )
+        .orderBy("prio", "status", "g_prio")
+    )
+
+
+@q(
+    "x8_intersect_all",
+    "OP-SET",
+    "INTERSECT ALL / EXCEPT ALL bag semantics.",
+    "SELECT nk FROM (SELECT c_nationkey AS nk FROM customer INTERSECT ALL "
+    "SELECT s_nationkey FROM supplier) ORDER BY nk",
+)
+def x8_intersect_all(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersectAll(s).orderBy("nk")
+
+
+@q(
+    "x8_percentiles",
+    "OP-G-ext",
+    "Exact discrete percentiles per group (median/p90) — the BI quantile "
+    "surface; approx_percentile is the 100 TB variant (harness).",
+    "SELECT o_orderpriority, "
+    "quantile_disc(o_totalprice, 0.5) AS p50, "
+    "quantile_disc(o_totalprice, 0.9) AS p90 "
+    "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+)
+def x8_percentiles(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").alias("p50"),
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").alias("p90"),
+        )
+        .orderBy("o_orderpriority")
+    )
 
 
 @q(

@@ -69,4 +69,32 @@ def configure_existing(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     except Exception:
         pass  # static in some deployments; AQE default-on in Spark 4
+    ship_package(spark)
     return spark
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``ravelytics_spark`` importable on executor Python workers.
+
+    Closures in mapInPandas / applyInPandasWithState pickle module
+    functions BY REFERENCE, so workers must import the package; when the
+    driver found it via cwd or a sys.path edit (not an installed
+    site-package), workers crash with ModuleNotFoundError. Shipping a
+    zip via addPyFile covers local and cluster mode alike. Idempotent
+    per SparkContext.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_ravelytics_pkg_shipped", False):
+        return
+    import shutil
+    import tempfile
+
+    import ravelytics_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(ravelytics_spark.__file__))
+    zip_base = os.path.join(tempfile.mkdtemp(prefix="rvl_pkg_"), "ravelytics_spark_pkg")
+    zip_path = shutil.make_archive(
+        zip_base, "zip", root_dir=os.path.dirname(pkg_dir), base_dir="ravelytics_spark"
+    )
+    sc.addPyFile(zip_path)
+    sc._ravelytics_pkg_shipped = True

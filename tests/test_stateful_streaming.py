@@ -1,0 +1,65 @@
+"""applyInPandasWithState sessionizer: state carries across micro-batches."""
+
+from __future__ import annotations
+
+import json
+import tempfile
+from pathlib import Path
+
+import pytest
+
+
+@pytest.fixture()
+def dirs():
+    with tempfile.TemporaryDirectory() as d:
+        src = Path(d) / "src"
+        ckpt = Path(d) / "ckpt"
+        src.mkdir()
+        yield src, ckpt
+
+
+def _write(src: Path, name: str, rows):
+    (src / name).write_text("\n".join(json.dumps(r) for r in rows))
+
+
+def _run_batch(spark, src, ckpt, qname):
+    from ravelytics_spark.streaming.stateful import user_session_stats
+
+    stream = spark.readStream.schema("user_id long, ts_epoch double").json(str(src))
+    out = user_session_stats(stream, gap_s=1800.0)
+    collected = []
+
+    def sink(batch_df, batch_id):
+        collected.extend(batch_df.collect())
+
+    # foreachBatch (unlike the memory sink) supports checkpoint recovery,
+    # which the cross-restart state assertion needs.
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return {r.user_id: (r.session_count, r.current_len) for r in collected}
+
+
+def test_state_carries_across_microbatches(spark, dirs):
+    src, ckpt = dirs
+    # batch 1: user 1 → two events 5 min apart (one session)
+    _write(src, "b1.json", [
+        {"user_id": 1, "ts_epoch": 1000.0},
+        {"user_id": 1, "ts_epoch": 1300.0},
+        {"user_id": 2, "ts_epoch": 1000.0},
+    ])
+    got = _run_batch(spark, src, ckpt, "sess_b1")
+    assert got[1] == (1, 2)
+    assert got[2] == (1, 1)
+
+    # batch 2: user 1 returns after > gap → session_count increments
+    # (requires state restored from the checkpointed store)
+    _write(src, "b2.json", [{"user_id": 1, "ts_epoch": 1300.0 + 4000.0}])
+    got2 = _run_batch(spark, src, ckpt, "sess_b2")
+    assert got2[1] == (2, 1)
+    assert 2 not in got2  # update mode: untouched users not re-emitted
