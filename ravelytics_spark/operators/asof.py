@@ -1,0 +1,131 @@
+"""As-of and range joins — time-series operators Spark lacks natively,
+composed from built-in relational ops (no UDFs, no driver loops).
+
+``asof_join``: for each left row, the single right row with the largest
+``right_ts <= left_ts`` per key (classic backward as-of; think "enrich
+each event with the latest prior artist state"). Physical shape is the
+union-window trick:
+
+    tag sides → unionByName → window last_value(right cols) over
+    (key ORDER BY ts, side) rows unbounded preceding → keep left rows
+
+One shuffle on (key), no N×M expansion, no range explosion — this is
+the canonical scale-out as-of (a sort-merge of both sides on the same
+key+ts order). Tolerance bounds stale matches.
+
+``range_join_binned``: equi-bin acceleration for |left.ts − right.ts|
+≤ window joins: both sides bucket to ⌊ts/width⌋, left explodes to the
+two adjacent buckets (any within-window partner must land there), join
+on (key, bucket), then the exact predicate filters. Turns a theta join
+(nested-loop at scale) into an equi-join shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str] | None = None,
+    tolerance_s: float | None = None,
+) -> DataFrame:
+    """Backward as-of join. Right columns come back null where no prior
+    right row exists (or the match exceeds ``tolerance_s``)."""
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, right_ts)]
+
+    l_tagged = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__rts"),
+    )
+    r_tagged = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(l_tagged.schema["__lrow"].dataType).alias("__lrow"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.col(right_ts).alias("__rts"),
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+
+    # Right rows sort before left rows at equal ts (side 0 < 1), so a
+    # right row AT the left timestamp matches (<= semantics).
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "__k",
+        "__ts",
+        "__side",
+        "__lrow",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__r_{c}")
+            for c in right_cols
+        ],
+        F.last("__rts", ignorenulls=True).over(w).alias("__rts"),
+    ).filter(F.col("__side") == 1)
+
+    if tolerance_s is not None:
+        in_tol = (
+            F.col("__rts").isNotNull()
+            & (F.unix_timestamp("__ts") - F.unix_timestamp("__rts") <= tolerance_s)
+        )
+        carried = carried.select(
+            "__k",
+            "__ts",
+            "__lrow",
+            *[
+                F.when(in_tol, F.col(f"__r_{c}")).otherwise(F.lit(None)).alias(f"__r_{c}")
+                for c in right_cols
+            ],
+        )
+
+    return carried.select(
+        *[F.col("__lrow")[c].alias(c) for c in left.columns],
+        *[F.col(f"__r_{c}").alias(c) for c in right_cols],
+    )
+
+
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    window_s: float,
+) -> DataFrame:
+    """All (left, right) pairs with equal key and |left_ts − right_ts|
+    ≤ window_s, as an equi-join on (key, time-bucket)."""
+    width = int(window_s)
+    l_b = left.withColumn("__lsec", F.unix_timestamp(F.col(left_ts)))
+    r_b = right.withColumn("__rsec", F.unix_timestamp(F.col(right_ts))).withColumn(
+        "__bucket", F.floor(F.col("__rsec") / width)
+    )
+    l_exploded = l_b.withColumn(
+        "__bucket",
+        F.explode(
+            F.array(
+                F.floor(F.col("__lsec") / width) - 1,
+                F.floor(F.col("__lsec") / width),
+                F.floor(F.col("__lsec") / width) + 1,
+            )
+        ),
+    )
+    joined = l_exploded.join(r_b, [on, "__bucket"])
+    return joined.filter(
+        F.abs(F.col("__lsec") - F.col("__rsec")) <= window_s
+    ).drop("__bucket", "__lsec", "__rsec")

@@ -355,6 +355,71 @@ def x4_lang_id(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# As-of / range joins (time-series surface Spark lacks natively)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "xj_asof_join",
+    "OP-J-ext",
+    "Backward as-of join (latest prior purchase per event) via the "
+    "union-window composition: one shuffle on the key, no range "
+    "explosion. Oracle: DuckDB native ASOF LEFT JOIN.",
+    "SELECT a.event_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts, "
+    "p.value AS purchase_value "
+    "FROM events a ASOF LEFT JOIN "
+    "(SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p "
+    "ON a.user_id = p.user_id AND a.ts >= p.ts "
+    "ORDER BY a.event_id",
+)
+def xj_asof_join(spark, sf_dir):
+    from ravelytics_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    joined = asof_join(
+        ev,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["purchase_ts", "purchase_value"],
+    )
+    return joined.select("event_id", "purchase_ts", "purchase_value").orderBy("event_id")
+
+
+@q(
+    "xj_range_join",
+    "OP-J-ext",
+    "Range join (pairs of same-user events within 30 min) as a binned "
+    "equi-join: bucket both sides to the window width, probe adjacent "
+    "buckets, exact filter after — a theta join becomes one shuffle.",
+    "SELECT a.event_id AS event_a, b.event_id AS event_b "
+    "FROM events a JOIN events b ON a.user_id = b.user_id "
+    "AND a.event_id < b.event_id "
+    "AND abs(date_diff('second', b.ts, a.ts)) <= 1800 "
+    "ORDER BY event_a, event_b",
+)
+def xj_range_join(spark, sf_dir):
+    from ravelytics_spark.operators.asof import range_join_binned
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select(F.col("event_id").alias("event_a"), "user_id", F.col("ts").alias("ts_a"))
+    b = ev.select(F.col("event_id").alias("event_b"), "user_id", F.col("ts").alias("ts_b"))
+    joined = range_join_binned(a, b, on="user_id", left_ts="ts_a", right_ts="ts_b", window_s=1800)
+    return (
+        joined.filter(F.col("event_a") < F.col("event_b"))
+        .select("event_a", "event_b")
+        .orderBy("event_a", "event_b")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sessionization (OP-W3 consumer; events stream)
 # ---------------------------------------------------------------------------
 
@@ -454,6 +519,42 @@ def x8_percentiles(spark, sf_dir):
             F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").alias("p90"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "x9_posexplode",
+    "OP-A1-ext",
+    "posexplode ≡ unnest WITH ORDINALITY (0-based vs 1-based aligned).",
+    "SELECT vec_id, CAST(pos - 1 AS INT) AS pos, CAST(u AS DOUBLE) AS u FROM "
+    "(SELECT vec_id, unnest(embedding) AS u, "
+    "generate_subscripts(embedding, 1) AS pos FROM embeddings) "
+    "WHERE vec_id < 100 ORDER BY vec_id, pos",
+)
+def x9_posexplode(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return (
+        e.select("vec_id", F.posexplode("embedding").alias("pos", "u"))
+        .select("vec_id", "pos", F.col("u").cast("double").alias("u"))
+        .orderBy("vec_id", "pos")
+    )
+
+
+@q(
+    "x9_stratified_sample",
+    "OP-X-ext",
+    "Stratified sampling (per-language fractions, seeded) — the "
+    "training-data curation primitive. Sampling is engine-specific → "
+    "harness rows-check + proportion property test.",
+    None,
+)
+def x9_stratified_sample(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25}
+    return (
+        d.sampleBy("lang", fractions=fractions, seed=42)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
     )
 
 
