@@ -523,6 +523,79 @@ def x8_percentiles(spark, sf_dir):
 
 
 @q(
+    "x9_pivot",
+    "OP-G-ext",
+    "Pivot (status columns per priority) — BI surface; fixed pivot "
+    "values keep the schema static, nulls → 0.",
+    "SELECT o_orderpriority AS prio, "
+    "sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS f_cnt, "
+    "sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS o_cnt, "
+    "sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS p_cnt "
+    "FROM orders GROUP BY o_orderpriority ORDER BY prio",
+)
+def x9_pivot(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("prio"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "prio",
+            F.coalesce("F", F.lit(0)).alias("f_cnt"),
+            F.coalesce("O", F.lit(0)).alias("o_cnt"),
+            F.coalesce("P", F.lit(0)).alias("p_cnt"),
+        )
+        .orderBy("prio")
+    )
+
+
+@q(
+    "w5_ntile_percent_rank",
+    "OP-W-ext",
+    "ntile + percent_rank + cume_dist (BI quantile windows).",
+    "SELECT o_orderkey, CAST(ntile(4) OVER w AS BIGINT) AS quartile, "
+    "percent_rank() OVER w AS pr, cume_dist() OVER w AS cd "
+    "FROM orders WINDOW w AS (ORDER BY o_totalprice, o_orderkey) "
+    "ORDER BY o_orderkey",
+)
+def w5_ntile_percent_rank(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    ).orderBy("o_orderkey")
+
+
+@q(
+    "x4_levenshtein",
+    "OP-X4/OP-X2",
+    "Edit-distance pairs over a small deterministic subset — the fuzzy "
+    "string-matching primitive for entity dedup.",
+    "SELECT a.p_partkey AS id_a, b.p_partkey AS id_b, "
+    "CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist "
+    "FROM part a JOIN part b ON a.p_partkey < b.p_partkey "
+    "WHERE a.p_partkey % 20 = 0 AND b.p_partkey % 20 = 0 "
+    "ORDER BY id_a, id_b",
+)
+def x4_levenshtein(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 20 == 0)
+    a = p.select(F.col("p_partkey").alias("id_a"), F.col("p_name").alias("na"))
+    b = p.select(F.col("p_partkey").alias("id_b"), F.col("p_name").alias("nb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.levenshtein("na", "nb").cast("long").alias("dist")
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+@q(
     "x9_posexplode",
     "OP-A1-ext",
     "posexplode ≡ unnest WITH ORDINALITY (0-based vs 1-based aligned).",

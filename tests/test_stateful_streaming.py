@@ -11,7 +11,9 @@ import pytest
 
 @pytest.fixture()
 def dirs():
-    with tempfile.TemporaryDirectory() as d:
+    # ignore_cleanup_errors: the state-store maintenance thread may still
+    # be flushing checkpoint files when the query stops
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as d:
         src = Path(d) / "src"
         ckpt = Path(d) / "ckpt"
         src.mkdir()
