@@ -451,6 +451,89 @@ def x6_sessionize(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Composed curation pipeline (the training-data north star, end to end)
+# ---------------------------------------------------------------------------
+
+_CURATION_ORACLE = f"""
+WITH cleaned AS (
+    SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text
+    FROM documents WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0
+),
+deduped AS (
+    SELECT doc_id, text FROM cleaned
+    QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+),
+tok AS (
+    SELECT doc_id, text,
+           list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS toks
+    FROM deduped
+),
+m AS (
+    SELECT doc_id, text, toks, len(toks) AS n,
+        CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) / len(toks) ELSE 0.0 END AS mwl,
+        CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, w -> list_contains({_STOP_SQL}, lower(w)))) AS DOUBLE) / len(toks) ELSE 0.0 END AS stop_ratio,
+        len(list_filter(list_transform(toks, w -> lower(w)), w -> list_contains({_MARKER_SQL['en']}, w))) AS s_en,
+        len(list_filter(list_transform(toks, w -> lower(w)), w -> list_contains({_MARKER_SQL['de']}, w))) AS s_de,
+        len(list_filter(list_transform(toks, w -> lower(w)), w -> list_contains({_MARKER_SQL['fr']}, w))) AS s_fr,
+        len(list_filter(list_transform(toks, w -> lower(w)), w -> list_contains({_MARKER_SQL['es']}, w))) AS s_es
+    FROM tok
+),
+scored AS (
+    SELECT doc_id, n AS n_tokens, md5(text) AS fp,
+        least(CAST(n AS DOUBLE) / 64.0, 1.0)
+        * (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END)
+        * (CASE WHEN stop_ratio > 0.8 THEN 0.25 ELSE 1.0 END) AS quality,
+        CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+             WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+             WHEN s_de = greatest(s_de, s_fr, s_es) THEN 'de'
+             WHEN s_fr = greatest(s_fr, s_es) THEN 'fr'
+             ELSE 'es' END AS lang_pred
+    FROM m
+)
+SELECT doc_id, quality, lang_pred, n_tokens, fp
+FROM scored WHERE quality >= 0.25 ORDER BY doc_id
+"""
+
+
+@q(
+    "x10_curation_deterministic",
+    "OP-X1/X4 composed",
+    "Training-data curation pipeline, deterministic prefix: clean → "
+    "exact dedup (keep first) → quality score → language ID → token "
+    "count → quality filter, in ONE composed plan.",
+    _CURATION_ORACLE,
+)
+def x10_curation_deterministic(spark, sf_dir):
+    from ravelytics_spark.plans.curation import curate_deterministic
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        curate_deterministic(d)
+        .select("doc_id", "quality", "lang_pred", "n_tokens", "fp")
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "x10_curation_full",
+    "OP-X1/X2/X4 composed",
+    "Full curation incl. MinHash+LSH near-dedup (keep lowest id per "
+    "near-dup pair). LSH step → harness rows-check; the deterministic "
+    "prefix is oracle-checked separately.",
+    None,
+)
+def x10_curation_full(spark, sf_dir):
+    from ravelytics_spark.plans.curation import curate_full
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        curate_full(d)
+        .select("doc_id", "quality", "lang_pred", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # approx_count_distinct (needed at 100 TB; sketches differ across engines)
 # ---------------------------------------------------------------------------
 
