@@ -32,6 +32,8 @@ HEADLINE = [
     "x1_dedup_exact",
     "x3_cosine_topk",
     "x2_minhash_lsh",
+    "xj_asof_join",
+    "x10_curation_full",
 ]
 
 
