@@ -715,6 +715,34 @@ def x9_stratified_sample(spark, sf_dir):
 
 
 @q(
+    "x11_feature_norm",
+    "OP-X-ext",
+    "Per-label z-score normalization of embeddings (training-data "
+    "feature preprocessing), exploded scalar output. Moments rounded to "
+    "6 decimals → output is bitwise-reproducible across engines.",
+    "WITH e AS (SELECT vec_id, label, unnest(embedding) AS v, "
+    "generate_subscripts(embedding, 1) - 1 AS dim FROM embeddings), "
+    "d AS (SELECT vec_id, label, dim, CAST(v AS DOUBLE) AS v FROM e), "
+    "m AS (SELECT label, dim, round(avg(v), 6) AS mu, "
+    "round(sqrt(avg(v*v) - avg(v)*avg(v)), 6) AS sigma "
+    "FROM d GROUP BY label, dim) "
+    "SELECT d.vec_id, d.dim, CASE WHEN m.sigma > 0 THEN (d.v - m.mu) / m.sigma "
+    "ELSE 0.0 END AS z FROM d JOIN m ON d.label = m.label AND d.dim = m.dim "
+    "WHERE d.vec_id < 200 ORDER BY d.vec_id, d.dim",
+)
+def x11_feature_norm(spark, sf_dir):
+    from ravelytics_spark.operators.feature_norm import normalize_by_group
+
+    e = load_table(spark, sf_dir, "embeddings")
+    normed = normalize_by_group(e, "embedding", "label")
+    return (
+        normed.select("vec_id", F.posexplode("z_embedding").alias("dim", "z"))
+        .filter(F.col("vec_id") < 200)
+        .orderBy("vec_id", "dim")
+    )
+
+
+@q(
     "x7_approx_distinct",
     "OP-G5-ext",
     "HLL approx_count_distinct — the 100 TB substitute for exact "

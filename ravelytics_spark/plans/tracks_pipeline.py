@@ -63,6 +63,29 @@ def normalize_playlist_items(items: DataFrame, ingest_ts: Column | None = None) 
     return rec.filter(F.col("track_id") != "")
 
 
+def normalize_artist_records(raw: DataFrame, ingest_ts: Column | None = None) -> DataFrame:
+    """Artist API object → artists record (the artists-pipeline analog of
+    ``normalize_playlist_items``). Ref
+    ``spotify_artist_genres_to_kafka.py:94-110``: name stripped (:104),
+    genres default [] (:105), popularity/followers ``int(x or 0)``
+    (:106-107); records without an id are dropped (:100-103).
+
+    ``raw`` rows have the API shape: id, name, genres array,
+    popularity, followers.total.
+    """
+    if ingest_ts is None:
+        ingest_ts = F.current_timestamp()
+    rec = raw.select(
+        ingest_ts.alias("ingest_ts"),
+        null_default(F.col("id"), "").alias("artist_id"),
+        F.trim(null_default(F.col("name"), "")).alias("artist_name"),
+        null_default(F.col("genres"), F.array().cast("array<string>")).alias("genres"),
+        null_default(F.col("popularity"), 0).cast("int").alias("popularity"),
+        null_default(F.col("followers")["total"], 0).cast("long").alias("followers_total"),
+    )
+    return rec.filter(F.col("artist_id") != "")
+
+
 def cleanse_tracks(wire: DataFrame) -> DataFrame:
     """Wire record → typed warehouse row (the MV body, ref 001:50-74).
 
