@@ -47,14 +47,24 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokenize_ws(text)).cast("long")
 
 
-def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = ENGLISH_STOPWORDS) -> Column:
-    """Fraction of whitespace tokens that are stopwords (lowercased)."""
-    toks = tokenize_ws(text)
-    stop = F.size(
-        F.filter(toks, lambda w: F.lower(w).isin(*stopwords))
-    ).cast("double")
+def _toks(source: Column | str) -> Column:
+    """Accept raw text (tokenize here) or an already-tokenized array
+    column — the scoring functions below take either, so composed
+    pipelines tokenize ONCE behind a projection boundary instead of
+    re-running the (interpreted) tokenizer per feature."""
+    c = F.col(source) if isinstance(source, str) else source
+    return c
+
+
+def stopword_ratio_toks(toks: Column, stopwords: tuple[str, ...] = ENGLISH_STOPWORDS) -> Column:
+    stop = F.size(F.filter(toks, lambda w: F.lower(w).isin(*stopwords))).cast("double")
     n = F.size(toks)
     return F.when(n > 0, stop / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = ENGLISH_STOPWORDS) -> Column:
+    """Fraction of whitespace tokens that are stopwords (lowercased)."""
+    return stopword_ratio_toks(tokenize_ws(text), stopwords)
 
 
 def punct_ratio(text: Column | str) -> Column:
@@ -67,8 +77,7 @@ def punct_ratio(text: Column | str) -> Column:
     )
 
 
-def mean_word_length(text: Column | str) -> Column:
-    toks = tokenize_ws(text)
+def mean_word_length_toks(toks: Column) -> Column:
     n = F.size(toks)
     total = F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w).cast("long")
@@ -76,32 +85,45 @@ def mean_word_length(text: Column | str) -> Column:
     return F.when(n > 0, total.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
 
 
+def mean_word_length(text: Column | str) -> Column:
+    return mean_word_length_toks(tokenize_ws(text))
+
+
+def quality_score_toks(toks: Column) -> Column:
+    """quality_score over a pre-tokenized array (see _toks)."""
+    n = F.size(toks).cast("long")
+    len_score = F.least(n.cast("double") / F.lit(64.0), F.lit(1.0))
+    mwl = mean_word_length_toks(toks)
+    word_score = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    stop = stopword_ratio_toks(toks)
+    stop_score = F.when(stop > 0.8, F.lit(0.25)).otherwise(F.lit(1.0))
+    return len_score * word_score * stop_score
+
+
 def quality_score(text: Column | str) -> Column:
     """Heuristic doc-quality score in [0,1]: rewards mid-length docs with
     word-like tokens and some (but not extreme) stopword density.
     Deterministic integer/rational arithmetic; cross-engine stable."""
-    n = token_count(text)
-    len_score = F.least(n.cast("double") / F.lit(64.0), F.lit(1.0))
-    mwl = mean_word_length(text)
-    word_score = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
-    stop = stopword_ratio(text)
-    stop_score = F.when(stop > 0.8, F.lit(0.25)).otherwise(F.lit(1.0))
-    return (len_score * word_score * stop_score).alias("quality_score")
+    return quality_score_toks(tokenize_ws(text)).alias("quality_score")
 
 
-def lang_scores(text: Column | str) -> dict[str, Column]:
-    """Per-language marker-hit counts (the language-ID signal)."""
-    toks_lower = F.transform(tokenize_ws(text), lambda w: F.lower(w))
+def lang_scores_toks(toks: Column) -> dict[str, Column]:
+    toks_lower = F.transform(toks, lambda w: F.lower(w))
     return {
         lang: F.size(F.filter(toks_lower, lambda w: w.isin(*markers))).cast("long")
         for lang, markers in LANG_MARKERS.items()
     }
 
 
-def lang_id(text: Column | str) -> Column:
-    """argmax over marker counts; 'und' when no marker hits. Ties break
-    by fixed language order (en, de, fr, es) for determinism."""
-    scores = lang_scores(text)
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language marker-hit counts (the language-ID signal)."""
+    return lang_scores_toks(tokenize_ws(text))
+
+
+def lang_id_toks(toks: Column) -> Column:
+    """argmax over marker counts of a pre-tokenized array; 'und' when no
+    marker hits. Ties break by fixed language order for determinism."""
+    scores = lang_scores_toks(toks)
     best_lang, best_score = F.lit("und"), F.lit(0).cast("long")
     for lang in ("en", "de", "fr", "es"):
         s = scores[lang]
@@ -109,6 +131,11 @@ def lang_id(text: Column | str) -> Column:
         best_lang = F.when(improved, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(improved, s).otherwise(best_score)
     return best_lang
+
+
+def lang_id(text: Column | str) -> Column:
+    """Language ID from raw text (see lang_id_toks)."""
+    return lang_id_toks(tokenize_ws(text))
 
 
 def fingerprint_md5(text: Column | str) -> Column:

@@ -35,14 +35,20 @@ def clean_documents(docs: DataFrame) -> DataFrame:
 
 
 def annotate(docs: DataFrame) -> DataFrame:
-    """Map-side curation columns: quality, language, token counts."""
-    return docs.select(
+    """Map-side curation columns: quality, language, token counts.
+
+    Tokenizes ONCE behind a projection boundary and feeds the *_toks
+    scoring forms — the tokenizer is an interpreted HOF, so computing it
+    per-feature (4×) dominated this stage's profile.
+    """
+    toked = docs.select("*", TX.tokenize_ws("text").alias("__toks"))
+    return toked.select(
         "*",
-        TX.quality_score("text").alias("quality"),
-        TX.lang_id("text").alias("lang_pred"),
-        TX.token_count("text").alias("n_tokens"),
+        TX.quality_score_toks(F.col("__toks")).alias("quality"),
+        TX.lang_id_toks(F.col("__toks")).alias("lang_pred"),
+        F.size("__toks").cast("long").alias("n_tokens"),
         TX.fingerprint_md5("text").alias("fp"),
-    )
+    ).drop("__toks")
 
 
 def curate_deterministic(docs: DataFrame, min_quality: float = 0.25) -> DataFrame:

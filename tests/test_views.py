@@ -84,6 +84,28 @@ def test_is_techno_flag(spark):
     assert got["t3"] == ([], False)
 
 
+def test_unicode_genres(spark):
+    """FIXTURES.md §4: unicode genre strings — lowerUTF8 parity and
+    substring matching must be unicode-aware (ClickHouse lowerUTF8 ≡
+    Spark lower on full Unicode)."""
+    tracks = spark.createDataFrame(
+        [Row(ingest_ts=T1, track_id="t9", track_name="Трек", artists=["Б"],
+             artist_ids=["u1"], album_id="a", album_name="Ä", release_date=datetime.date(2021, 1, 1),
+             popularity=1, added_at=T0, external_url="")],
+        TRACKS_TABLE_SCHEMA,
+    )
+    artists = spark.createDataFrame(
+        [Row(ingest_ts=T0, artist_id="u1", artist_name="Берлин",
+             genres=["БЕРЛИН-TECHNO", "München House", "TECHNO™"], popularity=9,
+             followers_total=1)],
+        ARTISTS_SCHEMA,
+    )
+    got = views.v_track_is_techno(tracks, artists).collect()[0]
+    assert sorted(got.all_genres) == ["münchen house", "techno™", "берлин-techno"]
+    assert sorted(got.matched) == ["techno™", "берлин-techno"]
+    assert got.is_techno is True
+
+
 def test_sql_view_stack_matches_dataframe_stack(spark):
     tracks, artists = _tracks(spark), _artists(spark)
     tracks.createOrReplaceTempView("spotify_tracks")
