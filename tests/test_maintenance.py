@@ -1,0 +1,89 @@
+"""Incremental latest-state refresh ≡ full recompute; compaction reduces
+files and preserves data; audit flags localize defaulted records."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from ravelytics_spark.operators.latest_state import latest_state
+from ravelytics_spark.operators.maintenance import (
+    cleanse_tracks_with_audit,
+    compact_partitions,
+    merge_latest_state,
+)
+
+
+def _t(day):
+    return datetime.datetime(2025, 7, day)
+
+
+def test_incremental_merge_equals_full_recompute(spark):
+    hist = spark.createDataFrame(
+        [("a", _t(1), "A1"), ("a", _t(2), "A2"), ("b", _t(1), "B1")],
+        ["k", "ts", "v"],
+    )
+    batch = spark.createDataFrame(
+        [("a", _t(3), "A3"), ("c", _t(1), "C1")], ["k", "ts", "v"]
+    )
+    current = latest_state(hist, "k", "ts")
+
+    # merge_latest_state drops ts from state? latest_state keeps value
+    # cols only; add ts back as a tracked value for recursivity
+    cur_with_ts = hist.groupBy("k").agg(
+        F.max_by("v", "ts").alias("v"), F.max("ts").alias("ts")
+    ).select("k", "ts", "v")
+    merged = merge_latest_state(cur_with_ts, batch, key="k", ts="ts")
+    full = hist.unionByName(batch).groupBy("k").agg(F.max_by("v", "ts").alias("v"))
+    assert {(r.k, r.v) for r in merged.select("k", "v").collect()} == {
+        (r.k, r.v) for r in full.collect()
+    }
+
+
+def test_compaction_preserves_rows_and_reduces_files(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, f"m{i % 2}") for i in range(1000)], ["x", "p"]
+    )
+    out = str(tmp_path / "wh")
+    # write fragmented: many small files per partition
+    df.repartition(20).write.partitionBy("p").parquet(out)
+    n_before = len([f for f in os.listdir(f"{out}/p=m0") if f.endswith(".parquet")])
+    assert n_before > 5
+
+    compact_partitions(spark, out, "p", target_file_rows=10_000)
+    n_after = len([f for f in os.listdir(f"{out}/p=m0") if f.endswith(".parquet")])
+    assert n_after == 1
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    assert back.agg(F.sum("x")).collect()[0][0] == sum(range(1000))
+
+
+def test_audit_flags_localize_bad_records(spark):
+    from ravelytics_spark.schemas import TRACKS_WIRE_SCHEMA
+
+    rows = [
+        # clean record: no flags
+        Row(ingest_ts="2025-07-30T06:00:00Z", track_id="ok", track_name="n",
+            artists=["a"], artist_ids=["i"], album_id="", album_name="",
+            release_date="2021-05-05", popularity=1,
+            added_at="2025-07-30T06:00:00Z", external_url=""),
+        # broken record: garbage everywhere
+        Row(ingest_ts="not-a-ts", track_id="bad", track_name="n",
+            artists=["a"], artist_ids=["i"], album_id="", album_name="",
+            release_date="garbage", popularity=1, added_at="nope",
+            external_url=""),
+    ]
+    wire = spark.createDataFrame(rows, TRACKS_WIRE_SCHEMA)
+    audited = cleanse_tracks_with_audit(wire)
+    got = {r.track_id: r for r in audited.collect()}
+    ok, bad = got["ok"], got["bad"]
+    assert not (ok.ingest_ts_defaulted or ok.release_date_defaulted or ok.added_at_defaulted)
+    assert bad.ingest_ts_defaulted and bad.release_date_defaulted and bad.added_at_defaulted
+    assert str(bad.release_date) == "1970-01-01"  # still cleansed downstream
+    quarantine = audited.filter(
+        F.col("ingest_ts_defaulted") | F.col("release_date_defaulted") | F.col("added_at_defaulted")
+    )
+    assert [r.track_id for r in quarantine.collect()] == ["bad"]
