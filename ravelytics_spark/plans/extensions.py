@@ -679,6 +679,46 @@ def x4_levenshtein(spark, sf_dir):
 
 
 @q(
+    "f3b_regexp_extract",
+    "OP-F3-ext",
+    "regexp_extract with capture group (1-based group index in both "
+    "engines).",
+    "SELECT p_partkey, regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS brand_num "
+    "FROM part ORDER BY p_partkey",
+)
+def f3b_regexp_extract(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"Brand#([0-9]+)", 1).alias("brand_num"),
+    ).orderBy("p_partkey")
+
+
+@q(
+    "w6_first_last_value",
+    "OP-W-ext",
+    "first_value / last_value with explicit frames per partition.",
+    "SELECT o_orderkey, "
+    "first_value(o_totalprice) OVER w AS cheapest, "
+    "last_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS priciest "
+    "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) "
+    "ORDER BY o_orderkey",
+)
+def w6_first_last_value(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("cheapest"),
+        F.last("o_totalprice").over(w_full).alias("priciest"),
+    ).orderBy("o_orderkey")
+
+
+@q(
     "x9_posexplode",
     "OP-A1-ext",
     "posexplode ≡ unnest WITH ORDINALITY (0-based vs 1-based aligned).",
