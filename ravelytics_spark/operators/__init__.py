@@ -35,9 +35,12 @@ from ravelytics_spark.operators.similarity import (
     srp_signatures,
     srp_topk,
 )
+from ravelytics_spark.operators.resample import resample_ffill, time_grid
 from ravelytics_spark.operators.skew import salted_agg, salted_left_join, top_keys
 
 __all__ = [
+    "resample_ffill",
+    "time_grid",
     "asof_join",
     "range_join_binned",
     "dedup_exact",

@@ -419,6 +419,32 @@ def xj_range_join(spark, sf_dir):
     )
 
 
+@q(
+    "xt_resample_ffill",
+    "OP-T-ext",
+    "Time-grid resampling with forward-fill (gap filling): per-user "
+    "hourly grid, latest at-or-before value on each point — "
+    "sequence-explode grid + as-of join. Oracle: generate_series + "
+    "native ASOF.",
+    "WITH b AS (SELECT user_id, min(ts) AS lo, max(ts) AS hi FROM events GROUP BY user_id), "
+    "grid AS (SELECT user_id, unnest(generate_series("
+    "CAST(to_timestamp(floor(epoch(lo)/3600)*3600) AS TIMESTAMP), "
+    "CAST(to_timestamp(floor(epoch(hi)/3600)*3600) AS TIMESTAMP), "
+    "INTERVAL 1 HOUR)) AS grid_ts FROM b) "
+    "SELECT g.user_id, g.grid_ts, e.value AS filled_value "
+    "FROM grid g ASOF LEFT JOIN events e "
+    "ON g.user_id = e.user_id AND g.grid_ts >= e.ts "
+    "ORDER BY g.user_id, g.grid_ts",
+)
+def xt_resample_ffill(spark, sf_dir):
+    from ravelytics_spark.operators.resample import resample_ffill
+
+    ev = load_table(spark, sf_dir, "events")
+    return resample_ffill(ev, key="user_id", ts="ts", value="value", step_s=3600).orderBy(
+        "user_id", "grid_ts"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sessionization (OP-W3 consumer; events stream)
 # ---------------------------------------------------------------------------

@@ -43,6 +43,19 @@ def test_asof_tolerance(spark):
     assert tight[0].px is None  # 30 min > 10 min tolerance
 
 
+def test_resample_ffill_gap_filling(spark):
+    from ravelytics_spark.operators.resample import resample_ffill
+
+    ev = spark.createDataFrame(
+        [Row(user_id=1, ts=_ts(5), value=10.0),   # 00:05
+         Row(user_id=1, ts=_ts(40), value=20.0)],  # 00:40
+    )
+    got = resample_ffill(ev, "user_id", "ts", "value", step_s=600).collect()
+    by_min = {r.grid_ts.minute: r.filled_value for r in got}
+    # grid 00:00..00:40 every 10 min; 00:00 precedes the first event
+    assert by_min == {0: None, 10: 10.0, 20: 10.0, 30: 10.0, 40: 20.0}
+
+
 def test_range_join_boundary_buckets(spark):
     """Pairs straddling a bucket boundary must still pair (adjacent-
     bucket probe)."""
