@@ -704,6 +704,118 @@ def x4_levenshtein(spark, sf_dir):
     )
 
 
+_SQL_SURFACE = """
+SELECT
+    c.c_mktsegment AS segment,
+    count(*) AS n_orders,
+    CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name <> 'AFRICA' AND o.o_orderstatus <> 'F'
+GROUP BY c.c_mktsegment
+ORDER BY segment
+"""
+
+
+@q(
+    "sql_surface",
+    "OP-S11/§3.3",
+    "The SQL entry point (Superset-analog surface): the SAME SQL string "
+    "runs on registered Spark temp views and on DuckDB — certifying "
+    "dialect-shared multi-join analytics via spark.sql, view expansion "
+    "and Catalyst pushdown included.",
+    _SQL_SURFACE,
+)
+def sql_surface(spark, sf_dir):
+    from ravelytics_spark.sources.tables import load_tables
+
+    load_tables(spark, sf_dir)  # registers temp views: orders, customer, ...
+    return spark.sql(_SQL_SURFACE)
+
+
+@q(
+    "a1b_explode_outer",
+    "OP-A1-ext",
+    "explode_outer: rows with empty arrays survive with NULL (the "
+    "left-join form of arrayJoin). Synthesized empty arrays on a "
+    "deterministic subset.",
+    "WITH t AS (SELECT vec_id, CASE WHEN vec_id % 10 = 0 THEN [] "
+    "ELSE embedding[1:3] END AS arr FROM embeddings WHERE vec_id < 100) "
+    "SELECT t.vec_id, CAST(u.u AS DOUBLE) AS u FROM t "
+    "LEFT JOIN LATERAL (SELECT unnest(t.arr) AS u) AS u ON TRUE "
+    "ORDER BY vec_id, u",
+)
+def a1b_explode_outer(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    t = e.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 10 == 0, F.array().cast("array<float>"))
+        .otherwise(F.slice("embedding", 1, 3))
+        .alias("arr"),
+    )
+    return (
+        t.select("vec_id", F.explode_outer("arr").alias("u"))
+        .select("vec_id", F.col("u").cast("double").alias("u"))
+        .orderBy("vec_id", "u")
+    )
+
+
+_TFIDF_ORACLE = """
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+tf AS (
+    SELECT doc_id, w, count(*) AS tf FROM words GROUP BY doc_id, w
+),
+df AS (
+    SELECT w, count(DISTINCT doc_id) AS df FROM words GROUP BY w
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.w,
+           round(tf.tf * ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / df.df), 6) AS tfidf
+    FROM tf JOIN df ON tf.w = df.w
+)
+SELECT doc_id, w, tfidf FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w) <= 3
+ORDER BY doc_id, tfidf DESC, w
+"""
+
+
+@q(
+    "x4_tfidf_terms",
+    "OP-X4",
+    "Top-3 TF-IDF terms per document: tf and df exact integer counts, "
+    "one ln + one multiply on identical doubles, deterministic "
+    "tie-break — the IR term-weighting primitive.",
+    _TFIDF_ORACLE,
+)
+def x4_tfidf_terms(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dfreq = words.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    scored = tf.join(dfreq, "w").select(
+        "doc_id",
+        "w",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "w")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w_rank))
+        .filter(F.col("__rn") <= 3)
+        .drop("__rn")
+        .orderBy("doc_id", F.desc("tfidf"), "w")
+    )
+
+
 @q(
     "f3b_regexp_extract",
     "OP-F3-ext",

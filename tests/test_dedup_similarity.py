@@ -129,6 +129,17 @@ def test_knn_join(vectors):
     assert self_hit.cos_sim == pytest.approx(1.0)
 
 
+def test_approx_percentile_accuracy(spark, sf_dir):
+    from ravelytics_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    row = o.agg(
+        F.percentile_approx("o_totalprice", 0.5, 1000).alias("approx"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").alias("exact"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.05
+
+
 def test_approx_count_distinct_accuracy(spark, sf_dir):
     from ravelytics_spark.sources.tables import load_table
 
