@@ -704,6 +704,38 @@ def x4_levenshtein(spark, sf_dir):
     )
 
 
+@q(
+    "tpch_q3_shipping_priority",
+    "OP-J2/G3/O1 composed",
+    "TPC-H Q3 shape: 3-way join, grouped decimal-exact revenue, top-10 "
+    "— the canonical multi-join analytics plan (AQE-ordered joins, "
+    "partial agg, TakeOrdered).",
+    "SELECT l_orderkey, "
+    "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue, "
+    "CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "WHERE c_mktsegment = 'BUILDING' AND o_orderstatus <> 'F' "
+    "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+    "ORDER BY revenue DESC, l_orderkey LIMIT 10",
+)
+def tpch_q3_shipping_priority(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
 _SQL_SURFACE = """
 SELECT
     c.c_mktsegment AS segment,
