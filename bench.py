@@ -37,6 +37,7 @@ HEADLINE = [
     "x2_minhash_lsh",
     "xj_asof_join",
     "x10_curation_full",
+    "tpch_q3_shipping_priority",
 ]
 
 

@@ -37,10 +37,18 @@ from ravelytics_spark.operators.similarity import (
 )
 from ravelytics_spark.operators.resample import resample_ffill, time_grid
 from ravelytics_spark.operators.skew import salted_agg, salted_left_join, top_keys
+from ravelytics_spark.operators.validation import (
+    check_referential,
+    check_unique,
+    validate,
+)
 
 __all__ = [
     "resample_ffill",
     "time_grid",
+    "validate",
+    "check_unique",
+    "check_referential",
     "asof_join",
     "range_join_binned",
     "dedup_exact",

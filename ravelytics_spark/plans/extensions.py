@@ -704,6 +704,62 @@ def x4_levenshtein(spark, sf_dir):
     )
 
 
+_VALIDATION_ORACLE = """
+WITH row_checks AS (
+    SELECT * FROM (VALUES
+        ('not_null_l_quantity',
+         (SELECT count(*) FROM lineitem WHERE l_quantity IS NULL),
+         (SELECT count(*) FROM lineitem)),
+        ('range_l_discount',
+         (SELECT count(*) FROM lineitem WHERE l_discount NOT BETWEEN 0 AND 1 OR l_discount IS NULL),
+         (SELECT count(*) FROM lineitem)),
+        ('domain_l_returnflag',
+         (SELECT count(*) FROM lineitem WHERE l_returnflag NOT IN ('A','N','R') OR l_returnflag IS NULL),
+         (SELECT count(*) FROM lineitem)),
+        ('unique_l_orderkey_l_linenumber',
+         (SELECT coalesce(sum(n - 1), 0) FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber)),
+         (SELECT count(*) FROM lineitem)),
+        ('fk_l_orderkey',
+         (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+         (SELECT count(*) FROM lineitem))
+    ) AS t(check_name, violations, total)
+)
+SELECT check_name, CAST(violations AS BIGINT) AS violations, CAST(total AS BIGINT) AS total
+FROM row_checks ORDER BY check_name
+"""
+
+
+@q(
+    "xq_validation_report",
+    "OP-X-ext",
+    "Declarative data-quality suite: null/domain/range checks in one "
+    "aggregate pass + uniqueness + referential integrity — the "
+    "measurable-contract layer the reference's skip-guards lack.",
+    _VALIDATION_ORACLE,
+)
+def xq_validation_report(spark, sf_dir):
+    from ravelytics_spark.operators import validation as V
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    row_report = V.validate(
+        li,
+        [
+            V.not_null("l_quantity"),
+            V.in_range("l_discount", 0, 1),
+            V.in_set("l_returnflag", ["A", "N", "R"]),
+        ],
+    )
+    uniq = V.check_unique(li, ["l_orderkey", "l_linenumber"])
+    fk = V.check_referential(li, o, fk="l_orderkey", pk="o_orderkey")
+    return (
+        row_report.unionByName(uniq)
+        .unionByName(fk)
+        .withColumnRenamed("check", "check_name")
+        .orderBy("check_name")
+    )
+
+
 @q(
     "tpch_q3_shipping_priority",
     "OP-J2/G3/O1 composed",
