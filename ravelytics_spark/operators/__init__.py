@@ -1,6 +1,7 @@
 """Relational + extension operators built on DataFrame primitives."""
 
 from ravelytics_spark.operators.asof import asof_join, range_join_binned
+from ravelytics_spark.operators.clusters import connected_components, dedup_by_clusters
 from ravelytics_spark.operators.dedup import (
     dedup_exact,
     dedup_fingerprint,
@@ -44,6 +45,8 @@ from ravelytics_spark.operators.validation import (
 )
 
 __all__ = [
+    "connected_components",
+    "dedup_by_clusters",
     "resample_ffill",
     "time_grid",
     "validate",

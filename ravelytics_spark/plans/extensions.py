@@ -135,6 +135,22 @@ def x2_simhash(spark, sf_dir):
 
 
 @q(
+    "x2_dup_clusters",
+    "OP-X2",
+    "Transitive near-dup clusters: MinHash pairs → iterative hash-min "
+    "connected components → keep min id per cluster. Iterative (non-SQL-"
+    "expressible) → harness rows-check + chain-merge property tests.",
+    None,
+)
+def x2_dup_clusters(spark, sf_dir):
+    from ravelytics_spark.operators.clusters import dedup_by_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_dedup_pairs(d, "doc_id", "text", threshold=0.5)
+    return dedup_by_clusters(d, pairs, "doc_id").select("doc_id").orderBy("doc_id")
+
+
+@q(
     "x3_self_dot",
     "OP-X3",
     "Self dot product in double with sequential fold — certifies the "
