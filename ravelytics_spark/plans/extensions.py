@@ -981,19 +981,25 @@ def x9_posexplode(spark, sf_dir):
 @q(
     "x9_stratified_sample",
     "OP-X-ext",
-    "Stratified sampling (per-language fractions, seeded) — the "
-    "training-data curation primitive. Sampling is engine-specific → "
-    "harness rows-check + proportion property test.",
+    "Stratified sampling via content hashing: keep row iff "
+    "xxhash64(id, salt) mod 1000 < fraction·1000 per stratum. Unlike "
+    "sampleBy (per-PARTITION seeded rand — resample changes with "
+    "partition layout), this is row-deterministic: reproducible across "
+    "runs, partitionings and cluster sizes — the property a curation "
+    "pipeline must have. xxhash64 has no DuckDB twin → harness check + "
+    "proportion/stability tests.",
     None,
 )
 def x9_stratified_sample(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     fractions = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25}
-    return (
-        d.sampleBy("lang", fractions=fractions, seed=42)
-        .select("doc_id", "lang")
-        .orderBy("doc_id")
-    )
+    frac = None
+    for lang, f in fractions.items():
+        branch = F.when(F.col("lang") == lang, F.lit(int(f * 1000)))
+        frac = branch if frac is None else frac.when(F.col("lang") == lang, F.lit(int(f * 1000)))
+    frac = frac.otherwise(F.lit(0))
+    bucket = F.pmod(F.xxhash64(F.col("doc_id"), F.lit(42)), F.lit(1000))
+    return d.filter(bucket < frac).select("doc_id", "lang").orderBy("doc_id")
 
 
 @q(
