@@ -144,6 +144,50 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Shingle-containment pairs: C(A→B) = |A∩B| / |A| — detects when a
+    short document is (mostly) CONTAINED in a longer one, which Jaccard
+    misses (a quote inside a 10× longer doc has J ≈ 0.1 but C ≈ 1.0).
+    Emits (id_a, id_b, containment) where containment is the max of the
+    two directions and id_a < id_b; same inverted-index shape as
+    ``ngram_jaccard_pairs``.
+    """
+    sh = _shingled(df, id_col, text_col, n)
+    sizes = sh.groupBy("__id").agg(F.count("*").alias("__size"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.__shingle") == F.col("b.__shingle"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count("*").alias("__common"))
+    )
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__size").alias("__size_a"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__size").alias("__size_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("__common")
+                / F.least(F.col("__size_a"), F.col("__size_b")).cast("double")
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 5, num_hashes: int = 64
 ) -> DataFrame:

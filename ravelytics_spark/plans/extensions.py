@@ -101,6 +101,56 @@ def x2_ngram_jaccard(spark, sf_dir):
     )
 
 
+_CONTAINMENT_ORACLE = """
+WITH d AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 100 = 0
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(w) >= 5
+               THEN list_transform(range(1, len(w) - 3), i -> array_to_string(w[i:i+4], ' '))
+               ELSE [array_to_string(w, ' ')] END) AS s
+    FROM d
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           / least(len(a.s), len(b.s)) AS containment
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+@q(
+    "x2_containment",
+    "OP-X2",
+    "Shingle containment |A∩B|/min(|A|,|B|) over the deterministic "
+    "subset — catches subset-duplication (quotes, partial copies) that "
+    "Jaccard under-scores.",
+    _CONTAINMENT_ORACLE,
+)
+def x2_containment(spark, sf_dir):
+    # all-pairs form over the tiny subset (mirrors the oracle, which
+    # keeps zero-overlap pairs); the inverted-index operator
+    # (DD.containment_pairs) is the scale path and is probe-tested on
+    # planted subset-duplicates.
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 100 == 0)
+    sh = d.select("doc_id", F.array_distinct(TX.shingles("text", 5)).alias("s"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sa", "sb")).cast("double")
+                / F.least(F.size("sa"), F.size("sb")).cast("double")
+            ).alias("containment"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 @q(
     "x2_minhash_lsh",
     "OP-X2",

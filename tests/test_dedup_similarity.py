@@ -58,6 +58,18 @@ def test_ngram_jaccard_exact_math(corpus):
     assert (0, 1000) in pairs and 0.5 <= pairs[(0, 1000)] < 1.0
 
 
+def test_containment_catches_subset_duplication(spark):
+    """A short doc quoted inside a much longer one: Jaccard misses it,
+    containment flags it at 1.0."""
+    quote = "alpha beta gamma delta epsilon zeta eta"
+    long_doc = quote + " " + " ".join(f"pad{i}" for i in range(60))
+    df = spark.createDataFrame([(1, long_doc), (2, quote)], ["doc_id", "text"])
+    c = DD.containment_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    j = DD.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    assert [(r.id_a, r.id_b, r.containment) for r in c] == [(1, 2, 1.0)]
+    assert j == []
+
+
 def test_simhash_near_pairs(corpus):
     sigs = DD.simhash_signatures(corpus, "doc_id", "text")
     by_id = {r["__id"]: r["simhash"] for r in sigs.collect()}
