@@ -4,6 +4,13 @@
 ``queries()`` / ``oracle_sql()`` expose the full t2 catalog from
 ``ravelytics_spark.plans.queries`` (one entry per SURVEY §2 operator,
 each with its DuckDB oracle).
+
+Catalog ordering: the driver verifies a bounded window of entries in
+dict order, so entries are emitted in certification-priority order —
+(0) oracle-backed entries NOT yet driver-certified in a prior round
+(including anything newly added), (1) harness-only entries (rows-only
+check), (2) entries already hash-certified in CORRECTNESS_r01.json.
+Within a tier, registration order is preserved.
 """
 
 from __future__ import annotations
@@ -20,6 +27,40 @@ from ravelytics_spark.plans.queries import REGISTRY  # noqa: E402
 from ravelytics_spark.session import configure_existing  # noqa: E402
 
 _SF0001 = "/root/testdata/sf0.001"
+
+# Entries hash-certified by the driver in round 1 (CORRECTNESS_r01.json:
+# all 50 pass rows+schema+hash). They keep their oracles but yield the
+# verification window to not-yet-certified entries.
+_R1_CERTIFIED = frozenset(
+    {
+        "s11_scan_lineitem", "p1_projection", "p2_null_default",
+        "p3_filter_nonempty", "p4_filter_notnull", "c1_ts_fallback",
+        "c2_date_norm_shape", "c3_conditional", "c4_cast", "j1_left_join",
+        "j2_inner_join", "j3_semi_join", "j4_anti_join", "g1_argmax_latest",
+        "g2_collect_sorted", "g3_multikey_group", "g4_distinct_sort",
+        "g5_counts", "g6_numeric_aggs", "a1_explode", "a2_transform_lower",
+        "a3_filter_hof", "a4_a5_flatten_distinct", "a7_array_size",
+        "f1_lower", "f2_instr", "f3_rlike", "f4_concat", "f5_substr",
+        "f6_length_trim", "d1_yyyymm", "d2_to_date", "d4_iso_roundtrip",
+        "m1_json_extract", "o1_topk", "o3_limit", "o4_union_all",
+        "o5_chunking", "set_intersect", "set_except", "w1_row_number",
+        "w2_rank", "w3_lag", "w4_running_sum", "t_window_daily",
+        "flagship_techno_stack", "x1_dedup_exact", "x1b_dedup_rows",
+        "x2_ngram_jaccard", "x2_containment",
+    }
+)
+
+
+def _ordered_names() -> list[str]:
+    def tier(name: str) -> int:
+        if REGISTRY[name].oracle is not None and name not in _R1_CERTIFIED:
+            return 0  # oracle-backed, awaiting hash certification
+        if REGISTRY[name].oracle is None:
+            return 1  # harness-only: rows check is still new signal
+        return 2  # already certified in round 1
+
+    names = list(REGISTRY)
+    return sorted(names, key=lambda n: (tier(n), names.index(n)))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -38,12 +79,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
-    return {name: wrap(query.spark) for name, query in REGISTRY.items()}
+    return {name: wrap(REGISTRY[name].spark) for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for each queries() entry (omitted for
     harness-only operators → driver records rows-only check)."""
     return {
-        name: query.oracle for name, query in REGISTRY.items() if query.oracle is not None
+        name: REGISTRY[name].oracle
+        for name in _ordered_names()
+        if REGISTRY[name].oracle is not None
     }
