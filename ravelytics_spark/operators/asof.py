@@ -22,6 +22,7 @@ on (key, bucket), then the exact predicate filters. Turns a theta join
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -36,16 +37,28 @@ def asof_join(
     right_ts: str,
     right_cols: Sequence[str] | None = None,
     tolerance_s: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join. Right columns come back null where no prior
-    right row exists (or the match exceeds ``tolerance_s``)."""
+    """As-of join. ``backward`` (default): largest right_ts <= left_ts
+    per key; ``forward``: smallest right_ts >= left_ts. Right columns
+    come back null where no match exists (or it exceeds
+    ``tolerance_s``). Same one-shuffle union-window shape either way —
+    forward just flips the tag order and carries FIRST over the
+    following frame instead of LAST over the preceding one."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    backward = direction == "backward"
+    # At equal ts the right row must fall inside the left row's frame:
+    # backward frames end at the current row → right sorts first (0 < 1);
+    # forward frames start at the current row → right sorts after.
+    left_tag, right_tag = (1, 0) if backward else (0, 1)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_ts)]
 
     l_tagged = left.select(
         F.col(on).alias("__k"),
         F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__side"),
+        F.lit(left_tag).alias("__side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
         F.lit(None).cast(right.schema[right_ts].dataType).alias("__rts"),
@@ -53,37 +66,43 @@ def asof_join(
     r_tagged = right.select(
         F.col(on).alias("__k"),
         F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__side"),
+        F.lit(right_tag).alias("__side"),
         F.lit(None).cast(l_tagged.schema["__lrow"].dataType).alias("__lrow"),
         *[F.col(c).alias(f"__r_{c}") for c in right_cols],
         F.col(right_ts).alias("__rts"),
     )
     unioned = l_tagged.unionByName(r_tagged)
 
-    # Right rows sort before left rows at equal ts (side 0 < 1), so a
-    # right row AT the left timestamp matches (<= semantics).
-    w = (
-        Window.partitionBy("__k")
-        .orderBy("__ts", "__side")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    if backward:
+        w = (
+            Window.partitionBy("__k")
+            .orderBy("__ts", "__side")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        carry = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        w = (
+            Window.partitionBy("__k")
+            .orderBy("__ts", "__side")
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        carry = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
     carried = unioned.select(
         "__k",
         "__ts",
         "__side",
         "__lrow",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__r_{c}")
-            for c in right_cols
-        ],
-        F.last("__rts", ignorenulls=True).over(w).alias("__rts"),
-    ).filter(F.col("__side") == 1)
+        *[carry(f"__r_{c}").alias(f"__r_{c}") for c in right_cols],
+        carry("__rts").alias("__rts"),
+    ).filter(F.col("__side") == left_tag)
 
     if tolerance_s is not None:
-        in_tol = (
-            F.col("__rts").isNotNull()
-            & (F.unix_timestamp("__ts") - F.unix_timestamp("__rts") <= tolerance_s)
+        gap = (
+            F.unix_timestamp("__ts") - F.unix_timestamp("__rts")
+            if backward
+            else F.unix_timestamp("__rts") - F.unix_timestamp("__ts")
         )
+        in_tol = F.col("__rts").isNotNull() & (gap <= tolerance_s)
         carried = carried.select(
             "__k",
             "__ts",
@@ -110,9 +129,16 @@ def range_join_binned(
 ) -> DataFrame:
     """All (left, right) pairs with equal key and |left_ts − right_ts|
     ≤ window_s, as an equi-join on (key, time-bucket)."""
-    width = int(window_s)
-    l_b = left.withColumn("__lsec", F.unix_timestamp(F.col(left_ts)))
-    r_b = right.withColumn("__rsec", F.unix_timestamp(F.col(right_ts))).withColumn(
+    # ceil, not truncate: bucket width must be ≥ window_s so any pair
+    # within the window is at most one bucket apart (the ±1 explode).
+    # int(90.5)=90 would silently drop pairs 2 buckets apart; window_s<1
+    # would make width 0 (divide-by-zero).
+    width = max(1, math.ceil(window_s))
+    # cast("double") = epoch seconds WITH sub-second fraction;
+    # unix_timestamp() truncates to whole seconds, which both mis-buckets
+    # and mis-filters sub-second timestamps against fractional windows.
+    l_b = left.withColumn("__lsec", F.col(left_ts).cast("double"))
+    r_b = right.withColumn("__rsec", F.col(right_ts).cast("double")).withColumn(
         "__bucket", F.floor(F.col("__rsec") / width)
     )
     l_exploded = l_b.withColumn(

@@ -81,7 +81,10 @@ def _hashed_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataF
     """
     words = df.select(
         F.col(id_col).alias("__id"),
-        F.posexplode(F.split(F.col(text_col), r"\s+")).alias("__p", "__w"),
+        # trim first: split("  a b", "\s+") yields a "" token at pos 0,
+        # which tokenize_ws/shingles (the string path) filter out — the
+        # two paths must tokenize whitespace-padded docs identically.
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__p", "__w"),
     ).select("__id", "__p", F.xxhash64("__w").alias("__hw"))
     w = Window.partitionBy("__id").orderBy("__p")
     leads = [F.col("__hw")] + [F.lead("__hw", i).over(w) for i in range(1, n)]
@@ -117,7 +120,10 @@ def ngram_jaccard_pairs(
     skew — at 100 TB, drop shingles above a document-frequency cap first
     (they contribute pairs that LSH would find anyway).
     """
-    sh = _shingled(df, id_col, text_col, n).cache()
+    # No .cache(): the plan is returned lazily, so a cache here spans no
+    # action the callee controls and leaks a pinned RDD per invocation in
+    # long-lived sessions. Callers that materialize twice can persist.
+    sh = _shingled(df, id_col, text_col, n)
     sizes = sh.groupBy("__id").agg(F.count("*").alias("__size"))
 
     a = sh.alias("a")
@@ -220,22 +226,10 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
-    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
-) -> DataFrame:
-    """LSH banding over signatures from ``minhash_signatures``.
-
-    Each signature splits into ``bands`` bands of ``rows_per_band``
-    values; documents agreeing on ALL values in any band become a
-    candidate pair. Emits distinct (id_a, id_b), id_a < id_b.
-
-    Scale: one explode (×bands) + one shuffle on (band, bucket-hash).
-    Hot buckets (boilerplate docs) are bounded with a per-bucket size
-    cap at 100 TB; not needed at test SF.
-    """
-    # Bucket per band = hash of that band's signature slice. Literal
-    # index access unrolled at plan-build time — plain codegen'd
-    # expressions, not interpreted higher-order lambdas.
+def _banded(signatures: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band, bucket) rows: bucket per band = hash of that band's
+    signature slice. Literal index access unrolled at plan-build time —
+    plain codegen'd expressions, not interpreted higher-order lambdas."""
     buckets = F.array(
         *[
             F.hash(
@@ -244,9 +238,41 @@ def minhash_lsh_candidates(
             for b in range(bands)
         ]
     )
-    banded = signatures.select(
+    return signatures.select(
         "__id", F.posexplode(buckets).alias("__band", "__bucket")
     )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = 500,
+) -> DataFrame:
+    """LSH banding over signatures from ``minhash_signatures``.
+
+    Each signature splits into ``bands`` bands of ``rows_per_band``
+    values; documents agreeing on ALL values in any band become a
+    candidate pair. Emits distinct (id_a, id_b), id_a < id_b.
+
+    Scale: one explode (×bands) + one shuffle on (band, bucket-hash).
+    Hot buckets (boilerplate/empty docs colliding into one bucket) would
+    otherwise cost |bucket|² in the self-join — a single million-doc
+    bucket is 5×10¹¹ pairs. ``max_bucket_size`` caps each (band, bucket)
+    to its first N members by id (row_number over the SAME key the join
+    shuffles on — the exchange is reused). A true dup pair truncated out
+    of a mega-bucket almost always shares one of the other bands'
+    (small) buckets, so recall on genuine near-dups is preserved; use
+    ``lsh_bucket_stats`` to audit what a cap drops. ``None`` disables.
+    """
+    banded = _banded(signatures, bands, rows_per_band)
+    if max_bucket_size is not None:
+        w = Window.partitionBy("__band", "__bucket").orderBy("__id")
+        banded = (
+            banded.withColumn("__bn", F.row_number().over(w))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -261,6 +287,34 @@ def minhash_lsh_candidates(
     )
 
 
+def lsh_bucket_stats(
+    signatures: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = 500,
+) -> DataFrame:
+    """Per-(band, bucket) audit for the hot-bucket cap: member count and
+    how many same-bucket pairs the cap drops
+    (C(size,2) − C(min(size,cap),2)). Sum ``dropped_pairs`` for the
+    dropped-pair counter; rows with dropped_pairs > 0 are the buckets a
+    tighter/looser cap would change."""
+    sizes = _banded(signatures, bands, rows_per_band).groupBy(
+        "__band", "__bucket"
+    ).agg(F.count("*").alias("bucket_size"))
+    kept = (
+        F.least(F.col("bucket_size"), F.lit(max_bucket_size))
+        if max_bucket_size is not None
+        else F.col("bucket_size")
+    )
+    pairs = lambda n: (n * (n - F.lit(1))) / F.lit(2)  # noqa: E731
+    return sizes.select(
+        "__band",
+        "__bucket",
+        "bucket_size",
+        (pairs(F.col("bucket_size")) - pairs(kept)).cast("long").alias("dropped_pairs"),
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str,
@@ -269,12 +323,13 @@ def minhash_dedup_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    max_bucket_size: int | None = 500,
 ) -> DataFrame:
     """Full near-dup pipeline: MinHash → LSH candidates → exact Jaccard
     verification on candidates only. Returns (id_a, id_b, jaccard)."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    cand = minhash_lsh_candidates(sigs, bands, rows_per_band)
+    cand = minhash_lsh_candidates(sigs, bands, rows_per_band, max_bucket_size)
 
     # Exact verification on hashed shingle SETS (collect_set of 8-byte
     # hashes — no document strings move through the join).

@@ -43,35 +43,73 @@ def compact_partitions(
     partition_col: str,
     partitions: list[str] | None = None,
     target_file_rows: int = 1_000_000,
+    min_quiesce_s: float = 0.0,
 ) -> None:
-    """Small-file compaction for a streaming parquet sink: each
-    micro-batch appends a file per task, so a long-running ingest leaves
-    thousands of small files per partition (the classic streaming-sink
-    pathology; MergeTree background merges are ClickHouse's answer).
+    """Small-file compaction for a parquet warehouse: a long-running
+    ingest leaves thousands of small files per partition (the classic
+    streaming-sink pathology; MergeTree background merges are
+    ClickHouse's answer).
 
     Rewrites each listed partition (default: all) into
-    ``ceil(rows / target_file_rows)`` files via a staging dir + atomic
-    rename. At 100 TB this runs per-partition on a schedule, touching
-    only partitions past their ingest window.
+    ``ceil(rows / target_file_rows)`` files via staging dir +
+    rename-swap: the live dir is moved aside only AFTER the compacted
+    copy is fully written, then staging is promoted, then the old copy
+    is deleted LAST — a crash at any step leaves a complete copy of the
+    data on disk (the old dir, recoverable by renaming back).
+
+    Concurrency contract: a partition must be quiescent while it is
+    compacted — rows appended between the read and the swap would be
+    lost. ``min_quiesce_s`` enforces this programmatically: partitions
+    containing a file modified more recently than that many seconds ago
+    are skipped (run with e.g. 2× the micro-batch interval; ingest-day
+    partitions simply wait for the next scheduled pass).
+
+    NOT for paths under a Structured Streaming file-sink root: the
+    sink's ``_spark_metadata`` transaction log names the original part
+    files, and readers of the sink root prefer the log — rewritten
+    files would be invisible/dangling. Such sinks must be compacted
+    through the sink's own commit protocol or a table format
+    (Delta/Iceberg ``rewrite_data_files``). Detected and refused.
     """
     import math
     import shutil
+    import time
 
+    if os.path.isdir(os.path.join(path, "_spark_metadata")):
+        raise ValueError(
+            f"{path} is a Structured Streaming file-sink root "
+            "(_spark_metadata present); compacting part files here would "
+            "invalidate the sink's transaction log. Use the sink's commit "
+            "protocol or a table format instead."
+        )
     if partitions is None:
         partitions = [
             d.split("=", 1)[1]
             for d in os.listdir(path)
             if d.startswith(f"{partition_col}=")
         ]
+    now = time.time()
     for value in partitions:
         part_dir = os.path.join(path, f"{partition_col}={value}")
+        if min_quiesce_s > 0:
+            newest = max(
+                (
+                    os.path.getmtime(os.path.join(part_dir, f))
+                    for f in os.listdir(part_dir)
+                ),
+                default=0.0,
+            )
+            if now - newest < min_quiesce_s:
+                continue  # still inside the ingest window — next pass
         df = spark.read.parquet(part_dir)
         n = df.count()
         files = max(1, math.ceil(n / target_file_rows))
         staging = part_dir + ".compacting"
+        retired = part_dir + ".retired"
         df.repartition(files).write.mode("overwrite").parquet(staging)
-        shutil.rmtree(part_dir)
+        os.rename(part_dir, retired)  # old data intact until promote succeeds
         os.rename(staging, part_dir)
+        shutil.rmtree(retired)  # delete last; crash before this leaves both copies
 
 
 def cleanse_tracks_with_audit(wire: DataFrame) -> DataFrame:

@@ -186,16 +186,19 @@ def ivf_centroids(df: DataFrame, vec_col: str, n_cells: int, id_col: str = "vec_
     """Deterministic centroid pick: the n_cells rows with smallest
     xxhash64(id) (a seeded sample). A k-means refinement pass can follow;
     for IVF bucketing, spread matters more than optimality."""
-    w = Window.orderBy("__h", "cell_id")
     return (
         df.select(
             F.col(id_col).alias("cell_id"),
             F.col(vec_col).alias("cell_vec"),
             F.xxhash64(F.col(id_col)).alias("__h"),
         )
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= n_cells)
-        .drop("__rn", "__h")
+        # orderBy+limit compiles to TakeOrderedAndProject: per-partition
+        # top-n heaps + a driver merge of n_cells rows. A global-window
+        # row_number() here would instead sort the ENTIRE table through
+        # one partition — fatal at 100 TB for picking ~16 rows.
+        .orderBy("__h", "cell_id")
+        .limit(n_cells)
+        .drop("__h")
     )
 
 

@@ -60,11 +60,14 @@ def salted_agg(
 def top_keys(df: DataFrame, key: str, min_fraction: float = 0.01, max_keys: int = 100) -> DataFrame:
     """Keys holding more than ``min_fraction`` of all rows — the hot set
     worth a separate broadcast/salted path."""
-    total = df.count()
+    # One scan: per-key counts, grand total as a broadcast 1-row cross
+    # join over the SAME aggregated frame (ReusedExchange — no second
+    # pass over df, and no single-partition window over all keys).
+    counted = df.groupBy(key).count()
+    total = counted.agg(F.sum("count").alias("__total"))
     return (
-        df.groupBy(key)
-        .count()
-        .filter(F.col("count") >= total * min_fraction)
+        counted.crossJoin(F.broadcast(total))
+        .filter(F.col("count") >= F.col("__total") * min_fraction)
         .orderBy(F.desc("count"))
         .limit(max_keys)
         .select(key, "count")

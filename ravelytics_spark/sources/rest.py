@@ -10,8 +10,8 @@ Spark has no native REST source, so acquisition has two forms:
 - ``fetch_paginated`` — driver-side cursor loop (the reference's IR: a
   Python list of dicts). Right when one bounded feed starts the
   pipeline; the result lands as JSON and becomes a DataFrame.
-- ``enrich_batched`` — DISTRIBUTED enrichment: ids chunked with the
-  OP-O5 row_number idiom and fetched inside ``mapInPandas``, so at 100 TB
+- ``enrich_batched`` — DISTRIBUTED enrichment: ids hash-bucketed
+  (``pmod(xxhash64(id), B)``) and fetched inside ``mapInPandas``, so at 100 TB
   the HTTP calls fan out across executors instead of serializing on the
   driver. The fetch callable is injected (tests use a fake; production
   binds an HTTP client + token).
@@ -23,14 +23,12 @@ library is imported here.
 from __future__ import annotations
 
 import json
-import math
 from collections.abc import Callable, Iterator, Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.window import Window
 
 from ravelytics_spark.pipeline import SkipStep
 
@@ -93,34 +91,41 @@ def enrich_batched(
     url_template: str,
     out_schema: T.StructType,
     batch_size: int = 50,
+    num_buckets: int = 64,
 ) -> DataFrame:
-    """OP-S2 distributed: unique ids → chunks of ``batch_size`` →
-    one REST call per chunk inside mapInPandas.
+    """OP-S2 distributed: ids hash-bucketed across executors, then
+    fetched ≤``batch_size`` per REST call inside mapInPandas.
 
-    The chunk id becomes the repartition key, so each executor task
-    owns whole chunks and the per-task call count is bounded. The
-    transport returns ``{"records": [row-dicts]}`` per call.
+    The bucket id is the repartition key, so each executor task owns
+    whole buckets; within a bucket the ids are split into ≤batch_size
+    calls (the API contract). The transport returns
+    ``{"records": [row-dicts]}`` per call.
     """
     id_col = ids.columns[0]
-    n = ids.count()
-    if n == 0:
+    if ids.isEmpty():
         raise SkipStep("no ids to enrich")
-    num_chunks = max(1, math.ceil(n / batch_size))
-    w = Window.orderBy(id_col)
+    # Bucket by hash-mod, NOT row_number over a global Window: a global
+    # window is a single-partition sort of every id (plus a count()
+    # action) — fine for the reference's 166 artists, fatal at 100×.
+    # One hash, no global order; bucket sizes are approximate, so the
+    # ≤batch_size API contract is enforced inside each bucket instead.
     chunked = ids.select(
         F.col(id_col).alias("__eid"),
-        F.floor((F.row_number().over(w) - 1) / batch_size).alias("__chunk"),
-    ).repartition(min(num_chunks, 64), "__chunk")
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_buckets)).alias("__chunk"),
+    ).repartition(min(num_buckets, 64), "__chunk")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in out_schema.fields]
         for pdf in batches:
             for _, group in pdf.groupby("__chunk"):
                 id_list = list(group["__eid"])
-                body = transport(url_template, {"ids": ",".join(map(str, id_list))})
-                records = body.get("records") or []
-                if records:
-                    yield pd.DataFrame(records, columns=cols)
+                # cap each REST call at batch_size ids (API contract)
+                for i in range(0, len(id_list), batch_size):
+                    call_ids = id_list[i : i + batch_size]
+                    body = transport(url_template, {"ids": ",".join(map(str, call_ids))})
+                    records = body.get("records") or []
+                    if records:
+                        yield pd.DataFrame(records, columns=cols)
 
     return chunked.mapInPandas(run, out_schema)
 

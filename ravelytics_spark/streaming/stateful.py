@@ -47,6 +47,13 @@ def _update_user_sessions(
     gap_s: float = 1800.0,
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
+    # Timeout firing = no new data for this user within the timeout
+    # window: evict the state and emit nothing. Without this branch the
+    # handler would re-arm the timeout and emit a spurious duplicate row
+    # per idle user per timeout — state would never shrink.
+    if state.hasTimedOut:
+        state.remove()
+        return
     if state.exists:
         session_count, last_ts, current_len = state.get
     else:

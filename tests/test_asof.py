@@ -70,3 +70,64 @@ def test_range_join_boundary_buckets(spark):
         ).collect()
     }
     assert got == {"R1"}  # 2 min apart matches; 30 min apart doesn't
+
+
+def test_range_join_fractional_window(spark):
+    """Fractional window_s must widen the bucket (ceil), not truncate:
+    int(90.5)=90 would put ts=0.5s and ts=91s two buckets apart and
+    silently drop the in-window pair."""
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    left = spark.createDataFrame([Row(k="a", la="L", lts=base + datetime.timedelta(seconds=91))])
+    right = spark.createDataFrame(
+        [Row(k="a", rb="IN", rts=base + datetime.timedelta(seconds=0, microseconds=500_000)),
+         Row(k="a", rb="OUT", rts=base + datetime.timedelta(seconds=200))]
+    )
+    got = {
+        r.rb
+        for r in range_join_binned(
+            left, right, on="k", left_ts="lts", right_ts="rts", window_s=90.5
+        ).collect()
+    }
+    assert got == {"IN"}  # 90.5s apart is within 90.5; 109s apart is not
+
+
+def test_range_join_subsecond_window(spark):
+    """window_s < 1 must not divide by zero (width clamps to 1)."""
+    base = datetime.datetime(2024, 1, 1)
+    left = spark.createDataFrame([Row(k="a", la="L", lts=base)])
+    right = spark.createDataFrame([Row(k="a", rb="R", rts=base)])
+    got = range_join_binned(
+        left, right, on="k", left_ts="lts", right_ts="rts", window_s=0.5
+    ).collect()
+    assert len(got) == 1
+
+
+def test_asof_forward_direction(spark):
+    """Forward as-of: smallest right_ts >= left_ts; equal ts matches."""
+    left = spark.createDataFrame(
+        [Row(k="a", lid=1, lts=_ts(10)), Row(k="a", lid=2, lts=_ts(20)),
+         Row(k="a", lid=3, lts=_ts(50))]
+    )
+    right = spark.createDataFrame(
+        [Row(k="a", rts=_ts(5), val="early"), Row(k="a", rts=_ts(20), val="eq"),
+         Row(k="a", rts=_ts(30), val="late")]
+    )
+    got = {
+        r.lid: r.val
+        for r in asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts", direction="forward"
+        ).collect()
+    }
+    # lid=1 → next at 20 ("eq"); lid=2 → equal ts matches ("eq");
+    # lid=3 → nothing after 50 → null
+    assert got == {1: "eq", 2: "eq", 3: None}
+
+
+def test_asof_forward_tolerance(spark):
+    left = spark.createDataFrame([Row(k="a", lid=1, lts=_ts(0))])
+    right = spark.createDataFrame([Row(k="a", rts=_ts(30), val="far")])
+    got = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        direction="forward", tolerance_s=600,
+    ).collect()
+    assert got[0].val is None  # 30 min ahead > 10 min tolerance

@@ -87,3 +87,31 @@ def test_audit_flags_localize_bad_records(spark):
         F.col("ingest_ts_defaulted") | F.col("release_date_defaulted") | F.col("added_at_defaulted")
     )
     assert [r.track_id for r in quarantine.collect()] == ["bad"]
+
+
+def test_compaction_refuses_streaming_sink_root(spark, tmp_path):
+    """Rewriting part files under a _spark_metadata-managed root would
+    invalidate the sink's transaction log — must refuse."""
+    import pytest
+
+    out = str(tmp_path / "sinkroot")
+    spark.createDataFrame([(1, "m0")], ["x", "p"]).write.partitionBy("p").parquet(out)
+    os.makedirs(os.path.join(out, "_spark_metadata"))
+    with pytest.raises(ValueError, match="_spark_metadata"):
+        compact_partitions(spark, out, "p")
+
+
+def test_compaction_skips_partitions_inside_ingest_window(spark, tmp_path):
+    """min_quiesce_s leaves recently-written partitions untouched (they
+    may still be receiving appends)."""
+    out = str(tmp_path / "wh2")
+    df = spark.createDataFrame([(i, "m0") for i in range(100)], ["x", "p"])
+    df.repartition(10).write.partitionBy("p").parquet(out)
+    n_before = len([f for f in os.listdir(f"{out}/p=m0") if f.endswith(".parquet")])
+    compact_partitions(spark, out, "p", min_quiesce_s=3600)
+    n_after = len([f for f in os.listdir(f"{out}/p=m0") if f.endswith(".parquet")])
+    assert n_after == n_before  # fresh partition skipped
+
+    compact_partitions(spark, out, "p", min_quiesce_s=0)
+    n_final = len([f for f in os.listdir(f"{out}/p=m0") if f.endswith(".parquet")])
+    assert n_final == 1  # quiesced (cap lifted) → compacted

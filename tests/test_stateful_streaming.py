@@ -65,3 +65,32 @@ def test_state_carries_across_microbatches(spark, dirs):
     got2 = _run_batch(spark, src, ckpt, "sess_b2")
     assert got2[1] == (2, 1)
     assert 2 not in got2  # update mode: untouched users not re-emitted
+
+
+def test_timeout_evicts_idle_user_state():
+    """When ProcessingTimeTimeout fires, the handler must remove the
+    state and emit nothing — not re-arm the timeout and emit a spurious
+    duplicate row (unbounded state growth for idle users)."""
+    from ravelytics_spark.streaming.stateful import _update_user_sessions
+
+    class FakeState:
+        hasTimedOut = True
+        exists = True
+        get = (3, 100.0, 2)
+
+        def __init__(self):
+            self.removed = False
+
+        def remove(self):
+            self.removed = True
+
+        def update(self, v):
+            raise AssertionError("timeout path must not update state")
+
+        def setTimeoutDuration(self, ms):
+            raise AssertionError("timeout path must not re-arm the timeout")
+
+    state = FakeState()
+    out = list(_update_user_sessions((7,), iter([]), state))
+    assert out == []
+    assert state.removed
