@@ -12,17 +12,54 @@ which exists in this container — the wire-format builders are what the
 harness tests (golden byte layouts), and ``write_batch``/``read_stream``
 are thin, documented one-liners over them.
 
-Topic admin (OP-S10) is deliberately NOT a Spark op: create topics with
-kafka AdminClient in deployment code (the reference does it inline in
-the DAG, spotify_artist_genres_to_kafka.py:60-72).
+Topic admin (OP-S10): ``ensure_topic`` mirrors the reference's inline
+create-if-missing (spotify_artist_genres_to_kafka.py:60-72) over an
+injected AdminClient-shaped object — no kafka library import here; the
+production binding passes ``kafka.admin.KafkaAdminClient`` (or
+confluent's AdminClient behind the same three methods), tests pass a
+fake.
 """
 
 from __future__ import annotations
+
+from typing import Protocol
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ravelytics_spark.schemas import TRACKS_WIRE_SCHEMA
+
+
+class TopicAdmin(Protocol):
+    """The slice of kafka AdminClient that topic admin needs."""
+
+    def list_topics(self) -> list[str]: ...  # pragma: no cover - protocol
+
+    def create_topic(
+        self, name: str, num_partitions: int, replication_factor: int
+    ) -> None: ...  # pragma: no cover - protocol
+
+
+def ensure_topic(
+    admin: TopicAdmin,
+    topic: str,
+    num_partitions: int = 1,
+    replication_factor: int = 1,
+) -> bool:
+    """OP-S10 create-if-missing, matching the reference DAG's semantics
+    (spotify_artist_genres_to_kafka.py:60-72: list topics, create with
+    partitions/RF only when absent; existing topics are left untouched).
+    Returns True if the topic was created, False if it already existed.
+
+    Races (two ingest jobs creating the same topic) surface as the
+    broker's TopicAlreadyExists error from ``create_topic``; treat it as
+    the False path in callers — same as the reference, which tolerates
+    the error by checking existence first and accepting the tiny window.
+    """
+    if topic in set(admin.list_topics()):
+        return False
+    admin.create_topic(topic, num_partitions, replication_factor)
+    return True
 
 
 def to_kafka_records(df: DataFrame, key_col: str | None = None) -> DataFrame:

@@ -161,3 +161,33 @@ def test_approx_count_distinct_accuracy(spark, sf_dir):
         F.countDistinct("o_custkey").alias("exact"),
     ).collect()[0]
     assert abs(row.approx - row.exact) / row.exact < 0.1
+
+
+def test_lsh_hot_bucket_cap_bounds_pairs(spark, corpus):
+    """A planted mega-bucket (40 identical boilerplate docs — same
+    signature, same bucket in every band) must not cost |bucket|² pairs
+    when capped; recall on the normal planted dupes is unchanged."""
+    boiler = " ".join(f"boiler{i % 7}" for i in range(60))
+    mega = spark.createDataFrame(
+        [(5000 + i, boiler) for i in range(40)], ["doc_id", "text"]
+    )
+    df = corpus.union(mega)
+
+    capped = {
+        (r.id_a, r.id_b)
+        for r in DD.minhash_dedup_pairs(
+            df, "doc_id", "text", threshold=0.5, max_bucket_size=10
+        ).collect()
+    }
+    mega_pairs = {p for p in capped if p[0] >= 5000}
+    # cap 10 → C(10,2)=45 pairs among the boilerplate docs, not C(40,2)=780
+    assert len(mega_pairs) == 45
+    # normal dupes unaffected (their buckets are far below the cap)
+    assert (0, 2000) in capped
+    assert sum((k * 10, 1000 + k) in capped for k in range(5)) >= 4
+
+    # dropped-pairs audit: every band sees the 40-doc bucket
+    sigs = DD.minhash_signatures(df, "doc_id", "text")
+    stats = DD.lsh_bucket_stats(sigs, max_bucket_size=10)
+    dropped = stats.agg(F.sum("dropped_pairs")).collect()[0][0]
+    assert dropped == 16 * (780 - 45)

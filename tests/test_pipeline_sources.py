@@ -193,3 +193,38 @@ def test_golden_normalize_reference_sample(spark):
     # mixed precision handled: no 1970 fallbacks in this sample (all
     # release dates are valid YYYY or YYYY-MM-DD)
     assert cleaned.filter(F.col("release_date") == "1970-01-01").count() == 0
+
+
+# --- Topic admin (OP-S10) ---------------------------------------------------
+
+
+class _FakeAdmin:
+    def __init__(self, existing):
+        self.topics = list(existing)
+        self.created = []
+
+    def list_topics(self):
+        return self.topics
+
+    def create_topic(self, name, num_partitions, replication_factor):
+        self.created.append((name, num_partitions, replication_factor))
+        self.topics.append(name)
+
+
+def test_ensure_topic_creates_when_missing():
+    from ravelytics_spark.sources.kafka import ensure_topic
+
+    admin = _FakeAdmin(["other"])
+    assert ensure_topic(admin, "tracks", num_partitions=3, replication_factor=2) is True
+    assert admin.created == [("tracks", 3, 2)]
+    # second call: exists → no-op (the reference's create-if-missing)
+    assert ensure_topic(admin, "tracks") is False
+    assert admin.created == [("tracks", 3, 2)]
+
+
+def test_ensure_topic_leaves_existing_untouched():
+    from ravelytics_spark.sources.kafka import ensure_topic
+
+    admin = _FakeAdmin(["tracks"])
+    assert ensure_topic(admin, "tracks", num_partitions=8) is False
+    assert admin.created == []
