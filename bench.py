@@ -1,6 +1,12 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Regression guardrail: per-query best times persist in BENCH_BEST.json
+(per sf). After each run, any query slower than REGRESSION_FACTOR × its
+recorded best is reported in a "regressions" key and the process exits
+nonzero — a plan change that quietly 2×'d a headline query fails the
+round instead of slipping through. Faster times update the baseline.
 """
 
 from __future__ import annotations
@@ -65,17 +71,48 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    regressions = _check_regressions(sf, timings)
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if regressions:
+        out["regressions"] = regressions
+    print(json.dumps(out))
+    if regressions:
+        sys.exit(2)
+
+
+REGRESSION_FACTOR = 1.5
+_BEST_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BEST.json")
+
+
+def _check_regressions(sf: str, timings: dict[str, float]) -> dict[str, str]:
+    """Compare against the best recorded per-query times for this sf;
+    update bests, return {query: 'now vs best'} for >1.5× regressions.
+    Sub-second timings are exempt (JVM/GC noise dominates there)."""
+    try:
+        with open(_BEST_PATH) as fh:
+            best_all = json.load(fh)
+    except (OSError, ValueError):
+        best_all = {}
+    best = best_all.setdefault(sf, {})
+    regressions: dict[str, str] = {}
+    for name, t in timings.items():
+        prev = best.get(name)
+        if prev is None or t < prev:
+            best[name] = t
+        elif t > prev * REGRESSION_FACTOR and t > 1.0:
+            regressions[name] = f"{t:.2f}s vs best {prev:.2f}s"
+    try:
+        with open(_BEST_PATH, "w") as fh:
+            json.dump(best_all, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: guardrail still reports, just can't persist
+    return regressions
 
 
 if __name__ == "__main__":

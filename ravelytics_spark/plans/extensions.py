@@ -1094,3 +1094,269 @@ def x7_approx_distinct(spark, sf_dir):
         F.approx_count_distinct("o_custkey").alias("approx_custs"),
         F.countDistinct("o_custkey").alias("exact_custs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: multidim aggregates, histogram, window completeness,
+# pagination, BPE-ish tokenizer parity, forward as-of, TPC-H Q5, exact
+# embedding near-dup pairs.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "x12_cube",
+    "OP-G3-ext",
+    "CUBE aggregate (all grouping sets over 2 dims) — one pass, Spark "
+    "Expand + single hash-agg shuffle; the OLAP drill-down companion to "
+    "x8_rollup.",
+    "SELECT o_orderstatus, o_orderpriority, count(*) AS n, "
+    + _dsum_sql("o_totalprice")
+    + " AS total FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) "
+    "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST",
+)
+def x12_cube(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), _dsum("o_totalprice").alias("total"))
+        .orderBy(F.asc_nulls_first("o_orderstatus"), F.asc_nulls_first("o_orderpriority"))
+    )
+
+
+@q(
+    "x13_histogram",
+    "OP-G6-ext",
+    "Fixed-width histogram (bucket = floor(x/width)): the profile/EDA "
+    "primitive — one map-side-combined hash-agg, no sort of the data, "
+    "deterministic without a min/max pre-pass.",
+    "SELECT CAST(FLOOR(o_totalprice / 1000.0) AS BIGINT) AS bucket, "
+    "count(*) AS n FROM orders GROUP BY 1 ORDER BY bucket",
+)
+def x13_histogram(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / F.lit(1000.0)).cast("bigint").alias("bucket")
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+@q(
+    "w7_nth_cume",
+    "OP-W-ext",
+    "Window completeness: cume_dist + nth_value per customer order "
+    "history — one shuffle on the partition key.",
+    "SELECT o_orderkey, o_custkey, "
+    "cume_dist() OVER w AS cd, "
+    "nth_value(o_totalprice, 2) OVER w AS second_price "
+    "FROM orders "
+    "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) "
+    "ORDER BY o_orderkey",
+)
+def w7_nth_cume(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.cume_dist().over(w).alias("cd"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    ).orderBy("o_orderkey")
+
+
+@q(
+    "o6_offset_pagination",
+    "OP-O3-ext",
+    "LIMIT/OFFSET pagination on a total order — the API-page idiom. "
+    "Spark pushes offset+limit into one TakeOrderedAndProject (driver "
+    "fetches offset+limit rows, skips offset) — fine for page-depth "
+    "offsets; deep pagination should keyset-paginate on o_orderkey > "
+    "last_seen instead (stated in the plan contract).",
+    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey "
+    "LIMIT 100 OFFSET 200",
+)
+def o6_offset_pagination(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_totalprice").orderBy("o_orderkey").offset(200).limit(100)
+
+
+@q(
+    "x4_bpe_token_count",
+    "OP-X4",
+    "BPE-ish regex token counting (contraction-aware letter runs, digit "
+    "runs, single punctuation) — the LLM-budget token estimator; native "
+    "regexp_extract_all, codegen.",
+    "SELECT doc_id, len(regexp_extract_all(text, "
+    "'''?[\\p{L}]+|[\\p{N}]+|[^\\s\\p{L}\\p{N}]')) AS n_bpe_tokens "
+    "FROM documents ORDER BY doc_id",
+)
+def x4_bpe_token_count(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.size(TX.tokenize_bpe_ish("text")).cast("long").alias("n_bpe_tokens")
+    ).orderBy("doc_id")
+
+
+@q(
+    "xj_asof_forward",
+    "OP-J-ext",
+    "FORWARD as-of join (next purchase at-or-after each event) — same "
+    "one-shuffle union-window shape as the backward form with the frame "
+    "flipped. Oracle: DuckDB ASOF with <= (forward direction).",
+    "SELECT a.event_id, CAST(p.ts AS TIMESTAMP) AS next_purchase_ts, "
+    "p.value AS next_purchase_value "
+    "FROM events a ASOF LEFT JOIN "
+    "(SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p "
+    "ON a.user_id = p.user_id AND a.ts <= p.ts "
+    "ORDER BY a.event_id",
+)
+def xj_asof_forward(spark, sf_dir):
+    from ravelytics_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("ts").alias("next_purchase_ts"),
+        F.col("value").alias("next_purchase_value"),
+    )
+    joined = asof_join(
+        ev,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["next_purchase_ts", "next_purchase_value"],
+        direction="forward",
+    )
+    return joined.select("event_id", "next_purchase_ts", "next_purchase_value").orderBy(
+        "event_id"
+    )
+
+
+@q(
+    "tpch_q5_local_supplier",
+    "OP-J2/OP-G3-ext",
+    "TPC-H Q5 (local supplier volume): 6-table join with broadcast "
+    "region/nation dims, AQE sort-merge for the fact joins, one "
+    "hash-agg. The multi-join stress test for Catalyst join reordering.",
+    "SELECT n_name, "
+    + _dsum_sql("l_extendedprice * (1 - l_discount)")
+    + " AS revenue "
+    "FROM customer "
+    "JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "WHERE r_name = 'ASIA' "
+    "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+    "AND o_orderdate < TIMESTAMP '1997-01-01' "
+    "GROUP BY n_name ORDER BY revenue DESC, n_name",
+)
+def tpch_q5_local_supplier(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+_NEAR_DUP_THRESHOLD = 0.45
+
+_NEAR_DUP_ORACLE = f"""
+WITH ex AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+           unnest(embedding) AS x
+    FROM embeddings
+),
+n2 AS (
+    SELECT vec_id,
+           SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS nn
+    FROM ex GROUP BY vec_id
+),
+dt AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           SUM(CAST(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE) AS DECIMAL(28,12))) AS dot
+    FROM ex a JOIN ex b ON a.dim = b.dim AND a.vec_id < b.vec_id
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT id_a, id_b,
+           round(CAST(dt.dot AS DOUBLE)
+                 / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))), 4)
+               AS cos_sim
+    FROM dt JOIN n2 na ON na.vec_id = dt.id_a JOIN n2 nb ON nb.vec_id = dt.id_b
+)
+SELECT id_a, id_b, cos_sim FROM scored
+WHERE cos_sim >= {_NEAR_DUP_THRESHOLD} ORDER BY id_a, id_b
+"""
+
+
+@q(
+    "x3_embedding_near_dup",
+    "OP-X2/OP-X3",
+    "EXACT embedding-cosine near-dup pairs (all-pairs brute force) — the "
+    "certified baseline the SRP-LSH path (x3_near_pairs) approximates. "
+    "Hash parity via exact DECIMAL accumulation of dot/norm (addition "
+    "order irrelevant), one IEEE divide+round at the end. Physical "
+    "shape: posexplode → codegen equi-join on dim → hash-agg; all-pairs "
+    "is O(N²) by definition — at scale this runs ONLY as the re-rank "
+    "inside SRP/IVF buckets, never globally (stated contract).",
+    _NEAR_DUP_ORACLE,
+)
+def x3_embedding_near_dup(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select("vec_id", F.posexplode("embedding").alias("dim", "x"))
+    xd = (F.col("x").cast("double") * F.col("x").cast("double")).cast("decimal(28,12)")
+    n2 = ex.groupBy("vec_id").agg(F.sum(xd).alias("nn"))
+    a = ex.select(F.col("vec_id").alias("id_a"), "dim", F.col("x").alias("xa"))
+    b = ex.select(F.col("vec_id").alias("id_b"), "dim", F.col("x").alias("xb"))
+    prod = (F.col("xa").cast("double") * F.col("xb").cast("double")).cast("decimal(28,12)")
+    dt = (
+        a.join(b, (a.dim == b.dim) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(prod).alias("dot"))
+    )
+    na = n2.select(F.col("vec_id").alias("id_a"), F.col("nn").alias("na"))
+    nb = n2.select(F.col("vec_id").alias("id_b"), F.col("nn").alias("nb"))
+    scored = (
+        dt.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na").cast("double"))
+                    * F.sqrt(F.col("nb").cast("double"))
+                ),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+    return scored.filter(F.col("cos_sim") >= _NEAR_DUP_THRESHOLD).orderBy("id_a", "id_b")
