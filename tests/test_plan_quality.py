@@ -118,3 +118,31 @@ def test_partition_pruning_on_warehouse_layout(spark, tmp_path):
     plan = _executed_plan(back)
     assert "PartitionFilters" in plan and "202507" in plan
     assert back.count() == 1
+
+
+def test_ivf_centroids_no_single_partition_exchange(spark, sf_dir):
+    """Centroid pick must be TakeOrderedAndProject (per-partition heaps),
+    never a global-window sort that funnels the whole table through one
+    partition to select ~16 rows."""
+    from ravelytics_spark.operators.similarity import ivf_centroids
+
+    e = load_table(spark, sf_dir, "embeddings")
+    plan = _executed_plan(ivf_centroids(e, "embedding", n_cells=16))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" not in plan
+
+
+def test_enrich_chunking_no_global_sort(spark):
+    """Hash-mod chunk assignment must not globally sort the id set (the
+    old row_number-over-unbounded-window shape)."""
+    from pyspark.sql import types as T
+
+    from ravelytics_spark.sources import rest
+
+    ids = spark.createDataFrame([(f"a{i}",) for i in range(100)], ["id"])
+    schema = T.StructType([T.StructField("artist_id", T.StringType())])
+    out = rest.enrich_batched(ids, lambda u, p: {"records": []}, "u", schema)
+    plan = _executed_plan(out)
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" not in plan
