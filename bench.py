@@ -44,6 +44,9 @@ HEADLINE = [
     "xj_asof_join",
     "x10_curation_full",
     "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "x12_cube",
+    "x4_repetition_score",
 ]
 
 

@@ -164,3 +164,50 @@ def shingles(text: Column | str, n: int = 5) -> Column:
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
     return F.when(k >= n, grams).otherwise(F.array(F.array_join(toks, " ")))
+
+
+# --- PII redaction (training-corpus cleaning) ------------------------------
+
+# Patterns chosen for Java-regex / RE2 parity (no lookaround, no
+# backrefs) so the same strings drive Spark and the DuckDB oracle.
+URL_PATTERN = r"https?://[^\s]+"
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b"
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace URLs, emails, then phone numbers with typed placeholders
+    (<URL>/<EMAIL>/<PHONE>) — the standard pre-training scrub pass.
+    Order matters: URLs first (they can contain @ and digit runs),
+    emails before phones. All three are native regexp_replace —
+    codegen, no Python in the path."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, URL_PATTERN, "<URL>")
+    c = F.regexp_replace(c, EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(c, PHONE_PATTERN, "<PHONE>")
+
+
+def top_bigram_fraction(df, id_col: str, text_col: str):
+    """Gopher-style repetition signal: fraction of a document's word
+    bigrams taken by its single most frequent bigram. High values flag
+    boilerplate/degenerate text for curation filtering.
+
+    Physical shape: split → slice+arrays_zip (native, no interpreted
+    lambdas) → explode → two hash-aggs keyed on doc id. Documents with
+    fewer than 2 tokens have no bigrams and drop out (callers treat
+    absent as not-repetitive)."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, n - 1).alias("a"),
+        F.slice(toks, 2, n - 1).alias("b"),
+    )
+    exploded = df.select(
+        F.col(id_col), F.explode(pairs).alias("p")
+    ).select(id_col, F.concat_ws(" ", "p.a", "p.b").alias("bigram"))
+    counts = exploded.groupBy(id_col, "bigram").agg(F.count("*").alias("n"))
+    return counts.groupBy(id_col).agg(
+        F.round(
+            F.max("n").cast("double") / F.sum("n").cast("double"), 6
+        ).alias("top_bigram_frac")
+    )

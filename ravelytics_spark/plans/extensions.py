@@ -1360,3 +1360,83 @@ def x3_embedding_near_dup(spark, sf_dir):
         )
     )
     return scored.filter(F.col("cos_sim") >= _NEAR_DUP_THRESHOLD).orderBy("id_a", "id_b")
+
+
+_REDACT_ORACLE = r"""
+WITH salted AS (
+    SELECT doc_id,
+           substring(text, 1, 40) || ' reach user' || CAST(doc_id AS VARCHAR)
+           || '@example.com or https://ex.com/u?id=' || CAST(doc_id AS VARCHAR)
+           || ' or call 555-867-5309 now' AS raw
+    FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+           regexp_replace(
+               regexp_replace(raw, 'https?://[^\s]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g') AS redacted
+FROM salted ORDER BY doc_id
+"""
+
+
+@q(
+    "x4_redact_pii",
+    "OP-X4",
+    "PII redaction (URL → email → phone placeholders) — the pre-training "
+    "scrub pass; all native regexp_replace (codegen), patterns chosen "
+    "for Java/RE2 parity. PII is injected deterministically per doc "
+    "(testdata has none) so the oracle certifies actual replacement, "
+    "not a no-op.",
+    _REDACT_ORACLE,
+)
+def x4_redact_pii(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    salted = d.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or https://ex.com/u?id="),
+            F.col("doc_id").cast("string"),
+            F.lit(" or call 555-867-5309 now"),
+        ).alias("raw"),
+    )
+    return salted.select(
+        "doc_id", TX.redact_pii("raw").alias("redacted")
+    ).orderBy("doc_id")
+
+
+_REPETITION_ORACLE = """
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+b AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w)),
+                                 i -> w[i] || ' ' || w[i + 1])) AS bigram
+    FROM t
+),
+counts AS (
+    SELECT doc_id, bigram, count(*) AS n FROM b GROUP BY doc_id, bigram
+)
+SELECT doc_id,
+       round(CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6)
+           AS top_bigram_frac
+FROM counts GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@q(
+    "x4_repetition_score",
+    "OP-X4",
+    "Gopher-style repetition signal: top-bigram fraction per document "
+    "(boilerplate/degenerate-text filter for curation). split → "
+    "slice+arrays_zip (native) → explode → two hash-aggs; no "
+    "interpreted lambdas in the per-token path.",
+    _REPETITION_ORACLE,
+)
+def x4_repetition_score(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return TX.top_bigram_fraction(d, "doc_id", "text").orderBy("doc_id")
