@@ -79,7 +79,12 @@ def _hashed_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataF
     on the doc id — the same key every downstream signature/set
     aggregation groups on, so the exchange is reused, not repeated.
     """
-    words = df.select(
+    # The explicit isNotNull matters beyond semantics (a null id can't
+    # be deduped anyway): downstream joins on the id infer IsNotNull and
+    # push it to the scan — if only SOME consumers carry the filter, the
+    # scan subtrees stop being canonically equal and AQE's
+    # ReusedExchange can't dedupe them (measured: 2× full recompute).
+    words = df.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("__id"),
         # trim first: split("  a b", "\s+") yields a "" token at pos 0,
         # which tokenize_ws/shingles (the string path) filter out — the
@@ -326,27 +331,75 @@ def minhash_dedup_pairs(
     max_bucket_size: int | None = 500,
 ) -> DataFrame:
     """Full near-dup pipeline: MinHash → LSH candidates → exact Jaccard
-    verification on candidates only. Returns (id_a, id_b, jaccard)."""
+    verification on candidates only. Returns (id_a, id_b, jaccard).
+
+    Single-scan shape: every branch — signatures, per-doc sizes, and
+    both verification sides — consumes the SAME deduped 2-column
+    (id, shingle-hash) frame in full, so the scan → tokenize →
+    shingle-window pipeline (the profile's dominant cost) runs once and
+    AQE's ReusedExchange serves every other consumer. Divergent
+    aggregations over it would be pruned differently per branch and
+    lose the reuse (measured: 2× recompute). The per-doc dedup and the
+    downstream signature/size aggregations add NO exchange of their
+    own: groupBy(id, ...) distributions are already satisfied by the
+    window's hashpartitioning(id).
+
+    Verification is an inverted-index count over candidate pairs
+    (common = matching shingle-hash rows, J = common/(|A|+|B|−common))
+    instead of collect_set array intersection — sets never materialize,
+    only 8-byte hash rows move, and a candidate pair sharing no shingle
+    (possible via band-bucket hash collision) drops out with J<threshold
+    either way."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    # Deduped (id, shingle-hash): MinHash over a set == over its multiset,
+    # and exact-Jaccard needs set semantics — dedup once for both. The
+    # trailing repartition("__id") is a deliberate shared-exchange
+    # barrier: all four consumers reuse ITS shuffle files, so the
+    # reduce-side shingle-window + dedup also run once instead of once
+    # per branch (the exchange is on the same key every downstream
+    # aggregation groups on, so it replaces — not adds to — their
+    # required exchange).
+    sh = (
+        _hashed_shingles(df, id_col, text_col, n)
+        .groupBy("__id", "__shash")
+        .agg(F.lit(1).alias("__one"))
+        .drop("__one")
+        .repartition("__id")
+    )
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("__shash"))).alias(f"__m{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = (
+        sh.groupBy("__id")
+        .agg(*mins)
+        .select(
+            "__id",
+            F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("__sig"),
+        )
+    )
     cand = minhash_lsh_candidates(sigs, bands, rows_per_band, max_bucket_size)
 
-    # Exact verification on hashed shingle SETS (collect_set of 8-byte
-    # hashes — no document strings move through the join).
-    sh = _hashed_shingles(df, id_col, text_col, n).groupBy("__id").agg(
-        F.collect_set("__shash").alias("__sh")
+    sizes = sh.groupBy("__id").agg(F.count("*").alias("__size"))
+    a_sh = sh.select(F.col("__id").alias("id_a"), "__shash")
+    b_sh = sh.select(F.col("__id").alias("id_b"), "__shash")
+    common = (
+        cand.join(a_sh, "id_a")
+        .join(b_sh, ["id_b", "__shash"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__common"))
     )
-    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
-    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__size").alias("__size_a"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__size").alias("__size_b"))
     verified = (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",
             (
-                F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
-                / F.size(F.array_union("__sh_a", "__sh_b")).cast("double")
+                F.col("__common").cast("double")
+                / (F.col("__size_a") + F.col("__size_b") - F.col("__common")).cast("double")
             ).alias("jaccard"),
         )
     )
