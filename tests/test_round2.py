@@ -1,0 +1,99 @@
+"""Round-2 catalog entries: result sanity + the physical-plan
+properties that make each shape survive a 100-TB scale-up."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ravelytics_spark.plans.queries import REGISTRY
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_full_outer_keeps_both_unmatched_sides(spark, sf_dir):
+    df = REGISTRY["j5_full_outer_join"].spark(spark, sf_dir)
+    rows = df.collect()
+    assert any(r.c_name is None for r in rows), "right-only rows lost"
+    assert any(r.spend_1996 is None for r in rows), "left-only rows lost"
+    assert "FullOuter" in _executed(df)
+
+
+def test_q10_topk_and_broadcast_nation(spark, sf_dir):
+    df = REGISTRY["tpch_q10_returned_items"].spark(spark, sf_dir)
+    plan = _executed(df)
+    assert "TakeOrderedAndProject" in plan, "top-20 fell back to a global sort"
+    assert "BroadcastHashJoin" in plan, "nation dim not broadcast"
+    assert df.count() <= 20
+
+
+def test_q18_semi_join_on_aggregated_keys(spark, sf_dir):
+    df = REGISTRY["tpch_q18_large_volume"].spark(spark, sf_dir)
+    plan = _executed(df)
+    assert "LeftSemi" in plan
+    rows = df.collect()
+    assert all(r.total_qty > 220 for r in rows)
+
+
+def test_sliding_window_doubles_tumbling_mass(spark, sf_dir):
+    """Every event lands in exactly 2 sliding windows, so total n
+    across windows is exactly 2x the event count."""
+    slide = REGISTRY["w8_sliding_window"].spark(spark, sf_dir)
+    total = slide.agg(F.sum("n")).collect()[0][0]
+    from ravelytics_spark.sources.tables import load_table
+
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert total == 2 * n_events
+
+
+def test_bigram_plan_has_no_perdoc_window_or_join(spark, sf_dir):
+    """Adjacent-pair formation must stay map-side (zip-with-tail), not
+    shuffle every token by doc_id through a window or self-join."""
+    df = REGISTRY["x16_bigram_topk"].spark(spark, sf_dir)
+    plan = _executed(df)
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    top = df.collect()
+    assert len(top) == 40 and all(r.c >= top[-1].c for r in top)
+
+
+def test_quantize_int8_error_bounded_by_scale(spark, sf_dir):
+    """Reconstruction error of a round-to-nearest quantizer is at most
+    (scale/2)^2 per dim, so mse <= (scale/2)^2."""
+    df = REGISTRY["x15_quantize_int8"].spark(spark, sf_dir)
+    rows = df.collect()
+    assert rows, "no vectors"
+    for r in rows[:200]:
+        assert r.mse <= (r.scale / 2.0) ** 2 + 1e-12
+
+
+def test_l2_topk_agrees_with_brute_force(spark, sf_dir):
+    from ravelytics_spark.plans.extensions import _PROBE
+    from ravelytics_spark.sources.tables import load_table
+
+    import numpy as np
+
+    got = [r.vec_id for r in REGISTRY["x3_l2_topk"].spark(spark, sf_dir).collect()]
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    p = np.array(_PROBE)
+    dists = sorted(
+        (float(np.linalg.norm(np.array(r.embedding, dtype="float64") - p)), r.vec_id)
+        for r in emb
+    )
+    want = [v for _, v in dists[:10]]
+    assert got == want
+
+
+def test_normalized_dedup_catches_case_and_punct_variants(spark, sf_dir):
+    df = REGISTRY["x1c_dedup_normalized"].spark(spark, sf_dir)
+    # normalization is idempotent: re-normalizing the key changes nothing
+    renorm = df.select(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("norm"), "[^a-z0-9]+", " "), r"\s+", " "
+            )
+        ).alias("again"),
+        "norm",
+    )
+    assert renorm.filter(F.col("again") != F.col("norm")).count() == 0
