@@ -47,6 +47,11 @@ HEADLINE = [
     "tpch_q5_local_supplier",
     "x12_cube",
     "x4_repetition_score",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_volume",
+    "w8_sliding_window",
+    "x16_bigram_topk",
+    "x17_chunk_tokens",
 ]
 
 

@@ -457,6 +457,83 @@ def x16_bigram_topk(spark, sf_dir):
     )
 
 
+_CHUNK_SIZE = 64  # tokens per training chunk
+_CHUNK_STEP = 48  # stride (= size - 16-token overlap)
+
+_CHUNK_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS ws
+    FROM documents
+),
+sized AS (
+    SELECT doc_id, ws, len(ws) AS n,
+           CASE WHEN len(ws) <= {_CHUNK_SIZE} THEN 1
+                ELSE (len(ws) - {_CHUNK_SIZE} + {_CHUNK_STEP} - 1) // {_CHUNK_STEP} + 1
+           END AS n_chunks
+    FROM tok WHERE len(ws) > 0
+)
+SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+       CAST(len(ws[k * {_CHUNK_STEP} + 1 : k * {_CHUNK_STEP} + {_CHUNK_SIZE}]) AS BIGINT)
+           AS n_tokens,
+       array_to_string(ws[k * {_CHUNK_STEP} + 1 : k * {_CHUNK_STEP} + {_CHUNK_SIZE}], ' ')
+           AS chunk_text
+FROM sized, unnest(range(n_chunks)) AS t(k)
+ORDER BY doc_id, chunk_id
+"""
+
+
+@q(
+    "x17_chunk_tokens",
+    "OP-X4/X1-ext",
+    "Sliding-window token chunking for training-data prep: 64-token "
+    "chunks, 48-token stride (16-token overlap); the final chunk may "
+    "run short but always carries >16 tokens beyond its predecessor "
+    "(no chunk is fully contained in another). "
+    "Map-only: tokenize once, sequence+posexplode the chunk index, "
+    "slice the token array — no shuffle at all until a downstream "
+    "consumer aggregates; chunk count is pure integer arithmetic "
+    "spelled identically on both engines (floor division).",
+    _CHUNK_ORACLE,
+)
+def x17_chunk_tokens(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+    sized = (
+        d.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") > 0)
+        .select(
+            "doc_id",
+            "ws",
+            F.when(F.size("ws") <= _CHUNK_SIZE, F.lit(1))
+            .otherwise(
+                F.floor(
+                    (F.size("ws") - _CHUNK_SIZE + _CHUNK_STEP - 1) / _CHUNK_STEP
+                ).cast("int")
+                + 1
+            )
+            .alias("n_chunks"),
+        )
+    )
+    chunks = sized.select(
+        "doc_id",
+        F.posexplode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("_p", "k"),
+        "ws",
+    ).select(
+        "doc_id",
+        F.col("k").cast("long").alias("chunk_id"),
+        F.slice(
+            "ws", F.col("k") * _CHUNK_STEP + 1, F.lit(_CHUNK_SIZE)
+        ).alias("chunk_ws"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.size("chunk_ws").cast("long").alias("n_tokens"),
+        F.array_join("chunk_ws", " ").alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_id")
+
+
 @q(
     "x1c_dedup_normalized",
     "OP-X1/X4",

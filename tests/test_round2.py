@@ -85,6 +85,72 @@ def test_l2_topk_agrees_with_brute_force(spark, sf_dir):
     assert got == want
 
 
+def test_chunking_covers_every_token_with_overlap(spark, sf_dir):
+    """Chunk invariants: chunk 0 starts at token 1; consecutive chunks
+    overlap by exactly size-step tokens (except a short tail); the
+    union of chunks covers the whole document."""
+    from ravelytics_spark.plans.round2 import _CHUNK_SIZE, _CHUNK_STEP
+    from ravelytics_spark.sources.tables import load_table
+
+    chunks = REGISTRY["x17_chunk_tokens"].spark(spark, sf_dir)
+    per_doc = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.max("chunk_id").alias("last_k"),
+            F.sum("n_tokens").alias("tok_sum"),
+            F.max(F.col("chunk_id") * _CHUNK_STEP + F.col("n_tokens")).alias("covered"),
+        )
+        .collect()
+    )
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+    n_by_doc = {
+        r.doc_id: r.n
+        for r in d.select("doc_id", F.size(ws).alias("n")).filter(F.col("n") > 0).collect()
+    }
+    assert len(per_doc) == len(n_by_doc)
+    for r in per_doc:
+        n = n_by_doc[r.doc_id]
+        assert r.covered == n, f"doc {r.doc_id}: covered {r.covered} != {n}"
+        # total tokens = n + overlap re-emitted once per later chunk
+        assert r.tok_sum == n + r.last_k * (_CHUNK_SIZE - _CHUNK_STEP)
+
+
+def test_aqe_splits_planted_skew_join(spark, sf_dir):
+    """With a hot key carrying ~100x the median partition load, AQE's
+    OptimizeSkewedJoin must split the skewed partition (skew=true in
+    the final plan) instead of letting one task run 100x long — the
+    property that keeps shuffled joins alive at 100 TB."""
+    skew_conf = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in skew_conf}
+    try:
+        for k, v in skew_conf.items():
+            spark.conf.set(k, v)
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 2 == 0, 7).otherwise(F.col("id")).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(5_000).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+        j = left.join(right, "k")  # pad column keeps the shuffle heavy
+        # collect() executes j's OWN QueryExecution, so the adaptive plan
+        # below is the finalized one (count() would spawn a separate QE
+        # and leave j's plan un-finalized).
+        assert len(j.collect()) == 102_500  # 100k hot rows on k=7 + 2.5k odd ids
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, "AQE did not split the skewed partition"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_normalized_dedup_catches_case_and_punct_variants(spark, sf_dir):
     df = REGISTRY["x1c_dedup_normalized"].spark(spark, sf_dir)
     # normalization is idempotent: re-normalizing the key changes nothing
