@@ -164,3 +164,41 @@ def test_windowed_and_session_aggregations_run_in_streaming(spark, stream_dirs):
     sessions = spark.sql("SELECT * FROM sessions").collect()
     assert len(sessions) == 2  # two sessions split by the 85-min gap
     assert sorted(r.n for r in sessions) == [2, 2]
+
+
+def test_dedupe_within_watermark_drops_wire_duplicates(spark, stream_dirs):
+    """OP-T3 upgrade path: with dedupe=True the sink itself receives
+    each (track_id, ingest_ts) once — bounded-state
+    dropDuplicatesWithinWatermark, not view-level tolerance. Duplicates
+    arriving in a LATER microbatch (still inside the watermark) are
+    dropped too."""
+    from ravelytics_spark.streaming.pipeline import (
+        read_tracks_stream_files,
+        start_tracks_ingest,
+    )
+
+    src, out, ckpt = stream_dirs
+    _write_batch(src, "b1.json", WIRE_RECORDS + [WIRE_RECORDS[0]])  # in-batch dup
+    q = start_tracks_ingest(
+        read_tracks_stream_files(spark, str(src)), str(out), str(ckpt), dedupe=True
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(str(out)).count() == 2  # dup never landed
+
+    # cross-batch dup within the watermark + one genuinely new record
+    # (t9 carries an event time ABOVE the advanced watermark — an old
+    # timestamp would be dropped as late, which is correct behavior)
+    _write_batch(
+        src,
+        "b2.json",
+        [
+            WIRE_RECORDS[1],
+            dict(WIRE_RECORDS[0], track_id="t9", ingest_ts="2025-08-01T07:00:00Z"),
+        ],
+    )
+    q2 = start_tracks_ingest(
+        read_tracks_stream_files(spark, str(src)), str(out), str(ckpt), dedupe=True
+    )
+    q2.awaitTermination(120)
+    got = spark.read.parquet(str(out)).select("track_id").orderBy("track_id").collect()
+    assert [r.track_id for r in got] == ["t1", "t2", "t9"]
