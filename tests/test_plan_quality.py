@@ -146,3 +146,34 @@ def test_enrich_chunking_no_global_sort(spark):
     plan = _executed_plan(out)
     assert "Exchange SinglePartition" not in plan
     assert "Window" not in plan
+
+
+# Entries allowed to contain Exchange SinglePartition, with the reason.
+# Global ungrouped aggregates exchange ONE partial row per upstream
+# partition (not data) — scale-fine; the window forms are deliberate
+# oracle-determinism shapes whose partitioned twins are the scale path.
+_SINGLE_PARTITION_OK = {
+    "g5_counts": "global ungrouped agg: one partial row per partition",
+    "x7_approx_distinct": "global HLL merge: one sketch per partition",
+    "xq_validation_report": "global rule summary: one row per rule",
+    "o5_chunking": "oracle shape; scale twin = pmod bucketing (rest.py)",
+    "w3_lag": "oracle shape; scale twin = w1/w2 partitioned windows",
+    "w4_running_sum": "oracle shape; scale twin = partitioned frame",
+    "w5_ntile_percent_rank": "oracle shape; global rank for parity",
+    "s5_kafka_wire": "wire-format golden harness, bounded rows",
+}
+
+
+def test_no_catalog_plan_single_partitions_or_goes_cartesian(spark, sf_dir):
+    """Sweep EVERY catalog entry's physical plan: no entry outside the
+    whitelist may funnel through Exchange SinglePartition, and none may
+    plan a CartesianProduct. This is the blanket guard that a future
+    entry doesn't reintroduce the global-window anti-pattern."""
+    bad = {}
+    for name, qy in REGISTRY.items():
+        plan = qy.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            bad[name] = "CartesianProduct"
+        elif "Exchange SinglePartition" in plan and name not in _SINGLE_PARTITION_OK:
+            bad[name] = "Exchange SinglePartition"
+    assert not bad, f"scale anti-patterns planned: {bad}"
