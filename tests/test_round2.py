@@ -163,3 +163,43 @@ def test_normalized_dedup_catches_case_and_punct_variants(spark, sf_dir):
         "norm",
     )
     assert renorm.filter(F.col("again") != F.col("norm")).count() == 0
+
+
+def test_chunking_edge_cases_match_python_reference(spark):
+    """Chunk boundaries at the exact size/stride edges (n = 1, size,
+    size+1, size+step, size+step+1, ...) against a pure-Python
+    reference of the same contract."""
+    from ravelytics_spark.plans import round2 as R2
+    from ravelytics_spark.plans.round2 import _CHUNK_SIZE, _CHUNK_STEP
+    from ravelytics_spark.sources import tables as TBL
+
+    def py_chunks(n):
+        count = 1 if n <= _CHUNK_SIZE else (n - _CHUNK_SIZE + _CHUNK_STEP - 1) // _CHUNK_STEP + 1
+        out = []
+        toks = [f"w{i}" for i in range(n)]
+        for k in range(count):
+            out.append((k, toks[k * _CHUNK_STEP : k * _CHUNK_STEP + _CHUNK_SIZE]))
+        return out
+
+    sizes = [1, 2, _CHUNK_SIZE - 1, _CHUNK_SIZE, _CHUNK_SIZE + 1,
+             _CHUNK_SIZE + _CHUNK_STEP, _CHUNK_SIZE + _CHUNK_STEP + 1, 500]
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(n))) for i, n in enumerate(sizes)],
+        "doc_id long, text string",
+    )
+    orig = TBL.load_table
+    try:
+        TBL.load_table = lambda s, d, t: docs  # the entry reads `documents`
+        import ravelytics_spark.plans.round2 as mod
+        mod.load_table = TBL.load_table
+        got = REGISTRY["x17_chunk_tokens"].spark(spark, "unused").collect()
+    finally:
+        TBL.load_table = orig
+        import ravelytics_spark.plans.round2 as mod
+        mod.load_table = orig
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_text.split(" ")))
+    for i, n in enumerate(sizes):
+        want = py_chunks(n)
+        assert sorted(by_doc[i]) == sorted(want), f"n={n}"
