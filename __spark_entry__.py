@@ -15,6 +15,8 @@ Within a tier, registration order is preserved.
 
 from __future__ import annotations
 
+import glob
+import json
 import os
 import sys
 from collections.abc import Callable
@@ -51,13 +53,40 @@ _R1_CERTIFIED = frozenset(
 )
 
 
+def _certified_names() -> frozenset[str]:
+    """Entries hash-certified in ANY prior round: parsed from the
+    driver's CORRECTNESS_r*.json files next to this module, so the
+    certification window self-adapts every round without editing the
+    hardcoded round-1 floor."""
+    names = set(_R1_CERTIFIED)
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, rec in data.items():
+            if (
+                isinstance(rec, dict)
+                and rec.get("rows_match")
+                and rec.get("schema_match")
+                and rec.get("hash_match")
+                and not rec.get("err")
+            ):
+                names.add(name)
+    return frozenset(names)
+
+
 def _ordered_names() -> list[str]:
+    certified = _certified_names()
+
     def tier(name: str) -> int:
-        if REGISTRY[name].oracle is not None and name not in _R1_CERTIFIED:
+        if REGISTRY[name].oracle is not None and name not in certified:
             return 0  # oracle-backed, awaiting hash certification
         if REGISTRY[name].oracle is None:
             return 1  # harness-only: rows check is still new signal
-        return 2  # already certified in round 1
+        return 2  # already hash-certified in a prior round
 
     names = list(REGISTRY)
     return sorted(names, key=lambda n: (tier(n), names.index(n)))

@@ -19,7 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ravelytics_spark.plans.extensions import _PROBE, _PROBE_SQL
+from ravelytics_spark.functions import text as TX
+from ravelytics_spark.plans.extensions import _LANGID_ORACLE, _PROBE, _PROBE_SQL
 from ravelytics_spark.plans.queries import _dsum, _dsum_sql, q
 from ravelytics_spark.sources.tables import load_table, load_tables
 
@@ -560,4 +561,142 @@ def x1c_dedup_normalized(spark, sf_dir):
         .groupBy("norm")
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups"))
         .orderBy("keep_id")
+    )
+
+
+@q(
+    "tpch_q14_promo_revenue",
+    "OP-J2/G5",
+    "TPC-H Q14: promo revenue share in a month — lineitem x part equi-"
+    "join (part broadcast: a dim by row count even at 100 TB fact "
+    "scale), conditional revenue split, ONE global ratio. Both sums "
+    "accumulate in exact DECIMAL; the single divide is the only IEEE "
+    "op, so the ratio is hash-stable.",
+    "SELECT round(100.0 * "
+    "CAST(SUM(CASE WHEN p_type = 'PROMO' "
+    "THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4)) "
+    "ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE) / "
+    + _dsum_sql("l_extendedprice * (1 - l_discount)")
+    + ", 6) AS promo_pct "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-04-01'",
+)
+def tpch_q14_promo_revenue(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,4)")
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(28,4)")
+    )
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        F.round(
+            100.0 * F.sum(promo_rev).cast("double") / F.sum(rev).cast("double"), 6
+        ).alias("promo_pct")
+    )
+
+
+_LANGID_CONFUSION_ORACLE = (
+    "WITH pred AS (" + _LANGID_ORACLE.replace("ORDER BY doc_id", "") + ") "
+    "SELECT d.lang AS lang_true, pred.lang_pred AS lang_pred, count(*) AS n "
+    "FROM documents d JOIN pred ON d.doc_id = pred.doc_id "
+    "GROUP BY lang_true, lang_pred ORDER BY lang_true, lang_pred"
+)
+
+
+@q(
+    "x4_langid_confusion",
+    "OP-X4",
+    "Language-ID evaluation: confusion matrix of labeled lang vs "
+    "marker-based prediction (the quality-monitoring loop a curation "
+    "pipeline runs per batch). Prediction is computed once per doc "
+    "(explode + codegen agg — no interpreted HOF in the hot path), "
+    "then a 25-cell aggregate.",
+    _LANGID_CONFUSION_ORACLE,
+)
+def x4_langid_confusion(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    pred = d.select("doc_id", "lang", TX.lang_id("text").alias("lang_pred"))
+    return (
+        pred.groupBy(F.col("lang").alias("lang_true"), "lang_pred")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang_true", "lang_pred")
+    )
+
+
+@q(
+    "x4_source_stats",
+    "OP-X4/G3",
+    "Per-source corpus accounting (docs, chars, tokens, languages) — "
+    "the shape of a per-crawl/per-dump quality dashboard. Token "
+    "counting via explode + count (codegen, map-side combined) joined "
+    "to the doc-level aggregate on the source key; both aggregations "
+    "shuffle only (source, counters) rows.",
+    "WITH tok AS (SELECT source, CAST(SUM(len(list_filter("
+    "string_split_regex(text, '\\s+'), w -> w <> ''))) AS BIGINT) AS n_tokens "
+    "FROM documents GROUP BY source), "
+    "doc AS (SELECT source, count(*) AS n_docs, SUM(n_chars) AS total_chars, "
+    "count(DISTINCT lang) AS n_langs FROM documents GROUP BY source) "
+    "SELECT doc.source, n_docs, total_chars, n_tokens, n_langs "
+    "FROM doc JOIN tok ON doc.source = tok.source ORDER BY doc.source",
+)
+def x4_source_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("__w")
+    ).filter(F.col("__w") != "")
+    tok = words.groupBy("source").agg(F.count("*").alias("n_tokens"))
+    doc = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    return (
+        doc.join(tok, "source")
+        .select("source", "n_docs", "total_chars", "n_tokens", "n_langs")
+        .orderBy("source")
+    )
+
+
+@q(
+    "tpch_q15_top_supplier",
+    "OP-J2/G3/ext",
+    "TPC-H Q15: supplier(s) with maximum quarterly revenue — the "
+    "scalar-subquery max re-expressed as a broadcast 1-row join (the "
+    "aggregate shrinks map-side to one row per supplier BEFORE any "
+    "join; the global max is one broadcast row; ties all survive). "
+    "Revenue equality is tested on the exact DECIMAL accumulation, "
+    "never on IEEE doubles — doubles only appear in the output cast.",
+    "WITH rev AS (SELECT l_suppkey, "
+    "SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS total "
+    "FROM lineitem WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01' "
+    "GROUP BY l_suppkey) "
+    "SELECT s.s_suppkey, s.s_name, CAST(rev.total AS DOUBLE) AS total_revenue "
+    "FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey "
+    "WHERE rev.total = (SELECT max(total) FROM rev) "
+    "ORDER BY s.s_suppkey",
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,4)")
+        ).alias("total")
+    )
+    top = rev.agg(F.max("total").alias("__mx"))
+    winners = rev.join(F.broadcast(top), rev.total == F.col("__mx")).select(
+        "l_suppkey", "total"
+    )
+    return (
+        s.join(winners, s.s_suppkey == F.col("l_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.col("total").cast("double").alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
     )
