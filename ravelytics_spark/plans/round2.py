@@ -700,3 +700,131 @@ def tpch_q15_top_supplier(spark, sf_dir):
         )
         .orderBy("s_suppkey")
     )
+
+
+_PACK_BUDGET = 256  # tokens per training sequence (pack)
+_PACK_BUCKETS = 8
+
+
+@q(
+    "x18_sequence_packing",
+    "OP-X4/X1-ext",
+    "Sequence packing for training: assign docs to fixed-budget "
+    "(256-token) packs, greedily in doc order WITHIN hash buckets — "
+    "the distributed form of concat-and-pack. The running-sum window "
+    "partitions on the bucket (parallel, bounded state), never "
+    "globally; pack identity is (bucket, floor(preceding-tokens / "
+    "budget)), pure integer arithmetic on both engines.",
+    f"""
+WITH tok AS (
+    SELECT doc_id, doc_id % {_PACK_BUCKETS} AS bucket,
+           len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS n_tok
+    FROM documents
+    WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0
+),
+packed AS (
+    SELECT bucket, doc_id, n_tok,
+           CAST(floor((SUM(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+                / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id
+    FROM tok
+)
+SELECT bucket, pack_id, count(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
+FROM packed GROUP BY bucket, pack_id ORDER BY bucket, pack_id
+""",
+)
+def x18_sequence_packing(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    clean = F.trim(F.regexp_replace("text", r"\s+", " "))
+    tok = d.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_BUCKETS).alias("bucket"),
+        F.size(F.split(clean, " ")).alias("n_tok"),
+        clean.alias("__c"),
+    ).filter(F.length("__c") > 0)
+    w = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    packed = tok.select(
+        "bucket",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / float(_PACK_BUDGET))
+        .cast("long")
+        .alias("pack_id"),
+    )
+    return (
+        packed.groupBy("bucket", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("pack_tokens"),
+        )
+        .orderBy("bucket", "pack_id")
+    )
+
+
+_DECON_N = 4  # screen width: 4-grams (synthetic vocab is small;
+# real benchmark decontamination uses 8-13-gram windows — the
+# plan is width-independent)
+
+
+@q(
+    "x19_decontamination",
+    "OP-X2/X4-ext",
+    "Benchmark-decontamination screen: flag corpus documents sharing "
+    "any n-gram (width 4 here; 8-13 in production) with a held-out probe set (here: doc_id % 100 == 0 "
+    "stands in for the benchmark). N-grams form map-side (sequence + "
+    "posexplode + slice — no lambda, no per-doc window); the probe "
+    "gram set aggregates to DISTINCT before the join, so the join "
+    "input is small and broadcastable at real benchmark sizes.",
+    f"""
+WITH tok AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+    FROM documents
+    WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0
+),
+grams AS (
+    SELECT doc_id, array_to_string(ws[k + 1 : k + {_DECON_N}], ' ') AS gram
+    FROM tok, unnest(range(greatest(len(ws) - {_DECON_N} + 1, 0))) AS t(k)
+),
+probe AS (
+    SELECT DISTINCT gram FROM grams WHERE doc_id % 100 = 0
+)
+SELECT g.doc_id, count(DISTINCT g.gram) AS n_shared_grams
+FROM grams g JOIN probe ON g.gram = probe.gram
+WHERE g.doc_id % 100 <> 0
+GROUP BY g.doc_id ORDER BY g.doc_id
+""",
+)
+def x19_decontamination(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    clean = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    raw = F.trim(F.regexp_replace("text", r"\s+", " "))
+    tok = d.select("doc_id", F.split(clean, " ").alias("ws")).filter(
+        F.length(raw) > 0
+    )
+    grams = tok.select(
+        "doc_id",
+        F.posexplode(
+            F.sequence(
+                F.lit(0), F.greatest(F.size("ws") - _DECON_N, F.lit(0))
+            )
+        ).alias("_p", "k"),
+        "ws",
+    ).filter(
+        F.col("k") <= F.size("ws") - _DECON_N
+    ).select(
+        "doc_id",
+        F.array_join(F.slice("ws", F.col("k") + 1, _DECON_N), " ").alias("gram"),
+    )
+    probe = grams.filter(F.col("doc_id") % 100 == 0).select("gram").distinct()
+    return (
+        grams.filter(F.col("doc_id") % 100 != 0)
+        .join(probe, "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_shared_grams"))
+        .orderBy("doc_id")
+    )

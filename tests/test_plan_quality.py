@@ -161,6 +161,8 @@ _SINGLE_PARTITION_OK = {
     "w4_running_sum": "oracle shape; scale twin = partitioned frame",
     "w5_ntile_percent_rank": "oracle shape; global rank for parity",
     "s5_kafka_wire": "wire-format golden harness, bounded rows",
+    "tpch_q14_promo_revenue": "global ratio: one partial row per partition",
+    "tpch_q15_top_supplier": "global max over per-supplier aggregate: one partial row per partition, then broadcast",
 }
 
 

@@ -203,3 +203,53 @@ def test_chunking_edge_cases_match_python_reference(spark):
     for i, n in enumerate(sizes):
         want = py_chunks(n)
         assert sorted(by_doc[i]) == sorted(want), f"n={n}"
+
+
+def test_sequence_packing_conserves_tokens_and_is_contiguous(spark, sf_dir):
+    """Packing moves every token exactly once: sum over packs equals the
+    corpus token total, and pack ids are contiguous from 0 per bucket."""
+    from ravelytics_spark.sources.tables import load_table
+
+    packs = REGISTRY["x18_sequence_packing"].spark(spark, sf_dir).collect()
+    d = load_table(spark, sf_dir, "documents")
+    clean = F.trim(F.regexp_replace("text", r"\s+", " "))
+    total = (
+        d.select(F.size(F.split(clean, " ")).alias("n"), clean.alias("c"))
+        .filter(F.length("c") > 0)
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert sum(r.pack_tokens for r in packs) == total
+    by_bucket = {}
+    for r in packs:
+        by_bucket.setdefault(r.bucket, []).append(r.pack_id)
+    for bucket, ids in by_bucket.items():
+        assert sorted(ids) == list(range(len(ids))), f"bucket {bucket} gap"
+
+
+def test_decontamination_flags_only_real_overlaps(spark, sf_dir):
+    """Spot-check: every flagged doc truly shares a 4-gram with the
+    probe set, verified in plain Python."""
+    from ravelytics_spark.plans.round2 import _DECON_N
+    from ravelytics_spark.sources.tables import load_table
+
+    flagged = REGISTRY["x19_decontamination"].spark(spark, sf_dir).collect()
+    assert flagged, "screen found nothing — widen the probe or shrink n"
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+
+    def grams(text):
+        ws = " ".join(text.lower().split()).split(" ")
+        return {
+            " ".join(ws[k : k + _DECON_N]) for k in range(len(ws) - _DECON_N + 1)
+        }
+
+    probe = set()
+    for did, text in docs.items():
+        if did % 100 == 0:
+            probe |= grams(text)
+    for r in flagged[:20]:
+        shared = grams(docs[r.doc_id]) & probe
+        assert len(shared) == r.n_shared_grams, f"doc {r.doc_id}"
