@@ -134,8 +134,41 @@ def lang_id_toks(toks: Column) -> Column:
 
 
 def lang_id(text: Column | str) -> Column:
-    """Language ID from raw text (see lang_id_toks)."""
+    """Language ID from raw text (see lang_id_toks).
+
+    Expression form — runs in Spark's INTERPRETED higher-order-function
+    path (~0.7 ms/doc). Fine for ad-hoc use on small frames; corpus-scale
+    scoring should use ``lang_id_agg`` (explode + codegen aggregation,
+    identical arithmetic)."""
     return lang_id_toks(tokenize_ws(text))
+
+
+def lang_id_agg(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Corpus-scale language ID: (id, lang_pred) via explode + codegen'd
+    aggregation — whole-stage-codegen marker counting with map-side
+    partial aggregation, no interpreted lambda per token. Identical
+    arithmetic (exact integer marker sums, same argmax tie-break) to
+    ``lang_id``; docs with no tokens keep a row ('und') via the left
+    join. One shuffle of (id, 4 counters) rows."""
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__w"),
+    ).filter(F.col("__w") != "")
+    lw = F.lower(F.col("__w"))
+    sums = [
+        F.sum(F.when(lw.isin(*markers), 1).otherwise(0)).cast("long").alias(f"__s_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    ]
+    scores = words.groupBy(id_col).agg(*sums)
+    best_lang, best_score = F.lit("und"), F.lit(0).cast("long")
+    for lang in ("en", "de", "fr", "es"):
+        s = F.coalesce(F.col(f"__s_{lang}"), F.lit(0).cast("long"))
+        improved = s > best_score
+        best_lang = F.when(improved, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(improved, s).otherwise(best_score)
+    return docs.select(id_col).join(scores, id_col, "left").select(
+        id_col, best_lang.alias("lang_pred")
+    )
 
 
 def fingerprint_md5(text: Column | str) -> Column:

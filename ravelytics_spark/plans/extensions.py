@@ -417,7 +417,7 @@ FROM s ORDER BY doc_id
 )
 def x4_lang_id(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", TX.lang_id("text").alias("lang_pred")).orderBy("doc_id")
+    return TX.lang_id_agg(d, "doc_id", "text").orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -618,7 +618,9 @@ _LANGID_CONFUSION_ORACLE = (
 )
 def x4_langid_confusion(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
-    pred = d.select("doc_id", "lang", TX.lang_id("text").alias("lang_pred"))
+    pred = TX.lang_id_agg(d, "doc_id", "text").join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
     return (
         pred.groupBy(F.col("lang").alias("lang_true"), "lang_pred")
         .agg(F.count("*").alias("n"))
