@@ -143,6 +143,41 @@ def lang_id(text: Column | str) -> Column:
     return lang_id_toks(tokenize_ws(text))
 
 
+def quality_score_agg(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Corpus-scale quality scoring: (id, quality) via explode +
+    codegen'd aggregation — same rational arithmetic as
+    ``quality_score`` (exact long sums, double division via avg) but no
+    interpreted lambda per token. Docs with no tokens score exactly 0.0,
+    matching the expression form's 0/64 · 0.5 · 1."""
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__w"),
+    ).filter(F.col("__w") != "")
+    lw = F.lower(F.col("__w"))
+    stats = words.groupBy(id_col).agg(
+        F.count("*").alias("__n"),
+        F.avg(F.length("__w")).alias("__mwl"),
+        F.avg(
+            F.when(lw.isin(*ENGLISH_STOPWORDS), F.lit(1.0)).otherwise(F.lit(0.0))
+        ).alias("__stop"),
+    )
+    # NB: guard on __n, not coalesce(quality, …): least() SKIPS nulls in
+    # Spark, so a null __n would otherwise yield least(null/64, 1.0)=1.0
+    # and a spurious 0.5 score for token-free docs.
+    quality = F.when(
+        F.col("__n").isNull(), F.lit(0.0)
+    ).otherwise(
+        F.least(F.col("__n").cast("double") / F.lit(64.0), F.lit(1.0))
+        * F.when(
+            (F.col("__mwl") >= 3.0) & (F.col("__mwl") <= 10.0), F.lit(1.0)
+        ).otherwise(F.lit(0.5))
+        * F.when(F.col("__stop") > 0.8, F.lit(0.25)).otherwise(F.lit(1.0))
+    )
+    return docs.select(id_col).join(stats, id_col, "left").select(
+        id_col, quality.alias("quality")
+    )
+
+
 def lang_id_agg(docs, id_col: str = "doc_id", text_col: str = "text"):
     """Corpus-scale language ID: (id, lang_pred) via explode + codegen'd
     aggregation — whole-stage-codegen marker counting with map-side

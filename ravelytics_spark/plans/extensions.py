@@ -365,7 +365,7 @@ FROM m ORDER BY doc_id
 )
 def x4_quality_score(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", TX.quality_score("text").alias("quality")).orderBy("doc_id")
+    return TX.quality_score_agg(d, "doc_id", "text").orderBy("doc_id")
 
 
 @q(

@@ -253,3 +253,26 @@ def test_decontamination_flags_only_real_overlaps(spark, sf_dir):
     for r in flagged[:20]:
         shared = grams(docs[r.doc_id]) & probe
         assert len(shared) == r.n_shared_grams, f"doc {r.doc_id}"
+
+
+def test_quality_score_agg_matches_expression_form(spark, sf_dir):
+    """quality_score_agg (explode + codegen agg) must agree bit-for-bit
+    with the per-row HOF expression, including token-free docs."""
+    from ravelytics_spark.functions import text as TX
+    from ravelytics_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [(90001, ""), (90002, "   "), (90003, "the the the the the")],
+        "doc_id bigint, text string",
+    )
+    d = docs.unionByName(edge)
+    agg = TX.quality_score_agg(d, "doc_id", "text")
+    expr = d.select("doc_id", TX.quality_score("text").alias("quality"))
+    mism = (
+        agg.alias("a")
+        .join(expr.alias("e"), "doc_id")
+        .where(~F.col("a.quality").eqNullSafe(F.col("e.quality")))
+        .count()
+    )
+    assert mism == 0
