@@ -52,6 +52,9 @@ HEADLINE = [
     "w8_sliding_window",
     "x16_bigram_topk",
     "x17_chunk_tokens",
+    "tpch_q7_volume_shipping",
+    "x20_unigram_logprob",
+    "x22_centroid_assign",
 ]
 
 

@@ -163,6 +163,11 @@ _SINGLE_PARTITION_OK = {
     "s5_kafka_wire": "wire-format golden harness, bounded rows",
     "tpch_q14_promo_revenue": "global ratio: one partial row per partition",
     "tpch_q15_top_supplier": "global max over per-supplier aggregate: one partial row per partition, then broadcast",
+    "tpch_q6_forecast_revenue": "global ungrouped agg: one partial row per partition",
+    "tpch_q17_small_qty_revenue": "global ungrouped agg after per-part join",
+    "tpch_q19_disc_revenue": "global ungrouped agg: one partial row per partition",
+    "tpch_q22_sales_opportunity": "scalar avg-balance subquery: one partial row per partition, then broadcast",
+    "x20_unigram_logprob": "global vocab total: one partial row per partition, then broadcast",
 }
 
 

@@ -1,0 +1,88 @@
+"""Round-3 catalog entries: TPC-H completion + LM-scoring/centroid ops.
+Each test pins the physical-plan property that matters at 100 TB."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ravelytics_spark.plans.queries import REGISTRY
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filters_reach_the_scan(spark, sf_dir):
+    df = REGISTRY["tpch_q6_forecast_revenue"].spark(spark, sf_dir)
+    plan = _executed(df)
+    assert "PushedFilters:" in plan and "l_shipdate" in plan.split("PushedFilters:")[1][:400], (
+        "Q6 predicates did not reach the parquet scan"
+    )
+    assert df.count() == 1
+
+
+def test_q7_broadcasts_both_nation_aliases(spark, sf_dir):
+    df = REGISTRY["tpch_q7_volume_shipping"].spark(spark, sf_dir)
+    plan = _executed(df)
+    assert plan.count("BroadcastHashJoin") >= 2, "nation dims not broadcast twice"
+    rows = df.collect()
+    assert all(
+        {r.supp_nation, r.cust_nation} == {"NATION_1", "NATION_2"} for r in rows
+    )
+
+
+def test_q8_share_bounded_and_dims_broadcast(spark, sf_dir):
+    df = REGISTRY["tpch_q8_market_share"].spark(spark, sf_dir)
+    plan = _executed(df)
+    assert plan.count("BroadcastHashJoin") >= 3, "region/nation dims not broadcast"
+    for r in df.collect():
+        assert 0.0 <= r.mkt_share <= 1.0
+
+
+def test_q17_threshold_join_co_partitioned(spark, sf_dir):
+    df = REGISTRY["tpch_q17_small_qty_revenue"].spark(spark, sf_dir)
+    plan = _executed(df)
+    assert "BroadcastHashJoin" in plan, "brand-filtered part dim not broadcast"
+    assert df.count() == 1
+
+
+def test_q22_plans_left_anti_not_cartesian(spark, sf_dir):
+    df = REGISTRY["tpch_q22_sales_opportunity"].spark(spark, sf_dir)
+    plan = _executed(df)
+    assert "LeftAnti" in plan, "NOT EXISTS did not become a left-anti join"
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert all(r.numcust > 0 for r in rows)
+
+
+def test_unigram_logprob_is_negative_and_complete(spark, sf_dir):
+    df = REGISTRY["x20_unigram_logprob"].spark(spark, sf_dir)
+    from ravelytics_spark.sources.tables import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    rows = df.collect()
+    assert len(rows) == n_docs, "every doc must receive a score"
+    assert all(r.mean_logprob < 0.0 for r in rows)
+    plan = _executed(df)
+    assert plan.count("BroadcastHashJoin") >= 1, "LM table should broadcast"
+
+
+def test_label_centroids_cover_all_label_dims(spark, sf_dir):
+    from ravelytics_spark.sources.tables import load_table
+
+    df = REGISTRY["x21_label_centroids"].spark(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    n_labels = e.select("label").distinct().count()
+    dims = e.select(F.size("embedding").alias("d")).first().d
+    assert df.count() == n_labels * dims
+
+
+def test_centroid_assign_partitions_every_vector_once(spark, sf_dir):
+    from ravelytics_spark.sources.tables import load_table
+
+    df = REGISTRY["x22_centroid_assign"].spark(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    total = df.agg(F.sum("n")).first()[0]
+    assert total == e.count(), "each vector must be assigned exactly once"
+    plan = _executed(df)
+    assert "CartesianProduct" not in plan
