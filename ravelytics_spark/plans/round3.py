@@ -611,3 +611,191 @@ def x22_centroid_assign(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("n"))
         .orderBy("label", "assigned")
     )
+
+
+# ---------------------------------------------------------------------------
+# x23 — source balancing (training-mix rebalancing, derived keep-rates)
+# ---------------------------------------------------------------------------
+
+_BALANCE_ORACLE = """
+WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source),
+m AS (SELECT min(n) AS mn FROM c),
+r AS (SELECT source, n, (mn * 1000) // n AS rate FROM c, m)
+SELECT r.source, r.n AS n_total,
+       CAST(count(*) FILTER (WHERE d.doc_id % 1000 < r.rate) AS BIGINT) AS n_kept
+FROM documents d JOIN r ON d.source = r.source
+GROUP BY r.source, r.n ORDER BY r.source
+"""
+
+
+@q(
+    "x23_source_balance",
+    "OP-X9-ext",
+    "Training-mix source balancing: derive a per-source keep-rate "
+    "(permille) from the smallest source's count, then keep docs by a "
+    "row-deterministic modulus — every source contributes ≈min-source "
+    "docs. Unlike sampleBy (partition-seeded rand), membership depends "
+    "only on doc_id, so the mix is reproducible across runs, "
+    "partitionings and cluster sizes. Rates are exact integer floor-div "
+    "(no float thresholds to disagree across engines). Shuffles: the "
+    "tiny per-source count agg (broadcast back) + the final rollup.",
+    _BALANCE_ORACLE,
+)
+def x23_source_balance(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").cast("long").alias("n_total"))
+    mn = counts.agg(F.min("n_total").alias("__mn"))
+    rates = counts.join(F.broadcast(mn)).select(
+        "source",
+        "n_total",
+        F.floor(F.col("__mn") * 1000 / F.col("n_total")).alias("__rate"),
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .groupBy("source", "n_total")
+        .agg(
+            F.count(F.when(F.col("doc_id") % 1000 < F.col("__rate"), 1))
+            .cast("long")
+            .alias("n_kept")
+        )
+        .select("source", "n_total", "n_kept")
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x24 — C4-style within-doc duplicate-line removal
+# ---------------------------------------------------------------------------
+
+_LINE_DEDUP_ORACLE = """
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+s AS (
+    SELECT doc_id, w, CAST(ceil(len(w) / 6.0) AS BIGINT) AS nl FROM t
+),
+lines AS (
+    SELECT doc_id,
+           u.i,
+           CASE WHEN u.i < nl
+                THEN array_to_string(w[u.i * 6 + 1 : u.i * 6 + 6], ' ')
+                ELSE array_to_string(w[1:6], ' ') END AS line
+    FROM s, UNNEST(range(0, nl + 1)) AS u(i)
+),
+firsts AS (
+    SELECT doc_id, line, min(i) AS keep_i, CAST(count(*) AS BIGINT) AS cnt
+    FROM lines GROUP BY doc_id, line
+)
+SELECT doc_id,
+       string_agg(line, chr(10) ORDER BY keep_i) AS text_deduped,
+       CAST(SUM(cnt) - count(*) AS BIGINT) AS n_removed
+FROM firsts GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@q(
+    "x24_line_dedup",
+    "OP-X1-ext",
+    "C4-style within-document duplicate-line removal: split each doc "
+    "into 6-token lines (+ a deterministically planted repeat of line 0 "
+    "so the oracle certifies actual removal — word-salad testdata has "
+    "few natural dup lines), keep the FIRST occurrence of each line, "
+    "reassemble in original order, count removals. All line formation "
+    "is codegen (explode over a sequence + slice/array_join — no "
+    "interpreted lambdas); per-doc reassembly is array_sort + a native "
+    "struct-field extract. Doc-local work → one (doc,line) hash-agg + "
+    "one per-doc agg; embarrassingly parallel at corpus scale.",
+    _LINE_DEDUP_ORACLE,
+)
+def x24_line_dedup(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", F.split("text", " ").alias("__toks")
+    ).withColumn("__nl", F.ceil(F.size("__toks") / F.lit(6.0)).cast("long"))
+    lines = base.select(
+        "doc_id",
+        "__toks",
+        "__nl",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("__nl"))).alias("__i"),
+    ).select(
+        "doc_id",
+        "__i",
+        F.when(
+            F.col("__i") < F.col("__nl"),
+            F.array_join(
+                F.slice("__toks", (F.col("__i") * 6 + 1).cast("int"), 6), " "
+            ),
+        )
+        .otherwise(F.array_join(F.slice("__toks", 1, 6), " "))
+        .alias("line"),
+    )
+    firsts = lines.groupBy("doc_id", "line").agg(
+        F.min("__i").alias("keep_i"), F.count("*").cast("long").alias("cnt")
+    )
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("keep_i").alias("i"), F.col("line")))
+    )
+    return (
+        firsts.groupBy("doc_id")
+        .agg(
+            F.array_join(arr.getField("line"), "\n").alias("text_deduped"),
+            (F.sum("cnt") - F.count("*")).cast("long").alias("n_removed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x25 — per-source token-budget selection
+# ---------------------------------------------------------------------------
+
+_BUDGET = 1500
+
+_BUDGET_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, source, n_tokens,
+           SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY n_tokens DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+    FROM t
+)
+SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens <= {_BUDGET} ORDER BY source, cum_tokens, doc_id
+"""
+
+
+@q(
+    "x25_token_budget_select",
+    "OP-W-ext",
+    "Per-source token-budget selection: within each source, admit docs "
+    "in priority order (here longest-first; the order key is pluggable "
+    "— quality, LM log-prob, …) until the source's token budget is "
+    "spent. A partitioned running-sum window (source partitions → no "
+    "global sort); the deterministic (key, doc_id) order makes the "
+    "selected set reproducible. The corpus-assembly primitive for "
+    "fixed-token training mixes. Skewed/huge sources: same two-phase "
+    "bucketed running-sum as x18_sequence_packing applies.",
+    _BUDGET_ORACLE,
+)
+def x25_token_budget_select(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("n_tokens"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= _BUDGET)
+        .orderBy("source", "cum_tokens", "doc_id")
+    )

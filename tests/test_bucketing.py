@@ -59,3 +59,22 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, warehouse):
         .count()
     )
     assert joined.count() == plain
+
+
+def test_disk_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """partitionBy on disk + a partition-key filter must prune at the
+    file-listing level (PartitionFilters in the scan, partitionless
+    directories never read) — the layout pattern for date-partitioned
+    100 TB warehouses."""
+    out = str(tmp_path / "orders_by_status")
+    o = load_table(spark, sf_dir, "orders")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters: [", 1)[1][:200]
+    assert "o_orderstatus" in seg, f"partition filter not applied: {seg}"
+    # pruned read returns exactly the partition's rows
+    expected = o.filter(F.col("o_orderstatus") == "F").count()
+    assert back.count() == expected

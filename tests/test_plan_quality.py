@@ -168,6 +168,7 @@ _SINGLE_PARTITION_OK = {
     "tpch_q19_disc_revenue": "global ungrouped agg: one partial row per partition",
     "tpch_q22_sales_opportunity": "scalar avg-balance subquery: one partial row per partition, then broadcast",
     "x20_unigram_logprob": "global vocab total: one partial row per partition, then broadcast",
+    "x23_source_balance": "global min-source-count scalar: one partial row per partition, then broadcast",
 }
 
 

@@ -86,3 +86,36 @@ def test_centroid_assign_partitions_every_vector_once(spark, sf_dir):
     assert total == e.count(), "each vector must be assigned exactly once"
     plan = _executed(df)
     assert "CartesianProduct" not in plan
+
+
+def test_source_balance_keeps_sources_near_min(spark, sf_dir):
+    df = REGISTRY["x23_source_balance"].spark(spark, sf_dir)
+    rows = df.collect()
+    mn = min(r.n_total for r in rows)
+    for r in rows:
+        assert r.n_kept <= r.n_total
+        # permille floor-rate keeps each source within ~15% of the min
+        assert abs(r.n_kept - mn) <= max(3, 0.15 * mn), rows
+
+
+def test_line_dedup_removes_planted_dup_and_preserves_order(spark, sf_dir):
+    df = REGISTRY["x24_line_dedup"].spark(spark, sf_dir)
+    rows = df.limit(50).collect()
+    assert all(r.n_removed >= 1 for r in rows), "planted line-0 repeat must be removed"
+    for r in rows[:10]:
+        lines = r.text_deduped.split("\n")
+        assert len(lines) == len(set(lines)), "dedup left duplicate lines"
+
+
+def test_token_budget_never_exceeded_per_source(spark, sf_dir):
+    df = REGISTRY["x25_token_budget_select"].spark(spark, sf_dir)
+    agg = df.groupBy("source").agg(
+        F.max("cum_tokens").alias("mx"), F.sum("n_tokens").alias("total")
+    )
+    for r in agg.collect():
+        assert r.mx <= 1500
+        assert r.total == r.mx, "cum_tokens must equal the running total kept"
+    plan = _executed(df)
+    assert "Exchange SinglePartition" not in plan, (
+        "budget selection must stay partitioned by source"
+    )
