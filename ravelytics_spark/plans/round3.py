@@ -799,3 +799,54 @@ def x25_token_budget_select(spark, sf_dir):
         .filter(F.col("cum_tokens") <= _BUDGET)
         .orderBy("source", "cum_tokens", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# x26 — fixed-k deterministic per-stratum sample (oracle-able hash order)
+# ---------------------------------------------------------------------------
+
+_K_PER_SOURCE = 20
+# Knuth multiplicative hash — exact BIGINT arithmetic, so DuckDB computes
+# the identical pseudo-random order (unlike xxhash64, which has no DuckDB
+# twin and forces x9_stratified_sample to be harness-checked).
+_KNUTH = 2654435761
+
+_FIXED_K_ORACLE = f"""
+WITH h AS (
+    SELECT doc_id, source,
+           (doc_id * {_KNUTH}) % 4294967296 AS hkey
+    FROM documents
+)
+SELECT doc_id, source, CAST(hkey AS BIGINT) AS hkey
+FROM h
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY hkey, doc_id) <= {_K_PER_SOURCE}
+ORDER BY source, hkey, doc_id
+"""
+
+
+@q(
+    "x26_fixed_k_sample",
+    "OP-X9-ext",
+    "Fixed-size (k per stratum) deterministic sample: order each stratum "
+    "by a Knuth multiplicative hash of the row id and keep the first k. "
+    "Exact BIGINT arithmetic → the same sample on any engine, any "
+    "partitioning, any cluster size (df.sample/sampleBy are partition-"
+    "seeded: resampling changes with layout). Partitioned window, k "
+    "rows kept per stratum — at scale, per-partition top-k heaps via "
+    "the (source, hkey) sort, no global ordering.",
+    _FIXED_K_ORACLE,
+)
+def x26_fixed_k_sample(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id",
+        "source",
+        ((F.col("doc_id") * _KNUTH) % 4294967296).cast("long").alias("hkey"),
+    )
+    w = Window.partitionBy("source").orderBy("hkey", "doc_id")
+    return (
+        h.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= _K_PER_SOURCE)
+        .drop("__rn")
+        .orderBy("source", "hkey", "doc_id")
+    )

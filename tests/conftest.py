@@ -5,7 +5,13 @@ import sys
 
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+# Spawned Python workers (e.g. the transformWithStateInPandas driver
+# worker) unpickle module-level classes BY REFERENCE — they need the
+# package importable via PYTHONPATH, not just this process's sys.path.
+# Must be set before the JVM launches.
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 from ravelytics_spark.session import get_spark  # noqa: E402
 

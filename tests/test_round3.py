@@ -119,3 +119,25 @@ def test_token_budget_never_exceeded_per_source(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan, (
         "budget selection must stay partitioned by source"
     )
+
+
+def test_fixed_k_sample_is_layout_independent(spark, sf_dir):
+    """The sample must not change when the input partitioning changes —
+    the property partition-seeded df.sample/sampleBy lacks."""
+    from ravelytics_spark.sources.tables import load_table
+
+    df = REGISTRY["x26_fixed_k_sample"].spark(spark, sf_dir)
+    ids = sorted(r.doc_id for r in df.collect())
+
+    d = load_table(spark, sf_dir, "documents").repartition(17, "doc_id")
+    h = d.select(
+        "doc_id", "source",
+        ((F.col("doc_id") * 2654435761) % 4294967296).cast("long").alias("hkey"),
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("source").orderBy("hkey", "doc_id")
+    again = (
+        h.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 20)
+    )
+    ids2 = sorted(r.doc_id for r in again.collect())
+    assert ids == ids2
