@@ -55,6 +55,8 @@ HEADLINE = [
     "tpch_q7_volume_shipping",
     "x20_unigram_logprob",
     "x22_centroid_assign",
+    "x31_window_dedup",
+    "x30_rp_projection",
 ]
 
 

@@ -810,3 +810,4 @@ from ravelytics_spark.plans import extensions as _extensions  # noqa: E402,F401
 from ravelytics_spark.plans import harness_ops as _harness_ops  # noqa: E402,F401
 from ravelytics_spark.plans import round2 as _round2  # noqa: E402,F401
 from ravelytics_spark.plans import round3 as _round3  # noqa: E402,F401
+from ravelytics_spark.plans import round4 as _round4  # noqa: E402,F401

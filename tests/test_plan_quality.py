@@ -169,6 +169,7 @@ _SINGLE_PARTITION_OK = {
     "tpch_q22_sales_opportunity": "scalar avg-balance subquery: one partial row per partition, then broadcast",
     "x20_unigram_logprob": "global vocab total: one partial row per partition, then broadcast",
     "x23_source_balance": "global min-source-count scalar: one partial row per partition, then broadcast",
+    "x29_ppl_bucket_sample": "modal-bucket scalar over the bucket-count aggregate: one partial row per partition, then broadcast",
 }
 
 
