@@ -112,6 +112,73 @@ def compact_partitions(
         shutil.rmtree(retired)  # delete last; crash before this leaves both copies
 
 
+def upsert_partitioned(
+    spark: SparkSession,
+    path: str,
+    delta: DataFrame,
+    key: str,
+    ts: str,
+    partition_col: str,
+) -> list[str]:
+    """Partition-pruned MERGE (upsert) into a hive-partitioned parquet
+    warehouse: fold a delta batch into the latest-state table, rewriting
+    ONLY the partitions the delta touches — the poor-man's Delta/Iceberg
+    ``MERGE INTO`` for plain parquet. (ClickHouse gets this from
+    ReplacingMergeTree background merges; the reference's tracks table
+    relies on exactly that, 001_init_spotify_tracks.sql:6-22.)
+
+    Per touched partition: read current rows, ``merge_latest_state``
+    with the delta slice (union → max_by — one shuffle over
+    O(partition + slice), not O(table)), then promote via the same
+    rename-swap as ``compact_partitions`` (staging written fully →
+    live dir retired → staging promoted → retired deleted LAST; a
+    crash at any step leaves a complete copy on disk). Untouched
+    partitions are never read, written, or listed.
+
+    Contract: ``partition_col`` must be immutable per key (true for
+    any ingest-date/month derivation of a key-stable timestamp) — a
+    key that changes partition value would duplicate across partitions
+    because old partitions are not scanned. The delta must carry the
+    table's exact schema. Returns the list of partition values
+    rewritten.
+
+    At 100 TB the touched-partition list is the day's ingest window
+    (a handful of values), so the rewrite cost is bounded by ingest
+    volume, never table size.
+    """
+    import shutil
+
+    touched = [
+        r[0]
+        for r in delta.select(partition_col).distinct().collect()
+    ]
+    for value in sorted(str(v) for v in touched):
+        part_dir = os.path.join(path, f"{partition_col}={value}")
+        slice_df = delta.filter(F.col(partition_col) == value).drop(
+            partition_col
+        )
+        if os.path.isdir(part_dir):
+            current = spark.read.parquet(part_dir)
+            merged = merge_latest_state(current, slice_df, key=key, ts=ts)
+        else:
+            merged = latest_state(
+                slice_df,
+                key=key,
+                ts=ts,
+                value_cols=[c for c in slice_df.columns if c not in (key, ts)],
+            )
+        staging = part_dir + ".upserting"
+        retired = part_dir + ".retired"
+        merged.write.mode("overwrite").parquet(staging)
+        if os.path.isdir(part_dir):
+            os.rename(part_dir, retired)
+            os.rename(staging, part_dir)
+            shutil.rmtree(retired)
+        else:
+            os.rename(staging, part_dir)
+    return sorted(str(v) for v in touched)
+
+
 def cleanse_tracks_with_audit(wire: DataFrame) -> DataFrame:
     """Cleansing with defaulting-audit flags (dead-letter-queue pattern):
     same output as ``cleanse_tracks`` plus booleans recording which

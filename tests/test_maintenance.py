@@ -115,3 +115,87 @@ def test_compaction_skips_partitions_inside_ingest_window(spark, tmp_path):
     compact_partitions(spark, out, "p", min_quiesce_s=0)
     n_final = len([f for f in os.listdir(f"{out}/p=m0") if f.endswith(".parquet")])
     assert n_final == 1  # quiesced (cap lifted) → compacted
+
+
+def _write_state_table(spark, path):
+    rows = [
+        Row(track_id="a", ingest_month="202501", popularity=10, ts=_t(1)),
+        Row(track_id="b", ingest_month="202501", popularity=20, ts=_t(2)),
+        Row(track_id="c", ingest_month="202502", popularity=30, ts=_t(3)),
+    ]
+    df = spark.createDataFrame(rows).select(
+        "track_id", "popularity", "ts", "ingest_month"
+    )
+    df.write.partitionBy("ingest_month").mode("overwrite").parquet(path)
+
+
+def test_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    from ravelytics_spark.operators.maintenance import upsert_partitioned
+
+    path = str(tmp_path / "wh")
+    _write_state_table(spark, path)
+    untouched = os.path.join(path, "ingest_month=202502")
+    before = {
+        f: os.path.getmtime(os.path.join(untouched, f))
+        for f in os.listdir(untouched)
+    }
+
+    delta = spark.createDataFrame(
+        [
+            # update existing key in 202501 (newer ts wins)
+            Row(track_id="a", popularity=99, ts=_t(9), ingest_month="202501"),
+            # stale update must LOSE to current state
+            Row(track_id="b", popularity=0, ts=_t(1), ingest_month="202501"),
+            # brand-new key in a brand-new partition
+            Row(track_id="d", popularity=40, ts=_t(5), ingest_month="202503"),
+        ]
+    ).select("track_id", "popularity", "ts", "ingest_month")
+
+    touched = upsert_partitioned(
+        spark, path, delta, key="track_id", ts="ts",
+        partition_col="ingest_month",
+    )
+    assert touched == ["202501", "202503"]
+
+    after = {
+        f: os.path.getmtime(os.path.join(untouched, f))
+        for f in os.listdir(untouched)
+    }
+    assert before == after  # untouched partition bit-untouched
+
+    got = {
+        r["track_id"]: r["popularity"]
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {"a": 99, "b": 20, "c": 30, "d": 40}
+
+
+def test_upsert_equals_full_recompute(spark, tmp_path):
+    from ravelytics_spark.operators.maintenance import upsert_partitioned
+
+    path = str(tmp_path / "wh2")
+    _write_state_table(spark, path)
+    original = spark.read.parquet(path).select(
+        "track_id", "popularity", "ts", "ingest_month"
+    )
+    delta = spark.createDataFrame(
+        [
+            Row(track_id="a", popularity=77, ts=_t(8), ingest_month="202501"),
+            Row(track_id="c", popularity=31, ts=_t(4), ingest_month="202502"),
+        ]
+    ).select("track_id", "popularity", "ts", "ingest_month")
+    expected = {
+        (r["track_id"], r["popularity"])
+        for r in latest_state(
+            original.unionByName(delta), key="track_id", ts="ts"
+        ).collect()
+    }
+    upsert_partitioned(
+        spark, path, delta, key="track_id", ts="ts",
+        partition_col="ingest_month",
+    )
+    got = {
+        (r["track_id"], r["popularity"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == expected
