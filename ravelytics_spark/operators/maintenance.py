@@ -127,8 +127,8 @@ def upsert_partitioned(
     ReplacingMergeTree background merges; the reference's tracks table
     relies on exactly that, 001_init_spotify_tracks.sql:6-22.)
 
-    Per touched partition: read current rows, ``merge_latest_state``
-    with the delta slice (union → max_by — one shuffle over
+    Per touched partition: read current rows, fold in the delta slice
+    (union → max_by, keeping the winning timestamp — one shuffle over
     O(partition + slice), not O(table)), then promote via the same
     rename-swap as ``compact_partitions`` (staging written fully →
     live dir retired → staging promoted → retired deleted LAST; a
@@ -148,6 +148,17 @@ def upsert_partitioned(
     """
     import shutil
 
+    def _merge(df: DataFrame) -> DataFrame:
+        # Unlike merge_latest_state (which emits only key + values), the
+        # stored row RETAINS the winning timestamp — the next upsert
+        # needs it to order current vs delta (ReplacingMergeTree keeps
+        # the full row for the same reason).
+        value_cols = [c for c in df.columns if c not in (key, ts)]
+        return df.groupBy(key).agg(
+            *[F.max_by(c, ts).alias(c) for c in value_cols],
+            F.max(ts).alias(ts),
+        )
+
     touched = [
         r[0]
         for r in delta.select(partition_col).distinct().collect()
@@ -159,14 +170,9 @@ def upsert_partitioned(
         )
         if os.path.isdir(part_dir):
             current = spark.read.parquet(part_dir)
-            merged = merge_latest_state(current, slice_df, key=key, ts=ts)
+            merged = _merge(current.unionByName(slice_df.select(*current.columns)))
         else:
-            merged = latest_state(
-                slice_df,
-                key=key,
-                ts=ts,
-                value_cols=[c for c in slice_df.columns if c not in (key, ts)],
-            )
+            merged = _merge(slice_df)
         staging = part_dir + ".upserting"
         retired = part_dir + ".retired"
         merged.write.mode("overwrite").parquet(staging)

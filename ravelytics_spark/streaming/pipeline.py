@@ -117,3 +117,50 @@ def session_windows(events: DataFrame, gap: str = "30 minutes", watermark: str =
         .agg(F.count("*").alias("n"))
         .select("user_id", F.col("win.start").alias("session_start"), "n")
     )
+
+
+def start_latest_state_upsert(
+    wire_stream: DataFrame,
+    warehouse_path: str,
+    checkpoint_path: str,
+    key: str,
+    ts: str,
+    partition_col: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming MERGE sink: every micro-batch folds into the
+    latest-state warehouse via ``upsert_partitioned`` (partition-pruned
+    rewrite) — the Structured-Streaming analog of ClickHouse's
+    ReplacingMergeTree (ingest-time collapse to one row per key, which
+    the reference's tracks table gets from background merges,
+    001_init_spotify_tracks.sql:6-22).
+
+    Exactly-once story: foreachBatch is at-least-once under failures,
+    but the latest-state merge is IDEMPOTENT (union → max_by of
+    already-applied rows is a no-op), so batch replays converge to the
+    same table state — no transactional sink needed. The contract
+    inherited from upsert_partitioned: ``partition_col`` immutable per
+    key; one upserting stream per table (partition swaps are not
+    multi-writer safe).
+    """
+    from ravelytics_spark.operators.maintenance import upsert_partitioned
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_partitioned(
+            batch_df.sparkSession,
+            warehouse_path,
+            batch_df,
+            key=key,
+            ts=ts,
+            partition_col=partition_col,
+        )
+
+    writer = (
+        wire_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

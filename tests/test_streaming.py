@@ -202,3 +202,63 @@ def test_dedupe_within_watermark_drops_wire_duplicates(spark, stream_dirs):
     q2.awaitTermination(120)
     got = spark.read.parquet(str(out)).select("track_id").orderBy("track_id").collect()
     assert [r.track_id for r in got] == ["t1", "t2", "t9"]
+
+
+def test_streaming_latest_state_upsert_sink(spark, tmp_path):
+    """foreachBatch + partition-pruned upsert = the ReplacingMergeTree
+    analog: two micro-batch rounds over the same checkpoint collapse to
+    one row per key, stale updates lose, partitions accrete."""
+    import json as _json
+
+    from ravelytics_spark.streaming.pipeline import start_latest_state_upsert
+
+    src = tmp_path / "src"
+    src.mkdir()
+    wh = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "track_id string, popularity long, ts timestamp, ingest_month string"
+
+    def write_batch(fname, rows):
+        (src / fname).write_text(
+            "\n".join(_json.dumps(r) for r in rows), encoding="utf-8"
+        )
+
+    write_batch(
+        "b1.json",
+        [
+            {"track_id": "a", "popularity": 10, "ts": "2025-01-01T00:00:00", "ingest_month": "202501"},
+            {"track_id": "b", "popularity": 20, "ts": "2025-01-02T00:00:00", "ingest_month": "202501"},
+        ],
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = start_latest_state_upsert(
+        stream, wh, ckpt, key="track_id", ts="ts", partition_col="ingest_month"
+    )
+    q.awaitTermination(120)
+
+    write_batch(
+        "b2.json",
+        [
+            # newer update wins
+            {"track_id": "a", "popularity": 99, "ts": "2025-01-09T00:00:00", "ingest_month": "202501"},
+            # stale update loses
+            {"track_id": "b", "popularity": 0, "ts": "2025-01-01T00:00:00", "ingest_month": "202501"},
+            # new key, new partition
+            {"track_id": "c", "popularity": 30, "ts": "2025-02-01T00:00:00", "ingest_month": "202502"},
+        ],
+    )
+    stream2 = spark.readStream.schema(schema).json(str(src))
+    q2 = start_latest_state_upsert(
+        stream2, wh, ckpt, key="track_id", ts="ts", partition_col="ingest_month"
+    )
+    q2.awaitTermination(120)
+
+    got = {
+        r["track_id"]: (r["popularity"], r["ingest_month"])
+        for r in spark.read.parquet(wh).collect()
+    }
+    assert got == {
+        "a": (99, "202501"),
+        "b": (20, "202501"),
+        "c": (30, "202502"),
+    }
