@@ -57,6 +57,7 @@ HEADLINE = [
     "x22_centroid_assign",
     "x31_window_dedup",
     "x30_rp_projection",
+    "tpch_q21_waiting_supplier",
 ]
 
 

@@ -9,7 +9,9 @@ Two fronts:
   Q19-variant, Q22-variant. Together with Q1/Q3/Q4/Q5/Q10/Q13/Q14/
   Q15/Q18 this covers all join/agg/subquery shapes the suite exercises
   minus the partsupp-only ones (Q2/Q11/Q16/Q20) and the
-  commitdate-only ones (Q12/Q21).
+  commitdate-only ones (Q12/Q21) — those six land in round7.py via
+  deterministically DERIVED partsupp/date columns, completing all 22
+  TPC-H query shapes.
 
 * **LLM-pipeline scoring** — unigram-LM log-probability per document
   (the classic perplexity-proxy quality filter) and per-label embedding

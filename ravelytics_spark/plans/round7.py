@@ -1,0 +1,526 @@
+"""Round-7 — TPC-H completion via deterministic derived columns.
+
+The testdata lacks ``partsupp`` and the lineitem commit/receipt dates,
+which blocked Q2/Q11/Q16/Q20 and Q12/Q21 — the last uncovered TPC-H
+query SHAPES (correlated min subquery, group-having vs global scalar,
+NOT-IN anti + multi-key distinct count, nested semi on aggregated
+threshold, conditional two-way counts on date predicates, EXISTS /
+NOT-EXISTS self-joins). The shapes are what matter for engine parity,
+so the missing inputs are DERIVED with pure integer arithmetic both
+engines replicate bit-for-bit:
+
+* ``partsupp`` — 4 suppliers per part, dbgen-style:
+  ps_suppkey = ((p_partkey-1 + i*(S//4)) % S) + 1 (distinct for
+  i∈0..3 since step = S//4), deterministic availqty/supplycost from
+  integer mod; supplycost = cents/100 where both engines perform the
+  IDENTICAL int→double division (same bits).
+* commit/receipt dates — shipdate + bounded integer-mod day offsets.
+
+Every derivation lives in both the Spark plan and the DuckDB oracle
+CTE; nothing is sampled or fitted. Hash-parity conventions as
+plans/queries.py (_dsum decimal sums, BIGINT casts, total ORDER BY).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ravelytics_spark.plans.queries import _dsum, _dsum_sql, q
+from ravelytics_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Derived partsupp (shared)
+# ---------------------------------------------------------------------------
+
+_PARTSUPP_CTE = """
+s_cnt AS (SELECT CAST(count(*) AS BIGINT) AS S FROM supplier),
+partsupp AS (
+    SELECT p_partkey AS ps_partkey,
+           ((p_partkey - 1 + u.i * (S // 4)) % S) + 1 AS ps_suppkey,
+           (p_partkey * 7 + u.i * 11) % 9999 + 1 AS ps_availqty,
+           CAST((p_partkey * 13 + u.i * 17) % 100000 + 100 AS DOUBLE) / 100
+               AS ps_supplycost
+    FROM part, s_cnt, UNNEST(range(0, 4)) AS u(i)
+)
+"""
+
+
+def _partsupp(spark, sf_dir):
+    """Derived partsupp: 4 rows per part, fully deterministic integer
+    math (see module docstring). Broadcast-friendly scalar S; the
+    explode stays pipelined — no shuffle to build the table."""
+    part = load_table(spark, sf_dir, "part")
+    s_cnt = load_table(spark, sf_dir, "supplier").agg(
+        F.count("*").cast("long").alias("S")
+    )
+    step = F.floor(F.col("S") / 4).cast("long")
+    return (
+        part.select("p_partkey")
+        .crossJoin(F.broadcast(s_cnt))
+        .select(
+            "p_partkey",
+            "S",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"),
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            (
+                (F.col("p_partkey") - 1 + F.col("i") * step) % F.col("S") + 1
+            ).alias("ps_suppkey"),
+            (
+                (F.col("p_partkey") * 7 + F.col("i") * 11) % 9999 + 1
+            ).alias("ps_availqty"),
+            (
+                ((F.col("p_partkey") * 13 + F.col("i") * 17) % 100000 + 100)
+                .cast("double")
+                / 100
+            ).alias("ps_supplycost"),
+        )
+    )
+
+
+# Derived commit/receipt dates (shared by Q12/Q21)
+
+_DATES_CTE = """
+li AS (
+    SELECT l_orderkey, l_suppkey, l_linenumber,
+           CAST(l_shipdate AS DATE) AS ship_d,
+           CAST(l_shipdate AS DATE)
+               + CAST((l_orderkey * 31 + l_linenumber * 7) % 60 - 30 AS INT)
+               AS commit_d,
+           CAST(l_shipdate AS DATE)
+               + CAST((l_orderkey * 17 + l_linenumber * 13) % 30 + 1 AS INT)
+               AS receipt_d,
+           l_returnflag
+    FROM lineitem
+)
+"""
+
+
+def _lineitem_dates(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    ship = F.to_date("l_shipdate")
+    commit_off = (
+        (F.col("l_orderkey") * 31 + F.col("l_linenumber") * 7) % 60 - 30
+    ).cast("int")
+    receipt_off = (
+        (F.col("l_orderkey") * 17 + F.col("l_linenumber") * 13) % 30 + 1
+    ).cast("int")
+    return li.select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_linenumber",
+        ship.alias("ship_d"),
+        F.date_add(ship, commit_off).alias("commit_d"),
+        F.date_add(ship, receipt_off).alias("receipt_d"),
+        "l_returnflag",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost supplier (correlated min decorrelated)
+# ---------------------------------------------------------------------------
+
+_Q2_ORACLE = (
+    "WITH " + _PARTSUPP_CTE + """,
+eu AS (
+    SELECT s_suppkey, s_name, s_acctbal, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+),
+costs AS (
+    SELECT ps_partkey, ps_suppkey, ps_supplycost
+    FROM partsupp JOIN eu ON ps_suppkey = eu.s_suppkey
+),
+mins AS (
+    SELECT ps_partkey, min(ps_supplycost) AS mc FROM costs GROUP BY 1
+)
+SELECT eu.s_acctbal, eu.s_name, eu.n_name, p.p_partkey, p.p_name,
+       c.ps_supplycost AS cost
+FROM part p
+JOIN costs c ON p.p_partkey = c.ps_partkey
+JOIN mins m ON c.ps_partkey = m.ps_partkey AND c.ps_supplycost = m.mc
+JOIN eu ON c.ps_suppkey = eu.s_suppkey
+WHERE p.p_type = 'LARGE'
+ORDER BY eu.s_acctbal DESC, eu.n_name, eu.s_name, p.p_partkey
+"""
+)
+
+
+@q(
+    "tpch_q2_min_cost_supplier",
+    "OP-Q2",
+    "TPC-H Q2 (min-cost supplier; derived partsupp, EUROPE region, "
+    "p_type predicate adapted to the testdata domain): the correlated "
+    "MIN subquery decorrelated into a per-part min aggregate joined "
+    "back on (part, cost) — Catalyst's standard rewrite. The "
+    "supplier-side dim stack (supplier⋈nation⋈region) broadcasts; the "
+    "min agg and join-back share the ps_partkey partitioning.",
+    _Q2_ORACLE,
+)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    costs = _partsupp(spark, sf_dir).join(
+        F.broadcast(eu), F.col("ps_suppkey") == F.col("s_suppkey")
+    )
+    mins = costs.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("mc")
+    )
+    return (
+        costs.join(mins, "ps_partkey")
+        .filter(F.col("ps_supplycost") == F.col("mc"))
+        .join(part, F.col("ps_partkey") == part.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("ps_supplycost").alias("cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important stock (group-having vs global scalar)
+# ---------------------------------------------------------------------------
+
+_Q11_ORACLE = (
+    "WITH " + _PARTSUPP_CTE + """,
+nps AS (
+    SELECT ps_partkey, ps_supplycost * ps_availqty AS v
+    FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_1'
+),
+tot AS (SELECT """ + _dsum_sql("v") + """ AS t FROM nps)
+SELECT ps_partkey, """ + _dsum_sql("v") + """ AS value
+FROM nps, tot GROUP BY ps_partkey, t
+HAVING """ + _dsum_sql("v") + """ > t * 0.001
+ORDER BY value DESC, ps_partkey
+"""
+)
+
+
+@q(
+    "tpch_q11_important_stock",
+    "OP-Q11",
+    "TPC-H Q11 (important stock; derived partsupp): per-part inventory "
+    "value filtered against a fraction of the GLOBAL value — the "
+    "group-having-vs-scalar-subquery shape. The global total is one "
+    "partial row per partition broadcast back; both aggregations are "
+    "decimal-exact over identical doubles, the threshold compare runs "
+    "in double on both engines.",
+    _Q11_ORACLE,
+)
+def tpch_q11_important_stock(spark, sf_dir):
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_1"
+    )
+    nps = (
+        _partsupp(spark, sf_dir)
+        .join(
+            F.broadcast(
+                s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+                    "s_suppkey"
+                )
+            ),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"),
+        )
+    )
+    tot = nps.agg(_dsum("v").alias("t"))
+    return (
+        nps.groupBy("ps_partkey")
+        .agg(_dsum("v").alias("value"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("value") > F.col("t") * 0.001)
+        .select("ps_partkey", "value")
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — supplier count by part attributes (NOT IN + multi-key distinct)
+# ---------------------------------------------------------------------------
+
+_Q16_ORACLE = (
+    "WITH " + _PARTSUPP_CTE + """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM partsupp JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND ps_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+)
+
+
+@q(
+    "tpch_q16_supplier_cnt",
+    "OP-Q16",
+    "TPC-H Q16 (supplier count; derived partsupp, complaint predicate "
+    "adapted to s_acctbal < 0): NOT-IN subquery → broadcast LEFT ANTI "
+    "join, then count(DISTINCT supplier) per 3-key part attribute "
+    "group. The anti side is tiny (negative-balance suppliers) and "
+    "broadcasts; the distinct count shuffles once on the group keys "
+    "with partial distinct map-side.",
+    _Q16_ORACLE,
+)
+def tpch_q16_supplier_cnt(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        _partsupp(spark, sf_dir)
+        .join(part, F.col("ps_partkey") == part.p_partkey)
+        .join(
+            F.broadcast(bad),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("ps_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — potential promotion suppliers (nested semi on agg threshold)
+# ---------------------------------------------------------------------------
+
+_Q20_ORACLE = (
+    "WITH " + _PARTSUPP_CTE + """,
+qty AS (
+    SELECT l_partkey, l_suppkey,
+           0.5 * """ + _dsum_sql("l_quantity") + """ AS half
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1, 2
+),
+sel AS (
+    SELECT DISTINCT ps_suppkey
+    FROM partsupp
+    JOIN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%') px
+      ON ps_partkey = px.p_partkey
+    JOIN qty ON qty.l_partkey = ps_partkey AND qty.l_suppkey = ps_suppkey
+    WHERE ps_availqty > half
+)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+JOIN sel ON s.s_suppkey = sel.ps_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_1'
+ORDER BY s.s_suppkey
+"""
+)
+
+
+@q(
+    "tpch_q20_potential_promotion",
+    "OP-Q20",
+    "TPC-H Q20 (potential promotion; derived partsupp, 'red%' part "
+    "prefix): the doubly-nested IN subqueries decorrelate into a "
+    "per-(part,supplier) shipped-quantity aggregate joined against "
+    "availqty, then a DISTINCT semi-reduction onto suppliers. The "
+    "lineitem agg is the only big shuffle; part-prefix and nation "
+    "dims broadcast.",
+    _Q20_ORACLE,
+)
+def tpch_q20_potential_promotion(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    qty = li.groupBy("l_partkey", "l_suppkey").agg(
+        (_dsum("l_quantity") * 0.5).alias("half")
+    )
+    px = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    sel = (
+        _partsupp(spark, sf_dir)
+        .join(F.broadcast(px), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            qty,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > F.col("half"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_1"
+    )
+    return (
+        s.join(sel, s.s_suppkey == sel.ps_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — shipmode-style conditional counts (derived dates; returnflag
+# stands in for the absent l_shipmode)
+# ---------------------------------------------------------------------------
+
+_Q12_ORACLE = (
+    "WITH " + _DATES_CTE + """
+SELECT li.l_returnflag AS mode,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM li JOIN orders ON li.l_orderkey = o_orderkey
+WHERE li.commit_d < li.receipt_d
+  AND li.ship_d < li.commit_d
+  AND li.receipt_d >= DATE '1996-01-01'
+  AND li.receipt_d < DATE '1997-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+)
+
+
+@q(
+    "tpch_q12_late_shipments",
+    "OP-Q12",
+    "TPC-H Q12 (shipping-mode priority counts; commit/receipt dates "
+    "derived deterministically, l_returnflag standing in for the "
+    "absent l_shipmode): the two-way conditional count over a "
+    "date-window join — CASE aggregation pushes into one "
+    "map-side-combined agg after an o_orderkey join.",
+    _Q12_ORACLE,
+)
+def tpch_q12_late_shipments(spark, sf_dir):
+    li = _lineitem_dates(spark, sf_dir).filter(
+        (F.col("commit_d") < F.col("receipt_d"))
+        & (F.col("ship_d") < F.col("commit_d"))
+        & (F.col("receipt_d") >= F.lit("1996-01-01"))
+        & (F.col("receipt_d") < F.lit("1997-01-01"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_returnflag").alias("mode"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("mode")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (EXISTS + NOT EXISTS)
+# ---------------------------------------------------------------------------
+
+_Q21_ORACLE = (
+    "WITH " + _DATES_CTE + """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN li l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND l1.receipt_d > l1.commit_d
+  AND n_name = 'NATION_1'
+  AND EXISTS (
+      SELECT 1 FROM li l2
+      WHERE l2.l_orderkey = l1.l_orderkey
+        AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+      SELECT 1 FROM li l3
+      WHERE l3.l_orderkey = l1.l_orderkey
+        AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.receipt_d > l3.commit_d)
+GROUP BY s_name ORDER BY numwait DESC, s_name
+"""
+)
+
+
+@q(
+    "tpch_q21_waiting_supplier",
+    "OP-Q21",
+    "TPC-H Q21 (suppliers who kept orders waiting; derived "
+    "commit/receipt dates): the EXISTS → LEFT SEMI and NOT EXISTS → "
+    "LEFT ANTI pair over the SAME lineitem relation with an "
+    "inequality on supplier — both planned as shuffled l_orderkey "
+    "joins that reuse the derived-dates scan. The late-l1 probe side "
+    "shrinks first (status F, late, one nation) before the semi/anti "
+    "pair runs.",
+    _Q21_ORACLE,
+)
+def tpch_q21_waiting_supplier(spark, sf_dir):
+    dates = _lineitem_dates(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_1"
+    )
+    l1 = dates.filter(F.col("receipt_d") > F.col("commit_d")).alias("l1")
+    l2 = dates.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = (
+        dates.filter(F.col("receipt_d") > F.col("commit_d"))
+        .select("l_orderkey", "l_suppkey")
+        .alias("l3")
+    )
+    probe = (
+        l1.join(o, F.col("l1.l_orderkey") == o.o_orderkey)
+        .join(s, F.col("l1.l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(F.col("l1.l_orderkey").alias("ok"), F.col("l1.l_suppkey").alias("sk"), "s_name")
+    )
+    with_other = probe.join(
+        l2,
+        (F.col("ok") == F.col("l2.l_orderkey"))
+        & (F.col("sk") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    sole_late = with_other.join(
+        l3,
+        (F.col("ok") == F.col("l3.l_orderkey"))
+        & (F.col("sk") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole_late.groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )

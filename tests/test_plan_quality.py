@@ -170,6 +170,12 @@ _SINGLE_PARTITION_OK = {
     "x20_unigram_logprob": "global vocab total: one partial row per partition, then broadcast",
     "x23_source_balance": "global min-source-count scalar: one partial row per partition, then broadcast",
     "x29_ppl_bucket_sample": "modal-bucket scalar over the bucket-count aggregate: one partial row per partition, then broadcast",
+    # round7 derived-partsupp entries: the supplier-count scalar S (one
+    # partial row per partition, then broadcast into the derivation).
+    "tpch_q2_min_cost_supplier": "derived-partsupp S scalar broadcast",
+    "tpch_q11_important_stock": "derived-partsupp S scalar + global value total, both broadcast",
+    "tpch_q16_supplier_cnt": "derived-partsupp S scalar broadcast",
+    "tpch_q20_potential_promotion": "derived-partsupp S scalar broadcast",
 }
 
 
