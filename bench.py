@@ -58,6 +58,8 @@ HEADLINE = [
     "x31_window_dedup",
     "x30_rp_projection",
     "tpch_q21_waiting_supplier",
+    "x40_dsir_weight",
+    "x43_pagerank",
 ]
 
 

@@ -423,7 +423,7 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # shuffles one combined row per doc.
     hashed = df.select(
         F.col(id_col).alias("__id"),
-        F.explode(F.split(F.col(text_col), r"\s+")).alias("__w"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__w"),
     ).select("__id", F.xxhash64("__w").alias("__h"))
 
     votes = [

@@ -176,6 +176,8 @@ _SINGLE_PARTITION_OK = {
     "tpch_q11_important_stock": "derived-partsupp S scalar + global value total, both broadcast",
     "tpch_q16_supplier_cnt": "derived-partsupp S scalar broadcast",
     "tpch_q20_potential_promotion": "derived-partsupp S scalar broadcast",
+    "x40_dsir_weight": "global R/T/V scalars: one partial row per partition, then broadcast",
+    "x43_pagerank": "node-count scalar N: one partial row per partition, then broadcast",
 }
 
 
