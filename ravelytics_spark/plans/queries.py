@@ -816,3 +816,4 @@ from ravelytics_spark.plans import round5b as _round5b  # noqa: E402,F401
 from ravelytics_spark.plans import round6 as _round6  # noqa: E402,F401
 from ravelytics_spark.plans import round7 as _round7  # noqa: E402,F401
 from ravelytics_spark.plans import round8 as _round8  # noqa: E402,F401
+from ravelytics_spark.plans import round9 as _round9  # noqa: E402,F401

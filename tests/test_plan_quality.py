@@ -178,6 +178,8 @@ _SINGLE_PARTITION_OK = {
     "tpch_q20_potential_promotion": "derived-partsupp S scalar broadcast",
     "x40_dsir_weight": "global R/T/V scalars: one partial row per partition, then broadcast",
     "x43_pagerank": "node-count scalar N: one partial row per partition, then broadcast",
+    "x44_temperature_mix": "mixture denominator over the ~20-row per-source table: one partial row per partition, then broadcast",
+    "x46_pmi_collocations": "unigram/bigram LM totals: one partial row per partition, then broadcast",
 }
 
 
