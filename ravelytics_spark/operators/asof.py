@@ -26,7 +26,33 @@ import math
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
+from pyspark.sql import types as T
 from pyspark.sql import functions as F
+
+
+def _epoch_seconds(df: DataFrame, ts_col: str) -> F.Column:
+    """Epoch seconds WITH sub-second fraction, for numeric, TIMESTAMP,
+    and TIMESTAMP_NTZ columns.
+
+    - numeric: plain cast (already seconds);
+    - TIMESTAMP (instant): ``unix_micros`` — exact and tz-independent;
+    - TIMESTAMP_NTZ: no direct double cast exists, and routing through
+      a session-tz cast would shift values across DST boundaries, so
+      whole seconds come from ``timestampdiff`` against an NTZ epoch
+      literal (tz-free integer math) plus the sub-second fraction from
+      ``extract(second) % 1``. ``unix_timestamp()`` is wrong twice here:
+      tz-dependent AND truncating.
+    """
+    dtype = df.schema[ts_col].dataType
+    if isinstance(dtype, T.TimestampType):
+        return (F.unix_micros(F.col(ts_col)) / F.lit(1_000_000)).cast("double")
+    if isinstance(dtype, T.TimestampNTZType):
+        whole = F.expr(
+            f"timestampdiff(SECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {ts_col})"
+        )
+        frac = F.expr(f"extract(second from {ts_col}) % 1")
+        return (whole + frac).cast("double")
+    return F.col(ts_col).cast("double")
 
 
 def asof_join(
@@ -97,11 +123,11 @@ def asof_join(
     ).filter(F.col("__side") == left_tag)
 
     if tolerance_s is not None:
-        gap = (
-            F.unix_timestamp("__ts") - F.unix_timestamp("__rts")
-            if backward
-            else F.unix_timestamp("__rts") - F.unix_timestamp("__ts")
-        )
+        # sub-second-exact, tz-independent gap (unix_timestamp would
+        # truncate to whole seconds and shift NTZ values by session tz)
+        lsec = _epoch_seconds(carried, "__ts")
+        rsec = _epoch_seconds(carried, "__rts")
+        gap = lsec - rsec if backward else rsec - lsec
         in_tol = F.col("__rts").isNotNull() & (gap <= tolerance_s)
         carried = carried.select(
             "__k",
@@ -134,11 +160,11 @@ def range_join_binned(
     # int(90.5)=90 would silently drop pairs 2 buckets apart; window_s<1
     # would make width 0 (divide-by-zero).
     width = max(1, math.ceil(window_s))
-    # cast("double") = epoch seconds WITH sub-second fraction;
-    # unix_timestamp() truncates to whole seconds, which both mis-buckets
-    # and mis-filters sub-second timestamps against fractional windows.
-    l_b = left.withColumn("__lsec", F.col(left_ts).cast("double"))
-    r_b = right.withColumn("__rsec", F.col(right_ts).cast("double")).withColumn(
+    # epoch seconds WITH sub-second fraction (dtype-aware: a bare
+    # cast("double") analyzes only for numeric inputs — TIMESTAMP_NTZ
+    # rejects it, and unix_timestamp() truncates sub-seconds).
+    l_b = left.withColumn("__lsec", _epoch_seconds(left, left_ts))
+    r_b = right.withColumn("__rsec", _epoch_seconds(right, right_ts)).withColumn(
         "__bucket", F.floor(F.col("__rsec") / width)
     )
     l_exploded = l_b.withColumn(
