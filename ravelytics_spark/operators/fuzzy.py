@@ -1,0 +1,135 @@
+"""Fuzzy string joins at scale: edit-distance-≤1 matching WITHOUT the
+N² cross join, via deletion neighborhoods (the FastSS family of
+algorithms; Bocek et al., "Fast Similarity Search in Large
+Dictionaries", 2007 — public literature).
+
+Capability context: the reference normalizes free-text fields (artist
+names, genres) before grouping (spotify_artist_genres_to_kafka.py:100-
+108); near-identical strings that survive normalization (typos, OCR
+noise, mojibake variants) are exactly what an LLM-data curation pass
+needs to reconcile — fuzzy key joins are the standard tool.
+
+Why deletion neighborhoods: lev(a, b) ≤ 1 ⟺ the deletion
+neighborhoods D(a) = {a} ∪ {a minus one char} and D(b) intersect —
+  * a == b        → a ∈ both;
+  * substitution  → deleting the substituted position from each yields
+                    the same string;
+  * insert/delete → the longer string minus the extra char equals the
+                    shorter string itself.
+Sharing a variant does NOT imply distance ≤ 1 (deleting different
+positions can collide), so candidates are verified with an exact
+``levenshtein`` — the same candidates→verify shape as MinHash-LSH.
+
+Scale shape (100 TB): each string of length L emits L+1 variants — a
+map-only expansion. The self/two-sided join keys on ``xxhash64`` of the
+variant (8-byte shuffle keys, not strings; hash collisions only add
+candidates, which verification rejects). Cost is Σ(L+1) rows through
+one shuffle vs N²/2 comparisons — for a 1e9-key dictionary of 20-char
+strings that is 2·10¹⁰ cheap rows instead of 5·10¹⁷ levenshteins.
+Hot variants (a shared stem) are bounded by the dictionary's true
+near-dup cluster sizes; clusters above ``max_bucket_size`` can be
+skipped like LSH mega-buckets when the caller wants pair mining rather
+than exhaustive joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def deletion_variants(col: str) -> F.Column:
+    """Array of the string plus every single-character deletion.
+
+    Pure codegen: ``transform`` over ``sequence(1, length)`` with
+    substring concatenation — no UDF. Empty strings get just
+    themselves (``sequence(1, 0)`` would count DOWN in Spark, so the
+    deletion list is guarded to non-empty inputs).
+    """
+    dels = F.expr(
+        f"transform(sequence(1, length({col})), "
+        f"i -> concat(substring({col}, 1, i - 1), substring({col}, i + 1)))"
+    )
+    return F.concat(
+        F.array(F.col(col)),
+        F.when(F.length(col) > 0, dels).otherwise(F.array().cast("array<string>")),
+    )
+
+
+def _variant_rows(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
+    return df.filter(F.col(str_col).isNotNull()).select(
+        F.col(id_col).alias("__fid"),
+        F.col(str_col).alias("__fs"),
+        F.explode(F.array_distinct(deletion_variants(str_col))).alias("__v"),
+    ).select("__fid", "__fs", F.xxhash64("__v").alias("__vh"))
+
+
+def fuzzy_self_pairs(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """All pairs (id_a < id_b) whose strings are within edit distance 1.
+
+    Returns (id_a, id_b, dist). Candidates from the deletion-variant
+    bucket self-join are deduplicated BEFORE the exact ``levenshtein``
+    verification (a pair can share several variants), so the expensive
+    comparison runs once per candidate pair.
+    """
+    v = _variant_rows(df, id_col, str_col)
+    if max_bucket_size is not None:
+        sizes = v.groupBy("__vh").agg(F.count("*").alias("__bn"))
+        v = v.join(
+            F.broadcast(sizes.filter(F.col("__bn") > max_bucket_size)),
+            "__vh",
+            "left_anti",
+        )
+    a, b = v.alias("a"), v.alias("b")
+    cand = (
+        a.join(b, "__vh")
+        .filter(F.col("a.__fid") < F.col("b.__fid"))
+        .select(
+            F.col("a.__fid").alias("id_a"),
+            F.col("a.__fs").alias("s_a"),
+            F.col("b.__fid").alias("id_b"),
+            F.col("b.__fs").alias("s_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("s_a", "s_b").cast("long"))
+        .filter(F.col("dist") <= 1)
+        .select("id_a", "id_b", "dist")
+    )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_str: str,
+    right_id: str,
+    right_str: str,
+) -> DataFrame:
+    """Two-sided edit-distance-≤1 join: (left_id, right_id, dist) for
+    every cross pair within distance 1 — same variant-bucket shape as
+    ``fuzzy_self_pairs`` but without the id ordering constraint."""
+    lv = _variant_rows(left, left_id, left_str)
+    rv = _variant_rows(right, right_id, right_str)
+    cand = (
+        lv.alias("a")
+        .join(rv.alias("b"), "__vh")
+        .select(
+            F.col("a.__fid").alias("left_id"),
+            F.col("a.__fs").alias("s_a"),
+            F.col("b.__fid").alias("right_id"),
+            F.col("b.__fs").alias("s_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("s_a", "s_b").cast("long"))
+        .filter(F.col("dist") <= 1)
+        .select("left_id", "right_id", "dist")
+    )
