@@ -60,6 +60,9 @@ HEADLINE = [
     "tpch_q21_waiting_supplier",
     "x40_dsir_weight",
     "x43_pagerank",
+    "x47_fuzzy_pairs",
+    "x48_ann_batch",
+    "x49_char_entropy",
 ]
 
 
