@@ -164,3 +164,68 @@ def start_latest_state_upsert(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Idempotent foreachBatch (batchId-dedup) for non-idempotent sinks
+# ---------------------------------------------------------------------------
+
+
+class BatchLedger:
+    """Committed-batch record for one streaming query: JSONL of
+    ``{"job": ..., "batch_id": ...}`` on any shared filesystem.
+
+    foreachBatch is at-least-once: after a crash between sink write
+    and checkpoint commit, Spark REPLAYS the last micro-batch with the
+    SAME batch_id. Sinks that are naturally idempotent (latest-state
+    merge) absorb that; append-style or external-producer sinks do
+    not — they need the batch_id dedup this ledger provides (the
+    pattern Structured Streaming's own docs prescribe for arbitrary
+    sinks). Append-only like ``schedule.RunLedger``: concurrent
+    writers can duplicate a line, never lose one, and a duplicate
+    line is semantically a no-op.
+    """
+
+    def __init__(self, path: str):
+        self._path = path
+
+    def committed(self, job: str) -> set[int]:
+        import json
+        import os
+
+        if not os.path.exists(self._path):
+            return set()
+        out = set()
+        with open(self._path) as fh:
+            for line in fh:
+                rec = json.loads(line)
+                if rec["job"] == job:
+                    out.add(int(rec["batch_id"]))
+        return out
+
+    def record(self, job: str, batch_id: int) -> None:
+        import json
+
+        with open(self._path, "a") as fh:
+            fh.write(json.dumps({"job": job, "batch_id": int(batch_id)}) + "\n")
+
+
+def idempotent_foreach_batch(apply_fn, ledger: BatchLedger, job: str):
+    """Wrap a foreachBatch function so replayed batch_ids are skipped.
+
+    Ordering contract: the ledger records AFTER ``apply_fn`` returns,
+    so a crash mid-apply replays the batch (at-least-once within the
+    batch, exactly-once across completed batches). True atomicity of
+    (apply + record) needs a transactional sink (Delta/Iceberg commit
+    or an external transaction) — this wrapper closes the common
+    failure window (batch fully applied, checkpoint not yet advanced)
+    without one.
+    """
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in ledger.committed(job):
+            return
+        apply_fn(batch_df, batch_id)
+        ledger.record(job, batch_id)
+
+    return _apply

@@ -262,3 +262,76 @@ def test_streaming_latest_state_upsert_sink(spark, tmp_path):
         "b": (20, "202501"),
         "c": (30, "202502"),
     }
+
+
+def test_idempotent_foreach_batch_skips_replayed_batch_ids(spark, tmp_path):
+    """Simulated at-least-once replay: the same batch_id applied twice
+    must reach the sink once; new batch_ids pass through; a second job
+    name has its own dedup space."""
+    from ravelytics_spark.streaming.pipeline import (
+        BatchLedger,
+        idempotent_foreach_batch,
+    )
+
+    ledger = BatchLedger(str(tmp_path / "batches.jsonl"))
+    applied = []
+    sink = idempotent_foreach_batch(
+        lambda df, bid: applied.append((bid, df.count())), ledger, "jobA"
+    )
+    df = spark.range(3)
+    sink(df, 0)
+    sink(df, 0)  # replay after crash-before-checkpoint → skipped
+    sink(df, 1)
+    assert applied == [(0, 3), (1, 3)]
+    # a different query has an independent ledger namespace
+    other = idempotent_foreach_batch(
+        lambda df, bid: applied.append(("B", bid)), ledger, "jobB"
+    )
+    other(df, 0)
+    assert applied == [(0, 3), (1, 3), ("B", 0)]
+
+
+def test_idempotent_foreach_batch_end_to_end_append_sink(spark, tmp_path):
+    """Drive it through a real writeStream: an APPEND parquet sink
+    (non-idempotent by nature) wrapped in the batch ledger; restarting
+    the stream over the same source must not duplicate rows."""
+    import json
+
+    from ravelytics_spark.streaming.pipeline import (
+        BatchLedger,
+        idempotent_foreach_batch,
+    )
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    (src / "a.json").write_text(
+        "\n".join(json.dumps({"k": i}) for i in range(5)) + "\n"
+    )
+    ledger = BatchLedger(str(tmp_path / "batches.jsonl"))
+
+    def run_once():
+        stream = spark.readStream.schema("k long").json(str(src))
+        sink = idempotent_foreach_batch(
+            lambda df, bid: df.write.mode("append").parquet(str(out)),
+            ledger,
+            "append_job",
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(str(out)).count() == 5
+    # wipe the checkpoint to force a full re-read (the worst replay):
+    # the ledger alone must prevent double-append
+    import shutil
+
+    shutil.rmtree(ckpt)
+    run_once()
+    assert spark.read.parquet(str(out)).count() == 5
