@@ -133,3 +133,62 @@ def s5_kafka_wire(spark, sf_dir):
     return keyed.select(
         "key", F.get_json_object("value", "$.status").alias("status")
     ).orderBy("key")
+
+
+@q(
+    "x59_dedup_ingest_stream",
+    "OP-X2/T1-ext",
+    "Continuous near-dup ingest end-to-end: two micro-batches through "
+    "streaming/dedup_stream (MinHash signatures + banded LSH against "
+    "the accumulated store, batch-ledger idempotence), second batch "
+    "carrying an exact dup, an append-style near-dup, and fresh "
+    "content. Returns the store's (doc_id, n_sig) rows — exactly the "
+    "fresh survivors. Deterministic fixture; rows/schema checked by "
+    "the harness.",
+    None,
+)
+def x59_dedup_ingest_stream(spark, sf_dir):
+    from ravelytics_spark.streaming.dedup_stream import start_dedup_ingest
+
+    base = tempfile.mkdtemp(prefix="rvl_dedup_stream_")
+    src = os.path.join(base, "src")
+    store = os.path.join(base, "store")
+    ckpt = os.path.join(base, "ckpt")
+    ledger = os.path.join(base, "ledger.jsonl")
+    os.makedirs(src)
+    lorem = (
+        "the quick brown fox jumps over the lazy dog while the band "
+        "plays detroit techno records all night long in a warehouse"
+    )
+    other = (
+        "completely different content about orbital mechanics and the "
+        "restricted three body problem with lagrange points"
+    )
+    with open(os.path.join(src, "b1.json"), "w") as fh:
+        fh.write(
+            "\n".join(
+                json.dumps({"doc_id": i, "text": t})
+                for i, t in [(1, lorem), (2, other)]
+            )
+        )
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    start_dedup_ingest(stream, store, ckpt, ledger).awaitTermination(300)
+    with open(os.path.join(src, "b2.json"), "w") as fh:
+        fh.write(
+            "\n".join(
+                json.dumps({"doc_id": i, "text": t})
+                for i, t in [
+                    (10, lorem),                      # exact dup → dropped
+                    (11, lorem + " tonight again"),   # near dup → dropped
+                    (12, "fresh standalone content with many unusual "
+                         "words that matches nothing stored so far"),
+                ]
+            )
+        )
+    stream2 = spark.readStream.schema("doc_id long, text string").json(src)
+    start_dedup_ingest(stream2, store, ckpt, ledger).awaitTermination(300)
+    return (
+        spark.read.parquet(store)
+        .select("doc_id", F.size("sig").cast("long").alias("n_sig"))
+        .orderBy("doc_id")
+    )
