@@ -244,3 +244,147 @@ def ivf_topk(
         .orderBy(F.desc("cos_sim"), F.col(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compressed-domain ANN (FAISS-PQ structure,
+# Jégou et al. "Product Quantization for Nearest Neighbor Search", 2011)
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic per-subspace codebooks: split each vector into
+    ``n_sub`` contiguous subvectors; each subspace's ``n_codes``
+    centroids are hash-sampled rows' subvectors (the ivf_centroids
+    pick, once per subspace — a k-means refinement can replace the
+    pick without changing any downstream shape).
+
+    Returns (sub, code, code_vec): n_sub × n_codes rows — always tiny,
+    always broadcastable.
+    """
+    sub_len = dim // n_sub
+    sample = (
+        df.select(id_col, vec_col, F.xxhash64(F.col(id_col)).alias("__h"))
+        .orderBy("__h", id_col)
+        .limit(n_codes)
+        .select(vec_col, F.row_number().over(Window.orderBy("__h", id_col)).alias("code"))
+    )
+    # the limit(n_codes) result is n_codes rows; the window above runs
+    # on that tiny set only (not the corpus), so the sort is trivial
+    subs = sample.select(
+        (F.col("code") - 1).alias("code"),
+        F.posexplode(
+            F.array(*[
+                F.slice(vec_col, i * sub_len + 1, sub_len) for i in range(n_sub)
+            ])
+        ).alias("sub", "code_vec"),
+    )
+    return subs.select("sub", "code", "code_vec")
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_sub: int = 8,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode each vector as ``n_sub`` small codes: per subspace, the
+    nearest codebook entry by L2. Broadcast join against the (tiny)
+    codebook, argmin via min(struct) — one map-side pass, one
+    per-(id, sub) combine, no window over the corpus.
+
+    Returns (id, codes array<int>) — the 100 TB memory story: dim
+    floats become n_sub bytes (here ints), a 32× compression at
+    dim=64/n_sub=8.
+    """
+    sub_len = dim // n_sub
+    parts = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[
+                F.slice(vec_col, i * sub_len + 1, sub_len) for i in range(n_sub)
+            ])
+        ).alias("sub", "__sv"),
+    )
+    scored = parts.join(F.broadcast(codebooks), "sub").select(
+        id_col,
+        "sub",
+        F.struct(
+            F.aggregate(
+                F.zip_with("__sv", "code_vec", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("d2"),
+            F.col("code"),
+        ).alias("__s"),
+    )
+    best = scored.groupBy(id_col, "sub").agg(F.min("__s").alias("__b"))
+    return (
+        best.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("sub", F.col("__b.code").alias("code")))).alias("__sc"))
+        .select(id_col, F.expr("transform(__sc, s -> s.code)").alias("codes"))
+    )
+
+
+def pq_topk(
+    df: DataFrame,
+    vec_col: str,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) search: per subspace, precompute the
+    query→centroid distance table (n_sub × n_codes scalars, broadcast
+    as a literal map into codegen); approximate distance per encoded
+    vector = sum of table lookups on its codes; exact cosine re-ranks
+    the best ``rerank`` candidates.
+
+    Scale shape: the scan touches only the codes column (n_sub ints a
+    row); the ADC sum is a map expression; TakeOrderedAndProject keeps
+    the shortlist; only ``rerank`` rows ever read their full vector
+    (via join back to the store).
+    """
+    books = pq_codebooks(df, vec_col, dim, n_sub, n_codes, id_col)
+    encoded = pq_encode(df, books, vec_col, dim, n_sub, id_col)
+    sub_len = dim // n_sub
+    # driver-side distance table: n_sub × n_codes floats (tiny, exact)
+    table = {
+        (r["sub"], r["code"]): sum(
+            (float(q) - float(c)) ** 2
+            for q, c in zip(
+                query_vec[r["sub"] * sub_len : (r["sub"] + 1) * sub_len],
+                r["code_vec"],
+            )
+        )
+        for r in books.collect()
+    }
+    adc = None
+    for s in range(n_sub):
+        lut = F.array(*[F.lit(table.get((s, c), float("inf"))) for c in range(n_codes)])
+        term = F.element_at(lut, F.col("codes")[s] + 1)
+        adc = term if adc is None else adc + term
+    shortlist = (
+        encoded.select(id_col, adc.alias("adc_d2"))
+        .orderBy("adc_d2", id_col)
+        .limit(rerank)
+    )
+    q = _as_query_lit(query_vec)
+    return (
+        shortlist.join(df.select(id_col, vec_col), id_col)
+        .select(id_col, cosine(F.col(vec_col), q).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
