@@ -238,3 +238,40 @@ def test_hourly_and_weekly_intervals():
     wk = due_runs("@weekly", _d("2025-07-03"), _d("2025-07-20"))
     # weeks anchor to the 1970-01-01 epoch (a Thursday)
     assert all((d - _d("1970-01-01")).days % 7 == 0 for d in wk)
+
+
+def test_fuzzy_matches_brute_force_on_random_dictionaries(spark):
+    """Seeded random dictionaries (small alphabet → dense collisions):
+    the neighborhood join must produce EXACTLY the brute-force
+    lev<=1 pair set — substitutions, indels, equal strings, empties."""
+    import itertools
+    import random
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(42)
+    for trial in range(3):
+        words = [
+            "".join(rng.choice("abc") for _ in range(rng.randint(0, 5)))
+            for _ in range(40)
+        ]
+        df = spark.createDataFrame(list(enumerate(words)), ["id", "s"])
+        got = {
+            (r.id_a, r.id_b, r.dist)
+            for r in fuzzy_self_pairs(df, "id", "s").collect()
+        }
+        want = {
+            (i, j, lev(words[i], words[j]))
+            for i, j in itertools.combinations(range(40), 2)
+            if lev(words[i], words[j]) <= 1
+        }
+        assert got == want, f"trial {trial}"
