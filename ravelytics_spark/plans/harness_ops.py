@@ -192,3 +192,36 @@ def x59_dedup_ingest_stream(spark, sf_dir):
         .select("doc_id", F.size("sig").cast("long").alias("n_sig"))
         .orderBy("doc_id")
     )
+
+
+@q(
+    "x63_hll_rollup",
+    "OP-G5-ext",
+    "Mergeable HLL sketches, the ClickHouse uniqState/uniqMerge "
+    "pattern: day-level (month, day) sketches over orders.o_custkey "
+    "merged to month level WITHOUT rescanning raw data, estimate "
+    "beside the exact distinct. Sketches are rows (register, max_rho) "
+    "built from seeded xxhash64 + integer bit math — deterministic "
+    "under any partitioning (merge associativity is register-exact, "
+    "tests/test_sketches.py), but DuckDB cannot replicate xxhash64 → "
+    "harness rows-check.",
+    None,
+)
+def x63_hll_rollup(spark, sf_dir):
+    from ravelytics_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_sketch,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyyMM").alias("month"),
+        F.to_date("o_orderdate").alias("day"),
+        "o_custkey",
+    )
+    daily = hll_sketch(o, "o_custkey", ["month", "day"])
+    est = hll_estimate(hll_merge(daily, ["month"]), ["month"])
+    exact = o.groupBy("month").agg(
+        F.countDistinct("o_custkey").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "month").orderBy("month")

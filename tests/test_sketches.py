@@ -1,0 +1,76 @@
+"""HLL sketch operators: estimate accuracy, EXACT merge associativity
+(the uniqState/uniqMerge contract), rollup pattern, small-range
+linear counting."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ravelytics_spark.operators.sketches import hll_estimate, hll_merge, hll_sketch
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_estimate_accuracy_large_range(spark):
+    df = spark.range(50_000).select((F.col("id") % 20_000).alias("v"))
+    est = hll_estimate(hll_sketch(df, "v")).collect()[0].approx_distinct
+    assert abs(est - 20_000) / 20_000 < 0.15  # ~2.3σ at m=256
+
+
+def test_estimate_small_range_linear_counting(spark):
+    df = spark.range(1000).select((F.col("id") % 10).alias("v"))
+    est = hll_estimate(hll_sketch(df, "v")).collect()[0].approx_distinct
+    assert est == 10  # linear counting is near-exact this far below m
+
+
+def test_merge_equals_sketch_of_union_exactly(spark):
+    """Register-level equality, not estimate-level: max is associative,
+    so merging per-part sketches must reproduce the whole-data sketch
+    bit for bit — the property that makes stored sketch states safe."""
+    a = spark.range(0, 3000).select(F.col("id").alias("v"))
+    b = spark.range(2000, 5000).select(F.col("id").alias("v"))
+    merged = hll_merge(hll_sketch(a, "v").union(hll_sketch(b, "v")))
+    whole = hll_sketch(a.union(b), "v")
+    assert {(r.register, r.max_rho) for r in merged.collect()} == {
+        (r.register, r.max_rho) for r in whole.collect()
+    }
+
+
+def test_day_to_month_rollup_pattern(spark):
+    """The warehouse pattern: store day×key sketches, answer month×key
+    distinct without rescanning raw data."""
+    o = spark.read.parquet(f"{SF}/orders.parquet").select(
+        F.date_format("o_orderdate", "yyyyMM").alias("month"),
+        F.to_date("o_orderdate").alias("day"),
+        "o_custkey",
+    )
+    daily = hll_sketch(o, "o_custkey", ["month", "day"])
+    monthly_est = {
+        (r.month, r.approx_distinct)
+        for r in hll_estimate(
+            hll_merge(daily, ["month"]), ["month"]
+        ).collect()
+    }
+    exact = {
+        (r.month, r.n)
+        for r in o.groupBy("month")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    em, xm = dict(monthly_est), dict(exact)
+    assert set(em) == set(xm)
+    for month, x in xm.items():
+        assert abs(em[month] - x) / x < 0.2, (month, em[month], x)
+
+
+def test_nulls_ignored_and_sketch_deterministic_across_layout(spark):
+    df = spark.createDataFrame(
+        [(1,), (2,), (None,), (2,)], "v int"
+    )
+    sk = {(r.register, r.max_rho) for r in hll_sketch(df, "v").collect()}
+    assert len(sk) == 2  # two distinct non-null values → ≤2 registers
+    sk2 = {
+        (r.register, r.max_rho)
+        for r in hll_sketch(df.repartition(7), "v").collect()
+    }
+    assert sk == sk2
