@@ -180,6 +180,8 @@ _SINGLE_PARTITION_OK = {
     "x43_pagerank": "node-count scalar N: one partial row per partition, then broadcast",
     "x44_temperature_mix": "mixture denominator over the ~20-row per-source table: one partial row per partition, then broadcast",
     "x46_pmi_collocations": "unigram/bigram LM totals: one partial row per partition, then broadcast",
+    "xs1_backfill_manifest": "orderdate min/max bounds: one partial row per partition, then the day spine explodes from the single bounds row",
+    "x50_mix_epochs": "mixture denominator over the per-source weight table: one partial row per partition, then broadcast",
 }
 
 
