@@ -110,3 +110,117 @@ def hll_estimate(
     return agg.select(
         *group_cols, F.round(est).cast("long").alias("approx_distinct")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV / bottom-k sketch: mergeable distinct-count AND quantile estimates
+# (the quantileState/quantileMerge companion to HLL; Bar-Yossef et al.
+# "Counting distinct elements in a data stream", 2002 — public)
+# ---------------------------------------------------------------------------
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 256,
+) -> DataFrame:
+    """Bottom-k sketch rows: per group, the k smallest xxhash64 values
+    with their payloads — (group..., hash, value).
+
+    Shape: distinct (the same map-side-combined shuffle any exact
+    count-distinct pays — needed so duplicate values cannot occupy
+    two sketch slots) → hash → per-group bottom-k via row_number over
+    (group ORDER BY hash) — keyed on the group, no single-partition
+    exchange; an UNGROUPED sketch switches to orderBy+limit
+    (TakeOrderedAndProject — per-partition heaps).
+
+    Mergeable exactly like HLL: union two sketches and re-take the
+    bottom k (``kmv_merge``). Duplicates hash identically, so the
+    sketch is a uniform sample of the DISTINCT values — which is what
+    makes both estimators below correct under heavy duplication.
+    """
+    from pyspark.sql import Window
+
+    group_cols = group_cols or []
+    hashed = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, F.col(value_col).alias("value"))
+        .distinct()
+        .select(*group_cols, "value", F.xxhash64("value").alias("hash"))
+    )
+    if not group_cols:
+        return hashed.orderBy("hash").limit(k).select("hash", "value")
+    w = Window.partitionBy(*group_cols).orderBy("hash")
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_merge(
+    sketches: DataFrame, group_cols: list[str] | None = None, k: int = 256
+) -> DataFrame:
+    """Union of sketches → bottom k again (drop duplicate hashes
+    first: the same distinct value may appear in both sides)."""
+    from pyspark.sql import Window
+
+    group_cols = group_cols or []
+    deduped = sketches.select(*group_cols, "hash", "value").distinct()
+    if not group_cols:
+        return deduped.orderBy("hash").limit(k).select("hash", "value")
+    w = Window.partitionBy(*group_cols).orderBy("hash")
+    return (
+        deduped.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_distinct_estimate(
+    sketches: DataFrame, group_cols: list[str] | None = None, k: int = 256
+) -> DataFrame:
+    """(k−1) / F(k-th smallest normalized hash): if fewer than k
+    hashes exist the count is exact (the sketch holds every distinct
+    value). Hashes are signed 64-bit; normalize to (0, 1) over the
+    full 2^64 range."""
+    group_cols = group_cols or []
+    agg = sketches.groupBy(*group_cols).agg(
+        F.count("*").alias("__n"), F.max("hash").alias("__hk")
+    )
+    frac = (F.col("__hk").cast("double") + F.lit(2.0**63)) / F.lit(2.0**64)
+    est = F.when(F.col("__n") < k, F.col("__n").cast("double")).otherwise(
+        F.lit(float(k - 1)) / frac
+    )
+    return agg.select(
+        *group_cols, F.round(est).cast("long").alias("approx_distinct")
+    )
+
+
+def kmv_quantile_estimate(
+    sketches: DataFrame,
+    probs: list[float],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Quantiles of the DISTINCT-value distribution from the sketch's
+    payloads (a uniform sample of distinct values): exact percentile
+    over the ≤k sampled values per group. Returns (group..., p,
+    quantile). Sampling error ~1/√k on the rank."""
+    group_cols = group_cols or []
+    out = sketches.groupBy(*group_cols).agg(
+        *[
+            F.percentile(F.col("value").cast("double"), F.lit(p)).alias(f"__q{i}")
+            for i, p in enumerate(probs)
+        ]
+    )
+    stacked = out.select(
+        *group_cols,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(p).alias("p"), F.col(f"__q{i}").alias("quantile"))
+                for i, p in enumerate(probs)
+            ])
+        ).alias("__s"),
+    )
+    return stacked.select(*group_cols, "__s.p", "__s.quantile")

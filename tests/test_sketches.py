@@ -74,3 +74,55 @@ def test_nulls_ignored_and_sketch_deterministic_across_layout(spark):
         for r in hll_sketch(df.repartition(7), "v").collect()
     }
     assert sk == sk2
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_distinct_exact_below_k_and_estimate_above(spark):
+    from ravelytics_spark.operators.sketches import (
+        kmv_distinct_estimate,
+        kmv_sketch,
+    )
+
+    small = spark.range(1000).select((F.col("id") % 100).alias("v"))
+    est = kmv_distinct_estimate(kmv_sketch(small, "v")).collect()[0].approx_distinct
+    assert est == 100  # below k=256 → exact
+    big = spark.range(80_000).select((F.col("id") % 40_000).alias("v"))
+    est = kmv_distinct_estimate(kmv_sketch(big, "v")).collect()[0].approx_distinct
+    assert abs(est - 40_000) / 40_000 < 0.2  # ~3σ at k=256
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    from ravelytics_spark.operators.sketches import kmv_merge, kmv_sketch
+
+    a = spark.range(0, 5000).select(F.col("id").alias("v"))
+    b = spark.range(3000, 8000).select(F.col("id").alias("v"))
+    merged = {
+        (r.hash, r.value)
+        for r in kmv_merge(kmv_sketch(a, "v").union(kmv_sketch(b, "v"))).collect()
+    }
+    whole = {(r.hash, r.value) for r in kmv_sketch(a.union(b), "v").collect()}
+    assert merged == whole
+
+
+def test_kmv_grouped_and_quantiles(spark):
+    from ravelytics_spark.operators.sketches import (
+        kmv_quantile_estimate,
+        kmv_sketch,
+    )
+
+    df = spark.range(20_000).select(
+        (F.col("id") % 2).alias("g"), F.col("id").alias("v")
+    )
+    sk = kmv_sketch(df, "v", ["g"], k=256)
+    assert sk.groupBy("g").count().collect()[0]["count"] == 256
+    qs = {
+        (r.g, r.p): r.quantile
+        for r in kmv_quantile_estimate(sk, [0.5], ["g"]).collect()
+    }
+    # values 0..19999 uniform; distinct-value median ~10000 (±~1/√256)
+    for g in (0, 1):
+        assert abs(qs[(g, 0.5)] - 10_000) / 10_000 < 0.2
