@@ -163,7 +163,12 @@ def kmv_merge(
     sketches: DataFrame, group_cols: list[str] | None = None, k: int = 256
 ) -> DataFrame:
     """Union of sketches → bottom k again (drop duplicate hashes
-    first: the same distinct value may appear in both sides)."""
+    first: the same distinct value may appear in both sides).
+
+    The merged ``k`` must be ≤ the smallest component sketch's k: a
+    union of bottom-64 sketches only covers each part's 64 smallest
+    hashes, so asking it for a bottom-256 silently under-covers and
+    biases the estimator low. Merging at equal k is always safe."""
     from pyspark.sql import Window
 
     group_cols = group_cols or []

@@ -225,3 +225,40 @@ def x63_hll_rollup(spark, sf_dir):
         F.countDistinct("o_custkey").cast("long").alias("exact_distinct")
     )
     return est.join(exact, "month").orderBy("month")
+
+
+@q(
+    "x64_kmv_rollup",
+    "OP-G5/X8-ext",
+    "KMV bottom-k sketches (quantileState/quantileMerge analog): "
+    "month-level sketches of orders.o_totalprice values merged to a "
+    "global sketch, distinct estimate + median estimate beside the "
+    "exact figures. Deterministic (seeded xxhash64, set-exact merge) "
+    "but DuckDB lacks the hash → harness rows-check; estimator "
+    "accuracy is property-tested in tests/test_sketches.py.",
+    None,
+)
+def x64_kmv_rollup(spark, sf_dir):
+    from ravelytics_spark.operators.sketches import (
+        kmv_distinct_estimate,
+        kmv_merge,
+        kmv_quantile_estimate,
+        kmv_sketch,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyyMM").alias("month"), "o_custkey"
+    )
+    monthly = kmv_sketch(o, "o_custkey", ["month"], k=64)
+    merged = kmv_merge(monthly, [], k=64)
+    est = kmv_distinct_estimate(merged, [], k=64).select(
+        F.lit("all").alias("scope"), "approx_distinct"
+    )
+    med = kmv_quantile_estimate(merged, [0.5], []).select(
+        F.round("quantile", 1).alias("approx_median_custkey")
+    )
+    exact = o.agg(
+        F.countDistinct("o_custkey").cast("long").alias("exact_distinct"),
+        F.expr("percentile(o_custkey, 0.5)").alias("exact_median"),
+    )
+    return est.join(med).join(exact)
