@@ -388,3 +388,98 @@ def pq_topk(
         .orderBy(F.desc("cos_sim"), id_col)
         .limit(k)
     )
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    vec_col: str,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ composed search (the full FAISS IVFPQ structure): coarse
+    quantizer routes each vector to a cell; PQ encodes the RESIDUAL
+    (vector − cell centroid), which is what makes few codebook entries
+    accurate — residuals are centered near zero regardless of where
+    the cell sits; the query probes ``n_probe`` cells, scanning codes
+    with a PER-CELL ADC table (the query residual differs per cell),
+    and the exact re-rank touches only the shortlist.
+
+    Scale: storage per vector = 1 cell id + n_sub codes; a probe scans
+    n_probe/n_cells of the corpus, in the compressed domain, with the
+    assignment table partitioned by cell_id for scan pruning. All
+    driver-side state is centroids + codebooks (n_cells·dim +
+    n_sub·n_codes·sub_len floats — KBs).
+    """
+    sub_len = dim // n_sub
+    cents = ivf_centroids(df, vec_col, n_cells, id_col)
+    assigned = ivf_assign(df, cents, vec_col, id_col).join(
+        F.broadcast(cents), "cell_id"
+    )
+    residuals = assigned.select(
+        id_col,
+        "cell_id",
+        F.zip_with(
+            F.col(vec_col), F.col("cell_vec"), lambda x, y: x - y
+        ).alias("__res"),
+    )
+    books = pq_codebooks(residuals, "__res", dim, n_sub, n_codes, id_col)
+    encoded = residuals.join(
+        pq_encode(residuals, books, "__res", dim, n_sub, id_col), id_col
+    ).select(id_col, "cell_id", "codes")
+
+    cent_rows = {r["cell_id"]: list(r["cell_vec"]) for r in cents.collect()}
+    book_rows = {(r["sub"], r["code"]): list(r["code_vec"]) for r in books.collect()}
+    # probe the n_probe closest cells (driver-side: n_cells rows)
+    import math as _m
+
+    def _cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = _m.sqrt(sum(x * x for x in a))
+        nb = _m.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na > 0 and nb > 0 else 0.0
+
+    probed = sorted(
+        cent_rows, key=lambda c: (-_cos(query_vec, cent_rows[c]), c)
+    )[:n_probe]
+
+    shortlists = []
+    for cell in probed:
+        qres = [q - c for q, c in zip(query_vec, cent_rows[cell])]
+        adc = None
+        for s in range(n_sub):
+            dists = [
+                sum(
+                    (qr - cv) ** 2
+                    for qr, cv in zip(
+                        qres[s * sub_len : (s + 1) * sub_len],
+                        book_rows.get((s, c), [float("inf")] * sub_len),
+                    )
+                )
+                for c in range(n_codes)
+            ]
+            lut = F.array(*[F.lit(d) for d in dists])
+            term = F.element_at(lut, F.col("codes")[s] + 1)
+            adc = term if adc is None else adc + term
+        shortlists.append(
+            encoded.filter(F.col("cell_id") == cell)
+            .select(id_col, adc.alias("adc_d2"))
+            .orderBy("adc_d2", id_col)
+            .limit(rerank)
+        )
+    from functools import reduce
+
+    shortlist = reduce(lambda a, b: a.unionByName(b), shortlists)
+    q = _as_query_lit(query_vec)
+    return (
+        shortlist.join(df.select(id_col, vec_col), id_col)
+        .select(id_col, cosine(F.col(vec_col), q).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )

@@ -96,3 +96,30 @@ def test_prefix_clusters_members_share_prefix(spark):
         assert r.n_docs == len(members) >= 2
         for m in members:
             assert " ".join(d[m].split()[:8]) == r.prefix
+
+
+def test_ivf_pq_recall_and_self_hit(spark):
+    """IVF-PQ (residual-encoded, per-cell ADC) recall@10 over 5 probes
+    must beat 0.4 with 4/16 cells probed — worse than flat PQ by the
+    probe miss rate, far above chance; the probe's own vector is in a
+    probed cell (its home cell ranks first) so it can never be missed."""
+    e = _embeddings(spark)
+    probes = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in e.filter(F.col("vec_id") < 5).collect()
+    }
+    total, hit = 0, 0
+    for qid, vec in probes.items():
+        exact = {
+            r.vec_id for r in SIM.cosine_topk(e, "embedding", vec, k=10).collect()
+        }
+        approx = {
+            r.vec_id
+            for r in SIM.ivf_pq_topk(
+                e, "embedding", vec, dim=64, k=10, n_probe=4, rerank=50
+            ).collect()
+        }
+        total += len(exact)
+        hit += len(exact & approx)
+        assert qid in approx
+    assert hit / total > 0.4, f"recall {hit}/{total}"
