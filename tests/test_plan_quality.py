@@ -182,6 +182,7 @@ _SINGLE_PARTITION_OK = {
     "x46_pmi_collocations": "unigram/bigram LM totals: one partial row per partition, then broadcast",
     "xs1_backfill_manifest": "orderdate min/max bounds: one partial row per partition, then the day spine explodes from the single bounds row",
     "x50_mix_epochs": "mixture denominator over the per-source weight table: one partial row per partition, then broadcast",
+    "x64_kmv_rollup": "global sketch estimate + exact-comparison scalars: ungrouped aggs over the <=k-row merged sketch and one-row joins",
 }
 
 
