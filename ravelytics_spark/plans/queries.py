@@ -822,3 +822,4 @@ from ravelytics_spark.plans import round11 as _round11  # noqa: E402,F401
 from ravelytics_spark.plans import round12 as _round12  # noqa: E402,F401
 from ravelytics_spark.plans import round13 as _round13  # noqa: E402,F401
 from ravelytics_spark.plans import round14 as _round14  # noqa: E402,F401
+from ravelytics_spark.plans import round15 as _round15  # noqa: E402,F401
