@@ -229,3 +229,41 @@ def idempotent_foreach_batch(apply_fn, ledger: BatchLedger, job: str):
         ledger.record(job, batch_id)
 
     return _apply
+
+
+def start_enriched_ingest(
+    wire_stream: DataFrame,
+    dim_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    join_key: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stream enrichment against a slowly-changing dimension that is
+    RE-READ each micro-batch — the broadcast-refresh pattern.
+
+    A static DataFrame joined into a streaming query is planned ONCE:
+    dimension updates after .start() are invisible until restart.
+    foreachBatch re-reads the dim per batch instead, so a refreshed
+    artist/genre table (the reference updates artist state daily,
+    spotify_artist_genres_to_kafka.py) lands on the next micro-batch
+    with no restart. The dim is broadcast per batch — sized for dims;
+    a fact-sized right side belongs in a stream-stream join with
+    watermarks instead.
+    """
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        dim = spark.read.parquet(dim_path)
+        batch_df.join(F.broadcast(dim), join_key, "left").write.mode(
+            "append"
+        ).parquet(out_path)
+
+    writer = wire_stream.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

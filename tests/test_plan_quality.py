@@ -184,6 +184,7 @@ _SINGLE_PARTITION_OK = {
     "x50_mix_epochs": "mixture denominator over the per-source weight table: one partial row per partition, then broadcast",
     "x64_kmv_rollup": "global sketch estimate + exact-comparison scalars: ungrouped aggs over the <=k-row merged sketch and one-row joins",
     "x68_calendar_dim": "orderdate min/max bounds: one partial row per partition, then the day spine explodes from the single bounds row",
+    "x79_column_profile": "whole-table stats row: every column's partial-aggregatable stats combine to ONE row, then unpivot",
     "x74_mom_growth": "lag over the month-count-sized aggregated frame — the deliberate aggregate-first inversion of a raw-row lag",
     "x77_cumulative_distinct": "running sum over the month-count-sized frame; every corpus-sized step is a hash-agg",
 }

@@ -335,3 +335,43 @@ def test_idempotent_foreach_batch_end_to_end_append_sink(spark, tmp_path):
     shutil.rmtree(ckpt)
     run_once()
     assert spark.read.parquet(str(out)).count() == 5
+
+
+def test_enriched_ingest_sees_dim_updates_between_batches(spark, tmp_path):
+    """The broadcast-refresh pattern: a dim row updated between
+    micro-batches must enrich the NEXT batch without restarting
+    anything but the availableNow trigger."""
+    import json
+
+    src = tmp_path / "src"
+    dim = tmp_path / "dim"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    from ravelytics_spark.streaming.pipeline import start_enriched_ingest
+
+    def run():
+        stream = spark.readStream.schema("event_id long, artist_id string").json(
+            str(src)
+        )
+        q = start_enriched_ingest(
+            stream, str(dim), str(out), str(ckpt), join_key="artist_id"
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [("a1", "Detroit Techno")], ["artist_id", "genre"]
+    ).write.mode("overwrite").parquet(str(dim))
+    (src / "b1.json").write_text(json.dumps({"event_id": 1, "artist_id": "a1"}) + "\n")
+    run()
+
+    # dim update lands for the next batch, no restart of anything else
+    spark.createDataFrame(
+        [("a1", "Minimal Techno")], ["artist_id", "genre"]
+    ).write.mode("overwrite").parquet(str(dim))
+    (src / "b2.json").write_text(json.dumps({"event_id": 2, "artist_id": "a1"}) + "\n")
+    run()
+
+    got = {r.event_id: r.genre for r in spark.read.parquet(str(out)).collect()}
+    assert got == {1: "Detroit Techno", 2: "Minimal Techno"}
