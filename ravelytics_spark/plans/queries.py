@@ -824,3 +824,4 @@ from ravelytics_spark.plans import round13 as _round13  # noqa: E402,F401
 from ravelytics_spark.plans import round14 as _round14  # noqa: E402,F401
 from ravelytics_spark.plans import round15 as _round15  # noqa: E402,F401
 from ravelytics_spark.plans import round16 as _round16  # noqa: E402,F401
+from ravelytics_spark.plans import round17 as _round17  # noqa: E402,F401
