@@ -38,20 +38,22 @@ def _epoch_seconds(df: DataFrame, ts_col: str) -> F.Column:
     - TIMESTAMP (instant): ``unix_micros`` — exact and tz-independent;
     - TIMESTAMP_NTZ: no direct double cast exists, and routing through
       a session-tz cast would shift values across DST boundaries, so
-      whole seconds come from ``timestampdiff`` against an NTZ epoch
-      literal (tz-free integer math) plus the sub-second fraction from
-      ``extract(second) % 1``. ``unix_timestamp()`` is wrong twice here:
-      tz-dependent AND truncating.
+      epoch micros come from ``timestampdiff(MICROSECOND, ...)`` against
+      an NTZ epoch literal (tz-free integer math, exact for ±292k years).
+      A SECOND-diff + fraction composition would be wrong for pre-1970
+      fractional values (truncate-toward-zero whole + always-positive
+      fraction: 1969-12-31 23:59:59.3 → 0.3 instead of -0.7).
+      ``unix_timestamp()`` is wrong twice here: tz-dependent AND
+      truncating.
     """
     dtype = df.schema[ts_col].dataType
     if isinstance(dtype, T.TimestampType):
         return (F.unix_micros(F.col(ts_col)) / F.lit(1_000_000)).cast("double")
     if isinstance(dtype, T.TimestampNTZType):
-        whole = F.expr(
-            f"timestampdiff(SECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {ts_col})"
+        micros = F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {ts_col})"
         )
-        frac = F.expr(f"extract(second from {ts_col}) % 1")
-        return (whole + frac).cast("double")
+        return (micros / F.lit(1_000_000)).cast("double")
     return F.col(ts_col).cast("double")
 
 

@@ -32,6 +32,7 @@ import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _rho_expr(m: int) -> tuple[F.Column, F.Column]:
@@ -149,13 +150,20 @@ def kmv_sketch(
         .distinct()
         .select(*group_cols, "value", F.xxhash64("value").alias("hash"))
     )
+    # Carry k in the sketch so kmv_merge can enforce its coverage
+    # precondition (merged k ≤ smallest component k).
     if not group_cols:
-        return hashed.orderBy("hash").limit(k).select("hash", "value")
+        return (
+            hashed.orderBy("hash")
+            .limit(k)
+            .select("hash", "value", F.lit(k).alias("sketch_k"))
+        )
     w = Window.partitionBy(*group_cols).orderBy("hash")
     return (
         hashed.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
+        .withColumn("sketch_k", F.lit(k))
     )
 
 
@@ -168,18 +176,38 @@ def kmv_merge(
     The merged ``k`` must be ≤ the smallest component sketch's k: a
     union of bottom-64 sketches only covers each part's 64 smallest
     hashes, so asking it for a bottom-256 silently under-covers and
-    biases the estimator low. Merging at equal k is always safe."""
+    biases the estimator low. Merging at equal k is always safe.
+
+    Enforced when the sketches carry ``sketch_k`` (kmv_sketch emits it):
+    raises ValueError if the requested k exceeds the smallest component
+    k. Sketches are ≤k rows per group, so the validating aggregate is
+    cheap. Pre-``sketch_k`` frames skip the check (documented contract
+    only)."""
     from pyspark.sql import Window
 
     group_cols = group_cols or []
+    if "sketch_k" in sketches.columns:
+        min_k = sketches.agg(F.min("sketch_k")).first()[0]
+        if min_k is not None and k > min_k:
+            raise ValueError(
+                f"kmv_merge: requested k={k} exceeds smallest component "
+                f"sketch_k={min_k}; a union of bottom-{min_k} sketches only "
+                f"covers {min_k} hashes per part, so the merged estimator "
+                f"would bias low. Merge with k<={min_k}."
+            )
     deduped = sketches.select(*group_cols, "hash", "value").distinct()
     if not group_cols:
-        return deduped.orderBy("hash").limit(k).select("hash", "value")
+        return (
+            deduped.orderBy("hash")
+            .limit(k)
+            .select("hash", "value", F.lit(k).alias("sketch_k"))
+        )
     w = Window.partitionBy(*group_cols).orderBy("hash")
     return (
         deduped.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
+        .withColumn("sketch_k", F.lit(k))
     )
 
 
@@ -211,7 +239,20 @@ def kmv_quantile_estimate(
     """Quantiles of the DISTINCT-value distribution from the sketch's
     payloads (a uniform sample of distinct values): exact percentile
     over the ≤k sampled values per group. Returns (group..., p,
-    quantile). Sampling error ~1/√k on the rank."""
+    quantile). Sampling error ~1/√k on the rank.
+
+    Only meaningful for NUMERIC-valued sketches: raises TypeError for
+    other payload types (a silent cast-to-double would null every
+    quantile)."""
+    value_type = sketches.schema["value"].dataType
+    if not isinstance(
+        value_type, (T.NumericType,)
+    ):
+        raise TypeError(
+            "kmv_quantile_estimate: sketch payload column 'value' has type "
+            f"{value_type.simpleString()}; quantile estimation applies only "
+            "to numeric-valued sketches (distinct-count works for any type)."
+        )
     group_cols = group_cols or []
     out = sketches.groupBy(*group_cols).agg(
         *[

@@ -703,9 +703,9 @@ def x8_percentiles(spark, sf_dir):
     "Pivot (status columns per priority) — BI surface; fixed pivot "
     "values keep the schema static, nulls → 0.",
     "SELECT o_orderpriority AS prio, "
-    "sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS f_cnt, "
-    "sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS o_cnt, "
-    "sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS p_cnt "
+    "CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_cnt, "
+    "CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o_cnt, "
+    "CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p_cnt "
     "FROM orders GROUP BY o_orderpriority ORDER BY prio",
 )
 def x9_pivot(spark, sf_dir):

@@ -639,7 +639,8 @@ def x4_langid_confusion(spark, sf_dir):
     "WITH tok AS (SELECT source, CAST(SUM(len(list_filter("
     "string_split_regex(text, '\\s+'), w -> w <> ''))) AS BIGINT) AS n_tokens "
     "FROM documents GROUP BY source), "
-    "doc AS (SELECT source, count(*) AS n_docs, SUM(n_chars) AS total_chars, "
+    "doc AS (SELECT source, count(*) AS n_docs, "
+    "CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
     "count(DISTINCT lang) AS n_langs FROM documents GROUP BY source) "
     "SELECT doc.source, n_docs, total_chars, n_tokens, n_langs "
     "FROM doc JOIN tok ON doc.source = tok.source ORDER BY doc.source",

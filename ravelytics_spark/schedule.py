@@ -45,7 +45,11 @@ def _interval(schedule: str) -> timedelta:
 
 
 def _floor_to_interval(t: datetime, step: timedelta) -> datetime:
-    anchor = datetime.combine(date(1970, 1, 1), time())
+    # Anchor on 1970-01-04 (a SUNDAY) so '@weekly' floors to Sunday
+    # midnight — matching Airflow's '@weekly' = '0 0 * * 0'. 1970-01-01
+    # is a Thursday; anchoring there would start weeks on Thursdays.
+    # '@daily'/'@hourly' are insensitive to a whole-day anchor shift.
+    anchor = datetime.combine(date(1970, 1, 4), time())
     return anchor + ((t - anchor) // step) * step
 
 

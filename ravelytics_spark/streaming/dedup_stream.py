@@ -151,19 +151,21 @@ def start_dedup_ingest(
 ) -> StreamingQuery:
     """writeStream driver: per micro-batch, dedup against self + store,
     append survivors (doc columns + sig) exactly once per batch_id."""
-    import os
-
     ledger = BatchLedger(ledger_path)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        store = None
-        if os.path.isdir(store_path) and any(
-            f.endswith(".parquet") for f in os.listdir(store_path)
-        ):
+        # Probe the store through Spark (not os.listdir): works on any
+        # Hadoop-visible filesystem (S3/HDFS) and on partitioned layouts,
+        # where a driver-local flat *.parquet scan would read as empty and
+        # silently disable cross-batch dedup.
+        try:
             store = spark.read.parquet(store_path)
+            store.schema  # force analysis so missing paths raise here
+        except Exception:  # AnalysisException: path does not exist / empty
+            store = None
         survivors = dedup_batch_against_store(
             batch_df, store, id_col=id_col, text_col=text_col, threshold=threshold
         )

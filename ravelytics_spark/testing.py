@@ -61,6 +61,44 @@ def _normalize(df: pd.DataFrame) -> tuple[list[str], list[tuple]]:
     return cols, rows
 
 
+def _dtype_class(df: pd.DataFrame, col: str) -> str:
+    """Coarse dtype class of a materialized pandas column — the signal the
+    driver's value hash is sensitive to (int64 vs float64 famously differ,
+    cf. the round-2 x9_pivot failure: DuckDB HUGEINT → float64 while Spark
+    produced int64). ``"any"`` (all-null / empty) matches everything."""
+    kind = df[col].dtype.kind
+    if kind in "iu":
+        return "int"
+    if kind == "f":
+        return "float"
+    if kind == "b":
+        return "bool"
+    if kind == "M":
+        return "datetime"
+    # object column: classify by the first non-null value
+    for v in df[col]:
+        if v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
+            continue
+        if isinstance(v, (bool, np.bool_)):
+            return "bool"
+        if isinstance(v, (int, np.integer)):
+            return "int"
+        if isinstance(v, (float, np.floating)):
+            return "float"
+        if isinstance(v, str):
+            return "str"
+        if isinstance(v, (bytes, bytearray)):
+            return "bytes"
+        if isinstance(v, (datetime, pd.Timestamp)):
+            return "datetime"
+        if isinstance(v, date):
+            return "datetime"  # _norm_cell folds date → datetime
+        if isinstance(v, (list, tuple, np.ndarray)):
+            return "seq"
+        return type(v).__name__
+    return "any"
+
+
 def compare(
     spark_df: DataFrame,
     con: duckdb.DuckDBPyConnection,
@@ -79,6 +117,13 @@ def compare(
     if sp_cols != dk_cols:
         problems.append(f"{name}: columns spark={sp_cols} duckdb={dk_cols}")
         return problems
+    for col in sp_cols:
+        sc, dc = _dtype_class(sp, col), _dtype_class(dk, col)
+        if sc != dc and "any" not in (sc, dc):
+            problems.append(
+                f"{name}: dtype class mismatch on {col!r}: spark={sc} duckdb={dc} "
+                f"(spark dtype={sp[col].dtype}, duckdb dtype={dk[col].dtype})"
+            )
     if problems:
         return problems
     for i, (a, b) in enumerate(zip(sp_rows, dk_rows)):
