@@ -85,10 +85,23 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 3)
 
+    # Best-of-n per query, n recorded in the output. Measured (round 3):
+    # the FIRST execution of a heavy plan in a session pays one-time
+    # codegen/JIT cost — x10_curation_full profiled 17.8s first run,
+    # then 4.2-5.5s steady-state — and sub-second queries jitter ±40%
+    # between identical runs. One sample conflates those with real plan
+    # regressions; min-of-2 (3 for sub-second, where a run is cheap) is
+    # the steady-state number a warmed cluster would see.
     timings: dict[str, float] = {}
+    samples: dict[str, int] = {}
     for name in HEADLINE:
-        if name in REGISTRY:
-            timings[name] = run_one(name)
+        if name not in REGISTRY:
+            continue
+        t = run_one(name)
+        n = 3 if t < 1.0 else 2
+        for _ in range(n - 1):
+            t = min(t, run_one(name))
+        timings[name], samples[name] = t, n
 
     # Re-measure apparent regressions once before flagging: a plan
     # regression reproduces, ambient machine load doesn't (observed a
@@ -96,6 +109,7 @@ def main() -> None:
     flagged = _check_regressions(sf, timings)
     for name in list(flagged):
         timings[name] = min(timings[name], run_one(name))
+        samples[name] += 1
     regressions = _check_regressions(sf, timings) if flagged else {}
     total = round(sum(timings.values()), 3)
     out = {
@@ -103,6 +117,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "n": samples,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if regressions:
@@ -131,7 +146,10 @@ def _check_regressions(sf: str, timings: dict[str, float]) -> dict[str, str]:
         prev = best.get(name)
         if prev is None or t < prev:
             best[name] = t
-        elif t > prev * REGRESSION_FACTOR and t > 1.0:
+        elif t > prev * REGRESSION_FACTOR and t > 1.0 and t - prev > 0.75:
+            # ratio AND absolute slack: 1-2s queries swing ±0.5s from
+            # scheduler/page-cache noise alone (s11 measured 1.14-1.75s
+            # across clean runs), which a pure ratio test would flag.
             regressions[name] = f"{t:.2f}s vs best {prev:.2f}s"
     try:
         with open(_BEST_PATH, "w") as fh:
