@@ -236,8 +236,9 @@ def test_hourly_and_weekly_intervals():
     hr = due_runs("@hourly", _d("2025-07-01"), _d("2025-07-01T03:30"))
     assert hr == [_d("2025-07-01T00:00"), _d("2025-07-01T01:00"), _d("2025-07-01T02:00")]
     wk = due_runs("@weekly", _d("2025-07-03"), _d("2025-07-20"))
-    # weeks anchor to the 1970-01-01 epoch (a Thursday)
-    assert all((d - _d("1970-01-01")).days % 7 == 0 for d in wk)
+    # weeks floor to Sunday midnight (anchor 1970-01-04), matching
+    # Airflow's '@weekly' = '0 0 * * 0'
+    assert wk and all(d.weekday() == 6 for d in wk)
 
 
 def test_fuzzy_matches_brute_force_on_random_dictionaries(spark):
