@@ -3,6 +3,13 @@ contract (__spark_entry__) with DuckDB oracle comparison, in a fresh
 non-UTC session (the hostile-driver simulation).
 
     python scripts/gate.py [sf_dir]        # default /root/testdata/sf0.01
+
+GATE_CORES / GATE_PARTITIONS env vars override the session's core and
+shuffle-partition counts (defaults 16/16). Running the gate a second
+time with odd values (e.g. GATE_CORES=5 GATE_PARTITIONS=7) proves the
+results are insensitive to partition count and task order — the driver
+runs its own session shape, and a float aggregation whose value depends
+on partition-merge order would pass a same-shape gate but fail there.
 """
 
 from __future__ import annotations
@@ -21,10 +28,12 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
+    cores = os.environ.get("GATE_CORES", "16")
+    partitions = os.environ.get("GATE_PARTITIONS", "16")
     spark = (
-        SparkSession.builder.master("local[16]")
+        SparkSession.builder.master(f"local[{cores}]")
         .config("spark.sql.session.timeZone", "America/New_York")
-        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.shuffle.partitions", partitions)
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
