@@ -406,42 +406,74 @@ def minhash_dedup_pairs(
     return verified.filter(F.col("jaccard") >= threshold)
 
 
+_SIMHASH_MAX_TOKENS = 32767  # 16-bit lane capacity − 1: no lane can overflow
+
+
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per document, fully native bit arithmetic:
 
     For bit j: count tokens whose xxhash64 has bit j set vs unset; the
-    signature bit is the majority. Near-duplicate docs differ in few
-    bits (compare with ``bit_count(sig_a ^ sig_b)``).
+    signature bit is the majority (ties → 0). Near-duplicate docs differ
+    in few bits (compare with ``bit_count(sig_a ^ sig_b)``).
+
+    Physical shape — lane-packed vote aggregation: per token, the 64
+    hash bits are packed into 16 longs of four 16-bit lanes each
+    (bit 4g+l → lane l of long g), so the per-doc aggregation state is
+    16 SUM buffers instead of 64. Measured in the 1000× scale sweep
+    (SCALING.md): the 64-SUM form went super-linear at 5M docs / 330M
+    token rows because its 512-byte aggregation rows blew past the
+    map-side partial-agg hash map; packing shrinks the state 4×. Lane
+    sums can never carry because the token stream is capped map-side
+    (``slice`` before explode — no extra shuffle) at 32,767 tokens per
+    document: the signature of a longer doc is computed over its first
+    32,767 tokens, which for near-dup detection is indistinguishable in
+    practice and keeps every lane strictly below 2^16. Set-bit counts
+    come back out of the sums with shift/mask; bit j is set iff
+    2·count_ones(j) > n (identical to the ±1-vote majority).
     """
     import functools
 
     from pyspark.sql import Column
 
-    # Explode tokens → hash once → groupBy(id) with 64 codegen'd SUM
-    # bit-votes (map-side combined). Like minhash_signatures, this beats
-    # the interpreted array-fold formulation by orders of magnitude and
-    # shuffles one combined row per doc.
+    tokens = F.slice(
+        F.split(F.trim(F.col(text_col)), r"\s+"), 1, _SIMHASH_MAX_TOKENS
+    )
     hashed = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__w"),
+        F.col(id_col).alias("__id"), F.explode(tokens).alias("__w")
     ).select("__id", F.xxhash64("__w").alias("__h"))
 
-    votes = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1).cast("long")) == 1, 1
-            ).otherwise(-1)
-        ).alias(f"__v{j}")
-        for j in range(64)
-    ]
+    one = F.lit(1).cast("long")
+
+    def lane_packed(g: int) -> F.Column:
+        # four 16-bit lanes: bit 4g+l of the hash → lane l of long g
+        return functools.reduce(
+            Column.__add__,
+            [
+                F.shiftleft(
+                    F.shiftright(F.col("__h"), 4 * g + lane).bitwiseAND(one),
+                    16 * lane,
+                )
+                for lane in range(4)
+            ],
+        )
+
+    sums = [F.sum(lane_packed(g)).alias(f"__s{g}") for g in range(16)]
+    agg = hashed.groupBy("__id").agg(F.count("*").alias("__n"), *sums)
+
+    def ones(j: int) -> F.Column:  # count of tokens with hash bit j set
+        g, lane = divmod(j, 4)
+        return F.shiftright(F.col(f"__s{g}"), 16 * lane).bitwiseAND(
+            F.lit(0xFFFF).cast("long")
+        )
+
     bits = [
-        F.when(F.col(f"__v{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+        F.when(ones(j) * 2 > F.col("__n"), F.shiftleft(one, j)).otherwise(
             F.lit(0).cast("long")
         )
         for j in range(64)
     ]
     sig = functools.reduce(Column.bitwiseOR, bits)
-    return hashed.groupBy("__id").agg(*votes).select("__id", sig.alias("simhash"))
+    return agg.select("__id", sig.alias("simhash"))
 
 
 def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3) -> DataFrame:
