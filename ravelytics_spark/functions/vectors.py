@@ -31,7 +31,15 @@ def norm(a: Column | str) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
-    """Cosine similarity; 0.0 where either side has zero norm."""
+    """Cosine similarity; 0.0 where either side has zero norm.
+
+    Length mismatch between ``a`` and ``b`` also yields 0.0 (not an
+    error): ``zip_with`` pads the shorter side with nulls, the null
+    poisons the fold, and the zero-norm guard catches the null. The
+    dim-taking operators (``srp_topk``/``pq_topk``/``ivf_pq_topk``)
+    validate ``len(query_vec) == dim`` driver-side so the common misuse
+    — a wrong-dimension query scoring every row 0.0 — fails loudly
+    before a cluster-wide scan."""
     d = dot(a, b)
     na, nb = norm(a), norm(b)
     return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(0.0))

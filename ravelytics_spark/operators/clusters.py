@@ -28,7 +28,15 @@ def connected_components(
     max_iterations: int = 20,
 ) -> DataFrame:
     """(node, component) for every node in the (id_a, id_b) edge list;
-    component = min node id in the connected component."""
+    component = min node id in the connected component.
+
+    Raises ``RuntimeError`` if labels are still changing after
+    ``max_iterations`` rounds: a partially-propagated result has WRONG
+    component ids (one real component reported as several), which for
+    dedup means silently keeping duplicates. Rounds needed ≈ graph
+    diameter; near-dup graphs are clique-ish and converge in 3-5, so
+    hitting 20 means the edge list isn't the expected shape (e.g. a
+    long-chain graph — raise the budget explicitly if that's real)."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -64,6 +72,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "rounds; a partial result would mislabel components (and "
+            "under-dedup). Increase max_iterations for high-diameter graphs."
+        )
     return labels
 
 

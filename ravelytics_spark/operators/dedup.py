@@ -350,6 +350,13 @@ def minhash_dedup_pairs(
     only 8-byte hash rows move, and a candidate pair sharing no shingle
     (possible via band-bucket hash collision) drops out with J<threshold
     either way."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}): "
+            f"a remainder would silently ignore {num_hashes % bands} signature "
+            "positions the caller paid to compute (and shift the LSH "
+            "collision-probability curve away from the requested geometry)"
+        )
     rows_per_band = num_hashes // bands
     # Deduped (id, shingle-hash): MinHash over a set == over its multiset,
     # and exact-Jaccard needs set semantics — dedup once for both. The
@@ -483,7 +490,19 @@ def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3) -> DataFrame
     64-bit signatures differ in ≤3 bits, at least one 16-bit block is
     identical — join per block instead of N². One explode (×4) + one
     shuffle.
+
+    The pigeonhole guarantee holds only for ``max_hamming <= 3``: at 4+
+    differing bits, a pair can spread one flip into each block and share
+    NO block, silently vanishing from the candidates. Asking for a
+    larger radius therefore raises — re-block with ``max_hamming + 1``
+    pieces (8-bit blocks for ≤7, etc.) if a wider radius is ever needed.
     """
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 4-block pigeonhole "
+            "guarantee (complete only for <=3); pairs at distance 4+ can "
+            "differ in every block and would be silently missed"
+        )
     blocks = signatures.select(
         "__id",
         "simhash",

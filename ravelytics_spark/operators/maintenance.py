@@ -64,6 +64,12 @@ def compact_partitions(
     are skipped (run with e.g. 2× the micro-batch interval; ingest-day
     partitions simply wait for the next scheduled pass).
 
+    Filesystem contract: the staging/retire swap depends on atomic
+    directory ``os.rename`` and driver-visible listings, i.e. a POSIX
+    filesystem (local disk, NFS). On object stores (S3) rename is
+    copy+delete and non-atomic — there, compact through a table format
+    (Delta/Iceberg ``rewrite_data_files``) instead of this operator.
+
     NOT for paths under a Structured Streaming file-sink root: the
     sink's ``_spark_metadata`` transaction log names the original part
     files, and readers of the sink root prefer the log — rewritten

@@ -34,6 +34,18 @@ def _as_query_lit(query_vec: list[float]):
     return F.array(*[F.lit(float(x)) for x in query_vec])
 
 
+def _check_query_dim(query_vec: list[float], dim: int) -> None:
+    """A wrong-length query doesn't error inside ``cosine`` — zip_with
+    null-pads, the null poisons the fold, and the zero-norm guard turns
+    it into cosine 0.0 FOR EVERY ROW (see functions/vectors.py). Catch
+    it driver-side, before a cluster-wide scan of garbage scores."""
+    if len(query_vec) != dim:
+        raise ValueError(
+            f"query_vec has {len(query_vec)} dimensions but dim={dim}; a "
+            "mismatched query would silently score every row 0.0"
+        )
+
+
 def cosine_arrow(vec_col: str, query_vec: list[float]):
     """Arrow-vectorized cosine against a fixed query vector: a
     ``pandas_udf`` computing the whole batch with one numpy matmul.
@@ -144,6 +156,7 @@ def srp_topk(
     signature matches the query's, then re-rank exactly. At 100 TB the
     signature is precomputed + partitioned-by, so a probe touches one
     bucket (~N / 2^planes rows) instead of N."""
+    _check_query_dim(query_vec, dim)
     sigs = srp_signatures(df, vec_col, dim, num_planes, id_col)
     q = _as_query_lit(query_vec)
     q_bits = [
@@ -252,6 +265,21 @@ def ivf_topk(
 # ---------------------------------------------------------------------------
 
 
+def _check_pq_geometry(dim: int, n_sub: int) -> None:
+    """``dim`` must split evenly into ``n_sub`` subvectors — a remainder
+    would silently DROP the trailing ``dim % n_sub`` dimensions from
+    every distance computation (slice-based subvector extraction covers
+    only n_sub·(dim // n_sub) positions), biasing ADC distances with no
+    error. Same failure class as an LSH band grid that doesn't tile the
+    signature; fail loudly instead."""
+    if n_sub <= 0 or dim % n_sub != 0:
+        raise ValueError(
+            f"dim ({dim}) must be divisible by n_sub ({n_sub}); a remainder "
+            f"would silently ignore the last {dim % n_sub if n_sub > 0 else dim} "
+            "dimensions of every vector"
+        )
+
+
 def pq_codebooks(
     df: DataFrame,
     vec_col: str,
@@ -269,6 +297,7 @@ def pq_codebooks(
     Returns (sub, code, code_vec): n_sub × n_codes rows — always tiny,
     always broadcastable.
     """
+    _check_pq_geometry(dim, n_sub)
     sub_len = dim // n_sub
     sample = (
         df.select(id_col, vec_col, F.xxhash64(F.col(id_col)).alias("__h"))
@@ -306,6 +335,7 @@ def pq_encode(
     floats become n_sub bytes (here ints), a 32× compression at
     dim=64/n_sub=8.
     """
+    _check_pq_geometry(dim, n_sub)
     sub_len = dim // n_sub
     parts = df.select(
         F.col(id_col),
@@ -357,6 +387,7 @@ def pq_topk(
     the shortlist; only ``rerank`` rows ever read their full vector
     (via join back to the store).
     """
+    _check_query_dim(query_vec, dim)
     books = pq_codebooks(df, vec_col, dim, n_sub, n_codes, id_col)
     encoded = pq_encode(df, books, vec_col, dim, n_sub, id_col)
     sub_len = dim // n_sub
@@ -417,6 +448,7 @@ def ivf_pq_topk(
     driver-side state is centroids + codebooks (n_cells·dim +
     n_sub·n_codes·sub_len floats — KBs).
     """
+    _check_query_dim(query_vec, dim)
     sub_len = dim // n_sub
     cents = ivf_centroids(df, vec_col, n_cells, id_col)
     assigned = ivf_assign(df, cents, vec_col, id_col).join(

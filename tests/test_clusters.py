@@ -30,3 +30,21 @@ def test_dedup_by_clusters_keeps_min_per_component(spark):
     pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], ["id_a", "id_b"])
     kept = sorted(r.doc_id for r in dedup_by_clusters(docs, pairs, "doc_id").collect())
     assert kept == [0, 3, 4]
+
+
+def test_cc_nonconvergence_raises(spark):
+    """A path graph of diameter 6 cannot converge in 2 min-propagation
+    rounds — the partial labels would be wrong, so the operator must
+    raise rather than return them."""
+    import pytest as _pytest
+
+    from ravelytics_spark.operators.clusters import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], ["id_a", "id_b"]
+    )
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(chain, max_iterations=2)
+    # with budget it converges to a single component rooted at 0
+    comp = connected_components(chain, max_iterations=10)
+    assert {r.component for r in comp.collect()} == {0}

@@ -191,3 +191,43 @@ def test_lsh_hot_bucket_cap_bounds_pairs(spark, corpus):
     stats = DD.lsh_bucket_stats(sigs, max_bucket_size=10)
     dropped = stats.agg(F.sum("dropped_pairs")).collect()[0][0]
     assert dropped == 16 * (780 - 45)
+
+
+def test_lsh_band_geometry_validated(spark, corpus):
+    """num_hashes not divisible by bands would silently ignore signature
+    positions — must raise instead (same class as the KMV merge-k
+    guard)."""
+    with pytest.raises(ValueError, match="divisible"):
+        DD.minhash_dedup_pairs(corpus, "doc_id", "text", num_hashes=60, bands=16)
+
+
+def test_pq_geometry_validated(vectors):
+    """dim % n_sub != 0 would silently drop trailing dimensions from
+    every PQ distance — must raise in codebook build and encode."""
+    with pytest.raises(ValueError, match="divisible"):
+        SIM.pq_codebooks(vectors, "embedding", dim=15, n_sub=4)
+    books = SIM.pq_codebooks(vectors, "embedding", dim=16, n_sub=4)
+    with pytest.raises(ValueError, match="divisible"):
+        SIM.pq_encode(vectors, books, "embedding", dim=15, n_sub=4)
+
+
+def test_simhash_radius_validated(spark, corpus):
+    """max_hamming > 3 breaks the 4-block pigeonhole completeness
+    guarantee — pairs at distance 4+ could differ in every block and
+    silently vanish; must raise."""
+    sigs = DD.simhash_signatures(corpus, "doc_id", "text")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        DD.simhash_near_pairs(sigs, max_hamming=4)
+
+
+def test_query_dim_validated(vectors):
+    """A wrong-length query vector silently scores every row 0.0 inside
+    the null-padding cosine fold — the dim-taking searches must reject
+    it driver-side."""
+    q15 = [1.0] * 15
+    with pytest.raises(ValueError, match="dimensions"):
+        SIM.srp_topk(vectors, "embedding", q15, dim=16)
+    with pytest.raises(ValueError, match="dimensions"):
+        SIM.pq_topk(vectors, "embedding", q15, dim=16, n_sub=4)
+    with pytest.raises(ValueError, match="dimensions"):
+        SIM.ivf_pq_topk(vectors, "embedding", q15, dim=16, n_sub=4)
