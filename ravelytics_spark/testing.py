@@ -53,11 +53,12 @@ def _norm_cell(v: Any) -> Any:
     return v
 
 
-def _normalize(df: pd.DataFrame) -> tuple[list[str], list[tuple]]:
+def _normalize(df: pd.DataFrame, sort_rows: bool = True) -> tuple[list[str], list[tuple]]:
     cols = sorted(df.columns)
     df = df[cols]
     rows = [tuple(_norm_cell(v) for v in row) for row in df.itertuples(index=False, name=None)]
-    rows.sort(key=lambda r: tuple((x is None, str(type(x)), x) for x in r))
+    if sort_rows:
+        rows.sort(key=lambda r: tuple((x is None, str(type(x)), x) for x in r))
     return cols, rows
 
 
@@ -104,16 +105,23 @@ def compare(
     con: duckdb.DuckDBPyConnection,
     oracle_sql: str,
     name: str = "query",
+    strict_row_order: bool = False,
 ) -> list[str]:
-    """Return a list of mismatch descriptions (empty = pass)."""
+    """Return a list of mismatch descriptions (empty = pass).
+
+    ``strict_row_order=True`` compares rows IN RETURNED ORDER instead of
+    sorting them first — the harsher standard an external verifier that
+    hashes rows positionally would apply. An entry that passes sorted
+    but fails strict has a non-total ORDER BY (tie rows free to land in
+    either engine's arbitrary order): tighten its sort key."""
     problems: list[str] = []
     sp = spark_df.toPandas()
     dk = con.execute(oracle_sql).fetchdf()
 
     if len(sp) != len(dk):
         problems.append(f"{name}: row count spark={len(sp)} duckdb={len(dk)}")
-    sp_cols, sp_rows = _normalize(sp)
-    dk_cols, dk_rows = _normalize(dk)
+    sp_cols, sp_rows = _normalize(sp, sort_rows=not strict_row_order)
+    dk_cols, dk_rows = _normalize(dk, sort_rows=not strict_row_order)
     if sp_cols != dk_cols:
         problems.append(f"{name}: columns spark={sp_cols} duckdb={dk_cols}")
         return problems

@@ -10,6 +10,12 @@ time with odd values (e.g. GATE_CORES=5 GATE_PARTITIONS=7) proves the
 results are insensitive to partition count and task order — the driver
 runs its own session shape, and a float aggregation whose value depends
 on partition-merge order would pass a same-shape gate but fail there.
+
+GATE_STRICT_ORDER=1 compares rows in RETURNED order (no sort-first):
+the harsher standard a verifier that hashes rows positionally would
+apply. A sorted-pass/strict-fail entry has a non-total ORDER BY — tie
+rows land in either engine's arbitrary order — and is one hostile
+verifier away from a hash mismatch; tighten its sort key.
 """
 
 from __future__ import annotations
@@ -51,12 +57,15 @@ def main() -> int:
     qs, osql = mod.queries(), mod.oracle_sql()
     print(f"entry rows: {mod.entry(spark).count()}; {len(qs)} queries, {len(osql)} oracles")
 
+    strict = os.environ.get("GATE_STRICT_ORDER", "") == "1"
     t0 = time.time()
     failures = []
     for name, fn in qs.items():
         try:
             if name in osql:
-                problems = compare(fn(spark, sf_dir), con, osql[name], name)
+                problems = compare(
+                    fn(spark, sf_dir), con, osql[name], name, strict_row_order=strict
+                )
                 if problems:
                     failures.append(problems[0])
             else:
