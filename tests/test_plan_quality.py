@@ -203,3 +203,19 @@ def test_no_catalog_plan_single_partitions_or_goes_cartesian(spark, sf_dir):
         elif "Exchange SinglePartition" in plan and name not in _SINGLE_PARTITION_OK:
             bad[name] = "Exchange SinglePartition"
     assert not bad, f"scale anti-patterns planned: {bad}"
+
+
+def test_ivf_assign_is_map_only(spark, sf_dir):
+    """Centroid assignment must be a pure map over the corpus: the
+    centroids unroll into a greatest-over-structs expression, so the
+    plan may contain NO join and NO exchange. (The previous
+    crossJoin + per-id window form materialized n_cells x the corpus
+    and shuffled it — 64s vs ~4s at 2M vectors in the scale sweep.)"""
+    from ravelytics_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = SIM.ivf_centroids(emb, "embedding", 8)
+    plan = _executed_plan(SIM.ivf_assign(emb, cents, "embedding"))
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    assert "Window" not in plan
