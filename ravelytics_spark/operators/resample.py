@@ -32,12 +32,17 @@ def time_grid(
         F.max(F.unix_timestamp(ts)).alias("__hi"),
     )
     step = F.lit(step_s)
+    # floor, not cast-to-long: cast truncates toward zero, which for
+    # pre-1970 (negative-epoch) timestamps would start the grid one step
+    # LATE and drop the first event's coverage (same failure class as
+    # the asof epoch-seconds fix). floor == truncate for positive epochs,
+    # so post-1970 grids are unchanged.
     grid = bounds.select(
         key,
         F.explode(
             F.sequence(
-                (F.col("__lo") / step).cast("long") * step,
-                (F.col("__hi") / step).cast("long") * step,
+                F.floor(F.col("__lo") / step).cast("long") * step,
+                F.floor(F.col("__hi") / step).cast("long") * step,
                 step,
             )
         ).alias("__gsec"),

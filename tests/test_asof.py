@@ -131,3 +131,28 @@ def test_asof_forward_tolerance(spark):
         direction="forward", tolerance_s=600,
     ).collect()
     assert got[0].val is None  # 30 min ahead > 10 min tolerance
+
+
+def test_time_grid_floors_pre_epoch_bounds(spark):
+    """cast-to-long truncates toward zero: a 1969 timestamp must floor
+    DOWN to the earlier grid boundary, not up toward epoch (same class
+    as the asof pre-epoch fraction fix)."""
+    from datetime import datetime
+
+    from ravelytics_spark.operators.resample import time_grid
+
+    events = spark.createDataFrame(
+        [
+            (1, datetime(1969, 12, 31, 23, 59, 30)),  # epoch -30s
+            (1, datetime(1970, 1, 1, 0, 1, 30)),      # epoch +90s
+        ],
+        ["k", "ts"],
+    )
+    grid = sorted(
+        r.grid_ts for r in time_grid(events, "k", "ts", step_s=60).collect()
+    )
+    # -30s floors to -60s → grid starts 1969-12-31 23:59:00 and covers
+    # the first event; truncation would have started at 00:00:00
+    assert grid[0] == datetime(1969, 12, 31, 23, 59)
+    assert grid[-1] == datetime(1970, 1, 1, 0, 1)
+    assert len(grid) == 3
