@@ -103,13 +103,19 @@ def main() -> None:
             t = min(t, run_one(name))
         timings[name], samples[name] = t, n
 
-    # Re-measure apparent regressions once before flagging: a plan
-    # regression reproduces, ambient machine load doesn't (observed a
-    # whole-suite ~30% swing between runs on a busy box).
+    # Re-measure apparent regressions (up to twice) before flagging: a
+    # plan regression reproduces on every run, ambient machine load does
+    # not (observed whole-suite swings up to ~1.5x on a busy box —
+    # exactly the guard threshold, so one noisy sample must never be
+    # the whole case for "regression"). More samples beats a looser
+    # threshold: the factor keeps its sensitivity to real plan changes.
     flagged = _check_regressions(sf, timings)
     for name in list(flagged):
-        timings[name] = min(timings[name], run_one(name))
-        samples[name] += 1
+        for _ in range(2):
+            timings[name] = min(timings[name], run_one(name))
+            samples[name] += 1
+            if not _check_regressions(sf, {name: timings[name]}):
+                break
     regressions = _check_regressions(sf, timings) if flagged else {}
     total = round(sum(timings.values()), 3)
     out = {
