@@ -465,10 +465,16 @@ def xj_asof_join(spark, sf_dir):
     "Range join (pairs of same-user events within 30 min) as a binned "
     "equi-join: bucket both sides to the window width, probe adjacent "
     "buckets, exact filter after — a theta join becomes one shuffle.",
+    # exact MICROSECOND difference, not date_diff('second'):
+    # date_diff counts boundary crossings, so with fractional-second
+    # timestamps an exact gap of 1800.2s can cross only 1800 boundaries
+    # and the oracle would include a pair the exact-seconds Spark filter
+    # excludes (same class as the x39 session-gap fix; micros are exact
+    # here because the corpus has no sub-microsecond components).
     "SELECT a.event_id AS event_a, b.event_id AS event_b "
     "FROM events a JOIN events b ON a.user_id = b.user_id "
     "AND a.event_id < b.event_id "
-    "AND abs(date_diff('second', b.ts, a.ts)) <= 1800 "
+    "AND abs(date_diff('microsecond', b.ts, a.ts)) <= 1800000000 "
     "ORDER BY event_a, event_b",
 )
 def xj_range_join(spark, sf_dir):

@@ -225,7 +225,7 @@ _SESSION_NATIVE_ORACLE = """
 WITH g AS (
     SELECT user_id, ts,
            CASE WHEN lag(ts) OVER w IS NULL
-                 OR date_diff('second', lag(ts) OVER w, ts) >= 1800
+                 OR date_diff('microsecond', lag(ts) OVER w, ts) >= 1800000000
                 THEN 1 ELSE 0 END AS brk
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -257,7 +257,12 @@ ORDER BY user_id, session_start
     "STREAMING sessionizer under watermarks); the SQL twin proves its "
     "gap semantics exactly. Note session_window merges on gap "
     "STRICTLY LESS THAN 30 min (next < prev + gap), hence the "
-    "oracle's >= 1800 break condition.",
+    "oracle's >= 1800s break condition — expressed in exact "
+    "MICROSECONDS: date_diff('second') counts second-BOUNDARY "
+    "crossings, so with fractional-second timestamps a 1799.2s gap "
+    "can cross 1800 boundaries and split where the native operator "
+    "merges (one such pair exists at sf0.1; caught by the sf-variation "
+    "gate).",
     _SESSION_NATIVE_ORACLE,
 )
 def x39_session_window_native(spark, sf_dir):
