@@ -483,36 +483,55 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return agg.select("__id", sig.alias("simhash"))
 
 
-def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs(
+    signatures: DataFrame, max_hamming: int = 3, n_blocks: int | None = None
+) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance.
 
-    Candidate generation uses the 4-block pigeonhole trick: if two
-    64-bit signatures differ in ≤3 bits, at least one 16-bit block is
-    identical — join per block instead of N². One explode (×4) + one
-    shuffle.
+    Candidate generation uses the pigeonhole trick: split the 64-bit
+    signature into ``n_blocks`` pieces; two signatures differing in
+    ≤ ``n_blocks`` − 1 bits must agree on at least one whole piece —
+    join per piece instead of N². One explode (×n_blocks) + one shuffle.
 
-    The pigeonhole guarantee holds only for ``max_hamming <= 3``: at 4+
-    differing bits, a pair can spread one flip into each block and share
-    NO block, silently vanishing from the candidates. Asking for a
-    larger radius therefore raises — re-block with ``max_hamming + 1``
-    pieces (8-bit blocks for ≤7, etc.) if a wider radius is ever needed.
+    ``n_blocks`` defaults to the smallest divisor of 64 that is at
+    least ``max_hamming + 1`` — the minimum piece count that makes the
+    candidate set COMPLETE for the requested radius while tiling the
+    signature evenly: the classic 4 blocks of 16 bits for the default
+    radius 3; radius 4-7 → 8 blocks of 8 bits; radius 8-15 → 16 blocks
+    of 4 bits. Wider radii shrink the pieces, so each bucket collides
+    more signatures — candidate volume grows sharply per halving of
+    piece width; beyond ~15 bits of radius, MinHash is the better
+    tool. An explicit ``n_blocks`` below ``max_hamming + 1`` raises:
+    pairs could spread one flip into every piece, share none, and
+    silently vanish from the candidates.
     """
-    if not 0 <= max_hamming <= 3:
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
+    if n_blocks is None:
+        n_blocks = next(
+            b for b in (1, 2, 4, 8, 16, 32, 64) if b > max_hamming
+        ) if max_hamming < 64 else 64
+    if n_blocks <= max_hamming:
         raise ValueError(
-            f"max_hamming={max_hamming} exceeds the 4-block pigeonhole "
-            "guarantee (complete only for <=3); pairs at distance 4+ can "
-            "differ in every block and would be silently missed"
+            f"n_blocks={n_blocks} breaks the pigeonhole guarantee for "
+            f"max_hamming={max_hamming} (needs >= max_hamming + 1): pairs "
+            "could differ in every block and would be silently missed"
         )
+    if not 1 <= n_blocks <= 64 or 64 % n_blocks != 0:
+        raise ValueError(
+            f"n_blocks={n_blocks} must divide the 64-bit signature evenly "
+            "(1, 2, 4, 8, 16, 32, or 64)"
+        )
+    width = 64 // n_blocks
+    mask = F.lit((1 << width) - 1).cast("long")
     blocks = signatures.select(
         "__id",
         "simhash",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("simhash"), b * 16).bitwiseAND(
-                        F.lit(0xFFFF).cast("long")
-                    )
-                    for b in range(4)
+                    F.shiftright(F.col("simhash"), b * width).bitwiseAND(mask)
+                    for b in range(n_blocks)
                 ]
             )
         ).alias("__block_idx", "__block"),

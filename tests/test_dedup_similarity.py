@@ -212,12 +212,40 @@ def test_pq_geometry_validated(vectors):
 
 
 def test_simhash_radius_validated(spark, corpus):
-    """max_hamming > 3 breaks the 4-block pigeonhole completeness
-    guarantee — pairs at distance 4+ could differ in every block and
-    silently vanish; must raise."""
+    """An explicit block count below max_hamming + 1 breaks pigeonhole
+    completeness (pairs could differ in every block and silently
+    vanish) — must raise; the DEFAULT re-blocks to stay complete."""
     sigs = DD.simhash_signatures(corpus, "doc_id", "text")
     with pytest.raises(ValueError, match="pigeonhole"):
-        DD.simhash_near_pairs(sigs, max_hamming=4)
+        DD.simhash_near_pairs(sigs, max_hamming=4, n_blocks=4)
+    with pytest.raises(ValueError, match="divide"):
+        DD.simhash_near_pairs(sigs, max_hamming=4, n_blocks=6)
+    # default for radius 4-7 is 8 blocks of 8 bits — runs fine
+    assert DD.simhash_near_pairs(sigs, max_hamming=4).count() >= 0
+
+
+def test_simhash_wide_radius_complete(spark):
+    """Pigeonhole completeness at radius 5 (8 blocks of 8 bits): a
+    planted signature pair at exact Hamming distance 5 — bits spread so
+    that NO 16-bit quarter matches (the 4-block scheme would miss it) —
+    must be found with the default re-blocked candidate generation."""
+    a = 0x0123456789ABCDEF
+    # flip one bit in 5 DIFFERENT 16-bit quarters... only 4 quarters
+    # exist, so flip in quarters 0,1,2,3 and a second bit in quarter 0:
+    # every 16-bit quarter differs, but 8-bit eighths 1,3,5,7 are clean.
+    b = a ^ (1 << 0) ^ (1 << 16) ^ (1 << 32) ^ (1 << 48) ^ (1 << 2)
+
+    def to_i64(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    sigs = spark.createDataFrame(
+        [(1, to_i64(a)), (2, to_i64(b))], ["__id", "simhash"]
+    )
+    # 4 blocks of 16: no block agrees → zero candidates even though
+    # hamming(a,b)=5 — the case the n_blocks guard exists for
+    assert DD.simhash_near_pairs(sigs, max_hamming=3).count() == 0
+    found = DD.simhash_near_pairs(sigs, max_hamming=5).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in found] == [(1, 2, 5)]
 
 
 def test_query_dim_validated(vectors):
