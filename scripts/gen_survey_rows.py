@@ -31,6 +31,10 @@ def build_block() -> str:
     manual = re.sub(
         re.escape(BEGIN) + ".*?" + re.escape(END), "", survey, flags=re.S
     )
+    # Dedup ONLY against §2's hand-written inventory (everything before
+    # the §3 divider): a later section mentioning an entry by name in
+    # prose (e.g. a round-delta summary) must not evict its table row.
+    manual = manual.split("## 3. Query lifecycle", 1)[0]
     lines = [
         BEGIN,
         "",
