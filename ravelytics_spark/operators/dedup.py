@@ -484,7 +484,10 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_near_pairs(
-    signatures: DataFrame, max_hamming: int = 3, n_blocks: int | None = None
+    signatures: DataFrame,
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
+    max_bucket_size: int | None = 2000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance.
 
@@ -504,6 +507,16 @@ def simhash_near_pairs(
     tool. An explicit ``n_blocks`` below ``max_hamming + 1`` raises:
     pairs could spread one flip into every piece, share none, and
     silently vanish from the candidates.
+
+    ``max_bucket_size`` is the hot-bucket cap, exactly as in
+    ``minhash_lsh_candidates``: a (block_idx, value) bucket is capped to
+    its first N members by id BEFORE the self-join. This bounds the
+    DENSE-corpus blowup — 16-bit pieces hold only 65,536 distinct
+    values, so at ~5M signatures a random corpus averages ~300 members
+    per bucket (~45k candidate pairs each, ~3·10⁹ total) with no
+    near-dups at all; the cap turns that into C(cap,2) per bucket. A
+    true near-dup pair truncated from one block's bucket almost always
+    shares another (small) block bucket. ``None`` disables.
     """
     if max_hamming < 0:
         raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
@@ -536,6 +549,13 @@ def simhash_near_pairs(
             )
         ).alias("__block_idx", "__block"),
     )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("__block_idx", "__block").orderBy("__id")
+        blocks = (
+            blocks.withColumn("__bn", F.row_number().over(w))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
     a = blocks.alias("a")
     b = blocks.alias("b")
     pairs = (
@@ -543,6 +563,92 @@ def simhash_near_pairs(
             b,
             (F.col("a.__block_idx") == F.col("b.__block_idx"))
             & (F.col("a.__block") == F.col("b.__block"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_near_pairs_multitable(
+    signatures: DataFrame,
+    max_hamming: int = 3,
+    p_blocks: int = 6,
+) -> DataFrame:
+    """SimHash near-pairs for DENSE corpora: multi-table block-combination
+    candidate keys (the scheme of Manku, Jain & Das Sarma, "Detecting
+    Near-Duplicates for Web Crawling", WWW 2007 — public literature).
+
+    Single-block pigeonhole keys (``simhash_near_pairs``) are 64/p bits
+    wide; at millions of signatures a 16-bit key space (65,536 values)
+    is DENSE — ~7.5x10^8 spurious candidate pairs at 5M random docs with
+    zero true near-dups. This variant splits the signature into
+    ``p_blocks`` pieces and keys each of C(p, p-k) tables on the
+    CONCATENATION of a distinct (p-k)-subset of pieces: a pair differing
+    in <= k bits dirties <= k pieces, leaves >= p-k clean, and therefore
+    matches ALL pieces of at least one subset — completeness holds —
+    while each key now carries ~64*(p-k)/p bits (32 bits for p=6, k=3),
+    making random collisions ~2^16x rarer than 16-bit block keys.
+
+    Cost shape: explode x C(p, p-k) tables (20 for the default) — 5x the
+    rows of the 4-block scheme — but the self-join buckets are ~uniform
+    and tiny, so the join's PAIR work tracks true near-dup density, not
+    corpus density. Measured crossover (local[32], random signatures,
+    planted pair recalled by both): at 5M signatures the block scheme
+    still wins on wall clock (27s vs 164s — its ~7.5x10^8 spurious
+    candidates stream through a count-free distinct faster than this
+    scheme's 20x explode shuffles), but block candidates grow as
+    N^2/65536 — ~7.5x10^10 at 50M, intractable — while these 32-bit
+    keys keep total candidates ~N^2/2^32 per table. Use the block
+    scheme to ~5-10M signatures and this one beyond.
+
+    Exact ``bit_count`` verification filters candidates to
+    ``hamming <= max_hamming`` as usual. Requires ``p_blocks > max_hamming``.
+    """
+    import itertools
+
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
+    if p_blocks <= max_hamming:
+        raise ValueError(
+            f"p_blocks={p_blocks} must exceed max_hamming={max_hamming} "
+            "(a pair may dirty up to max_hamming pieces; at least one "
+            "piece per key subset must be guaranteed clean)"
+        )
+    if p_blocks > 64:
+        raise ValueError(f"p_blocks={p_blocks} exceeds the 64-bit signature")
+    # nearly-even bit widths, e.g. 64/6 -> [11, 11, 11, 11, 10, 10]
+    base, extra = divmod(64, p_blocks)
+    widths = [base + (1 if i < extra else 0) for i in range(p_blocks)]
+    offsets = [sum(widths[:i]) for i in range(p_blocks)]
+
+    def piece(i: int):
+        return F.shiftright(F.col("simhash"), offsets[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1).cast("long")
+        )
+
+    subsets = list(itertools.combinations(range(p_blocks), p_blocks - max_hamming))
+    keys = F.array(
+        *[
+            F.xxhash64(F.lit(t), *[piece(i) for i in subset])
+            for t, subset in enumerate(subsets)
+        ]
+    )
+    tabled = signatures.select(
+        "__id", "simhash", F.posexplode(keys).alias("__table", "__key")
+    )
+    a = tabled.alias("a")
+    b = tabled.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.__table") == F.col("b.__table"))
+            & (F.col("a.__key") == F.col("b.__key"))
             & (F.col("a.__id") < F.col("b.__id")),
         )
         .select(

@@ -305,3 +305,62 @@ def test_prebuilt_index_probe_matches_inline(vectors):
     assert [(r.vec_id, r.cos_sim) for r in inline] == [(r.vec_id, r.cos_sim) for r in pre]
     with pytest.raises(ValueError, match="together"):
         SIM.ivf_topk(vectors, "embedding", q, k=5, centroids=cents)
+
+
+def test_simhash_hot_bucket_cap_bounds_pairs(spark):
+    """40 identical signatures (a boilerplate mega-cluster colliding in
+    every block) must cost C(cap,2) pairs, not C(40,2); a distinct near
+    pair in the same frame is unaffected."""
+
+    def to_i64(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    boiler = to_i64(0xDEADBEEFCAFEF00D)
+    near_a, near_b = to_i64(0x0123456789ABCDEF), to_i64(0x0123456789ABCDEE)
+    rows = [(i, boiler) for i in range(40)] + [(100, near_a), (101, near_b)]
+    sigs = spark.createDataFrame(rows, ["__id", "simhash"])
+
+    capped = {
+        (r.id_a, r.id_b)
+        for r in DD.simhash_near_pairs(sigs, max_hamming=3, max_bucket_size=10).collect()
+    }
+    mega = {p for p in capped if p[0] < 40}
+    assert len(mega) == 45  # C(10,2), not C(40,2)=780
+    assert (100, 101) in capped  # small-bucket near pair survives
+
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in DD.simhash_near_pairs(sigs, max_hamming=3, max_bucket_size=None).collect()
+    }
+    assert len({p for p in uncapped if p[0] < 40}) == 780
+
+
+def test_simhash_multitable_complete_and_agrees(spark, corpus):
+    """The Manku multi-table scheme must find EXACTLY the same verified
+    pairs as the single-block pigeonhole on a real corpus (both are
+    complete for the radius; verification is identical)."""
+    sigs = DD.simhash_signatures(corpus, "doc_id", "text")
+    block = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in DD.simhash_near_pairs(sigs, max_hamming=3).collect()
+    }
+    multi = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in DD.simhash_near_pairs_multitable(sigs, max_hamming=3).collect()
+    }
+    assert block == multi
+
+    def to_i64(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    # planted adversarial pair: 3 flips spread over 3 different sixths
+    a = 0x0123456789ABCDEF
+    b = a ^ (1 << 0) ^ (1 << 12) ^ (1 << 24)
+    planted = spark.createDataFrame(
+        [(1, to_i64(a)), (2, to_i64(b))], ["__id", "simhash"]
+    )
+    got = DD.simhash_near_pairs_multitable(planted, max_hamming=3).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in got] == [(1, 2, 3)]
+
+    with pytest.raises(ValueError, match="exceed"):
+        DD.simhash_near_pairs_multitable(sigs, max_hamming=6, p_blocks=6)
