@@ -179,6 +179,22 @@ def x2_simhash(spark, sf_dir):
     return DD.simhash_near_pairs(sigs, max_hamming=3).orderBy("id_a", "id_b")
 
 
+@q(
+    "x2_simhash_multitable",
+    "OP-X2",
+    "SimHash near-pairs via Manku-style multi-table block-combination "
+    "keys (C(6,3)=20 tables of ~32-bit 3-sixth concatenations) — the "
+    "dense-corpus (>~10M signatures) candidate generator; complete for "
+    "the radius by pigeonhole and equivalence-tested against the block "
+    "scheme. Harness rows-check (bit-level hash not portable).",
+    None,
+)
+def x2_simhash_multitable(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    sigs = DD.simhash_signatures(d, "doc_id", "text")
+    return DD.simhash_near_pairs_multitable(sigs, max_hamming=3).orderBy("id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 # OP-X3 — vector similarity
 # ---------------------------------------------------------------------------
