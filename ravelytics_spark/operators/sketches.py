@@ -217,14 +217,25 @@ def kmv_distinct_estimate(
     """(k−1) / F(k-th smallest normalized hash): if fewer than k
     hashes exist the count is exact (the sketch holds every distinct
     value). Hashes are signed 64-bit; normalize to (0, 1) over the
-    full 2^64 range."""
+    full 2^64 range.
+
+    When the sketch carries ``sketch_k`` (kmv_sketch/kmv_merge emit
+    it), the estimator uses THAT per group and ignores the ``k``
+    parameter: trusting a caller-passed k=256 against a bottom-64
+    sketch would treat every saturated 64-row group as an exhaustive
+    census and bias the estimate low with no error — the same silent
+    class the merge-k guard exists for. The parameter remains only for
+    pre-``sketch_k`` frames."""
     group_cols = group_cols or []
-    agg = sketches.groupBy(*group_cols).agg(
-        F.count("*").alias("__n"), F.max("hash").alias("__hk")
-    )
+    has_k = "sketch_k" in sketches.columns
+    aggs = [F.count("*").alias("__n"), F.max("hash").alias("__hk")]
+    if has_k:
+        aggs.append(F.min("sketch_k").alias("__k"))
+    agg = sketches.groupBy(*group_cols).agg(*aggs)
+    k_col = F.col("__k") if has_k else F.lit(k)
     frac = (F.col("__hk").cast("double") + F.lit(2.0**63)) / F.lit(2.0**64)
-    est = F.when(F.col("__n") < k, F.col("__n").cast("double")).otherwise(
-        F.lit(float(k - 1)) / frac
+    est = F.when(F.col("__n") < k_col, F.col("__n").cast("double")).otherwise(
+        (k_col.cast("double") - F.lit(1.0)) / frac
     )
     return agg.select(
         *group_cols, F.round(est).cast("long").alias("approx_distinct")

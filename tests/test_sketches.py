@@ -126,3 +126,17 @@ def test_kmv_grouped_and_quantiles(spark):
     # values 0..19999 uniform; distinct-value median ~10000 (±~1/√256)
     for g in (0, 1):
         assert abs(qs[(g, 0.5)] - 10_000) / 10_000 < 0.2
+
+
+def test_kmv_estimate_uses_carried_k_not_param(spark):
+    """A bottom-64 sketch passed with the default k=256 parameter must
+    NOT be treated as an exhaustive census: the carried sketch_k wins,
+    so the estimate tracks the true 10k cardinality instead of
+    reporting 64."""
+    from ravelytics_spark.operators.sketches import kmv_distinct_estimate, kmv_sketch
+
+    df = spark.range(10_000).select(F.col("id").alias("v"))
+    sk = kmv_sketch(df, "v", k=64)
+    est = kmv_distinct_estimate(sk).collect()[0].approx_distinct  # default k=256
+    assert abs(est - 10_000) / 10_000 < 0.35  # ~1/sqrt(64) error regime
+    assert est > 1_000  # and nowhere near the saturated-census 64
