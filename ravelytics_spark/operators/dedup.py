@@ -516,7 +516,13 @@ def simhash_near_pairs(
     per bucket (~45k candidate pairs each, ~3·10⁹ total) with no
     near-dups at all; the cap turns that into C(cap,2) per bucket. A
     true near-dup pair truncated from one block's bucket almost always
-    shares another (small) block bucket. ``None`` disables.
+    shares another (small) block bucket. The honest exception: an
+    EXACT-duplicate cluster larger than the cap collides identically in
+    every block, so all blocks keep the same first-N members and pairs
+    among the overflow are missed — run exact dedup (cheap hash-agg)
+    BEFORE SimHash, which removes that cluster shape entirely.
+    ``None`` disables the cap and restores the complete-for-the-radius
+    guarantee at dense-corpus cost.
     """
     if max_hamming < 0:
         raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
@@ -579,6 +585,7 @@ def simhash_near_pairs_multitable(
     signatures: DataFrame,
     max_hamming: int = 3,
     p_blocks: int = 6,
+    max_bucket_size: int | None = 2000,
 ) -> DataFrame:
     """SimHash near-pairs for DENSE corpora: multi-table block-combination
     candidate keys (the scheme of Manku, Jain & Das Sarma, "Detecting
@@ -609,6 +616,12 @@ def simhash_near_pairs_multitable(
 
     Exact ``bit_count`` verification filters candidates to
     ``hamming <= max_hamming`` as usual. Requires ``p_blocks > max_hamming``.
+
+    ``max_bucket_size`` caps each (table, key) bucket exactly as in the
+    sibling generators: even sparse 32-bit keys collapse on an
+    exact-duplicate boilerplate cluster (identical in all 20 tables →
+    20·C(m,2) join rows before distinct). As there, run exact dedup
+    first; ``None`` disables the cap and restores completeness.
     """
     import itertools
 
@@ -642,6 +655,13 @@ def simhash_near_pairs_multitable(
     tabled = signatures.select(
         "__id", "simhash", F.posexplode(keys).alias("__table", "__key")
     )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("__table", "__key").orderBy("__id")
+        tabled = (
+            tabled.withColumn("__bn", F.row_number().over(w))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
     a = tabled.alias("a")
     b = tabled.alias("b")
     pairs = (

@@ -237,8 +237,16 @@ def ivf_assign(df: DataFrame, centroids: DataFrame, vec_col: str, id_col: str = 
     n_cells× the corpus and shuffled it through a per-id window — at 2M
     vectors × 16 cells that measured 64 s vs ~4 s for this form (1000×
     scale sweep). Tie-breaking matches the old window exactly: highest
-    similarity, then LOWEST cell_id (the −cell_id struct field turns
-    greatest into min-on-ties).
+    similarity, then LOWEST cell_id — centroids are sorted by cell_id
+    driver-side and the struct carries the NEGATED sort index, so
+    greatest() resolves similarity ties toward the smallest cell_id
+    while the emitted cell_id keeps its native type (string/UUID cell
+    ids work; an int id is not forced to long).
+
+    Note: collecting the (bounded) centroid set makes this call EAGER —
+    it runs the centroid plan as a Spark job at DataFrame-construction
+    time. Materialize centroids first (or pass a local-relation frame,
+    as ``ivf_topk`` does) if building plans in a latency-sensitive loop.
     """
     import math
 
@@ -253,9 +261,10 @@ def ivf_assign(df: DataFrame, centroids: DataFrame, vec_col: str, id_col: str = 
         return df.crossJoin(F.broadcast(centroids)).select(
             F.col(id_col), F.col(vec_col), F.col("cell_id")
         )
+    cents = sorted(cents, key=lambda r: r["cell_id"])
     nv = norm(F.col(vec_col))
     structs = []
-    for r in cents:
+    for idx, r in enumerate(cents):
         cv = [float(x) for x in r["cell_vec"]]
         cn = math.sqrt(sum(x * x for x in cv))
         if cn == 0:
@@ -265,14 +274,13 @@ def ivf_assign(df: DataFrame, centroids: DataFrame, vec_col: str, id_col: str = 
                 nv > 0,
                 dot(F.col(vec_col), F.array(*[F.lit(x) for x in cv])) / (nv * F.lit(cn)),
             ).otherwise(F.lit(0.0))
-        structs.append(
-            F.struct(
-                sim.alias("s"), F.lit(-int(r["cell_id"])).cast("long").alias("nc")
-            )
-        )
+        structs.append(F.struct(sim.alias("s"), F.lit(-idx).alias("ni")))
     best = structs[0] if len(structs) == 1 else F.greatest(*structs)
+    ids_arr = F.array(*[F.lit(r["cell_id"]) for r in cents])
     return df.select(
-        F.col(id_col), F.col(vec_col), (-best["nc"]).alias("cell_id")
+        F.col(id_col),
+        F.col(vec_col),
+        F.element_at(ids_arr, -best["ni"] + 1).alias("cell_id"),
     )
 
 
@@ -299,7 +307,15 @@ def ivf_topk(
     assignment (the build/serve split; build is one corpus pass)."""
     if (centroids is None) != (assigned is None):
         raise ValueError("pass centroids and assigned together (both halves of the index)")
-    cents = centroids if centroids is not None else ivf_centroids(df, vec_col, n_cells, id_col)
+    if centroids is not None:
+        cents = centroids
+    else:
+        # Materialize the bounded centroid pick ONCE into a local
+        # relation: both consumers below (ivf_assign's collect and the
+        # probe-cell ranking) would otherwise each re-run the corpus
+        # top-n scan.
+        built = ivf_centroids(df, vec_col, n_cells, id_col)
+        cents = built.sparkSession.createDataFrame(built.collect(), built.schema)
     assigned = assigned if assigned is not None else ivf_assign(df, cents, vec_col, id_col)
     q = _as_query_lit(query_vec)
     probe_cells = (

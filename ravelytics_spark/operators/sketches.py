@@ -179,22 +179,31 @@ def kmv_merge(
     biases the estimator low. Merging at equal k is always safe.
 
     Enforced when the sketches carry ``sketch_k`` (kmv_sketch emits it):
-    raises ValueError if the requested k exceeds the smallest component
-    k. Sketches are ≤k rows per group, so the validating aggregate is
-    cheap. Pre-``sketch_k`` frames skip the check (documented contract
-    only)."""
+    any row whose sketch_k is below the requested k fails the merge job
+    with a descriptive error. The guard is a per-row conditional woven
+    into the hash value path — LAZY, so building the merged plan stays
+    free (an eager min() action here would execute the entire upstream
+    sketch plan once at construction time and again at real execution,
+    doubling the dominant cost). Pre-``sketch_k`` frames skip the check
+    (documented contract only)."""
     from pyspark.sql import Window
 
     group_cols = group_cols or []
     if "sketch_k" in sketches.columns:
-        min_k = sketches.agg(F.min("sketch_k")).first()[0]
-        if min_k is not None and k > min_k:
-            raise ValueError(
-                f"kmv_merge: requested k={k} exceeds smallest component "
-                f"sketch_k={min_k}; a union of bottom-{min_k} sketches only "
-                f"covers {min_k} hashes per part, so the merged estimator "
-                f"would bias low. Merge with k<={min_k}."
-            )
+        guard_msg = F.concat(
+            F.lit(f"kmv_merge: requested k={k} exceeds smallest component sketch_k="),
+            F.col("sketch_k").cast("string"),
+            F.lit(
+                "; a union of bottom-n sketches only covers n hashes per "
+                f"part, so the merged estimator would bias low. Merge with k<=n."
+            ),
+        )
+        # Embedded in the kept hash column (not a droppable side column)
+        # so column pruning cannot eliminate the check.
+        checked_hash = F.when(
+            F.col("sketch_k") < F.lit(k), F.raise_error(guard_msg)
+        ).otherwise(F.col("hash"))
+        sketches = sketches.select(*group_cols, checked_hash.alias("hash"), "value")
     deduped = sketches.select(*group_cols, "hash", "value").distinct()
     if not group_cols:
         return (

@@ -185,8 +185,10 @@ def x2_simhash(spark, sf_dir):
     "SimHash near-pairs via Manku-style multi-table block-combination "
     "keys (C(6,3)=20 tables of ~32-bit 3-sixth concatenations) — the "
     "dense-corpus (>~10M signatures) candidate generator; complete for "
-    "the radius by pigeonhole and equivalence-tested against the block "
-    "scheme. Harness rows-check (bit-level hash not portable).",
+    "the radius by pigeonhole (up to the hot-bucket cap, which binds "
+    "only on exact-dup clusters — dedup exactly first) and "
+    "equivalence-tested against the block scheme. Harness rows-check "
+    "(bit-level hash not portable).",
     None,
 )
 def x2_simhash_multitable(spark, sf_dir):

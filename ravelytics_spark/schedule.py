@@ -49,6 +49,11 @@ def _floor_to_interval(t: datetime, step: timedelta) -> datetime:
     # midnight — matching Airflow's '@weekly' = '0 0 * * 0'. 1970-01-01
     # is a Thursday; anchoring there would start weeks on Thursdays.
     # '@daily'/'@hourly' are insensitive to a whole-day anchor shift.
+    # MIGRATION: a RunLedger written under the pre-fix Thursday anchor
+    # holds execution dates no Sunday-anchored schedule will ever emit,
+    # so a catchup=True '@weekly' job would re-run its whole history.
+    # Rebuild (or translate dates -3 days) such ledgers once on upgrade;
+    # daily/hourly ledgers are unaffected.
     anchor = datetime.combine(date(1970, 1, 4), time())
     return anchor + ((t - anchor) // step) * step
 

@@ -161,11 +161,21 @@ def start_dedup_ingest(
         # Hadoop-visible filesystem (S3/HDFS) and on partitioned layouts,
         # where a driver-local flat *.parquet scan would read as empty and
         # silently disable cross-batch dedup.
+        # Only a missing/empty store path means "first batch, no store
+        # yet". Any OTHER read error (transient S3 credentials, corrupt
+        # footer, permissions) must fail the batch: swallowing it would
+        # dedup the batch against itself only and append duplicates of
+        # already-stored docs — silently corrupting the store.
+        from pyspark.errors import AnalysisException
+
         try:
             store = spark.read.parquet(store_path)
             store.schema  # force analysis so missing paths raise here
-        except Exception:  # AnalysisException: path does not exist / empty
-            store = None
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" in str(exc) or "UNABLE_TO_INFER_SCHEMA" in str(exc):
+                store = None
+            else:
+                raise
         survivors = dedup_batch_against_store(
             batch_df, store, id_col=id_col, text_col=text_col, threshold=threshold
         )

@@ -51,7 +51,11 @@ def build_block() -> str:
         "|---|---|---|---|",
     ]
     for n, q in REGISTRY.items():
-        if n in manual:
+        # Whole-word match: a bare substring test would let a LONGER
+        # entry name (`x2_simhash_multitable`) mask a shorter one
+        # (`x2_simhash`) and silently drop its row. `_` is a word char,
+        # so \b treats name extensions as different words.
+        if re.search(rf"\b{re.escape(n)}\b", manual):
             continue
         desc = " ".join(q.doc.split()).replace("|", "\\|")
         kind = "oracle" if q.oracle else "harness"

@@ -364,3 +364,35 @@ def test_simhash_multitable_complete_and_agrees(spark, corpus):
 
     with pytest.raises(ValueError, match="exceed"):
         DD.simhash_near_pairs_multitable(sigs, max_hamming=6, p_blocks=6)
+
+
+def test_simhash_multitable_hot_bucket_cap(spark):
+    """An exact-dup boilerplate cluster collides identically in all 20
+    tables; the cap bounds its pair cost to C(cap,2) while distinct
+    near pairs in the frame are unaffected (same contract as the
+    block-scheme and MinHash caps)."""
+
+    def to_i64(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    boiler = to_i64(0xDEADBEEFCAFEF00D)
+    near_a, near_b = to_i64(0x0123456789ABCDEF), to_i64(0x0123456789ABCDEE)
+    rows = [(i, boiler) for i in range(40)] + [(100, near_a), (101, near_b)]
+    sigs = spark.createDataFrame(rows, ["__id", "simhash"])
+
+    capped = {
+        (r.id_a, r.id_b)
+        for r in DD.simhash_near_pairs_multitable(
+            sigs, max_hamming=3, max_bucket_size=10
+        ).collect()
+    }
+    assert len({p for p in capped if p[0] < 40}) == 45  # C(10,2)
+    assert (100, 101) in capped
+
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in DD.simhash_near_pairs_multitable(
+            sigs, max_hamming=3, max_bucket_size=None
+        ).collect()
+    }
+    assert len({p for p in uncapped if p[0] < 40}) == 780  # C(40,2)

@@ -113,8 +113,11 @@ def test_kmv_merge_rejects_larger_k(spark):
 
     df = spark.range(1000).selectExpr("id AS v")
     sk = kmv_sketch(df, "v", k=64)
-    with pytest.raises(ValueError, match="exceeds smallest component"):
-        kmv_merge(sk, k=256)
+    # The guard is lazy (woven into the merge plan, no build-time job):
+    # building the over-k merge succeeds, executing it fails loudly.
+    bad = kmv_merge(sk, k=256)
+    with pytest.raises(Exception, match="exceeds smallest component"):
+        bad.collect()
     # equal-k merge still fine and carries sketch_k forward
     merged = kmv_merge(sk, k=64)
     assert "sketch_k" in merged.columns
