@@ -13,7 +13,9 @@
 - ``ivf_topk`` — IVF-style two-stage search: k-means-ish centroids
   chosen deterministically (hash-sampled rows), probe the closest
   ``n_probe`` cells only. Classic FAISS-IVF structure re-expressed as
-  two broadcast joins.
+  two broadcast joins. ``ivf_refine_centroids`` is the optional Lloyd
+  training pass over the seeds (map-only assign + one (cell, dim)
+  shuffle per iteration).
 
 Embedding cosine near-dup (pair mining) composes ``srp_signatures``
 with a bucket self-join — see ``embedding_near_pairs``.
@@ -330,6 +332,82 @@ def ivf_topk(
         .orderBy(F.desc("cos_sim"), F.col(id_col))
         .limit(k)
     )
+
+
+def ivf_refine_centroids(
+    df: DataFrame,
+    vec_col: str,
+    n_cells: int,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    train_fraction: float | None = None,
+) -> DataFrame:
+    """Lloyd's k-means refinement of the hash-sampled IVF seeds — the
+    pass ``ivf_centroids`` promises. Better-centered cells mean tighter
+    cell radii, so a fixed ``n_probe`` recovers more true neighbors
+    (FAISS trains its coarse quantizer the same way; Lloyd 1982 /
+    MacQueen 1967, public literature).
+
+    Spark shape, per iteration: (1) the map-only ``ivf_assign`` argmin —
+    zero shuffle; (2) per-cell mean vector via ``posexplode`` →
+    (cell_id, dim)-keyed avg — ONE shuffle, map-side partial aggregation,
+    key cardinality n_cells×dim; (3) the n_cells×dim means collect to
+    the driver (bounded state, e.g. 256 cells × 768 dims ≈ 1.5 MB) and
+    seed the next round as a local relation. Cosine assignment is
+    scale-invariant, so the plain mean serves as the spherical-k-means
+    centroid without renormalizing.
+
+    ``train_fraction`` trains on a seeded sample (the standard practice
+    at corpus scale — FAISS trains on ~30-256 vectors/cell); the final
+    full-corpus ``ivf_assign`` against the refined centroids is the
+    caller's build step. A cell that captures no training rows keeps its
+    previous centroid (classic empty-cell fallback). Returns the same
+    (cell_id, cell_vec) shape as ``ivf_centroids`` — cell ids keep their
+    native values/type; only the vectors move.
+    """
+    if n_iters < 0:
+        raise ValueError(f"n_iters must be >= 0, got {n_iters}")
+    if train_fraction is not None and not 0.0 < train_fraction <= 1.0:
+        raise ValueError(f"train_fraction must be in (0, 1], got {train_fraction}")
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    spark = df.sparkSession
+    train = df.sample(train_fraction, seed=7) if train_fraction else df
+    seeds = ivf_centroids(train, vec_col, n_cells, id_col)
+    id_type = seeds.schema["cell_id"].dataType
+    schema = StructType(
+        [
+            StructField("cell_id", id_type, True),
+            StructField("cell_vec", ArrayType(DoubleType()), True),
+        ]
+    )
+    rows = [
+        (r["cell_id"], [float(x) for x in r["cell_vec"]]) for r in seeds.collect()
+    ]
+    for _ in range(n_iters):
+        local = spark.createDataFrame(rows, schema)
+        assigned = ivf_assign(train, local, vec_col, id_col)
+        means = (
+            assigned.select(
+                "cell_id", F.posexplode(F.col(vec_col)).alias("__d", "__x")
+            )
+            .groupBy("cell_id", "__d")
+            .agg(F.avg("__x").alias("__m"))
+            .collect()
+        )
+        by_cell: dict = {}
+        for m in means:
+            by_cell.setdefault(m["cell_id"], {})[m["__d"]] = m["__m"]
+        rows = [
+            (
+                cell_id,
+                [float(dims[i]) for i in range(len(dims))]
+                if (dims := by_cell.get(cell_id))
+                else vec,
+            )
+            for cell_id, vec in rows
+        ]
+    return spark.createDataFrame(rows, schema)
 
 
 # ---------------------------------------------------------------------------

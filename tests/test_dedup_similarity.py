@@ -285,6 +285,55 @@ def test_ivf_assign_matches_bruteforce_argmin(vectors):
         assert got[r.vec_id] == best, r.vec_id
 
 
+def test_ivf_refine_centroids_is_one_exact_lloyd_step(spark):
+    """``n_iters=1`` must return, per cell, the exact mean of the rows
+    the SEED centroids captured (Lloyd's update by definition), with
+    cell ids stable and empty cells keeping their seed vector. Integer
+    coordinates make the double sums exact, so the comparison is
+    deterministic."""
+    # three clusters along near-orthogonal directions, 8 points each
+    base = {0: [10.0, 0.0, 1.0], 1: [0.0, 10.0, 1.0], 2: [1.0, 0.0, 10.0]}
+    rows = []
+    for c, b in base.items():
+        for j in range(8):
+            rows.append((c * 8 + j, [b[0] + (j % 2), b[1] + (j % 3), b[2]]))
+    vectors = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    seeds = SIM.ivf_centroids(vectors, "embedding", 3)
+    seed_vecs = {r.cell_id: [float(x) for x in r.cell_vec] for r in seeds.collect()}
+    assign0 = SIM.ivf_assign(vectors, seeds, "embedding").collect()
+    members: dict = {}
+    for r in assign0:
+        members.setdefault(r.cell_id, []).append(rows[r.vec_id][1])
+    expected = {
+        cell_id: [sum(col) / len(vecs) for col in zip(*vecs)]
+        if (vecs := members.get(cell_id))
+        else vec
+        for cell_id, vec in seed_vecs.items()
+    }
+
+    refined = SIM.ivf_refine_centroids(vectors, "embedding", n_cells=3, n_iters=1)
+    cents = {r.cell_id: list(r.cell_vec) for r in refined.collect()}
+    assert set(cents) == set(seed_vecs)  # ids stable; only vectors move
+    for cell_id in expected:
+        assert cents[cell_id] == pytest.approx(expected[cell_id], abs=1e-12), cell_id
+
+    # n_iters=0 returns the seeds unchanged (as doubles)
+    seeds0 = SIM.ivf_refine_centroids(vectors, "embedding", n_cells=3, n_iters=0)
+    seed_vecs = {
+        r.cell_id: [float(x) for x in r.cell_vec]
+        for r in SIM.ivf_centroids(vectors, "embedding", 3).collect()
+    }
+    assert {r.cell_id: list(r.cell_vec) for r in seeds0.collect()} == seed_vecs
+
+    with pytest.raises(ValueError, match="n_iters"):
+        SIM.ivf_refine_centroids(vectors, "embedding", n_cells=3, n_iters=-1)
+    with pytest.raises(ValueError, match="train_fraction"):
+        SIM.ivf_refine_centroids(
+            vectors, "embedding", n_cells=3, train_fraction=1.5
+        )
+
+
 def test_prebuilt_index_probe_matches_inline(vectors):
     """srp_topk/ivf_topk with a prebuilt index must return exactly what
     the inline (build+probe) form returns."""
