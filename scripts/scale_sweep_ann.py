@@ -173,7 +173,12 @@ def main():
             SIM.srp_signatures(emb, "embedding", DIM, 8).write.mode("overwrite").parquet(sig_path)
             cent_path = f"{WORK}/ivfc_{factor}x.parquet"
             asg_path = f"{WORK}/ivfa_{factor}x.parquet"
-            cents = SIM.ivf_centroids(emb, "embedding", 16)
+            # Lloyd-refine the hash seeds on a training sample (the
+            # FAISS practice); the refined centroids are the index.
+            cents = SIM.ivf_refine_centroids(
+                emb, "embedding", n_cells=16, n_iters=2,
+                train_fraction=min(1.0, 200_000 / max(n_vec, 1)),
+            )
             cents.write.mode("overwrite").parquet(cent_path)
             SIM.ivf_assign(emb, spark.read.parquet(cent_path), "embedding").write.mode(
                 "overwrite"
