@@ -384,6 +384,12 @@ def ivf_refine_centroids(
     rows = [
         (r["cell_id"], [float(x) for x in r["cell_vec"]]) for r in seeds.collect()
     ]
+    if not rows:
+        raise ValueError(
+            "ivf_refine_centroids: no training rows — the corpus is empty "
+            "or train_fraction sampled everything away; an empty centroid "
+            "set would silently produce an index that matches nothing"
+        )
     for _ in range(n_iters):
         local = spark.createDataFrame(rows, schema)
         assigned = ivf_assign(train, local, vec_col, id_col)

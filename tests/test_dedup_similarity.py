@@ -332,6 +332,10 @@ def test_ivf_refine_centroids_is_one_exact_lloyd_step(spark):
         SIM.ivf_refine_centroids(
             vectors, "embedding", n_cells=3, train_fraction=1.5
         )
+    with pytest.raises(ValueError, match="no training rows"):
+        SIM.ivf_refine_centroids(
+            vectors.filter("vec_id < 0"), "embedding", n_cells=3
+        )
 
 
 def test_ivf_refine_improves_recall_on_clustered_data(spark):
