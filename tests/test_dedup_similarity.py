@@ -338,6 +338,63 @@ def test_ivf_refine_centroids_is_one_exact_lloyd_step(spark):
         )
 
 
+def test_pq_refine_codebooks_is_one_exact_lloyd_step(spark):
+    """``n_iters=1`` must return, per (sub, code), the exact mean of the
+    training subvectors ``pq_encode`` assigned to that code under the
+    seed codebooks (empty codes keep their seed vector); and full-corpus
+    quantization error must not increase (Lloyd monotonicity)."""
+    import random
+
+    rng = random.Random(5)
+    DIM, N_SUB, N_CODES = 8, 2, 4
+    rows = [
+        (i, [float(rng.randint(-8, 8)) for _ in range(DIM)]) for i in range(60)
+    ]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    seeds = SIM.pq_codebooks(vecs, "embedding", DIM, n_sub=N_SUB, n_codes=N_CODES)
+    seed_rows = {
+        (r.sub, r.code): [float(x) for x in r.code_vec] for r in seeds.collect()
+    }
+    assign0 = SIM.pq_encode(vecs, seeds, "embedding", DIM, n_sub=N_SUB).collect()
+    sub_len = DIM // N_SUB
+    members: dict = {}
+    for r in assign0:
+        full = dict(rows)[r.vec_id]
+        for sub, code in enumerate(r.codes):
+            members.setdefault((sub, code), []).append(
+                full[sub * sub_len : (sub + 1) * sub_len]
+            )
+    expected = {
+        key: [sum(col) / len(vs) for col in zip(*vs)]
+        if (vs := members.get(key))
+        else vec
+        for key, vec in seed_rows.items()
+    }
+
+    refined = SIM.pq_refine_codebooks(
+        vecs, "embedding", DIM, n_sub=N_SUB, n_codes=N_CODES, n_iters=1
+    )
+    got = {(r.sub, r.code): list(r.code_vec) for r in refined.collect()}
+    assert set(got) == set(seed_rows)
+    for key in expected:
+        assert got[key] == pytest.approx(expected[key], abs=1e-12), key
+
+    def distortion(books):
+        """Mean squared quantization error over the corpus."""
+        book = {(r.sub, r.code): [float(x) for x in r.code_vec] for r in books.collect()}
+        enc = SIM.pq_encode(vecs, books, "embedding", DIM, n_sub=N_SUB).collect()
+        err = 0.0
+        for r in enc:
+            full = dict(rows)[r.vec_id]
+            for sub, code in enumerate(r.codes):
+                sv = full[sub * sub_len : (sub + 1) * sub_len]
+                cv = book[(sub, code)]
+                err += sum((a - b) ** 2 for a, b in zip(sv, cv))
+        return err
+
+    assert distortion(refined) <= distortion(seeds) + 1e-9
+
+
 def test_ivf_refine_improves_recall_on_clustered_data(spark):
     """On cluster-structured vectors (the workload IVF exists for), a
     trained coarse quantizer must not lose recall vs the raw hash seeds
