@@ -629,6 +629,8 @@ def pq_topk(
     n_codes: int = 16,
     rerank: int = 50,
     id_col: str = "vec_id",
+    codebooks: DataFrame | None = None,
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) search: per subspace, precompute the
     query→centroid distance table (n_sub × n_codes scalars, broadcast
@@ -640,10 +642,25 @@ def pq_topk(
     row); the ADC sum is a map expression; TakeOrderedAndProject keeps
     the shortlist; only ``rerank`` rows ever read their full vector
     (via join back to the store).
-    """
+
+    ``codebooks``/``encoded`` are the prebuilt index (outputs of
+    ``pq_codebooks``/``pq_refine_codebooks`` and ``pq_encode``,
+    materialized): pass both and a probe reads only the tiny codebook
+    table plus the codes column — the same build/serve split as
+    ``srp_topk``/``ivf_topk``; build is one corpus pass."""
     _check_query_dim(query_vec, dim)
-    books = pq_codebooks(df, vec_col, dim, n_sub, n_codes, id_col)
-    encoded = pq_encode(df, books, vec_col, dim, n_sub, id_col)
+    if (codebooks is None) != (encoded is None):
+        raise ValueError("pass codebooks and encoded together (both halves of the index)")
+    books = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks(df, vec_col, dim, n_sub, n_codes, id_col)
+    )
+    encoded = (
+        encoded
+        if encoded is not None
+        else pq_encode(df, books, vec_col, dim, n_sub, id_col)
+    )
     sub_len = dim // n_sub
     # driver-side distance table: n_sub × n_codes floats (tiny, exact)
     table = {
@@ -656,9 +673,23 @@ def pq_topk(
         )
         for r in books.collect()
     }
+    # LUT geometry comes from the codebook itself: with a PREBUILT
+    # index, trusting the n_sub/n_codes parameters against a codebook
+    # built differently would index past the LUT (null ADC → corrupt
+    # shortlist) with no error.
+    subs_seen = {s for s, _ in table}
+    if subs_seen and subs_seen != set(range(n_sub)):
+        raise ValueError(
+            f"codebook covers subspaces {sorted(subs_seen)} but n_sub={n_sub} "
+            f"with dim={dim} expects 0..{n_sub - 1}; the index was built with "
+            "a different geometry"
+        )
+    n_codes_eff = max((c for _, c in table), default=n_codes - 1) + 1
     adc = None
     for s in range(n_sub):
-        lut = F.array(*[F.lit(table.get((s, c), float("inf"))) for c in range(n_codes)])
+        lut = F.array(
+            *[F.lit(table.get((s, c), float("inf"))) for c in range(n_codes_eff)]
+        )
         term = F.element_at(lut, F.col("codes")[s] + 1)
         adc = term if adc is None else adc + term
     shortlist = (
@@ -687,6 +718,9 @@ def ivf_pq_topk(
     n_codes: int = 16,
     rerank: int = 50,
     id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ composed search (the full FAISS IVFPQ structure): coarse
     quantizer routes each vector to a cell; PQ encodes the RESIDUAL
@@ -701,27 +735,55 @@ def ivf_pq_topk(
     assignment table partitioned by cell_id for scan pruning. All
     driver-side state is centroids + codebooks (n_cells·dim +
     n_sub·n_codes·sub_len floats — KBs).
-    """
+
+    ``centroids``/``codebooks``/``encoded`` are the prebuilt index
+    (cell centroids, RESIDUAL-space codebooks, and the per-row
+    (id, cell_id, codes) table — materialize all three from one build
+    pass, ideally partitioning ``encoded`` by cell_id): pass all three
+    and a probe reads only the two tiny tables plus the probed cells'
+    codes; only the ``rerank`` shortlist joins back to ``df`` for exact
+    re-ranking. Same build/serve split as the other ``*_topk`` forms."""
     _check_query_dim(query_vec, dim)
     sub_len = dim // n_sub
-    cents = ivf_centroids(df, vec_col, n_cells, id_col)
-    assigned = ivf_assign(df, cents, vec_col, id_col).join(
-        F.broadcast(cents), "cell_id"
-    )
-    residuals = assigned.select(
-        id_col,
-        "cell_id",
-        F.zip_with(
-            F.col(vec_col), F.col("cell_vec"), lambda x, y: x - y
-        ).alias("__res"),
-    )
-    books = pq_codebooks(residuals, "__res", dim, n_sub, n_codes, id_col)
-    encoded = residuals.join(
-        pq_encode(residuals, books, "__res", dim, n_sub, id_col), id_col
-    ).select(id_col, "cell_id", "codes")
+    prebuilt = [centroids, codebooks, encoded]
+    if any(x is not None for x in prebuilt) and not all(
+        x is not None for x in prebuilt
+    ):
+        raise ValueError(
+            "pass centroids, codebooks and encoded together (all three "
+            "pieces of the IVF-PQ index)"
+        )
+    if centroids is not None:
+        cents, books = centroids, codebooks
+    else:
+        cents = ivf_centroids(df, vec_col, n_cells, id_col)
+        assigned = ivf_assign(df, cents, vec_col, id_col).join(
+            F.broadcast(cents), "cell_id"
+        )
+        residuals = assigned.select(
+            id_col,
+            "cell_id",
+            F.zip_with(
+                F.col(vec_col), F.col("cell_vec"), lambda x, y: x - y
+            ).alias("__res"),
+        )
+        books = pq_codebooks(residuals, "__res", dim, n_sub, n_codes, id_col)
+        encoded = residuals.join(
+            pq_encode(residuals, books, "__res", dim, n_sub, id_col), id_col
+        ).select(id_col, "cell_id", "codes")
 
     cent_rows = {r["cell_id"]: list(r["cell_vec"]) for r in cents.collect()}
     book_rows = {(r["sub"], r["code"]): list(r["code_vec"]) for r in books.collect()}
+    # Same LUT-geometry guard as pq_topk: a prebuilt codebook's shape
+    # wins over the n_sub/n_codes parameters.
+    subs_seen = {s for s, _ in book_rows}
+    if subs_seen and subs_seen != set(range(n_sub)):
+        raise ValueError(
+            f"codebook covers subspaces {sorted(subs_seen)} but n_sub={n_sub} "
+            f"with dim={dim} expects 0..{n_sub - 1}; the index was built with "
+            "a different geometry"
+        )
+    n_codes = max((c for _, c in book_rows), default=n_codes - 1) + 1
     # probe the n_probe closest cells (driver-side: n_cells rows)
     import math as _m
 

@@ -458,6 +458,58 @@ def test_prebuilt_index_probe_matches_inline(vectors):
         SIM.ivf_topk(vectors, "embedding", q, k=5, centroids=cents)
 
 
+def test_prebuilt_pq_index_probe_matches_inline(spark, vectors):
+    """pq_topk / ivf_pq_topk with a prebuilt index must return exactly
+    what the inline (build+probe) form returns, and geometry/pairing
+    misuse fails loudly."""
+    q = [x for x in vectors.filter("vec_id = 0").collect()[0].embedding]
+
+    books = SIM.pq_codebooks(vectors, "embedding", 16, n_sub=4)
+    enc = SIM.pq_encode(vectors, books, "embedding", 16, n_sub=4)
+    inline = SIM.pq_topk(vectors, "embedding", q, dim=16, k=5, n_sub=4).collect()
+    pre = SIM.pq_topk(
+        vectors, "embedding", q, dim=16, k=5, n_sub=4,
+        codebooks=books, encoded=enc,
+    ).collect()
+    assert [(r.vec_id, r.cos_sim) for r in inline] == [(r.vec_id, r.cos_sim) for r in pre]
+    with pytest.raises(ValueError, match="together"):
+        SIM.pq_topk(vectors, "embedding", q, dim=16, k=5, n_sub=4, codebooks=books)
+    with pytest.raises(ValueError, match="geometry"):
+        SIM.pq_topk(
+            vectors, "embedding", q, dim=16, k=5, n_sub=8,
+            codebooks=books, encoded=enc,
+        )
+
+    # ivf_pq: build the three index pieces exactly as the inline path does
+    cents = SIM.ivf_centroids(vectors, "embedding", 4)
+    cents_local = spark.createDataFrame(cents.collect(), cents.schema)
+    residuals = (
+        SIM.ivf_assign(vectors, cents_local, "embedding")
+        .join(F.broadcast(cents_local), "cell_id")
+        .select(
+            "vec_id",
+            "cell_id",
+            F.zip_with("embedding", "cell_vec", lambda x, y: x - y).alias("__res"),
+        )
+    )
+    rbooks = SIM.pq_codebooks(residuals, "__res", 16, n_sub=4)
+    renc = residuals.join(
+        SIM.pq_encode(residuals, rbooks, "__res", 16, n_sub=4), "vec_id"
+    ).select("vec_id", "cell_id", "codes")
+    inline = SIM.ivf_pq_topk(
+        vectors, "embedding", q, dim=16, k=5, n_cells=4, n_probe=2, n_sub=4
+    ).collect()
+    pre = SIM.ivf_pq_topk(
+        vectors, "embedding", q, dim=16, k=5, n_probe=2, n_sub=4,
+        centroids=cents_local, codebooks=rbooks, encoded=renc,
+    ).collect()
+    assert [(r.vec_id, r.cos_sim) for r in inline] == [(r.vec_id, r.cos_sim) for r in pre]
+    with pytest.raises(ValueError, match="all three"):
+        SIM.ivf_pq_topk(
+            vectors, "embedding", q, dim=16, k=5, n_sub=4, centroids=cents_local
+        )
+
+
 def test_simhash_hot_bucket_cap_bounds_pairs(spark):
     """40 identical signatures (a boilerplate mega-cluster colliding in
     every block) must cost C(cap,2) pairs, not C(40,2); a distinct near
