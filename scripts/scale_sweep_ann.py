@@ -195,6 +195,29 @@ def main():
                 ),
             )
 
+            # PQ build/serve: trained codebooks + encoded codes once;
+            # an ADC probe then touches only the codes column.
+            t0 = time.perf_counter()
+            book_path = f"{WORK}/pqb_{factor}x.parquet"
+            code_path = f"{WORK}/pqc_{factor}x.parquet"
+            books = SIM.pq_refine_codebooks(
+                emb, "embedding", DIM, n_sub=8, n_iters=2,
+                train_fraction=min(1.0, 200_000 / max(n_vec, 1)),
+            )
+            books.write.mode("overwrite").parquet(book_path)
+            SIM.pq_encode(
+                emb, spark.read.parquet(book_path), "embedding", DIM, n_sub=8
+            ).write.mode("overwrite").parquet(code_path)
+            print(f"    {'index build (pq books + codes)':34s} {time.perf_counter() - t0:8.2f}s", flush=True)
+            t(
+                "pq probe (prebuilt index)",
+                SIM.pq_topk(
+                    emb, "embedding", query_vec, dim=DIM, k=10, n_sub=8,
+                    codebooks=spark.read.parquet(book_path),
+                    encoded=spark.read.parquet(code_path),
+                ),
+            )
+
         if "fuzzy" in families:
             names = spark.read.parquet(build_names(spark, factor))
             n_nm = names.count()
