@@ -487,7 +487,7 @@ def simhash_near_pairs(
     signatures: DataFrame,
     max_hamming: int = 3,
     n_blocks: int | None = None,
-    max_bucket_size: int | None = 2000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance.
 
@@ -508,21 +508,25 @@ def simhash_near_pairs(
     pairs could spread one flip into every piece, share none, and
     silently vanish from the candidates.
 
-    ``max_bucket_size`` is the hot-bucket cap, exactly as in
+    ``max_bucket_size`` is an OPT-IN hot-bucket cap, exactly as in
     ``minhash_lsh_candidates``: a (block_idx, value) bucket is capped to
-    its first N members by id BEFORE the self-join. This bounds the
+    its first N members by id BEFORE the self-join. The default (None)
+    preserves the complete-for-the-radius contract above — with a cap, a
+    true near-dup pair whose ONLY agreeing block lands in a hot bucket
+    (e.g. 3 flips spread across 3 different blocks leave exactly one
+    agreeing block) is silently dropped, so enabling it trades
+    completeness for bounded cost on dense corpora. The cap bounds the
     DENSE-corpus blowup — 16-bit pieces hold only 65,536 distinct
     values, so at ~5M signatures a random corpus averages ~300 members
     per bucket (~45k candidate pairs each, ~3·10⁹ total) with no
     near-dups at all; the cap turns that into C(cap,2) per bucket. A
     true near-dup pair truncated from one block's bucket almost always
-    shares another (small) block bucket. The honest exception: an
-    EXACT-duplicate cluster larger than the cap collides identically in
-    every block, so all blocks keep the same first-N members and pairs
-    among the overflow are missed — run exact dedup (cheap hash-agg)
-    BEFORE SimHash, which removes that cluster shape entirely.
-    ``None`` disables the cap and restores the complete-for-the-radius
-    guarantee at dense-corpus cost.
+    shares another (small) block bucket, but the guarantee is gone. An
+    EXACT-duplicate cluster larger than the cap is the worst case:
+    it collides identically in every block, so all blocks keep the same
+    first-N members and pairs among the overflow are missed — run exact
+    dedup (cheap hash-agg) BEFORE SimHash, which removes that cluster
+    shape entirely.
     """
     if max_hamming < 0:
         raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
@@ -585,7 +589,7 @@ def simhash_near_pairs_multitable(
     signatures: DataFrame,
     max_hamming: int = 3,
     p_blocks: int = 6,
-    max_bucket_size: int | None = 2000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-pairs for DENSE corpora: multi-table block-combination
     candidate keys (the scheme of Manku, Jain & Das Sarma, "Detecting

@@ -437,6 +437,33 @@ def _check_pq_geometry(dim: int, n_sub: int) -> None:
         )
 
 
+def _check_codebook_geometry(
+    keys_to_vecs: dict, n_sub: int, sub_len: int
+) -> None:
+    """Prebuilt-index guard shared by pq_topk / ivf_pq_topk: a codebook
+    built with a different geometry must raise, not bias distances.
+    Two silent-corruption paths are closed here: (a) subspace coverage —
+    missing/extra subspaces mean the LUT is indexed past its bounds;
+    (b) subvector length — ``zip(query_slice, code_vec)`` TRUNCATES to
+    the shorter side, so a codebook whose code_vec length differs from
+    dim // n_sub (same n_sub, different dim) would quietly compute ADC
+    over a prefix of each subvector."""
+    subs_seen = {s for s, _ in keys_to_vecs}
+    if subs_seen and subs_seen != set(range(n_sub)):
+        raise ValueError(
+            f"codebook covers subspaces {sorted(subs_seen)} but n_sub={n_sub} "
+            f"expects 0..{n_sub - 1}; the index was built with a different "
+            "geometry"
+        )
+    for (s, c), vec in keys_to_vecs.items():
+        if len(vec) != sub_len:
+            raise ValueError(
+                f"codebook entry (sub={s}, code={c}) has {len(vec)} dims but "
+                f"dim//n_sub = {sub_len}; the index was built for a different "
+                "vector dim — zip() would silently truncate the ADC table"
+            )
+
+
 def pq_codebooks(
     df: DataFrame,
     vec_col: str,
@@ -649,6 +676,7 @@ def pq_topk(
     table plus the codes column — the same build/serve split as
     ``srp_topk``/``ivf_topk``; build is one corpus pass."""
     _check_query_dim(query_vec, dim)
+    _check_pq_geometry(dim, n_sub)
     if (codebooks is None) != (encoded is None):
         raise ValueError("pass codebooks and encoded together (both halves of the index)")
     books = (
@@ -662,28 +690,20 @@ def pq_topk(
         else pq_encode(df, books, vec_col, dim, n_sub, id_col)
     )
     sub_len = dim // n_sub
-    # driver-side distance table: n_sub × n_codes floats (tiny, exact)
-    table = {
-        (r["sub"], r["code"]): sum(
-            (float(q) - float(c)) ** 2
-            for q, c in zip(
-                query_vec[r["sub"] * sub_len : (r["sub"] + 1) * sub_len],
-                r["code_vec"],
-            )
-        )
-        for r in books.collect()
-    }
     # LUT geometry comes from the codebook itself: with a PREBUILT
     # index, trusting the n_sub/n_codes parameters against a codebook
-    # built differently would index past the LUT (null ADC → corrupt
-    # shortlist) with no error.
-    subs_seen = {s for s, _ in table}
-    if subs_seen and subs_seen != set(range(n_sub)):
-        raise ValueError(
-            f"codebook covers subspaces {sorted(subs_seen)} but n_sub={n_sub} "
-            f"with dim={dim} expects 0..{n_sub - 1}; the index was built with "
-            "a different geometry"
+    # built differently would corrupt every ADC distance with no error
+    # (out-of-bounds LUT index → null, or zip-truncated subvectors).
+    book_rows = {(r["sub"], r["code"]): r["code_vec"] for r in books.collect()}
+    _check_codebook_geometry(book_rows, n_sub, sub_len)
+    # driver-side distance table: n_sub × n_codes floats (tiny, exact)
+    table = {
+        (s, c): sum(
+            (float(q) - float(cv)) ** 2
+            for q, cv in zip(query_vec[s * sub_len : (s + 1) * sub_len], vec)
         )
+        for (s, c), vec in book_rows.items()
+    }
     n_codes_eff = max((c for _, c in table), default=n_codes - 1) + 1
     adc = None
     for s in range(n_sub):
@@ -744,6 +764,7 @@ def ivf_pq_topk(
     codes; only the ``rerank`` shortlist joins back to ``df`` for exact
     re-ranking. Same build/serve split as the other ``*_topk`` forms."""
     _check_query_dim(query_vec, dim)
+    _check_pq_geometry(dim, n_sub)
     sub_len = dim // n_sub
     prebuilt = [centroids, codebooks, encoded]
     if any(x is not None for x in prebuilt) and not all(
@@ -775,14 +796,8 @@ def ivf_pq_topk(
     cent_rows = {r["cell_id"]: list(r["cell_vec"]) for r in cents.collect()}
     book_rows = {(r["sub"], r["code"]): list(r["code_vec"]) for r in books.collect()}
     # Same LUT-geometry guard as pq_topk: a prebuilt codebook's shape
-    # wins over the n_sub/n_codes parameters.
-    subs_seen = {s for s, _ in book_rows}
-    if subs_seen and subs_seen != set(range(n_sub)):
-        raise ValueError(
-            f"codebook covers subspaces {sorted(subs_seen)} but n_sub={n_sub} "
-            f"with dim={dim} expects 0..{n_sub - 1}; the index was built with "
-            "a different geometry"
-        )
+    # (subspace coverage AND subvector length) wins over the parameters.
+    _check_codebook_geometry(book_rows, n_sub, sub_len)
     n_codes = max((c for _, c in book_rows), default=n_codes - 1) + 1
     # probe the n_probe closest cells (driver-side: n_cells rows)
     import math as _m

@@ -139,6 +139,37 @@ def dedup_batch_against_store(
     )
 
 
+_STORE_ABSENT_CONDITIONS = frozenset({"PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"})
+
+
+def _is_store_absent(exc: Exception) -> bool:
+    """True iff the AnalysisException means 'the store path does not
+    exist yet' (first batch). Compares the structured error class from
+    ``getCondition()`` / ``getErrorClass()`` EXACTLY — substring-matching
+    str(exc) misclassifies: message formats vary across Spark versions
+    and a transient failure whose chained message happens to contain
+    these tokens would silently disable cross-batch dedup for the batch
+    (appending duplicates of already-stored docs). Falls back to a
+    whole-token message match only when the exception carries no error
+    class (pre-error-class Spark builds)."""
+    for getter in ("getCondition", "getErrorClass"):
+        fn = getattr(exc, getter, None)
+        if fn is None:
+            continue
+        try:
+            condition = fn()
+        except Exception:
+            continue
+        if condition is not None:
+            # condition may be dotted (e.g. PATH_NOT_FOUND or a
+            # sub-classed UNABLE_TO_INFER_SCHEMA.*): compare the head.
+            return condition.split(".")[0] in _STORE_ABSENT_CONDITIONS
+    # no structured class available: legacy message format starts with
+    # the bracketed class, e.g. "[PATH_NOT_FOUND] Path does not exist"
+    head = str(exc).lstrip().lstrip("[").split("]")[0].split(".")[0]
+    return head in _STORE_ABSENT_CONDITIONS
+
+
 def start_dedup_ingest(
     doc_stream: DataFrame,
     store_path: str,
@@ -172,7 +203,7 @@ def start_dedup_ingest(
             store = spark.read.parquet(store_path)
             store.schema  # force analysis so missing paths raise here
         except AnalysisException as exc:
-            if "PATH_NOT_FOUND" in str(exc) or "UNABLE_TO_INFER_SCHEMA" in str(exc):
+            if _is_store_absent(exc):
                 store = None
             else:
                 raise

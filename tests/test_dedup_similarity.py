@@ -599,3 +599,62 @@ def test_simhash_multitable_hot_bucket_cap(spark):
         ).collect()
     }
     assert len({p for p in uncapped if p[0] < 40}) == 780  # C(40,2)
+
+
+def test_prebuilt_pq_codebook_wrong_dim_raises(vectors):
+    """ADVICE r3: a prebuilt codebook whose code_vec length differs from
+    dim // n_sub must raise, not silently zip-truncate the ADC table;
+    and dim % n_sub != 0 must raise on the prebuilt path too."""
+    books = SIM.pq_codebooks(vectors, "embedding", 16, n_sub=4)  # sub_len=4
+    enc = SIM.pq_encode(vectors, books, "embedding", 16, n_sub=4)
+    q32 = [float(i) for i in range(32)]
+    # same n_sub, different dim → sub_len=8 vs codebook's 4-dim entries
+    with pytest.raises(ValueError, match="truncate"):
+        SIM.pq_topk(
+            vectors, "embedding", q32, dim=32, k=5, n_sub=4,
+            codebooks=books, encoded=enc,
+        )
+    # non-tiling geometry is rejected before any collect, prebuilt or not
+    q15 = [float(i) for i in range(15)]
+    with pytest.raises(ValueError, match="divisible"):
+        SIM.pq_topk(
+            vectors, "embedding", q15, dim=15, k=5, n_sub=4,
+            codebooks=books, encoded=enc,
+        )
+    with pytest.raises(ValueError, match="divisible"):
+        SIM.ivf_pq_topk(vectors, "embedding", q15, dim=15, k=5, n_sub=4)
+
+
+def test_simhash_default_is_complete_for_radius(spark):
+    """ADVICE r3: the default (no hot-bucket cap) must keep the
+    pigeonhole completeness contract — a true near pair whose ONLY
+    agreeing block shares its bucket with a boilerplate crowd is still
+    found by default, and demonstrably LOST when a small cap is opted
+    into (the documented trade)."""
+
+    def to_i64(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    # pair differing in bits 0 / 16 / 32 → blocks 0,1,2 dirty; ONLY
+    # block 3 (bits 48..63) agrees. hamming = 3 = default radius.
+    a = 0x7A7A_5B5B_3C3C_1D1D
+    b = a ^ (1 << 0) ^ (1 << 16) ^ (1 << 32)
+    # 30 boilerplate sigs share the pair's block-3 value (hot bucket)
+    # but differ everywhere else; their ids sort BEFORE the pair's.
+    boiler = [
+        (i, to_i64((a & 0xFFFF_0000_0000_0000) | (i * 0x0001_0101_0101) | 0x8000_0000))
+        for i in range(30)
+    ]
+    rows = boiler + [(100, to_i64(a)), (101, to_i64(b))]
+    sigs = spark.createDataFrame(rows, ["__id", "simhash"])
+
+    default_pairs = {
+        (r.id_a, r.id_b) for r in DD.simhash_near_pairs(sigs, max_hamming=3).collect()
+    }
+    assert (100, 101) in default_pairs  # complete by default
+
+    capped_pairs = {
+        (r.id_a, r.id_b)
+        for r in DD.simhash_near_pairs(sigs, max_hamming=3, max_bucket_size=10).collect()
+    }
+    assert (100, 101) not in capped_pairs  # the opt-in cap's honest cost

@@ -107,3 +107,37 @@ def test_streaming_ingest_end_to_end(spark, tmp_path, crash_before_ledger):
     assert got == {1, 2, 11}
     # the signature column rides along for future batches
     assert "sig" in spark.read.parquet(str(store)).columns
+
+
+def test_store_absent_detection_uses_error_class():
+    """ADVICE r3: first-batch detection must compare the structured
+    error class exactly, not substring-match str(exc) — a transient
+    failure whose message merely MENTIONS these tokens must fail the
+    batch (else cross-batch dedup is silently skipped and duplicates
+    append)."""
+    from ravelytics_spark.streaming.dedup_stream import _is_store_absent
+
+    class FakeExc(Exception):
+        def __init__(self, condition, msg):
+            super().__init__(msg)
+            self._c = condition
+
+        def getCondition(self):
+            return self._c
+
+    assert _is_store_absent(FakeExc("PATH_NOT_FOUND", "Path does not exist"))
+    assert _is_store_absent(
+        FakeExc("UNABLE_TO_INFER_SCHEMA.PARQUET", "empty dir")
+    )
+    # transient error whose MESSAGE contains the token: not absent
+    assert not _is_store_absent(
+        FakeExc(
+            "FAILED_READ_FILE",
+            "retry exhausted; inner cause mentioned PATH_NOT_FOUND upstream",
+        )
+    )
+    # no structured class at all: only a leading bracketed class counts
+    assert _is_store_absent(Exception("[PATH_NOT_FOUND] Path does not exist: /x"))
+    assert not _is_store_absent(
+        Exception("S3 timeout while listing; saw PATH_NOT_FOUND in a nested cause")
+    )
