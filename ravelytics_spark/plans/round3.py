@@ -579,37 +579,57 @@ FROM best GROUP BY 1, 2 ORDER BY 1, 2
     "x22_centroid_assign",
     "OP-X3",
     "Nearest-centroid assignment + label confusion: every vector scored "
-    "against every label centroid (centroid set is labels × dims — tiny "
-    "— so it BROADCASTS; the per-vector work is a map-side loop over k "
-    "candidates), argmin by decimal-exact squared L2 with deterministic "
-    "(d2, label) tie-break, then a confusion-matrix rollup. The k-means "
-    "E-step / embedding-space label-purity check. Shuffles: centroid "
-    "agg + the k-way per-vector min (vec-local, map-side combined) + "
-    "the k×k confusion agg.",
+    "against every label centroid as a MAP-ONLY argmin (the ivf_assign "
+    "idiom — the bounded centroid set is collected and unrolled into a "
+    "least() over (d2, cand) structs, so there is NO row blow-up, NO "
+    "broadcast join and NO per-(vec,cand) aggregate; the old "
+    "posexplode-join-agg form shuffled vectors x k x dims rows and was "
+    "the bench's flagged 10x-ratio query). d2 stays DECIMAL-exact "
+    "inside a zip_with/aggregate fold, so the argmin and its (d2, "
+    "cand) tie-break are bit-identical to the oracle on any "
+    "partitioning. The k-means E-step / embedding-space label-purity "
+    "check. Shuffles: the centroid agg (labels x dims, map-side "
+    "combined) + the k x k confusion agg — nothing else.",
     _ASSIGN_ORACLE,
 )
 def x22_centroid_assign(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
-    cent = _centroids(spark, sf_dir).select(
-        F.col("label").alias("cand"), "dim", "c"
-    )
-    vx = e.select(
-        "vec_id", "label", F.posexplode(F.col("embedding").cast("array<double>"))
-    ).withColumnRenamed("pos", "dim").withColumnRenamed("col", "x")
-    diff = F.col("x") - F.col("c")
-    dist = (
-        vx.join(F.broadcast(cent), "dim")
-        .groupBy("vec_id", "label", "cand")
-        .agg(F.sum((diff * diff).cast("decimal(38,18)")).cast("double").alias("d2"))
-    )
-    w = Window.partitionBy("vec_id").orderBy("d2", "cand")
-    best = (
-        dist.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("label", F.col("cand").alias("assigned"))
-    )
+    # bounded driver state: labels × dims rows (10 × 64 here); same
+    # eager-collect contract as operators/similarity.ivf_assign
+    cent_rows = _centroids(spark, sf_dir).limit(10_001).collect()
+    if len(cent_rows) > 10_000:
+        raise ValueError(
+            "x22 unrolls centroids into the plan; got >10k (label, dim) rows"
+        )
+    by_label: dict = {}
+    for r in cent_rows:
+        by_label.setdefault(r["label"], {})[int(r["dim"])] = float(r["c"])
+    vec = F.col("embedding").cast("array<double>")
+    # decimal(32,18): scale matches the oracle's DECIMAL(38,18) cast
+    # (same 18-place rounding of each double term), while the 14
+    # integral digits of headroom keep (acc + v).cast back to (32,18)
+    # precision-narrowing only — the fold never drops a scale digit the
+    # way a (38,18)+(38,18)→(38,17) add would
+    zero = F.lit(0).cast("decimal(32,18)")
+    structs = []
+    for cand in sorted(by_label):
+        dims = by_label[cand]
+        carr = F.array(*[F.lit(dims[d]) for d in range(len(dims))])
+        terms = F.zip_with(
+            vec, carr, lambda x, y: ((x - y) * (x - y)).cast("decimal(32,18)")
+        )
+        d2 = F.aggregate(
+            terms, zero, lambda acc, v: (acc + v).cast("decimal(32,18)")
+        )
+        # compare as DOUBLE like the oracle (decimal-distinct values can
+        # collapse to equal doubles, where the cand tie-break must win)
+        structs.append(
+            F.struct(d2.cast("double").alias("d2"), F.lit(cand).alias("cand"))
+        )
+    best = structs[0] if len(structs) == 1 else F.least(*structs)
     return (
-        best.groupBy("label", "assigned")
+        e.select("label", best["cand"].alias("assigned"))
+        .groupBy("label", "assigned")
         .agg(F.count("*").cast("long").alias("n"))
         .orderBy("label", "assigned")
     )
