@@ -365,3 +365,249 @@ def x83_bm25_score(spark, sf_dir):
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# x84 — per-source Zipf slope (log-log OLS over the top-ranked vocab)
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 200
+
+_ZIPF_ORACLE = f"""
+WITH tok AS (
+    SELECT d.source, unnest(string_split(lower(d.text), ' ')) AS w
+    FROM documents d
+),
+wc AS (
+    SELECT source, w, CAST(count(*) AS BIGINT) AS n
+    FROM tok WHERE w <> '' GROUP BY source, w
+),
+ranked AS (
+    SELECT source, w, n,
+           row_number() OVER (
+               PARTITION BY source ORDER BY n DESC, w) AS rank
+    FROM wc QUALIFY rank <= {_ZIPF_TOP}
+),
+terms AS (
+    SELECT source, ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y
+    FROM ranked
+),
+sums AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS k,
+           CAST(SUM(CAST(round(x, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(round(y, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(round(x * y, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(round(x * x, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+    FROM terms GROUP BY source
+)
+SELECT source, k,
+       round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS zipf_slope
+FROM sums ORDER BY source
+"""
+
+
+@_staged(
+    "x84_zipf_slope",
+    "OP-G6/X4-ext",
+    "Per-source Zipf exponent: OLS slope of ln(freq) on ln(rank) over "
+    "each source's top-200 vocabulary — natural text sits near -1; "
+    "boilerplate/spam sources drift off it, making this a corpus-level "
+    "quality monitor the per-doc filters (x27 Gopher, x4 quality) "
+    "cannot see. The regression-aggregate primitive (covar/var shape) "
+    "done hash-stably: ln() per distinct (rank|freq), per-term round "
+    "to 12 dp then DECIMAL sums (addition order irrelevant), one IEEE "
+    "slope division + round. Scale: the (source, word) agg is "
+    "vocab-bounded, the rank window is top-k per source over that "
+    "bounded set, and the OLS sums are 4 numbers per source.",
+    _ZIPF_ORACLE,
+)
+def x84_zipf_slope(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    wc = tok.groupBy("source", "w").agg(F.count("*").cast("long").alias("n"))
+    w_rank = Window.partitionBy("source").orderBy(F.desc("n"), "w")
+    ranked = (
+        wc.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= _ZIPF_TOP)
+    )
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("n").cast("double"))
+
+    def dsum12(col):
+        return F.sum(F.round(col, 12).cast("decimal(28,12)")).cast("double")
+
+    sums = ranked.groupBy("source").agg(
+        F.count("*").cast("long").alias("k"),
+        dsum12(x).alias("sx"),
+        dsum12(y).alias("sy"),
+        dsum12(x * y).alias("sxy"),
+        dsum12(x * x).alias("sxx"),
+    )
+    k, sx, sy, sxy, sxx = (F.col(c) for c in ("k", "sx", "sy", "sxy", "sxx"))
+    return sums.select(
+        "source",
+        "k",
+        F.round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6).alias(
+            "zipf_slope"
+        ),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# x85 — Jensen-Shannon divergence of each source vs the corpus mix
+# ---------------------------------------------------------------------------
+
+_JSD_ORACLE = """
+WITH tok AS (
+    SELECT d.source, unnest(string_split(lower(d.text), ' ')) AS w
+    FROM documents d
+),
+tok2 AS (SELECT source, w FROM tok WHERE w <> ''),
+wc_s AS (SELECT source, w, CAST(count(*) AS BIGINT) AS n_sw
+         FROM tok2 GROUP BY source, w),
+wc   AS (SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM tok2 GROUP BY w),
+tot_s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+          FROM tok2 GROUP BY source),
+tot  AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok2),
+grid AS (
+    SELECT s.source, v.w, v.n_w, coalesce(ws.n_sw, 0) AS n_sw
+    FROM tot_s s CROSS JOIN wc v
+    LEFT JOIN wc_s ws ON ws.source = s.source AND ws.w = v.w
+),
+terms AS (
+    SELECT g.source,
+           CAST(g.n_sw AS DOUBLE) / CAST(ts.n_s AS DOUBLE) AS p,
+           CAST(g.n_w AS DOUBLE) / CAST(t.n AS DOUBLE) AS q
+    FROM grid g JOIN tot_s ts ON ts.source = g.source CROSS JOIN tot t
+),
+contrib AS (
+    SELECT source,
+           CASE WHEN p > 0 THEN round(p * ln(p / ((p + q) / 2)), 12)
+                ELSE 0 END AS tp,
+           round(q * ln(q / ((p + q) / 2)), 12) AS tq
+    FROM terms
+)
+SELECT source,
+       round(0.5 * CAST(SUM(CAST(tp AS DECIMAL(28,12))) AS DOUBLE)
+           + 0.5 * CAST(SUM(CAST(tq AS DECIMAL(28,12))) AS DOUBLE), 6)
+           AS jsd
+FROM contrib GROUP BY source ORDER BY source
+"""
+
+
+@_staged(
+    "x85_jsd_source_drift",
+    "OP-X4/G3-ext",
+    "Jensen-Shannon divergence between each source's unigram "
+    "distribution and the corpus mixture — the standard bounded "
+    "(0..ln2) distribution-shift score for training-mix monitoring "
+    "(which source is lexically off-mix) and for drift alarms between "
+    "corpus snapshots. Absent words matter (p=0 rows still carry the "
+    "q*ln(2) mass), so the score runs over the sources x vocab grid — "
+    "vocab-bounded, never corpus-bounded: two token hash-aggs, a "
+    "broadcast of the per-source totals, one grid join on the word "
+    "key. Per-term round-12 + DECIMAL sums make it "
+    "partitioning-independent; ln() per grid cell follows the x20 "
+    "parity precedent.",
+    _JSD_ORACLE,
+)
+def x85_jsd_source_drift(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    wc_s = tok.groupBy("source", "w").agg(
+        F.count("*").cast("long").alias("n_sw")
+    )
+    wc = tok.groupBy("w").agg(F.count("*").cast("long").alias("n_w"))
+    tot_s = tok.groupBy("source").agg(F.count("*").cast("long").alias("n_s"))
+    tot = tok.agg(F.count("*").cast("long").alias("n"))
+    grid = (
+        tot_s.crossJoin(wc)
+        .join(wc_s, ["source", "w"], "left")
+        .withColumn("n_sw", F.coalesce(F.col("n_sw"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    p = F.col("n_sw").cast("double") / F.col("n_s").cast("double")
+    q = F.col("n_w").cast("double") / F.col("n").cast("double")
+    m = (p + q) / 2
+    tp = F.when(p > 0, F.round(p * F.log(p / m), 12)).otherwise(F.lit(0.0))
+    tq = F.round(q * F.log(q / m), 12)
+    return (
+        grid.select("source", tp.alias("tp"), tq.alias("tq"))
+        .groupBy("source")
+        .agg(
+            F.round(
+                0.5 * F.sum(F.col("tp").cast("decimal(28,12)")).cast("double")
+                + 0.5
+                * F.sum(F.col("tq").cast("decimal(28,12)")).cast("double"),
+                6,
+            ).alias("jsd")
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x86 — deterministic shard manifest (assignment + content fingerprint)
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 16
+# Knuth multiplicative hash — exact BIGINT math, identical in DuckDB
+# (same constant as x26_fixed_k_sample; xxhash64 has no DuckDB twin)
+_KNUTH = 2654435761
+
+_SHARD_ORACLE = f"""
+WITH assign AS (
+    SELECT doc_id, md5(text) AS fp, length(text) AS n_chars,
+           (doc_id * {_KNUTH}) % 4294967296 % {_N_SHARDS} AS shard
+    FROM documents
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       md5(string_agg(fp, '' ORDER BY doc_id)) AS manifest_fp
+FROM assign GROUP BY shard ORDER BY shard
+"""
+
+
+@_staged(
+    "x86_shard_manifest",
+    "OP-X9/O5-ext",
+    "Deterministic training-shard planner + manifest: every document "
+    "maps to one of 16 shards by exact Knuth-hash BIGINT arithmetic "
+    "(layout- and engine-independent — df.sample/rand are partition-"
+    "seeded and are not), and each shard publishes a content "
+    "fingerprint: md5 over its member md5s in doc_id order. Two runs "
+    "(or two engines) producing identical manifest_fp proves the "
+    "shipped shards are byte-identical — the reproducibility receipt a "
+    "100 TB export job needs. The doc_id-ordered digest concat uses "
+    "the g2_collect_sorted idiom (sort_array of structs), aggregating "
+    "16-byte digests, never documents.",
+    _SHARD_ORACLE,
+)
+def x86_shard_manifest(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    assign = d.select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        F.length("text").cast("long").alias("n_chars"),
+        ((F.col("doc_id") * _KNUTH) % 4294967296 % _N_SHARDS)
+        .cast("long")
+        .alias("shard"),
+    )
+    ordered_fps = F.transform(
+        F.array_sort(F.collect_list(F.struct("doc_id", "fp"))),
+        lambda s: s["fp"],
+    )
+    return (
+        assign.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.md5(F.array_join(ordered_fps, "")).alias("manifest_fp"),
+        )
+        .orderBy("shard")
+    )

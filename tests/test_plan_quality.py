@@ -219,3 +219,31 @@ def test_ivf_assign_is_map_only(spark, sf_dir):
     assert "Join" not in plan
     assert "Exchange" not in plan
     assert "Window" not in plan
+
+
+def test_x22_centroid_assign_argmin_is_map_only(spark, sf_dir):
+    """The catalog's nearest-centroid confusion query scores vectors with
+    the same unrolled least-over-structs argmin as ivf_assign: no join,
+    no window, no explode — the only exchanges are the k x k confusion
+    hash-agg and the final order-by range partitioning. (The previous
+    posexplode + broadcast-join + per-vector window shuffled
+    vectors x k x dims rows — the round-3 scale table's 2.3x entry.)"""
+    plan = _executed_plan(REGISTRY["x22_centroid_assign"].spark(spark, sf_dir))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "Generate" not in plan  # no posexplode of the vectors
+    assert plan.count("Exchange") == 2  # confusion agg + output sort
+
+
+def test_x30_rp_projection_has_no_agg_shuffle(spark, sf_dir):
+    """Random projection bakes the data-independent sign matrix into the
+    plan as literal arrays, so each projection is a per-row fold: no
+    join, no aggregate at all, and the single exchange is the output
+    sort's range partitioning. (The previous explode x 8 -> (vec_id, j)
+    hash-agg shuffled dims x 8 term rows per vector — the round-4 scale
+    table's 2.8x entry.)"""
+    plan = _executed_plan(REGISTRY["x30_rp_projection"].spark(spark, sf_dir))
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning" in plan
