@@ -19,6 +19,18 @@ Entries:
 * ``x83_bm25_score`` — Okapi BM25 (k1=1.2, b=0.75) for a fixed query
   over the documents table; idf/tf/length-normalization computed
   identically in both engines.
+* ``x84_zipf_slope`` — per-source Zipf exponent via log-log OLS over
+  the top-ranked vocabulary (regression-aggregate primitive).
+* ``x85_jsd_source_drift`` — Jensen-Shannon divergence of each
+  source's unigram distribution vs the corpus mixture (training-mix
+  drift monitor over the sources × vocab grid).
+* ``x86_shard_manifest`` — deterministic Knuth-hash shard assignment
+  plus per-shard md5-chain content fingerprint (reproducible-export
+  receipt).
+* ``x87_bigram_logprob`` — bigram-LM mean log-probability per doc
+  (the conditional upgrade of x20's unigram perplexity proxy).
+* ``x88_lexical_diversity`` — per-source type-token and hapax ratios
+  (corpus-health dual of the Zipf slope).
 
 Hash-parity conventions as plans/queries.py: decimal-exact sums
 (_dsum), IEEE-only double division, explicit round() where double
@@ -611,3 +623,149 @@ def x86_shard_manifest(spark, sf_dir):
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# x87 — bigram-LM mean log-probability per document
+# ---------------------------------------------------------------------------
+
+_BIGRAM_LM_ORACLE = """
+WITH tok AS (
+    SELECT doc_id, w, pos FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ) WHERE w <> ''
+),
+seq AS (
+    SELECT doc_id, w,
+           row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+    FROM tok
+),
+bg AS (
+    SELECT doc_id, w AS w1,
+           lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS w2
+    FROM seq
+),
+bg2 AS (SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL),
+cb AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS cnt
+       FROM bg2 GROUP BY w1, w2),
+cu AS (SELECT w1, CAST(count(*) AS DOUBLE) AS tot FROM bg2 GROUP BY w1),
+lm AS (SELECT cb.w1, cb.w2, ln(cb.cnt / cu.tot) AS lp
+       FROM cb JOIN cu ON cb.w1 = cu.w1)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(sum(lp) / count(*), 6) AS mean_bigram_lp
+FROM bg2 JOIN lm ON bg2.w1 = lm.w1 AND bg2.w2 = lm.w2
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@_staged(
+    "x87_bigram_logprob",
+    "OP-X4-ext",
+    "Bigram-LM mean log-probability per document — the conditional "
+    "upgrade of x20's unigram perplexity proxy (P(w2|w1) = "
+    "C(w1,w2)/C(w1,*)): repeated boilerplate scores near 0 while "
+    "shuffled/generated word salad scores far below, separating the "
+    "two failure modes a unigram LM conflates. One tokenize pass "
+    "feeds a doc-partitioned lead() window (bigrams never cross "
+    "docs), the LM is (bigram-vocab)-bounded and ln() is computed per "
+    "DISTINCT bigram type, and the per-doc mean rounds to 6 dp under "
+    "the x20 parity budget. Shuffles: bigram agg + unigram agg + the "
+    "LM join-back + per-doc agg — all on vocab- or doc-keyed rows, "
+    "never corpus×corpus.",
+    _BIGRAM_LM_ORACLE,
+)
+def x87_bigram_logprob(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    ).filter(F.col("w") != "")
+    wseq = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        tok.select(
+            "doc_id",
+            F.col("w").alias("w1"),
+            F.lead("w").over(wseq).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    cb = bg.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("cnt"))
+    cu = bg.groupBy("w1").agg(F.count("*").cast("double").alias("tot"))
+    lm = cb.join(cu, "w1").select(
+        "w1", "w2", F.log(F.col("cnt") / F.col("tot")).alias("lp")
+    )
+    return (
+        bg.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.sum("lp") / F.count("*"), 6).alias("mean_bigram_lp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x88 — lexical diversity per source (type-token + hapax ratios)
+# ---------------------------------------------------------------------------
+
+_DIVERSITY_ORACLE = """
+WITH tok AS (
+    SELECT d.source, unnest(string_split(lower(d.text), ' ')) AS w
+    FROM documents d
+),
+t AS (SELECT source, w FROM tok WHERE w <> ''),
+wc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS n
+       FROM t GROUP BY source, w),
+agg AS (
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(count(*) FILTER (WHERE n = 1) AS BIGINT) AS n_hapax
+    FROM wc GROUP BY source
+)
+SELECT source, n_tokens, n_types, n_hapax,
+       round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS type_token_ratio,
+       round(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_ratio
+FROM agg ORDER BY source
+"""
+
+
+@_staged(
+    "x88_lexical_diversity",
+    "OP-X4/G5-ext",
+    "Lexical-diversity profile per source: type-token ratio and hapax-"
+    "legomenon share — the corpus-health dual of x84's Zipf slope "
+    "(template/boilerplate sources show low TTR; OCR-noise/spam "
+    "sources show inflated hapax share from misspellings). Two "
+    "stacked hash-aggs — (source, word) then source — both map-side "
+    "combined and vocab-bounded; counts stay BIGINT-exact and the two "
+    "ratios are single IEEE divisions rounded to 6 dp.",
+    _DIVERSITY_ORACLE,
+)
+def x88_lexical_diversity(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    wc = t.groupBy("source", "w").agg(F.count("*").cast("long").alias("n"))
+    agg = wc.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.round(F.col("n_types").cast("double") / F.col("n_tokens"), 6).alias(
+            "type_token_ratio"
+        ),
+        F.round(F.col("n_hapax").cast("double") / F.col("n_types"), 6).alias(
+            "hapax_ratio"
+        ),
+    ).orderBy("source")

@@ -221,6 +221,16 @@ def test_ivf_assign_is_map_only(spark, sf_dir):
     assert "Window" not in plan
 
 
+def _final_plan(df) -> str:
+    """Executed plan, FINAL section only: once an AQE plan has run (the
+    x22/x30 plan caches return the same DataFrame to every caller, so
+    an earlier test may already have executed it), toString() prints
+    both '== Final Plan ==' and '== Initial Plan ==' sections and naive
+    substring counts double."""
+    plan = _executed_plan(df)
+    return plan.split("== Initial Plan ==")[0]
+
+
 def test_x22_centroid_assign_argmin_is_map_only(spark, sf_dir):
     """The catalog's nearest-centroid confusion query scores vectors with
     the same unrolled least-over-structs argmin as ivf_assign: no join,
@@ -228,7 +238,7 @@ def test_x22_centroid_assign_argmin_is_map_only(spark, sf_dir):
     hash-agg and the final order-by range partitioning. (The previous
     posexplode + broadcast-join + per-vector window shuffled
     vectors x k x dims rows — the round-3 scale table's 2.3x entry.)"""
-    plan = _executed_plan(REGISTRY["x22_centroid_assign"].spark(spark, sf_dir))
+    plan = _final_plan(REGISTRY["x22_centroid_assign"].spark(spark, sf_dir))
     assert "Join" not in plan
     assert "Window" not in plan
     assert "Generate" not in plan  # no posexplode of the vectors
@@ -242,7 +252,7 @@ def test_x30_rp_projection_has_no_agg_shuffle(spark, sf_dir):
     sort's range partitioning. (The previous explode x 8 -> (vec_id, j)
     hash-agg shuffled dims x 8 term rows per vector — the round-4 scale
     table's 2.8x entry.)"""
-    plan = _executed_plan(REGISTRY["x30_rp_projection"].spark(spark, sf_dir))
+    plan = _final_plan(REGISTRY["x30_rp_projection"].spark(spark, sf_dir))
     assert "Join" not in plan
     assert "HashAggregate" not in plan
     assert plan.count("Exchange") == 1
