@@ -602,7 +602,9 @@ def x22_centroid_assign(spark, sf_dir):
     # re-executes the assignment scan.
     key = (id(spark), sf_dir)
     cached = _ASSIGN_PLAN_CACHE.get(key)
-    if cached is not None:
+    # id() can recycle after a session is garbage-collected: only a hit
+    # whose DataFrame still belongs to THIS live session is valid
+    if cached is not None and cached.sparkSession is spark:
         return cached
     e = load_table(spark, sf_dir, "embeddings")
     # bounded driver state: labels × dims rows (10 × 64 here); same

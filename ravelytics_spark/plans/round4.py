@@ -291,7 +291,9 @@ def x30_rp_projection(spark, sf_dir):
     # re-executes the scan.
     key = (id(spark), sf_dir)
     cached = _RP_PLAN_CACHE.get(key)
-    if cached is not None:
+    # id() can recycle after a session is garbage-collected: only a hit
+    # whose DataFrame still belongs to THIS live session is valid
+    if cached is not None and cached.sparkSession is spark:
         return cached
     e = load_table(spark, sf_dir, "embeddings")
     # vector width is a table property; probe it once per dataset, not
