@@ -31,6 +31,10 @@ Entries:
   (the conditional upgrade of x20's unigram perplexity proxy).
 * ``x88_lexical_diversity`` — per-source type-token and hapax ratios
   (corpus-health dual of the Zipf slope).
+* ``x89_decayed_engagement`` — exponentially time-decayed activity
+  score per user (exact integer-microsecond ages, one-week e-folding).
+* ``x90_benford_deviation`` — Benford leading-digit audit of order
+  totals (integer digit extraction; expected shares as literals).
 
 Hash-parity conventions as plans/queries.py: decimal-exact sums
 (_dsum), IEEE-only double division, explicit round() where double
@@ -769,3 +773,152 @@ def x88_lexical_diversity(spark, sf_dir):
             "hapax_ratio"
         ),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# x89 — exponentially time-decayed engagement score per user
+# ---------------------------------------------------------------------------
+
+_DECAY_HOURS = 168.0  # e-folding time: one week
+
+_DECAY_ORACLE = f"""
+WITH ref AS (SELECT max(ts) AS mx FROM events),
+ages AS (
+    SELECT e.user_id,
+           date_diff('microsecond', e.ts, ref.mx) // 3600000000 AS age_h
+    FROM events e CROSS JOIN ref
+),
+w AS (
+    SELECT user_id, exp(-(CAST(age_h AS DOUBLE)) / {_DECAY_HOURS}) AS wt
+    FROM ages
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(wt), 6) AS decayed_score
+FROM w GROUP BY user_id ORDER BY user_id
+"""
+
+
+@_staged(
+    "x89_decayed_engagement",
+    "OP-G6/D-ext",
+    "Exponentially time-decayed engagement per user (one-week "
+    "e-folding): the recency-weighted activity primitive behind churn "
+    "scores and freshness-weighted sampling — a plain count ignores "
+    "WHEN activity happened. Age is computed in pure INTEGER "
+    "microsecond arithmetic from the corpus max-ts scalar (broadcast "
+    "back; timestampdiff/date_diff at MICROSECOND granularity — exact "
+    "at the values' own precision, no tz/DST math), floored to hours "
+    "so exp() sees "
+    "identical small-integer inputs; per-user double sums follow the "
+    "x20 ulp-budget precedent (tens of sub-1.0 terms against a 6-dp "
+    "round). One scalar agg + one user-keyed agg, map-side combined — "
+    "nothing global, nothing corpus×corpus.",
+    _DECAY_ORACLE,
+)
+def x89_decayed_engagement(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.agg(F.max("ts").alias("mx"))
+    # timestampdiff at MICROSECOND granularity is the exact difference
+    # of the us-precision NTZ values on both engines (the second-level
+    # boundary-counting trap of date_diff('second') cannot bite at the
+    # values' own granularity) and involves no session-timezone math —
+    # unix_micros/epoch_us would need an NTZ->instant conversion whose
+    # offset only cancels when no DST boundary sits inside the corpus.
+    ages = ev.crossJoin(F.broadcast(ref)).select(
+        "user_id",
+        F.floor(
+            F.expr("timestampdiff(MICROSECOND, ts, mx)") / F.lit(3600000000)
+        )
+        .cast("long")
+        .alias("age_h"),
+    )
+    wt = F.exp(-(F.col("age_h").cast("double")) / F.lit(_DECAY_HOURS))
+    return (
+        ages.select("user_id", wt.alias("wt"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("wt"), 6).alias("decayed_score"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x90 — Benford leading-digit deviation of order totals
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+_BENFORD = {d: _math.log10(1 + 1 / d) for d in range(1, 10)}
+
+_BENFORD_CASE_SQL = " ".join(
+    f"WHEN {d} THEN {_BENFORD[d]!r}" for d in range(1, 10)
+)
+
+_BENFORD_ORACLE = f"""
+WITH cents AS (
+    SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+    FROM orders WHERE o_totalprice > 0
+),
+digit AS (
+    SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS d
+    FROM cents
+),
+counts AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM digit GROUP BY d),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counts)
+SELECT d, n,
+       round(CAST(n AS DOUBLE) / t, 6) AS share,
+       CASE d {_BENFORD_CASE_SQL} END AS expected,
+       round(abs(CAST(n AS DOUBLE) / t - CASE d {_BENFORD_CASE_SQL} END), 6)
+           AS abs_dev
+FROM counts CROSS JOIN tot ORDER BY d
+"""
+
+
+@_staged(
+    "x90_benford_deviation",
+    "OP-G5/X4-ext",
+    "Benford's-law leading-digit audit of order totals — the classic "
+    "fabricated-data / ingestion-corruption smoke alarm (natural "
+    "multi-scale amounts follow P(d)=log10(1+1/d); truncated or "
+    "synthesized feeds do not). The leading digit is extracted via "
+    "exact integer math (2-dp price → rounded cents LONG → first "
+    "char), never log10 (whose ulp at exact powers of ten could flip "
+    "the digit between engines); expected shares are PYTHON-computed "
+    "literals injected into both the Spark plan and the oracle SQL, "
+    "so no transcendental runs in either engine. One 9-group "
+    "hash-agg + a scalar total broadcast.",
+    _BENFORD_ORACLE,
+)
+def x90_benford_deviation(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    digit = (
+        o.filter(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+                1,
+                1,
+            )
+            .cast("long")
+            .alias("d")
+        )
+    )
+    counts = digit.groupBy("d").agg(F.count("*").cast("long").alias("n"))
+    tot = counts.agg(F.sum("n").cast("long").alias("t"))
+    expected = F.create_map(
+        *[F.lit(v) for d in range(1, 10) for v in (d, _BENFORD[d])]
+    )[F.col("d")]
+    share = F.col("n").cast("double") / F.col("t")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            "n",
+            F.round(share, 6).alias("share"),
+            expected.alias("expected"),
+            F.round(F.abs(share - expected), 6).alias("abs_dev"),
+        )
+        .orderBy("d")
+    )
