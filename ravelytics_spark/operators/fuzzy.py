@@ -85,12 +85,25 @@ def _bucket_ids(v: DataFrame, max_bucket_size: int | None) -> DataFrame:
     now a free ``size()`` filter instead of an extra counting pass),
     and in-bucket pair expansion happens lazily inside the explode.
     """
-    buckets = v.groupBy("__vh").agg(
+    if max_bucket_size is not None:
+        # Cap BEFORE the collect: filtering on size(__ids) after the agg
+        # bounds the output but not the aggregation itself — a 50M-member
+        # hot bucket would still be accumulated into one ObjectHashAgg
+        # buffer (per-GROUP state cannot spill) before being dropped.
+        # The count pre-pass keys on the SAME __vh the collect groups
+        # on, so its exchange is reused, and (id, hash) rows are unique
+        # per id (array_distinct upstream) — count(*) == size of the
+        # eventual id set, making pre- and post-filter equivalent.
+        small = (
+            v.groupBy("__vh")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") <= max_bucket_size)
+            .select("__vh")
+        )
+        v = v.join(small, "__vh")
+    return v.groupBy("__vh").agg(
         F.array_sort(F.collect_set("__fid")).alias("__ids")
     )
-    if max_bucket_size is not None:
-        buckets = buckets.filter(F.size("__ids") <= max_bucket_size)
-    return buckets
 
 
 def fuzzy_self_pairs(
@@ -112,20 +125,22 @@ def fuzzy_self_pairs(
     """
     v = _variant_rows(df, id_col, str_col)
     buckets = _bucket_ids(v, max_bucket_size)
-    # pairs (ids[i], ids[j]) for i < j, generated inside the bucket row
-    combos = F.flatten(
-        F.transform(
-            "__ids",
-            lambda x, i: F.transform(
-                F.slice("__ids", i + F.lit(2), F.size("__ids")),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
+    # pairs (ids[i], ids[j]) for i < j, STREAMED as two chained explodes
+    # (posexplode each member, then explode its tail slice): peak
+    # per-row state is O(bucket), where a single flatten(transform(...))
+    # pair array would materialize all C(n, 2) structs in ONE row —
+    # a 100k-member exact-dup bucket is 5e9 structs, past both the 2^31
+    # array limit and executor memory, on a shape the old streaming
+    # self-join survived.
     cand = (
         buckets.filter(F.size("__ids") >= 2)
-        .select(F.explode(combos).alias("__p"))
-        .select("__p.id_a", "__p.id_b")
+        .select("__ids", F.posexplode("__ids").alias("__i", "id_a"))
+        .select(
+            "id_a",
+            F.explode(
+                F.slice("__ids", F.col("__i") + F.lit(2), F.size("__ids"))
+            ).alias("id_b"),
+        )
         .distinct()
     )
     # MERGE hint: Catalyst's static size estimate of the candidate side

@@ -218,9 +218,13 @@ def x81_semdedup(spark, sf_dir):
         / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
         4,
     )
+    # no broadcast hint on the norm tables: n2 is one row per VECTOR
+    # (corpus-sized, not cluster-bounded) — forcing a broadcast would
+    # OOM the driver at exactly the scale the docstring promises; let
+    # AQE pick the strategy from runtime stats
     dups = (
-        dt.join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
+        dt.join(na, "id_a")
+        .join(nb, "id_b")
         .filter(cos >= _SEMDEDUP_THRESHOLD)
         .select("label", F.col("id_b").alias("dropped"))
         .distinct()

@@ -600,10 +600,11 @@ def x22_centroid_assign(spark, sf_dir):
     # job and the unrolled argmin costs Catalyst analysis — pay both
     # once per (session, dataset). No data caching: every action
     # re-executes the assignment scan.
-    key = (id(spark), sf_dir)
-    cached = _ASSIGN_PLAN_CACHE.get(key)
-    # id() can recycle after a session is garbage-collected: only a hit
-    # whose DataFrame still belongs to THIS live session is valid
+    # keyed on sf_dir alone (bounded: one live entry per dataset); a
+    # hit is only valid when its DataFrame belongs to THIS session —
+    # on a session change the entry is rebuilt and replaced, so dead
+    # sessions are not pinned indefinitely
+    cached = _ASSIGN_PLAN_CACHE.get(sf_dir)
     if cached is not None and cached.sparkSession is spark:
         return cached
     e = load_table(spark, sf_dir, "embeddings")
@@ -614,6 +615,16 @@ def x22_centroid_assign(spark, sf_dir):
         raise ValueError(
             "x22 unrolls centroids into the plan; got >10k (label, dim) rows"
         )
+    if not cent_rows:
+        # empty corpus: schema-correct empty confusion matrix (the old
+        # join form returned empty; F.least() with no args would raise)
+        out = e.select(
+            "label",
+            F.col("label").alias("assigned"),
+            F.lit(0).cast("long").alias("n"),
+        ).filter(F.lit(False))
+        _ASSIGN_PLAN_CACHE[sf_dir] = out
+        return out
     by_label: dict = {}
     for r in cent_rows:
         by_label.setdefault(r["label"], {})[int(r["dim"])] = float(r["c"])
@@ -646,7 +657,7 @@ def x22_centroid_assign(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("n"))
         .orderBy("label", "assigned")
     )
-    _ASSIGN_PLAN_CACHE[key] = out
+    _ASSIGN_PLAN_CACHE[sf_dir] = out
     return out
 
 

@@ -289,20 +289,54 @@ def x30_rp_projection(spark, sf_dir):
     # a second to RUN at sf0.1 — build it once per (session, dataset)
     # and reuse the DataFrame. No data is cached; every action
     # re-executes the scan.
-    key = (id(spark), sf_dir)
-    cached = _RP_PLAN_CACHE.get(key)
-    # id() can recycle after a session is garbage-collected: only a hit
-    # whose DataFrame still belongs to THIS live session is valid
+    # keyed on sf_dir alone (bounded: one live entry per dataset); a
+    # hit is only valid when its DataFrame belongs to THIS session —
+    # on a session change the entry is REBUILT AND REPLACED, so a dead
+    # session is never pinned longer than one dataset slot (a
+    # (id(spark), sf_dir) key would both grow unboundedly and pin
+    # every dead session forever, which also makes id() reuse checks
+    # moot)
+    cached = _RP_PLAN_CACHE.get(sf_dir)
     if cached is not None and cached.sparkSession is spark:
         return cached
     e = load_table(spark, sf_dir, "embeddings")
-    # vector width is a table property; probe it once per dataset, not
-    # once per call (the probe is a real single-row job)
-    dims = _RP_DIMS_CACHE.get(sf_dir)
-    if dims is None:
-        dims = e.select(F.size(F.col("embedding")).alias("d")).first()["d"]
-        _RP_DIMS_CACHE[sf_dir] = dims
     vec = F.col("embedding").cast("array<double>")
+    # vector width and max |element| are table properties; probe them
+    # once per dataset, not once per call (the probe is a real job)
+    probe = _RP_DIMS_CACHE.get(sf_dir)
+    if probe is None:
+        probe = e.agg(
+            F.max(F.size("embedding")).alias("d"),
+            F.max(F.array_max(F.transform(vec, lambda x: F.abs(x)))).alias(
+                "mx"
+            ),
+        ).first()
+        probe = (probe["d"], probe["mx"])
+        _RP_DIMS_CACHE[sf_dir] = probe
+    dims, mx = probe
+    if dims is None:
+        # empty table: schema-correct empty result (the old explode
+        # form returned empty; first()[...] must not raise)
+        out = e.select(
+            "vec_id",
+            F.lit(0).cast("long").alias("j"),
+            F.lit(0.0).alias("proj"),
+        ).filter(F.lit(False))
+        _RP_PLAN_CACHE[sf_dir] = out
+        return out
+    # Overflow guard for the fixed-point domain: each element must fit
+    # decimal(18,12) (|x| < 1e6) and the dims-term scaled long sum must
+    # stay under 2^63 (|x| < 2^63 / (dims * 1e12)). The oracle's
+    # DECIMAL(38,12) computes such inputs exactly, so degrading
+    # silently (ANSI off wraps; ANSI on throws mid-job) is not
+    # acceptable — raise loudly at plan build instead.
+    limit = min(1_000_000.0, 9.2e18 / (max(dims, 1) * 1e12))
+    if mx is not None and mx >= limit:
+        raise ValueError(
+            f"x30_rp_projection fixed-point path needs |element| < "
+            f"{limit:g} (saw {mx:g} over {dims} dims); use a "
+            f"decimal(38,12)-sum variant for this value range"
+        )
 
     # Exact fixed-point in LONGs: element i converts ONCE (shared by
     # all 8 projections across the stage-1 projection barrier) to its
@@ -356,7 +390,7 @@ def x30_rp_projection(spark, sf_dir):
         stage1.select("vec_id", F.inline(F.array(*projs)))
         .orderBy("vec_id", "j")
     )
-    _RP_PLAN_CACHE[key] = out
+    _RP_PLAN_CACHE[sf_dir] = out
     return out
 
 

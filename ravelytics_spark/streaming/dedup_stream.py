@@ -164,10 +164,20 @@ def _is_store_absent(exc: Exception) -> bool:
             # condition may be dotted (e.g. PATH_NOT_FOUND or a
             # sub-classed UNABLE_TO_INFER_SCHEMA.*): compare the head.
             return condition.split(".")[0] in _STORE_ABSENT_CONDITIONS
-    # no structured class available: legacy message format starts with
-    # the bracketed class, e.g. "[PATH_NOT_FOUND] Path does not exist"
-    head = str(exc).lstrip().lstrip("[").split("]")[0].split(".")[0]
-    return head in _STORE_ABSENT_CONDITIONS
+    # no structured class available: the legacy message either starts
+    # with the bracketed class ("[PATH_NOT_FOUND] Path does not exist")
+    # or — on pre-error-class builds — is plain prose with no bracket
+    # ("Path does not exist: <path>" / "Unable to infer schema for
+    # Parquet"). Match PREFIXES only: a transient failure whose chained
+    # message merely CONTAINS these tokens deeper in still fails the
+    # batch instead of silently disabling cross-batch dedup.
+    msg = str(exc).lstrip()
+    head = msg.lstrip("[").split("]")[0].split(".")[0]
+    if head in _STORE_ABSENT_CONDITIONS:
+        return True
+    return msg.startswith("Path does not exist") or msg.startswith(
+        "Unable to infer schema"
+    )
 
 
 def start_dedup_ingest(
