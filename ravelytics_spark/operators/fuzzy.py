@@ -106,6 +106,11 @@ def _bucket_ids(v: DataFrame, max_bucket_size: int | None) -> DataFrame:
     )
 
 
+# Buckets up to this size expand through a single in-row pair array
+# (C(1024, 2) structs ~ 8 MB); above it, pairs stream row-by-row.
+_PAIR_STREAM_THRESHOLD = 1024
+
+
 def fuzzy_self_pairs(
     df: DataFrame,
     id_col: str,
@@ -124,16 +129,33 @@ def fuzzy_self_pairs(
     (id, string) side when the dictionary is small.
     """
     v = _variant_rows(df, id_col, str_col)
-    buckets = _bucket_ids(v, max_bucket_size)
-    # pairs (ids[i], ids[j]) for i < j, STREAMED as two chained explodes
-    # (posexplode each member, then explode its tail slice): peak
-    # per-row state is O(bucket), where a single flatten(transform(...))
-    # pair array would materialize all C(n, 2) structs in ONE row —
-    # a 100k-member exact-dup bucket is 5e9 structs, past both the 2^31
-    # array limit and executor memory, on a shape the old streaming
-    # self-join survived.
-    cand = (
-        buckets.filter(F.size("__ids") >= 2)
+    buckets = _bucket_ids(v, max_bucket_size).filter(F.size("__ids") >= 2)
+    # pairs (ids[i], ids[j]) for i < j — SIZE-SPLIT. Small buckets (the
+    # overwhelming majority) build one modest in-row pair array: this
+    # form is sweep-proven at 15M names / 450M variant rows on the
+    # default heap, while routing EVERY bucket through the chained
+    # posexplode+slice streaming form was measured to OOM that same
+    # sweep (each first-explode output row duplicates the whole __ids
+    # array and each slice() reallocates — ~2-3x the allocation rate
+    # on the hot path). Giant buckets take the streaming form anyway:
+    # one flatten(transform(...)) array of C(n, 2) structs hits the
+    # 2^31 element limit near n=65k and executor memory well before —
+    # there, O(n) per-row state beats O(n^2) in one row.
+    small = buckets.filter(F.size("__ids") <= _PAIR_STREAM_THRESHOLD)
+    combos = F.flatten(
+        F.transform(
+            "__ids",
+            lambda x, i: F.transform(
+                F.slice("__ids", i + F.lit(2), F.size("__ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    small_pairs = small.select(F.explode(combos).alias("__p")).select(
+        "__p.id_a", "__p.id_b"
+    )
+    large_pairs = (
+        buckets.filter(F.size("__ids") > _PAIR_STREAM_THRESHOLD)
         .select("__ids", F.posexplode("__ids").alias("__i", "id_a"))
         .select(
             "id_a",
@@ -141,8 +163,8 @@ def fuzzy_self_pairs(
                 F.slice("__ids", F.col("__i") + F.lit(2), F.size("__ids"))
             ).alias("id_b"),
         )
-        .distinct()
     )
+    cand = small_pairs.unionByName(large_pairs).distinct()
     # MERGE hint: Catalyst's static size estimate of the candidate side
     # (agg → in-bucket explode → distinct) wildly undershoots its true
     # pair volume, so the planner tried to BROADCAST tens of millions of

@@ -156,6 +156,17 @@ def main():
     )
 
     for factor in factors:
+        # Scale shuffle partitions with the data, as a real cluster
+        # would: the 1000x fuzzy sweep pushes ~450M variant rows
+        # through one groupBy — at the session default of 32
+        # partitions that is ~14M rows of per-task aggregation state,
+        # which GC-thrashes an 8g heap nondeterministically (observed
+        # both green at 569s and heap-OOM on identical code). More
+        # partitions = less per-task state; AQE coalesces the small
+        # factors' excess back down.
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(min(1024, 32 * factor))
+        )
         if "ann" in families:
             emb = spark.read.parquet(build_embeddings(spark, factor))
             n_vec = emb.count()

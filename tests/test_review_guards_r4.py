@@ -45,18 +45,22 @@ def test_x30_out_of_range_elements_raise_loudly(spark, tmp_path):
         REGISTRY["x30_rp_projection"].spark(spark, str(tmp_path))
 
 
-def test_fuzzy_hot_bucket_streams_and_cap_prefilters(spark):
-    """A single exact-dup bucket must produce all C(n,2) pairs without
-    building them as ONE array row (the streamed two-explode shape),
-    and the bucket cap must drop the hot bucket entirely."""
-    from ravelytics_spark.operators.fuzzy import fuzzy_self_pairs
-
-    n = 300
-    df = spark.createDataFrame(
-        [(i, "same-name") for i in range(n)], "id long, s string"
+def test_fuzzy_hot_bucket_both_paths_and_cap_prefilters(spark):
+    """The size-split pair expansion must produce all C(n,2) pairs on
+    both sides of the threshold (small = in-row array, large =
+    streamed chained explodes), and the bucket cap must drop the hot
+    bucket before any pair is built."""
+    from ravelytics_spark.operators.fuzzy import (
+        _PAIR_STREAM_THRESHOLD,
+        fuzzy_self_pairs,
     )
-    pairs = fuzzy_self_pairs(df, "id", "s")
-    assert pairs.count() == n * (n - 1) // 2
+
+    for n in (300, _PAIR_STREAM_THRESHOLD + 200):
+        df = spark.createDataFrame(
+            [(i, "same-name") for i in range(n)], "id long, s string"
+        )
+        pairs = fuzzy_self_pairs(df, "id", "s")
+        assert pairs.count() == n * (n - 1) // 2, n
     capped = fuzzy_self_pairs(df, "id", "s", max_bucket_size=100)
     assert capped.count() == 0
 
