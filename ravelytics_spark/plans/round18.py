@@ -25,8 +25,8 @@ Entries:
   source's unigram distribution vs the corpus mixture (training-mix
   drift monitor over the sources × vocab grid).
 * ``x86_shard_manifest`` — deterministic Knuth-hash shard assignment
-  plus per-shard md5-chain content fingerprint (reproducible-export
-  receipt).
+  plus an order-independent per-shard digest-sum fingerprint
+  (reproducible-export receipt, O(1) aggregation state).
 * ``x87_bigram_logprob`` — bigram-LM mean log-probability per doc
   (the conditional upgrade of x20's unigram perplexity proxy).
 * ``x88_lexical_diversity`` — per-source type-token and hapax ratios
@@ -581,14 +581,16 @@ _KNUTH = 2654435761
 
 _SHARD_ORACLE = f"""
 WITH assign AS (
-    SELECT doc_id, md5(text) AS fp, length(text) AS n_chars,
+    SELECT doc_id,
+           CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS fph,
+           length(text) AS n_chars,
            (doc_id * {_KNUTH}) % 4294967296 % {_N_SHARDS} AS shard
     FROM documents
 )
 SELECT CAST(shard AS BIGINT) AS shard,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS n_chars,
-       md5(string_agg(fp, '' ORDER BY doc_id)) AS manifest_fp
+       CAST(SUM(fph) % 2305843009213693952 AS BIGINT) AS manifest_sum
 FROM assign GROUP BY shard ORDER BY shard
 """
 
@@ -600,34 +602,47 @@ FROM assign GROUP BY shard ORDER BY shard
     "maps to one of 16 shards by exact Knuth-hash BIGINT arithmetic "
     "(layout- and engine-independent — df.sample/rand are partition-"
     "seeded and are not), and each shard publishes a content "
-    "fingerprint: md5 over its member md5s in doc_id order. Two runs "
-    "(or two engines) producing identical manifest_fp proves the "
-    "shipped shards are byte-identical — the reproducibility receipt a "
-    "100 TB export job needs. The doc_id-ordered digest concat uses "
-    "the g2_collect_sorted idiom (sort_array of structs), aggregating "
-    "16-byte digests, never documents.",
+    "fingerprint: the exact SUM of each member's 60-bit md5-prefix "
+    "integer. Summation is commutative, so the fingerprint is "
+    "order-independent with O(1) aggregation state per shard and "
+    "map-side partial combine — a doc_id-ordered digest CHAIN "
+    "(collect_list + concat) would hold every member digest of a "
+    "shard in ONE agg buffer, the unbounded per-group-state class a "
+    "billion-doc shard cannot afford. Two runs (or two engines) "
+    "producing equal (n_docs, manifest_sum) certifies shard content "
+    "(the exact sum is reduced mod 2^61 so both engines emit BIGINT; "
+    "residues stay uniform) with collision odds ~ birthday(2^60) per "
+    "shard — the "
+    "reproducibility receipt a 100 TB export job needs.",
     _SHARD_ORACLE,
 )
 def x86_shard_manifest(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     assign = d.select(
         "doc_id",
-        F.md5("text").alias("fp"),
+        # conv(hex, 16, 10) == DuckDB CAST('0x' || hex AS BIGINT): 15
+        # hex chars = 60 bits, exact in BIGINT on both engines
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("fph"),
         F.length("text").cast("long").alias("n_chars"),
         ((F.col("doc_id") * _KNUTH) % 4294967296 % _N_SHARDS)
         .cast("long")
         .alias("shard"),
-    )
-    ordered_fps = F.transform(
-        F.array_sort(F.collect_list(F.struct("doc_id", "fp"))),
-        lambda s: s["fp"],
     )
     return (
         assign.groupBy("shard")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
             F.sum("n_chars").cast("long").alias("n_chars"),
-            F.md5(F.array_join(ordered_fps, "")).alias("manifest_fp"),
+            # exact decimal sum reduced mod 2^61: keeps the digest's
+            # full sensitivity (uniform residue) while landing in
+            # BIGINT on both engines — DuckDB's HUGEINT/DECIMAL(38,0)
+            # sums surface as float64 in pandas and break the dtype
+            # contract (the round-3 HUGEINT trap)
+            (F.sum(F.col("fph").cast("decimal(38,0)")) % F.lit(2305843009213693952))
+            .cast("long")
+            .alias("manifest_sum"),
         )
         .orderBy("shard")
     )
