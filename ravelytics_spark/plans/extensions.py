@@ -176,7 +176,16 @@ def x2_minhash_lsh(spark, sf_dir):
 def x2_simhash(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     sigs = DD.simhash_signatures(d, "doc_id", "text")
-    return DD.simhash_near_pairs(sigs, max_hamming=3).orderBy("id_a", "id_b")
+    # Explicit hot-bucket cap: the library default is None (complete
+    # for the radius), but this CATALOG/benchmark call site relies on
+    # bounded cost — a dense corpus packs ~C(bucket,2) candidate pairs
+    # per 16-bit block bucket without it. 2000 never binds at test SFs
+    # (buckets are tiny) and the cap's only blind spot — exact-dup
+    # clusters larger than the cap — is removed by running exact dedup
+    # first (see simhash_near_pairs docstring).
+    return DD.simhash_near_pairs(
+        sigs, max_hamming=3, max_bucket_size=2000
+    ).orderBy("id_a", "id_b")
 
 
 @q(
@@ -194,7 +203,12 @@ def x2_simhash(spark, sf_dir):
 def x2_simhash_multitable(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     sigs = DD.simhash_signatures(d, "doc_id", "text")
-    return DD.simhash_near_pairs_multitable(sigs, max_hamming=3).orderBy("id_a", "id_b")
+    # Same explicit cap rationale as x2_simhash: catalog call sites
+    # keep the bounded-cost contract; the library default stays None
+    # for completeness.
+    return DD.simhash_near_pairs_multitable(
+        sigs, max_hamming=3, max_bucket_size=2000
+    ).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------

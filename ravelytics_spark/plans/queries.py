@@ -825,3 +825,11 @@ from ravelytics_spark.plans import round14 as _round14  # noqa: E402,F401
 from ravelytics_spark.plans import round15 as _round15  # noqa: E402,F401
 from ravelytics_spark.plans import round16 as _round16  # noqa: E402,F401
 from ravelytics_spark.plans import round17 as _round17  # noqa: E402,F401
+
+# Round-18 entries were STAGED in round 4 (catalog frozen until the
+# round-3 certification backlog cleared in the r04 driver window —
+# CORRECTNESS_r04.json is green for all 22); round 5 registers them.
+# The module self-registers its STAGED dict into REGISTRY at import
+# (bottom of round18.py), which stays correct whichever module is
+# imported first.
+from ravelytics_spark.plans import round18 as _round18  # noqa: E402,F401

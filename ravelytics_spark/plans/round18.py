@@ -584,7 +584,7 @@ WITH assign AS (
     SELECT doc_id,
            CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS fph,
            length(text) AS n_chars,
-           (doc_id * {_KNUTH}) % 4294967296 % {_N_SHARDS} AS shard
+           ((doc_id & 2147483647) * {_KNUTH}) % 4294967296 % {_N_SHARDS} AS shard
     FROM documents
 )
 SELECT CAST(shard AS BIGINT) AS shard,
@@ -626,7 +626,19 @@ def x86_shard_manifest(spark, sf_dir):
         .cast("long")
         .alias("fph"),
         F.length("text").cast("long").alias("n_chars"),
-        ((F.col("doc_id") * _KNUTH) % 4294967296 % _N_SHARDS)
+        # doc_id is masked to 31 bits BEFORE the multiply: (2^31-1) *
+        # KNUTH ≈ 5.7e18 < 2^63, so the product never overflows BIGINT
+        # on either engine. The raw doc_id * KNUTH form overflowed for
+        # doc_id ≳ 3.47e9 — Spark (non-ANSI) wraps to a negative shard
+        # while DuckDB raises, an engine divergence at exactly the
+        # billion-doc scale this op targets. Bitwise AND is
+        # two's-complement-identical in Spark and DuckDB, including
+        # for negative ids.
+        (
+            (F.col("doc_id").bitwiseAND(F.lit(2147483647)) * _KNUTH)
+            % 4294967296
+            % _N_SHARDS
+        )
         .cast("long")
         .alias("shard"),
     )
@@ -941,3 +953,14 @@ def x90_benford_deviation(spark, sf_dir):
         )
         .orderBy("d")
     )
+
+
+# Round-5 registration: the round-3 freeze is lifted (all 22 backlog
+# entries certified in CORRECTNESS_r04.json), so the staged entries
+# join the live catalog. Self-registering here (instead of
+# queries.py touching STAGED) keeps the import acyclic whichever
+# module loads first: by the time this line runs, queries.REGISTRY
+# exists even when queries.py itself is mid-import.
+from ravelytics_spark.plans.queries import REGISTRY as _REGISTRY  # noqa: E402
+
+_REGISTRY.update(STAGED)

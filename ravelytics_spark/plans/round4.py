@@ -41,7 +41,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ravelytics_spark.plans.queries import _dsum, _dsum_sql, q
-from ravelytics_spark.sources.tables import load_table
+from ravelytics_spark.sources.tables import dataset_fingerprint, load_table
 
 # ---------------------------------------------------------------------------
 # x27 — Gopher-style quality rules
@@ -289,30 +289,38 @@ def x30_rp_projection(spark, sf_dir):
     # a second to RUN at sf0.1 — build it once per (session, dataset)
     # and reuse the DataFrame. No data is cached; every action
     # re-executes the scan.
-    # keyed on sf_dir alone (bounded: one live entry per dataset); a
-    # hit is only valid when its DataFrame belongs to THIS session —
-    # on a session change the entry is REBUILT AND REPLACED, so a dead
-    # session is never pinned longer than one dataset slot (a
-    # (id(spark), sf_dir) key would both grow unboundedly and pin
-    # every dead session forever, which also makes id() reuse checks
-    # moot)
+    # Slot keyed on sf_dir (bounded: one live entry per dataset); a hit
+    # is valid only when (a) its DataFrame belongs to THIS session and
+    # (b) the on-disk parquet fingerprint (file sizes+mtimes) is
+    # unchanged — the probed vector width and max|element| are DATA
+    # properties baked into the plan, so an in-process rewrite of the
+    # same path must rebuild the probe and the tree rather than
+    # silently project with stale dims or bypass the overflow guard.
+    fp = dataset_fingerprint(sf_dir, "embeddings")
     cached = _RP_PLAN_CACHE.get(sf_dir)
-    if cached is not None and cached.sparkSession is spark:
-        return cached
+    if (
+        cached is not None
+        and cached[0] == fp
+        and cached[1].sparkSession is spark
+    ):
+        return cached[1]
     e = load_table(spark, sf_dir, "embeddings")
     vec = F.col("embedding").cast("array<double>")
     # vector width and max |element| are table properties; probe them
-    # once per dataset, not once per call (the probe is a real job)
-    probe = _RP_DIMS_CACHE.get(sf_dir)
-    if probe is None:
-        probe = e.agg(
+    # once per dataset STATE (fingerprint), not once per call (the
+    # probe is a real job)
+    probe_ent = _RP_DIMS_CACHE.get(sf_dir)
+    if probe_ent is not None and probe_ent[0] == fp:
+        probe = probe_ent[1]
+    else:
+        row = e.agg(
             F.max(F.size("embedding")).alias("d"),
             F.max(F.array_max(F.transform(vec, lambda x: F.abs(x)))).alias(
                 "mx"
             ),
         ).first()
-        probe = (probe["d"], probe["mx"])
-        _RP_DIMS_CACHE[sf_dir] = probe
+        probe = (row["d"], row["mx"])
+        _RP_DIMS_CACHE[sf_dir] = (fp, probe)
     dims, mx = probe
     if dims is None:
         # empty table: schema-correct empty result (the old explode
@@ -322,7 +330,7 @@ def x30_rp_projection(spark, sf_dir):
             F.lit(0).cast("long").alias("j"),
             F.lit(0.0).alias("proj"),
         ).filter(F.lit(False))
-        _RP_PLAN_CACHE[sf_dir] = out
+        _RP_PLAN_CACHE[sf_dir] = (fp, out)
         return out
     # Overflow guard for the fixed-point domain: each element must fit
     # decimal(18,12) (|x| < 1e6) and the dims-term scaled long sum must
@@ -390,7 +398,7 @@ def x30_rp_projection(spark, sf_dir):
         stage1.select("vec_id", F.inline(F.array(*projs)))
         .orderBy("vec_id", "j")
     )
-    _RP_PLAN_CACHE[sf_dir] = out
+    _RP_PLAN_CACHE[sf_dir] = (fp, out)
     return out
 
 

@@ -49,6 +49,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def dataset_fingerprint(sf_dir: str, name: str) -> tuple:
+    """Cheap driver-side fingerprint of one table's on-disk state:
+    sorted (relative-path, size, mtime_ns) of every data file. Used to
+    key derived-from-data caches (probed dims, collected centroids,
+    unrolled plans) so an in-process rewrite of the SAME path — a
+    regenerated corpus, an appended partition — invalidates them
+    instead of silently serving plans built against stale data
+    properties. Pure ``os.stat``; no Spark job."""
+    root = os.path.join(sf_dir, f"{name}.parquet")
+    if not os.path.exists(root):
+        return (root, None)
+    if os.path.isfile(root):
+        st = os.stat(root)
+        return (root, st.st_size, st.st_mtime_ns)
+    entries = []
+    for dirpath, _dirnames, filenames in os.walk(root):
+        for fn in filenames:
+            if fn.startswith((".", "_")):
+                continue  # _SUCCESS / checksums don't carry data
+            p = os.path.join(dirpath, fn)
+            st = os.stat(p)
+            entries.append((os.path.relpath(p, root), st.st_size, st.st_mtime_ns))
+    return (root, tuple(sorted(entries)))
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every testdata table; also registers each as a temp view so
     ``spark.sql`` works against the same names DuckDB's oracle uses."""

@@ -24,12 +24,14 @@ def test_staged_entry_matches_oracle(spark, name, sf_dir):
     assert not problems, problems
 
 
-def test_staged_entries_not_in_live_registry():
-    """The round-3 verdict froze the oracle catalog until the 22-entry
-    backlog certifies — staged entries must NOT leak into REGISTRY."""
+def test_staged_entries_registered_in_live_registry():
+    """Round 5 lifted the round-3 freeze (all 22 backlog entries are
+    green in CORRECTNESS_r04.json): every staged entry must now be in
+    the live REGISTRY, unchanged (same Query object)."""
     from ravelytics_spark.plans.queries import REGISTRY
 
-    assert not (set(STAGED) & set(REGISTRY))
+    for name, query in STAGED.items():
+        assert REGISTRY.get(name) is query
 
 
 def test_q1_returns_expected_group_grid(spark):
