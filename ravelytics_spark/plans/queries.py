@@ -833,3 +833,4 @@ from ravelytics_spark.plans import round17 as _round17  # noqa: E402,F401
 # (bottom of round18.py), which stays correct whichever module is
 # imported first.
 from ravelytics_spark.plans import round18 as _round18  # noqa: E402,F401
+from ravelytics_spark.plans import round19 as _round19  # noqa: E402,F401
