@@ -63,6 +63,10 @@ HEADLINE = [
     "x47_fuzzy_pairs",
     "x48_ann_batch",
     "x49_char_entropy",
+    # round 5 additions
+    "tpch_q1_pricing_summary",
+    "x91_minhash_portable",
+    "x96_grid_ivf_topk",
 ]
 
 

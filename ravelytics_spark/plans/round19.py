@@ -96,7 +96,7 @@ ex AS (
     FROM (SELECT doc_id, unnest(s) AS sh FROM shs)
 ),
 sig AS (
-    SELECT doc_id,
+    SELECT doc_id, list(DISTINCT h) AS hset,
            {_MH_MINS_SQL}
     FROM ex GROUP BY doc_id
 ),
@@ -105,11 +105,12 @@ cand AS (
 ),
 jac AS (
     SELECT c.id_a, c.id_b,
-           CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-               / len(list_distinct(list_concat(sa.s, sb.s))) AS j
+           CAST(len(list_intersect(sa.hset, sb.hset)) AS DOUBLE)
+               / (len(sa.hset) + len(sb.hset)
+                  - len(list_intersect(sa.hset, sb.hset))) AS j
     FROM cand c
-    JOIN shs sa ON sa.doc_id = c.id_a
-    JOIN shs sb ON sb.doc_id = c.id_b
+    JOIN sig sa ON sa.doc_id = c.id_a
+    JOIN sig sb ON sb.doc_id = c.id_b
 )
 SELECT id_a, id_b, round(j, 6) AS jaccard
 FROM jac WHERE j >= {_MH_JACCARD_MIN}
@@ -125,24 +126,35 @@ ORDER BY id_a, id_b
     "minhashes mod the Mersenne prime 2^31-1 (exact BIGINT math, "
     "products bounded under 2^60 so neither engine can overflow) -> "
     "6 bands x 2 rows banded equi-join for candidates -> exact "
-    "Jaccard verify on candidates only. Identical hash family in "
-    "DuckDB certifies signatures, banding AND verification by value "
-    "hash — the rows-only gap of the xxhash64 production generator "
-    "(x2_minhash_lsh) closed for the algorithm itself. Scale shape "
-    "unchanged from dedup.py: one shuffle keyed on (band, key), "
-    "candidates only through the verify, no all-pairs anywhere; the "
-    "array-intersect verify here is the bounded-candidate form "
-    "(candidate lists are LSH-pruned), with the exploded "
-    "shingle-join verify as the wide-document fallback.",
+    "Jaccard verify on candidates only, over the HASHED shingle sets "
+    "(8-byte ints through every exchange, shingle strings built "
+    "exactly once corpus-wide — the dedup.py hashed-shingles "
+    "rationale; 29-bit hash-merge collisions perturb a pair's Jaccard "
+    "at ~|set|^2/2^29 odds, identically in both engines). Identical "
+    "hash family in DuckDB certifies signatures, banding AND "
+    "verification by value hash — the rows-only gap of the xxhash64 "
+    "production generator (x2_minhash_lsh) closed for the algorithm "
+    "itself. Scale shape unchanged from dedup.py: one shuffle keyed "
+    "on (band, key), candidates only through the verify, no "
+    "all-pairs anywhere; ONE agg builds signature mins + verify sets.",
     _MINHASH_ORACLE,
 )
 def x91_minhash_portable(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
-    shs = d.select(
-        "doc_id", F.array_distinct(TX.shingles("text", 3)).alias("s")
-    )
-    base = shs.select(
-        "doc_id", F.explode("s").alias("sh")
+    # repartition(N, doc_id) is the dedup.py shared-exchange idiom:
+    # the per-doc signature agg requires a doc_id clustering anyway,
+    # so this exchange REPLACES the agg's (shuffling compact raw docs
+    # instead of the 50x-wider shingle rows) — and it breaks the
+    # single-row-group local scan across all cores so the
+    # shingle+md5+mix CPU runs parallel instead of on one task. The
+    # EXPLICIT partition count matters: this stage is CPU-bound but
+    # tiny in bytes, and AQE's size-based coalescing would fold an
+    # unnumbered repartition back to one partition (measured: the
+    # whole hash stage re-serialized). A user-specified count is
+    # exempt from coalescing.
+    n_par = spark.sparkContext.defaultParallelism
+    d = load_table(spark, sf_dir, "documents").repartition(n_par, "doc_id")
+    base = d.select(
+        "doc_id", F.explode(F.array_distinct(TX.shingles("text", 3))).alias("sh")
     ).select(
         "doc_id",
         (
@@ -150,7 +162,15 @@ def x91_minhash_portable(spark, sf_dir):
             % F.lit(536870912)
         ).alias("h"),
     )
+    # ONE agg builds both the 12 signature mins AND the per-doc hash
+    # set the verify uses — the shingle strings are built exactly once
+    # corpus-wide, and everything downstream (bands, verify arrays)
+    # carries 8-byte hashes, never shingle text (the hashed-shingles
+    # rationale of operators/dedup.py). The verify's Jaccard is over
+    # the 29-bit hash sets — identical in both engines; hash-merge
+    # collisions perturb it at ~|set|^2/2^29 odds per pair.
     sig = base.groupBy("doc_id").agg(
+        F.collect_set("h").alias("hset"),
         *[
             F.min((F.lit(_MH_A[i]) * F.col("h") + F.lit(_MH_B[i])) % _MH_P)
             .alias(f"m{i}")
@@ -189,8 +209,9 @@ def x91_minhash_portable(spark, sf_dir):
         )
         .distinct()
     )
-    sa = shs.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
-    sb = shs.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("hset").alias("sa"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("hset").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
     jac = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
@@ -198,8 +219,8 @@ def x91_minhash_portable(spark, sf_dir):
             "id_a",
             "id_b",
             (
-                F.size(F.array_intersect("sa", "sb")).cast("double")
-                / F.size(F.array_union("sa", "sb")).cast("double")
+                inter.cast("double")
+                / (F.size("sa") + F.size("sb") - inter).cast("double")
             ).alias("j"),
         )
     )
@@ -282,7 +303,14 @@ ORDER BY id_a, id_b
     _SIMHASH_ORACLE,
 )
 def x92_simhash_portable(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    # Explicit-count doc_id repartition: same shared-exchange + AQE
+    # rationale as x91 — the (doc_id, w) count and the 32-sum
+    # signature agg are both satisfied by a doc_id clustering, so one
+    # doc-sized exchange serves every downstream agg and parallelizes
+    # tokenize+md5 (explicit N so AQE cannot re-serialize the
+    # CPU-bound, byte-light hash stage).
+    n_par = spark.sparkContext.defaultParallelism
+    d = load_table(spark, sf_dir, "documents").repartition(n_par, "doc_id")
     tf = (
         d.select("doc_id", F.explode(TX.tokenize_ws("text")).alias("w"))
         .groupBy("doc_id", "w")
@@ -422,8 +450,13 @@ ORDER BY id_a, id_b
     _TFIDF_ORACLE,
 )
 def x93_tfidf_cosine_pairs(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % 10 == 0
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        # explicit-count doc_id repartition: parallelizes the bigram
+        # explode off the single-row-group scan (AQE-coalescing-proof,
+        # see x91); the (doc_id, w) tf agg reuses the exchange
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     # terms are word BIGRAMS (not unigrams): the discriminative unit —
     # unigram df over a small shared vocabulary approaches N for every

@@ -187,6 +187,14 @@ _SINGLE_PARTITION_OK = {
     "x79_column_profile": "whole-table stats row: every column's partial-aggregatable stats combine to ONE row, then unpivot",
     "x74_mom_growth": "lag over the month-count-sized aggregated frame — the deliberate aggregate-first inversion of a raw-row lag",
     "x77_cumulative_distinct": "running sum over the month-count-sized frame; every corpus-sized step is a hash-agg",
+    # round-18/19 registrations (round 5): the same global-scalar
+    # broadcast idiom — one partial row per partition combines to a
+    # single row, which then broadcasts into the main plan.
+    "x83_bm25_score": "corpus N + avgdl scalars: one partial row per partition, then broadcast",
+    "x85_jsd_source_drift": "corpus-mixture unigram totals: one partial row per partition, then broadcast",
+    "x89_decayed_engagement": "reference-now anchor (global max ts): one partial row per partition, then broadcast",
+    "x90_benford_deviation": "global digit-total scalar over the 9-row digit counts, then broadcast",
+    "x93_tfidf_cosine_pairs": "subset doc-count scalar N for idf: one partial row per partition, then broadcast",
 }
 
 
