@@ -834,3 +834,4 @@ from ravelytics_spark.plans import round17 as _round17  # noqa: E402,F401
 # imported first.
 from ravelytics_spark.plans import round18 as _round18  # noqa: E402,F401
 from ravelytics_spark.plans import round19 as _round19  # noqa: E402,F401
+from ravelytics_spark.plans import round20 as _round20  # noqa: E402,F401

@@ -1,0 +1,148 @@
+"""Round-20 entry tests: DuckDB strict-row-order comparison at two SFs
+plus semantic properties for the portable sketch family (KMV / HLL /
+hash sampling made oracle-certifiable via a cross-engine hash family)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ravelytics_spark.plans.queries import REGISTRY
+from ravelytics_spark.testing import compare, duckdb_connection
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+R20 = [
+    "x97_kmv_portable",
+    "x98_hll_portable",
+    "x99_sample_portable",
+]
+
+
+@pytest.mark.parametrize("name", R20)
+@pytest.mark.parametrize("sf_dir", SFS)
+def test_round20_entry_matches_oracle(spark, name, sf_dir):
+    entry = REGISTRY[name]
+    con = duckdb_connection(sf_dir)
+    problems = compare(
+        entry.spark(spark, sf_dir), con, entry.oracle, name, strict_row_order=True
+    )
+    assert not problems, problems
+
+
+@pytest.mark.parametrize("name", R20)
+def test_round20_nontrivial_output(spark, name):
+    rows = REGISTRY[name].spark(spark, SFS[0]).count()
+    assert rows > 0, f"{name} returned no rows at sf0.001"
+
+
+def test_kmv_estimates_are_actual_estimates(spark):
+    """The sketch is a real estimator: every per-source estimate (and
+    the merged one) lands within the K=64 KMV error envelope of the
+    exact distinct count (sigma ~ 1/sqrt(K-2) ~ 13%; assert 4 sigma)."""
+    rows = REGISTRY["x97_kmv_portable"].spark(spark, SFS[1]).collect()
+    assert {r.source for r in rows} >= {"(all)"}
+    for r in rows:
+        assert r.exact_distinct > 0
+        rel = abs(r.est_distinct - r.exact_distinct) / r.exact_distinct
+        assert rel < 0.52, f"{r.source}: rel err {rel:.3f}"
+
+
+def test_kmv_merged_row_consistent_with_union_semantics(spark):
+    """The '(all)' sketch merge can never estimate BELOW the largest
+    per-source estimate's support: its h_K is the K-th smallest of the
+    union, which is <= every per-source h_K, so est(all) >= max
+    per-source est whenever all sketches are saturated."""
+    rows = {
+        r.source: r
+        for r in REGISTRY["x97_kmv_portable"].spark(spark, SFS[1]).collect()
+    }
+    allrow = rows.pop("(all)")
+    assert allrow.est_distinct >= max(r.est_distinct for r in rows.values())
+    assert allrow.exact_distinct >= max(
+        r.exact_distinct for r in rows.values()
+    )
+
+
+def test_hll_estimates_within_envelope_and_raw_branch(spark):
+    """Estimates track exact distincts within the m=64 HLL envelope
+    (sigma ~ 1.04/8 = 13%; assert 4 sigma), and at sf0.01 every year is
+    big enough that the raw branch (not linear counting) is exercised."""
+    rows = REGISTRY["x98_hll_portable"].spark(spark, SFS[1]).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert r.exact_custkeys > 0
+        rel = abs(r.est_hll - r.exact_custkeys) / r.exact_custkeys
+        assert rel < 0.52, f"{r.o_year}: rel err {rel:.3f}"
+        assert r.est_hll > 2.5 * 64, "expected the raw-estimate branch"
+
+
+def test_hll_monthly_merge_equals_direct_yearly_registers(spark):
+    """The mergeability contract the entry certifies: max-merging
+    monthly registers gives EXACTLY the registers (hence estimate) of
+    aggregating the year directly — max is associative, so shard
+    rollups are lossless."""
+    from ravelytics_spark.sources.tables import load_table
+
+    o = load_table(spark, SFS[1], "orders")
+    hv = F.conv(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    base = o.select(
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.month("o_orderdate").cast("long").alias("o_month"),
+        hv.alias("hv"),
+    )
+    rest = F.expr("hv div 64")
+    r = base.select(
+        "o_year",
+        "o_month",
+        F.pmod("hv", F.lit(64)).alias("bucket"),
+        F.when(rest == 0, F.lit(55))
+        .otherwise(F.lit(55) - F.length(F.bin(rest)))
+        .alias("rho"),
+    )
+    direct = {
+        (x.o_year, x.bucket): x.m
+        for x in r.groupBy("o_year", "bucket").agg(F.max("rho").alias("m")).collect()
+    }
+    merged = {
+        (x.o_year, x.bucket): x.m
+        for x in r.groupBy("o_year", "o_month", "bucket")
+        .agg(F.max("rho").alias("m"))
+        .groupBy("o_year", "bucket")
+        .agg(F.max("m").alias("m"))
+        .collect()
+    }
+    assert direct == merged
+
+
+def test_sample_portable_is_deterministic_subset_at_strata_rates(spark):
+    """Membership is a pure function of doc_id: two runs agree row for
+    row, the sample is a subset of the corpus, and per-stratum rates
+    land near the requested per-mille targets."""
+    from ravelytics_spark.sources.tables import load_table
+
+    q = REGISTRY["x99_sample_portable"]
+    a = q.spark(spark, SFS[1]).collect()
+    b = q.spark(spark, SFS[1]).collect()
+    assert a == b
+    docs = {
+        r.doc_id: r.lang
+        for r in load_table(spark, SFS[1], "documents")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    rates = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25}
+    n_by_lang: dict[str, int] = {}
+    for r in a:
+        assert docs[r.doc_id] == r.lang
+        n_by_lang[r.lang] = n_by_lang.get(r.lang, 0) + 1
+    totals: dict[str, int] = {}
+    for lang in docs.values():
+        totals[lang] = totals.get(lang, 0) + 1
+    for lang, rate in rates.items():
+        if totals.get(lang, 0) < 40:
+            continue
+        got = n_by_lang.get(lang, 0) / totals[lang]
+        assert abs(got - rate) < 0.2, f"{lang}: {got:.3f} vs {rate}"
