@@ -79,9 +79,13 @@ _MH_BAND_JOINS_SQL = "\n    UNION\n".join(
     for b in range(_MH_K // _MH_R)
 )
 
-_MINHASH_ORACLE = f"""
-WITH d AS (
-    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+def _minhash_pair_ctes(src: str) -> str:
+    """The x91 pipeline (shingles → portable signatures → banded
+    candidates → exact hash-set Jaccard) as a CTE fragment over an
+    arbitrary (doc_id, text) relation ``src`` — reused by round20's
+    composed pipelines (x100 curation, x101 clusters)."""
+    return f"""d AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM {src}
 ),
 shs AS (
     SELECT doc_id,
@@ -111,16 +115,18 @@ jac AS (
     FROM cand c
     JOIN sig sa ON sa.doc_id = c.id_a
     JOIN sig sb ON sb.doc_id = c.id_b
-)
+)"""
+
+
+_MINHASH_ORACLE = f"""
+WITH {_minhash_pair_ctes("documents")}
 SELECT id_a, id_b, round(j, 6) AS jaccard
 FROM jac WHERE j >= {_MH_JACCARD_MIN}
 ORDER BY id_a, id_b
 """
 
 
-@q(
-    "x91_minhash_portable",
-    "OP-X2",
+_X91_DOC = (
     "MinHash-LSH near-dup pairs, ORACLE-CERTIFIED end to end: 3-gram "
     "shingles -> one md5 per shingle (29-bit base) -> 12 affine-mixed "
     "minhashes mod the Mersenne prime 2^31-1 (exact BIGINT math, "
@@ -136,10 +142,16 @@ ORDER BY id_a, id_b
     "production generator (x2_minhash_lsh) closed for the algorithm "
     "itself. Scale shape unchanged from dedup.py: one shuffle keyed "
     "on (band, key), candidates only through the verify, no "
-    "all-pairs anywhere; ONE agg builds signature mins + verify sets.",
-    _MINHASH_ORACLE,
+    "all-pairs anywhere; ONE agg builds signature mins + verify sets."
 )
-def x91_minhash_portable(spark, sf_dir):
+
+
+def portable_minhash_pairs(spark, docs):
+    """x91's verified near-dup pair generator over an arbitrary
+    (doc_id, text) frame: portable signatures → banded candidates →
+    exact hash-set Jaccard, threshold ``_MH_JACCARD_MIN``. Returns
+    (id_a, id_b, jaccard) unordered; reused by round20's composed
+    pipelines (x100 curation, x101 clusters)."""
     # repartition(N, doc_id) is the dedup.py shared-exchange idiom:
     # the per-doc signature agg requires a doc_id clustering anyway,
     # so this exchange REPLACES the agg's (shuffling compact raw docs
@@ -152,7 +164,7 @@ def x91_minhash_portable(spark, sf_dir):
     # whole hash stage re-serialized). A user-specified count is
     # exempt from coalescing.
     n_par = spark.sparkContext.defaultParallelism
-    d = load_table(spark, sf_dir, "documents").repartition(n_par, "doc_id")
+    d = docs.repartition(n_par, "doc_id")
     base = d.select(
         "doc_id", F.explode(F.array_distinct(TX.shingles("text", 3))).alias("sh")
     ).select(
@@ -224,11 +236,15 @@ def x91_minhash_portable(spark, sf_dir):
             ).alias("j"),
         )
     )
-    return (
-        jac.filter(F.col("j") >= _MH_JACCARD_MIN)
-        .select("id_a", "id_b", F.round("j", 6).alias("jaccard"))
-        .orderBy("id_a", "id_b")
+    return jac.filter(F.col("j") >= _MH_JACCARD_MIN).select(
+        "id_a", "id_b", F.round("j", 6).alias("jaccard")
     )
+
+
+@q("x91_minhash_portable", "OP-X2", _X91_DOC, _MINHASH_ORACLE)
+def x91_minhash_portable(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return portable_minhash_pairs(spark, docs).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------

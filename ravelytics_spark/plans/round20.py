@@ -369,3 +369,189 @@ def x99_sample_portable(spark, sf_dir):
     return (
         d.filter(bucket < rate).select("doc_id", "lang").orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# x100 — full curation pipeline with portable near-dedup, oracle-certified
+# ---------------------------------------------------------------------------
+
+def _curation_portable_oracle() -> str:
+    from ravelytics_spark.plans.extensions import _MARKER_SQL, _STOP_SQL
+    from ravelytics_spark.plans.round19 import (
+        _MH_JACCARD_MIN,
+        _minhash_pair_ctes,
+    )
+
+    return f"""
+WITH cleaned AS (
+    SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text
+    FROM documents
+    WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0
+),
+deduped AS (
+    SELECT doc_id, text FROM cleaned
+    QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+),
+{_minhash_pair_ctes("deduped")},
+losers AS (SELECT DISTINCT id_b FROM jac WHERE j >= {_MH_JACCARD_MIN}),
+survivors AS (
+    SELECT doc_id, text FROM deduped
+    WHERE doc_id NOT IN (SELECT id_b FROM losers)
+),
+tok AS (
+    SELECT doc_id, text,
+           list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS toks
+    FROM survivors
+),
+m AS (
+    SELECT doc_id, text, toks, len(toks) AS n,
+        CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) / len(toks) ELSE 0.0 END AS mwl,
+        CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, w -> list_contains({_STOP_SQL}, lower(w)))) AS DOUBLE) / len(toks) ELSE 0.0 END AS stop_ratio,
+        len(list_filter(list_transform(toks, w -> lower(w)), w -> list_contains({_MARKER_SQL['en']}, w))) AS s_en,
+        len(list_filter(list_transform(toks, w -> lower(w)), w -> list_contains({_MARKER_SQL['de']}, w))) AS s_de,
+        len(list_filter(list_transform(toks, w -> lower(w)), w -> list_contains({_MARKER_SQL['fr']}, w))) AS s_fr,
+        len(list_filter(list_transform(toks, w -> lower(w)), w -> list_contains({_MARKER_SQL['es']}, w))) AS s_es
+    FROM tok
+),
+scored AS (
+    SELECT doc_id, n AS n_tokens,
+        least(CAST(n AS DOUBLE) / 64.0, 1.0)
+        * (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END)
+        * (CASE WHEN stop_ratio > 0.8 THEN 0.25 ELSE 1.0 END) AS quality,
+        CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+             WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+             WHEN s_de = greatest(s_de, s_fr, s_es) THEN 'de'
+             WHEN s_fr = greatest(s_fr, s_es) THEN 'fr'
+             ELSE 'es' END AS lang_pred
+    FROM m
+)
+SELECT doc_id, quality, lang_pred, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM scored WHERE quality >= 0.25 ORDER BY doc_id
+"""
+
+
+@q(
+    "x100_curation_portable",
+    "OP-X1/X2/X4 composed",
+    "The FULL training-data curation pipeline — clean -> exact dedup "
+    "(first-ingested wins) -> MinHash-LSH near-dedup (drop the higher "
+    "id of every verified pair) -> quality score -> language ID -> "
+    "token accounting -> quality filter — oracle-certified END TO "
+    "END: the portable hash family of x91 replaces the xxhash64 "
+    "production generator inside the composition, closing the "
+    "rows-only gap of x10_curation_full for the composed semantics "
+    "(which step dropped which document is now hash-checked, not just "
+    "counted). Scale shape identical to plans/curation.py: the "
+    "near-dedup is banded-LSH (candidates only, never all-pairs), "
+    "the anti-join is key-only, and every scoring column is one "
+    "map-side-combined token aggregation.",
+    _curation_portable_oracle(),
+)
+def x100_curation_portable(spark, sf_dir):
+    from ravelytics_spark.operators.dedup import dedup_exact
+    from ravelytics_spark.plans.curation import annotate, clean_documents
+    from ravelytics_spark.plans.round19 import portable_minhash_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    cleaned = clean_documents(d)
+    deduped = dedup_exact(cleaned, ["text"], keep_by="doc_id")
+    pairs = portable_minhash_pairs(spark, deduped)
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    survivors = deduped.join(losers, "doc_id", "left_anti")
+    return (
+        annotate(survivors)
+        .filter(F.col("quality") >= 0.25)
+        .select("doc_id", "quality", "lang_pred", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x101 — near-dup cluster labels (connected components over verified pairs)
+# ---------------------------------------------------------------------------
+
+_CLUSTER_ITERS = 8
+
+
+def _dup_clusters_oracle() -> str:
+    from ravelytics_spark.plans.round19 import (
+        _MH_JACCARD_MIN,
+        _minhash_pair_ctes,
+    )
+
+    return f"""
+WITH RECURSIVE {_minhash_pair_ctes("documents")},
+p AS (SELECT id_a, id_b FROM jac WHERE j >= {_MH_JACCARD_MIN}),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM p
+    UNION
+    SELECT id_b, id_a FROM p
+),
+reach(node, lbl) AS (
+    SELECT DISTINCT a, a FROM edges
+    UNION
+    SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS doc_id, min(lbl) AS cluster
+FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
+@q(
+    "x101_dup_clusters_portable",
+    "OP-X2",
+    "Near-dup CLUSTER LABELS: connected components (min-label) over "
+    "the verified portable-MinHash pair graph — the oracle-certified "
+    "twin of x2_dup_clusters (pairs say 'these two collide'; training "
+    "-data dedup needs the transitive closure: one survivor per "
+    "component, however long the A~B~C chain). Spark runs "
+    "fixed-iteration min-label propagation (8 rounds; a pytest "
+    "asserts the fixed point is reached, so the certified output IS "
+    "the true components); DuckDB computes the same closure with a "
+    "recursive CTE — certifying an ITERATIVE algorithm against a "
+    "recursive oracle (the x58/x43 precedent, composed with LSH "
+    "candidate generation). Scale: the graph is pair-sized (LSH-"
+    "pruned, vastly smaller than the corpus), every round is one "
+    "node-keyed join + min-agg, and per-node state is one label; "
+    "beyond ~diameter-8 graphs the same loop runs to convergence or "
+    "switches to large-star/small-star.",
+    _dup_clusters_oracle(),
+)
+def x101_dup_clusters_portable(spark, sf_dir):
+    from ravelytics_spark.plans.round19 import portable_minhash_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    # Materialize the LSH pair graph ONCE before iterating: each
+    # propagation round references `edges` twice, so without the
+    # lineage cut the full shingle->signature->band->verify pipeline
+    # is re-embedded (and re-optimized) 2^k times across k rounds —
+    # measured OOM at k=8. The checkpoint is pair-sized (LSH-pruned),
+    # exactly the state a cluster job would persist between rounds.
+    pairs = (
+        portable_minhash_pairs(spark, d)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    edges = pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).distinct()
+    labels = edges.select(F.col("id_a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(_CLUSTER_ITERS):
+        nbr_min = (
+            edges.join(labels, edges.id_a == labels.node)
+            .groupBy(F.col("id_b").alias("node2"))
+            .agg(F.min("label").alias("minl"))
+        )
+        labels = labels.join(
+            nbr_min, labels.node == nbr_min.node2, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("minl"), F.col("label"))
+            ).alias("label"),
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster")
+    ).orderBy("doc_id")

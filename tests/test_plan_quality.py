@@ -195,6 +195,7 @@ _SINGLE_PARTITION_OK = {
     "x89_decayed_engagement": "reference-now anchor (global max ts): one partial row per partition, then broadcast",
     "x90_benford_deviation": "global digit-total scalar over the 9-row digit counts, then broadcast",
     "x93_tfidf_cosine_pairs": "subset doc-count scalar N for idf: one partial row per partition, then broadcast",
+    "x97_kmv_portable": "the sketch-union merge: input is sources x K rows by construction (per-source K-min sets), the exact shape a KMV rollup ships to one combiner",
 }
 
 

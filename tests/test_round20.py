@@ -16,6 +16,8 @@ R20 = [
     "x97_kmv_portable",
     "x98_hll_portable",
     "x99_sample_portable",
+    "x100_curation_portable",
+    "x101_dup_clusters_portable",
 ]
 
 
@@ -146,3 +148,70 @@ def test_sample_portable_is_deterministic_subset_at_strata_rates(spark):
             continue
         got = n_by_lang.get(lang, 0) / totals[lang]
         assert abs(got - rate) < 0.2, f"{lang}: {got:.3f} vs {rate}"
+
+
+def test_dup_clusters_iterations_reach_fixed_point(spark):
+    """One extra propagation round changes nothing at sf0.01 — the
+    certified labels ARE the true connected components, not a
+    truncation (the x58 convergence contract)."""
+    from ravelytics_spark.plans.round19 import portable_minhash_pairs
+    from ravelytics_spark.plans.round20 import _CLUSTER_ITERS
+    from ravelytics_spark.sources.tables import load_table
+
+    d = load_table(spark, SFS[1], "documents")
+    pairs = (
+        portable_minhash_pairs(spark, d)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    edges = pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).distinct()
+    labels = edges.select(F.col("id_a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+
+    def step(lbls):
+        nbr_min = (
+            edges.join(lbls, edges.id_a == lbls.node)
+            .groupBy(F.col("id_b").alias("node2"))
+            .agg(F.min("label").alias("minl"))
+        )
+        return lbls.join(nbr_min, lbls.node == nbr_min.node2, "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("minl"), F.col("label"))
+            ).alias("label"),
+        )
+
+    for _ in range(_CLUSTER_ITERS):
+        labels = step(labels).localCheckpoint(eager=True)
+    after = {(r.node, r.label) for r in step(labels).collect()}
+    before = {(r.node, r.label) for r in labels.collect()}
+    assert after == before, "min-label propagation did not converge"
+
+
+def test_curation_portable_is_subset_of_deterministic_prefix(spark):
+    """The full pipeline only ever DROPS documents relative to the
+    deterministic prefix (near-dedup removes, never adds), and every
+    surviving row carries identical quality/lang/token values."""
+    full = {
+        r.doc_id: (r.quality, r.lang_pred, r.n_tokens)
+        for r in REGISTRY["x100_curation_portable"].spark(spark, SFS[1]).collect()
+    }
+    prefix = {
+        r.doc_id: (r.quality, r.lang_pred, r.n_tokens)
+        for r in REGISTRY["x10_curation_deterministic"].spark(spark, SFS[1]).collect()
+    }
+    assert set(full) <= set(prefix)
+    for doc_id, vals in full.items():
+        assert prefix[doc_id] == vals
+    dropped = set(prefix) - set(full)
+    losers = {
+        r.id_b
+        for r in REGISTRY["x91_minhash_portable"].spark(spark, SFS[1]).collect()
+    }
+    # every dropped doc is the higher id of some verified near-dup pair
+    # (pairs over CLEANED text can differ from raw-text pairs only via
+    # whitespace normalization; on this corpus they coincide)
+    assert dropped <= losers
