@@ -555,3 +555,424 @@ def x101_dup_clusters_portable(spark, sf_dir):
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# x102 — signed-random-projection LSH ANN, portable + oracle-certified
+# ---------------------------------------------------------------------------
+
+_SRP_BITS = 8  # 256 buckets
+_SRP_HAM = 2  # multiprobe radius
+_SRP_K = 5
+_KNUTH = 2654435761
+
+
+def _srp_sign(i: int, j: int) -> int:
+    """Sparse hyperplane entry in {-1, 0, +1} from the Knuth-hash bit
+    family (density 1/4 — Achlioptas 2003 sparse random projections:
+    zeroing most entries preserves the projection's LSH property while
+    quartering the arithmetic; the dense form blew the 64 KB codegen
+    method limit)."""
+    v = ((i * _SRP_BITS + j) * _KNUTH + 40503) % 4294967296 // 65536
+    if v % 8 == 0:
+        return 1
+    if v % 8 == 1:
+        return -1
+    return 0
+
+
+_SRP_SIGN_SQL = (
+    f"((((ex.i * {_SRP_BITS} + j.j) * {_KNUTH} + 40503) "
+    "% 4294967296 // 65536) % 8)"
+)
+
+# Fixed query vector: small integers from the same hash family — known
+# in Python, so the query's SRP code and the Hamming<=2 probe set are
+# compile-time literals in BOTH engines (no data-derived plan state).
+_SRP_QDIM = 64
+_SRP_Q = [((i * _KNUTH) % 7) - 3 for i in range(_SRP_QDIM)]
+_SRP_QNORM = math.sqrt(sum(v * v for v in _SRP_Q))
+_SRP_QCODE = sum(
+    (1 << j)
+    if sum(_srp_sign(i, j) * _SRP_Q[i] for i in range(_SRP_QDIM)) > 0
+    else 0
+    for j in range(_SRP_BITS)
+)
+_SRP_PROBES = sorted(
+    c
+    for c in range(1 << _SRP_BITS)
+    if bin(c ^ _SRP_QCODE).count("1") <= _SRP_HAM
+)
+_SRP_PROBES_SQL = ", ".join(str(c) for c in _SRP_PROBES)
+_SRP_Q_VALUES_SQL = ", ".join(
+    f"({i}, {_SRP_Q[i]})" for i in range(_SRP_QDIM)
+)
+
+_SRP_ORACLE = f"""
+WITH ex AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+           CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,12)) AS dx,
+           CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(9,6)) AS fx
+    FROM embeddings
+    WHERE len(embedding) = (SELECT max(len(embedding)) FROM embeddings)
+),
+sj AS (
+    SELECT ex.vec_id, j.j,
+           SUM(CASE WHEN {_SRP_SIGN_SQL} = 0 THEN ex.dx
+                    WHEN {_SRP_SIGN_SQL} = 1 THEN -ex.dx
+                    ELSE 0 END) AS s
+    FROM ex CROSS JOIN (SELECT unnest(range({_SRP_BITS})) AS j) j
+    GROUP BY ex.vec_id, j.j
+),
+code AS (
+    SELECT vec_id,
+           SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(j AS INT))
+                    ELSE 0 END) AS code
+    FROM sj GROUP BY vec_id
+),
+qv(i, q) AS (VALUES {_SRP_Q_VALUES_SQL}),
+dn AS (
+    SELECT ex.vec_id,
+           SUM(ex.dx * qv.q) AS dotd,
+           SUM(ex.fx * ex.fx) AS nrm2
+    FROM ex JOIN qv ON qv.i = ex.i
+    GROUP BY ex.vec_id
+)
+SELECT dn.vec_id,
+       round(CAST(dn.dotd AS DOUBLE) / {_SRP_QNORM!r}
+             / sqrt(CAST(dn.nrm2 AS DOUBLE)), 6) AS cosine
+FROM dn JOIN code c ON c.vec_id = dn.vec_id
+WHERE c.code IN ({_SRP_PROBES_SQL})
+ORDER BY cosine DESC, dn.vec_id
+LIMIT {_SRP_K}
+"""
+
+_SRP_DIMS_CACHE: dict = {}
+_SRP_PLAN_CACHE: dict = {}
+
+
+@q(
+    "x102_srp_portable",
+    "OP-X3",
+    "Signed-random-projection LSH ANN, ORACLE-CERTIFIED: 8 hyperplanes "
+    "from the Knuth-hash sign family give every vector an 8-bit code "
+    "via the SIGN of its exact fixed-point projection (scale-12 "
+    "unscaled-long sums, the x30 idiom — an integer comparison, so "
+    "bucketing is bit-identical across engines); the query's code and "
+    "its Hamming<=2 multiprobe set are PYTHON-COMPUTED LITERALS "
+    "(query = small-integer hash vector), so candidate pruning is a "
+    "literal IN filter; exact cosine re-ranks candidates (scaled-long "
+    "dot, decimal norm, IEEE sqrt+divides in fixed order). Closes the "
+    "rows-only gap of x3_srp_topk for the algorithm. Plan shape: "
+    "map-only scan -> filter -> TakeOrderedAndProject — ZERO "
+    "exchanges; at 100 TB the probe filter prunes ~85% of the corpus "
+    "before any arithmetic-heavy re-rank, and codes can be "
+    "precomputed/partitioned like any LSH bucket column.",
+    _SRP_ORACLE,
+)
+def x102_srp_portable(spark, sf_dir):
+    from ravelytics_spark.sources.tables import dataset_fingerprint
+
+    fp = dataset_fingerprint(sf_dir, "embeddings")
+    cached = _SRP_PLAN_CACHE.get(sf_dir)
+    if (
+        cached is not None
+        and cached[0] == fp
+        and cached[1].sparkSession is spark
+    ):
+        return cached[1]
+    e = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    probe_ent = _SRP_DIMS_CACHE.get(sf_dir)
+    if probe_ent is not None and probe_ent[0] == fp:
+        dims, mx = probe_ent[1]
+    else:
+        row = e.agg(
+            F.max(F.size("embedding")).alias("d"),
+            F.max(F.array_max(F.transform(vec, lambda x: F.abs(x)))).alias(
+                "mx"
+            ),
+        ).first()
+        dims, mx = row["d"], row["mx"]
+        _SRP_DIMS_CACHE[sf_dir] = (fp, (dims, mx))
+    if dims is None:
+        out = e.select(
+            "vec_id", F.lit(0.0).alias("cosine")
+        ).filter(F.lit(False))
+        _SRP_PLAN_CACHE[sf_dir] = (fp, out)
+        return out
+    # fixed-point domain guard (x30): elements must fit decimal(18,12)
+    # and the worst sum (|q_i| <= 3 dot terms) must stay under 2^63.
+    limit = min(1_000_000.0, 9.2e18 / (max(dims, 1) * 3 * 1e12))
+    if mx is not None and mx >= limit:
+        raise ValueError(
+            f"x102_srp_portable fixed-point path needs |element| < "
+            f"{limit:g} (saw {mx:g} over {dims} dims)"
+        )
+    scale = 1_000_000_000_000
+    elems = [
+        (F.element_at(vec, i + 1).cast("decimal(18,12)") * F.lit(scale))
+        .cast("long")
+        .alias(f"_e{i}")
+        for i in range(dims)
+    ]
+    # norm elements at HALF scale (6 dp, *1e6 long): f^2 <= 2.5e11 per
+    # term, 64-term sums ~1.6e13 — exact BIGINT with no decimal
+    # multiplies (the decimal-product form blew the 64 KB codegen
+    # method limit and fell back to interpreted evaluation)
+    norm_scale = 1_000_000
+    felems = [
+        (F.element_at(vec, i + 1).cast("decimal(9,6)") * F.lit(norm_scale))
+        .cast("long")
+        .alias(f"_f{i}")
+        for i in range(dims)
+    ]
+    stage1 = e.filter(F.size("embedding") == dims).select(
+        "vec_id", *elems, *felems
+    )
+
+    def tree_sum(cols):
+        while len(cols) > 1:
+            nxt = [cols[k] + cols[k + 1] for k in range(0, len(cols) - 1, 2)]
+            if len(cols) % 2:
+                nxt.append(cols[-1])
+            cols = nxt
+        return cols[0]
+
+    code = None
+    for j in range(_SRP_BITS):
+        terms = []
+        for i in range(dims):
+            s = _srp_sign(i, j)
+            if s == 1:
+                terms.append(F.col(f"_e{i}"))
+            elif s == -1:
+                terms.append(-F.col(f"_e{i}"))
+        if terms:
+            bit = F.when(tree_sum(terms) > 0, F.lit(1 << j)).otherwise(
+                F.lit(0)
+            )
+        else:  # plane with no support on this width: sum = 0 -> bit 0
+            bit = F.lit(0)
+        code = bit if code is None else code + bit
+    dot_terms = [
+        F.col(f"_e{i}") * F.lit(q) for i, q in enumerate(_SRP_Q[:dims]) if q
+    ]
+    nrm_terms = [F.col(f"_f{i}") * F.col(f"_f{i}") for i in range(dims)]
+    # long norm sum / 1e12 is bit-identical to the oracle's
+    # DECIMAL(.,12)->DOUBLE cast (both operands exactly representable,
+    # one correctly-rounded IEEE divide — the x30 precedent)
+    cosine = F.round(
+        (tree_sum(dot_terms).cast("double") / F.lit(float(scale)))
+        / F.lit(_SRP_QNORM)
+        / F.sqrt(
+            tree_sum(nrm_terms).cast("double") / F.lit(float(scale))
+        ),
+        6,
+    )
+    out = (
+        stage1.withColumn("_code", code)
+        .filter(F.col("_code").isin(_SRP_PROBES))
+        .select("vec_id", cosine.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(_SRP_K)
+    )
+    _SRP_PLAN_CACHE[sf_dir] = (fp, out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# x103 — degree-ordered triangle counting over the co-order part graph
+# ---------------------------------------------------------------------------
+
+_TRI_ORACLE = """
+WITH pk AS (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+e AS (
+    SELECT DISTINCT a.p AS u, b.p AS v
+    FROM pk a JOIN pk b ON a.o = b.o AND a.p < b.p
+),
+deg AS (
+    SELECT n, count(*) AS d FROM (
+        SELECT u AS n FROM e UNION ALL SELECT v FROM e
+    ) GROUP BY n
+),
+o AS (
+    SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
+           CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t,
+           CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END AS dt
+    FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+),
+w AS (
+    SELECT o1.t AS v1, o2.t AS v2
+    FROM o o1 JOIN o o2
+      ON o1.s = o2.s AND (o1.dt, o1.t) < (o2.dt, o2.t)
+),
+tri AS (
+    SELECT count(*) AS n_triangles
+    FROM w SEMI JOIN o ON o.s = w.v1 AND o.t = w.v2
+)
+SELECT (SELECT count(*) FROM deg) AS n_nodes,
+       (SELECT count(*) FROM e) AS n_edges,
+       (SELECT count(*) FROM w) AS n_wedges,
+       tri.n_triangles
+FROM tri
+"""
+
+
+@q(
+    "x103_triangle_count",
+    "OP-X2-ext",
+    "Triangle counting over the co-order part graph (parts appearing "
+    "in the same order are linked — the co-occurrence/market-basket "
+    "graph), with the DEGREE-ORDERED edge orientation: every edge "
+    "points from its (degree, id)-smaller endpoint, so wedges expand "
+    "as sum C(outdeg, 2) with outdeg <= O(sqrt(E)) — the classic "
+    "bound that makes exact triangle counting feasible at 100 TB "
+    "(an unoriented wedge join explodes on hub nodes). Joins the "
+    "graph-analytics family next to x43_pagerank/x58_components: "
+    "3 hash-aggs + 2 node-keyed equi-joins, candidate wedges verified "
+    "by ONE semi-join against the oriented edge list. The counters "
+    "(nodes, edges, wedges, triangles) are all-BIGINT and certify "
+    "construction, orientation AND closure against DuckDB.",
+    _TRI_ORACLE,
+)
+def x103_triangle_count(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    pk = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = pk.alias("a"), pk.alias("b")
+    e = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    ew = e.join(du, "u").join(dv, "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = ew.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+    )
+    o1, o2 = o.alias("o1"), o.alias("o2")
+    w = o1.join(
+        o2,
+        (F.col("o1.s") == F.col("o2.s"))
+        & (
+            (F.col("o1.dt") < F.col("o2.dt"))
+            | (
+                (F.col("o1.dt") == F.col("o2.dt"))
+                & (F.col("o1.t") < F.col("o2.t"))
+            )
+        ),
+    ).select(F.col("o1.t").alias("v1"), F.col("o2.t").alias("v2"))
+    tri = w.join(
+        o,
+        (o.s == w.v1) & (o.t == w.v2),
+        "left_semi",
+    ).agg(F.count("*").alias("n_triangles"))
+    counts = (
+        deg.agg(F.count("*").alias("n_nodes"))
+        .crossJoin(e.agg(F.count("*").alias("n_edges")))
+        .crossJoin(w.agg(F.count("*").alias("n_wedges")))
+        .crossJoin(tri)
+    )
+    return counts.select("n_nodes", "n_edges", "n_wedges", "n_triangles")
+
+
+# ---------------------------------------------------------------------------
+# x104 — equi-depth histogram via pre-aggregated fine bins
+# ---------------------------------------------------------------------------
+
+_ED_BUCKETS = 8
+_ED_BIN_CENTS = 409600  # 4096.00 currency units per fine bin
+
+_ED_ORACLE = f"""
+WITH cents AS (
+    SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+),
+fine AS (
+    SELECT c // {_ED_BIN_CENTS} AS bin, count(*) AS cnt
+    FROM cents GROUP BY bin
+),
+cum AS (
+    SELECT bin, cnt,
+           SUM(cnt) OVER (ORDER BY bin) - cnt AS cum_before,
+           (SELECT SUM(cnt) FROM fine) AS total
+    FROM fine
+),
+assigned AS (
+    SELECT least((cum_before * {_ED_BUCKETS}) // total,
+                 {_ED_BUCKETS - 1}) AS bucket,
+           bin, cnt
+    FROM cum
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST(min(bin) * {_ED_BIN_CENTS} AS BIGINT) AS lo_cents,
+       CAST((max(bin) + 1) * {_ED_BIN_CENTS} AS BIGINT) AS hi_cents
+FROM assigned GROUP BY bucket ORDER BY bucket
+"""
+
+
+@q(
+    "x104_equidepth_histogram",
+    "OP-G6-ext",
+    "Equi-depth (quantile-bucket) histogram of order totals — the "
+    "statistics-collection dual of x13's equi-width histogram (ANALYZE "
+    "collects exactly this shape for selectivity estimation; "
+    "equi-width buckets starve on skewed value ranges). Computed the "
+    "SCALABLE two-pass way: ONE corpus hash-agg onto ~120 fine "
+    "integer bins (exact cents arithmetic — no float bin edges), then "
+    "the cumulative-count bucket assignment runs over the BIN-COUNT-"
+    "sized frame (the x74/x77 aggregate-first window idiom: the "
+    "global sort a direct ntile would need over raw rows never "
+    "happens; at 100 TB the second pass touches thousands of rows, "
+    "not billions). Bucket boundaries are exact integer bin edges; "
+    "populations are within one fine-bin of n/8 by construction.",
+    _ED_ORACLE,
+)
+def x104_equidepth_histogram(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    fine = (
+        o.select(F.expr(f"CAST(round(o_totalprice * 100) AS BIGINT) div {_ED_BIN_CENTS}").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    total_w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = fine.select(
+        "bin",
+        "cnt",
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("cum_before"),
+        F.sum("cnt").over(total_w).alias("total"),
+    )
+    bucket = F.least(
+        F.expr(f"(cum_before * {_ED_BUCKETS}) div total"),
+        F.lit(_ED_BUCKETS - 1).cast("long"),
+    )
+    return (
+        cum.select(bucket.alias("bucket"), "bin", "cnt")
+        .groupBy("bucket")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_rows"),
+            (F.min("bin") * _ED_BIN_CENTS).cast("long").alias("lo_cents"),
+            ((F.max("bin") + 1) * _ED_BIN_CENTS).cast("long").alias("hi_cents"),
+        )
+        .orderBy("bucket")
+    )

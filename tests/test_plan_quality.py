@@ -196,6 +196,8 @@ _SINGLE_PARTITION_OK = {
     "x90_benford_deviation": "global digit-total scalar over the 9-row digit counts, then broadcast",
     "x93_tfidf_cosine_pairs": "subset doc-count scalar N for idf: one partial row per partition, then broadcast",
     "x97_kmv_portable": "the sketch-union merge: input is sources x K rows by construction (per-source K-min sets), the exact shape a KMV rollup ships to one combiner",
+    "x103_triangle_count": "four scalar counters (nodes/edges/wedges/triangles): each agg combines to ONE row before the crossJoin assembles the report row",
+    "x104_equidepth_histogram": "cumulative window over the FINE-BIN frame (~120 rows at any SF): the x74/x77 aggregate-first idiom — the corpus-sized step is the hash-agg onto bins",
 }
 
 

@@ -18,6 +18,9 @@ R20 = [
     "x99_sample_portable",
     "x100_curation_portable",
     "x101_dup_clusters_portable",
+    "x102_srp_portable",
+    "x103_triangle_count",
+    "x104_equidepth_histogram",
 ]
 
 
@@ -215,3 +218,100 @@ def test_curation_portable_is_subset_of_deterministic_prefix(spark):
     # (pairs over CLEANED text can differ from raw-text pairs only via
     # whitespace normalization; on this corpus they coincide)
     assert dropped <= losers
+
+
+def test_srp_portable_output_shape_and_candidate_recall(spark):
+    """Top-k is sorted (cosine desc, vec_id), cosines are valid, and
+    the LSH shortlist contains genuinely high-cosine vectors: the best
+    SRP candidate is within the top quartile of the brute-force
+    ranking (the honest-recall contract of a capped candidate
+    generator)."""
+    import math as _m
+
+    from ravelytics_spark.plans.round20 import _SRP_K, _SRP_Q
+    from ravelytics_spark.sources.tables import load_table
+
+    rows = REGISTRY["x102_srp_portable"].spark(spark, SFS[1]).collect()
+    assert len(rows) == _SRP_K
+    cosines = [r.cosine for r in rows]
+    assert cosines == sorted(cosines, reverse=True)
+    assert all(-1.0 - 1e-9 <= c <= 1.0 + 1e-9 for c in cosines)
+    # brute-force ranking in python
+    vecs = (
+        load_table(spark, SFS[1], "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qn = _m.sqrt(sum(v * v for v in _SRP_Q))
+
+    def cos(emb):
+        d = sum(float(x) * q for x, q in zip(emb, _SRP_Q))
+        n = _m.sqrt(sum(float(x) ** 2 for x in emb))
+        return d / (qn * n) if n else 0.0
+
+    ranked = sorted((cos(r.embedding) for r in vecs), reverse=True)
+    cutoff = ranked[max(1, len(ranked) // 4) - 1]
+    assert rows[0].cosine >= cutoff - 1e-6
+
+
+def test_triangle_counters_satisfy_graph_invariants(spark):
+    """Wedge/triangle counters obey the combinatorial invariants:
+    triangles <= wedges (every triangle closes exactly one ordered
+    wedge under the total orientation), and the graph is non-trivial
+    at sf0.01."""
+    row = REGISTRY["x103_triangle_count"].spark(spark, SFS[1]).collect()[0]
+    assert row.n_nodes > 0 and row.n_edges > 0
+    assert 0 <= row.n_triangles <= row.n_wedges
+    # handshake bound: an undirected simple graph has <= C(n,2) edges
+    assert row.n_edges <= row.n_nodes * (row.n_nodes - 1) // 2
+
+
+def test_triangle_count_matches_bruteforce_on_small_graph(spark):
+    """Exactness check independent of the oracle: brute-force the
+    triangle count in python at sf0.001."""
+    from itertools import combinations
+
+    from ravelytics_spark.sources.tables import load_table
+
+    li = load_table(spark, SFS[0], "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    by_order: dict[int, set] = {}
+    for r in li:
+        by_order.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    edges = set()
+    for parts in by_order.values():
+        for u, v in combinations(sorted(parts), 2):
+            edges.add((u, v))
+    adj: dict[int, set] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri = 0
+    for u, v in edges:
+        tri += len(adj[u] & adj[v])
+    tri //= 3  # each triangle counted once per edge
+    row = REGISTRY["x103_triangle_count"].spark(spark, SFS[0]).collect()[0]
+    assert row.n_edges == len(edges)
+    assert row.n_triangles * 3 == tri * 3 and row.n_triangles == tri
+
+
+def test_equidepth_buckets_are_contiguous_and_balanced(spark):
+    """Buckets tile the value range in order without overlap, cover
+    every row, and each holds n/8 rows up to fine-bin granularity
+    (the equi-depth contract: max bucket error < max fine-bin count)."""
+    rows = REGISTRY["x104_equidepth_histogram"].spark(spark, SFS[1]).collect()
+    assert [r.bucket for r in rows] == list(range(len(rows)))
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi_cents <= b.lo_cents
+        assert a.lo_cents < a.hi_cents
+    total = sum(r.n_rows for r in rows)
+    from ravelytics_spark.sources.tables import load_table
+
+    n = load_table(spark, SFS[1], "orders").count()
+    assert total == n
+    target = n / len(rows)
+    # every bucket within 60% of target (fine bins are ~1% of rows each,
+    # but the LAST bucket absorbs the floor-assignment remainder)
+    for r in rows[:-1]:
+        assert abs(r.n_rows - target) / target < 0.6, r
