@@ -28,6 +28,28 @@ registers and estimates are DuckDB-hash-certified end to end:
   pure function of the row key, so the SAMPLE ITSELF is
   hash-certified, reproducible across engines, layouts and runs —
   the property df.sample's partition-seeded RNG cannot give.
+* ``x100_curation_portable`` — the FULL curation pipeline (clean →
+  exact dedup → LSH near-dedup → annotate → filter) oracle-certified
+  end to end via the portable MinHash inside the composition (closes
+  ``x10_curation_full``'s rows-only gap).
+* ``x101_dup_clusters_portable`` — connected components (min-label)
+  over the verified near-dup pair graph vs a recursive-CTE closure
+  oracle (closes ``x2_dup_clusters``'s gap).
+* ``x102_srp_portable`` — signed-random-projection LSH ANN with
+  sparse Achlioptas hyperplanes, literal probe sets and exact
+  fixed-point sign tests (closes ``x3_srp_topk``'s gap).
+* ``x103_triangle_count`` — degree-ordered triangle counting on the
+  co-order part graph (the wedge-bounding orientation that makes
+  exact closure counting feasible at scale).
+* ``x104_equidepth_histogram`` — equi-depth histogram via exact
+  integer fine-bins + bin-frame cumulative assignment (the ANALYZE
+  statistics shape, computed aggregate-first).
+* ``x105_pq_portable`` — product-quantization ADC ANN with literal
+  grid codebooks and a Python-computed lookup table, exact
+  fixed-point shortlist refinement (closes ``x62_pq_topk``'s gap).
+* ``x106_interval_overlap`` — per-key interval-overlap self-join
+  (range-vs-range; completes the temporal-join family next to as-of
+  and point-in-range).
 
 Hash-parity conventions as plans/queries.py: one md5 per item then
 exact integer math; estimator divisions as ONE IEEE divide of two
@@ -975,4 +997,267 @@ def x104_equidepth_histogram(spark, sf_dir):
             ((F.max("bin") + 1) * _ED_BIN_CENTS).cast("long").alias("hi_cents"),
         )
         .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x105 — product quantization (ADC) ANN, portable + oracle-certified
+# ---------------------------------------------------------------------------
+
+_PQ_NSUB = 8  # subspaces (dims/8 each at width 64)
+_PQ_SUBDIM = 8
+_PQ_SIGNBITS = 4  # 16 codes per subspace
+_PQ_G = 0.25  # grid magnitude of the deterministic codebook
+_PQ_SHORTLIST = 20
+_PQ_TOPK = 5
+
+# Query: exact-6dp rationals from the hash family (|q_i| <= 0.75)
+_PQ_Q = [((((i * _KNUTH) % 7) - 3) / 4.0) for i in range(_SRP_QDIM)]
+
+
+def _pq_centroid(code: int) -> list[float]:
+    """Grid centroid: sign pattern of `code` on the first 4 coords at
+    magnitude g, zero elsewhere. Nearest-centroid assignment under L2
+    then reduces to 4 per-coordinate sign tests (exact integer math):
+    ||x-c||^2 = sum_{i<4} (x_i -+ g)^2 + const, minimized coordinatewise."""
+    return [
+        (_PQ_G if (code >> i) & 1 else -_PQ_G) if i < _PQ_SIGNBITS else 0.0
+        for i in range(_PQ_SUBDIM)
+    ]
+
+
+# ADC lookup table: LUT[sub][code] = ||q_sub - centroid(code)||^2 —
+# PYTHON-computed double literals (query and codebook are both
+# compile-time), so neither engine evaluates anything but a literal
+# array index at run time.
+_PQ_LUT = [
+    [
+        round(
+            sum(
+                (
+                    _PQ_Q[sub * _PQ_SUBDIM + i] - c
+                ) ** 2
+                for i, c in enumerate(_pq_centroid(code))
+            ),
+            12,
+        )
+        for code in range(1 << _PQ_SIGNBITS)
+    ]
+    for sub in range(_PQ_NSUB)
+]
+_PQ_LUT_SQL = ", ".join(
+    "[" + ", ".join(repr(v) for v in sub) + "]" for sub in _PQ_LUT
+)
+_PQ_Q_SCALED = [round(v * 1_000_000) for v in _PQ_Q]  # exact 6dp ints
+
+# per-subspace: literal-LUT index from sign bits of the 4 leading
+# coords (both engines test the SAME stored float value's sign)
+_PQ_ADC_SQL = " + ".join(
+    f"(([{', '.join(repr(v) for v in _PQ_LUT[sub])}])"
+    f"[1 + " + " + ".join(
+        f"(CASE WHEN embedding[{sub * _PQ_SUBDIM + b + 1}] >= 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(_PQ_SIGNBITS)
+    )
+    + "])"
+    for sub in range(_PQ_NSUB)
+)
+
+_PQ_DIFF_SQL = " + ".join(
+    f"(CAST(CAST(embedding[{i + 1}] AS DECIMAL(9,6)) * 1000000 AS BIGINT)"
+    f" - ({_PQ_Q_SCALED[i]})) * "
+    f"(CAST(CAST(embedding[{i + 1}] AS DECIMAL(9,6)) * 1000000 AS BIGINT)"
+    f" - ({_PQ_Q_SCALED[i]}))"
+    for i in range(_SRP_QDIM)
+)
+
+_PQ_ORACLE = f"""
+WITH base AS (
+    SELECT vec_id, embedding FROM embeddings
+    WHERE len(embedding) = (SELECT max(len(embedding)) FROM embeddings)
+),
+adc AS (
+    SELECT vec_id, embedding, round({_PQ_ADC_SQL}, 6) AS adc
+    FROM base
+),
+short AS (
+    SELECT vec_id, embedding, adc FROM adc
+    ORDER BY adc, vec_id LIMIT {_PQ_SHORTLIST}
+),
+refined AS (
+    SELECT vec_id, adc,
+           round(sqrt(CAST({_PQ_DIFF_SQL} AS DOUBLE) / 1000000000000.0), 6)
+               AS dist
+    FROM short
+)
+SELECT vec_id, adc, dist FROM refined
+ORDER BY dist, vec_id LIMIT {_PQ_TOPK}
+"""
+
+
+@q(
+    "x105_pq_portable",
+    "OP-X3-ext",
+    "Product-quantization ANN (ADC) oracle-certified — the portable "
+    "twin of x62_pq_topk (whose k-means codebooks are data-fitted and "
+    "rows-only checked): 8 subspaces x 16 grid centroids whose "
+    "nearest-centroid ENCODE reduces to exact per-coordinate sign "
+    "tests, an asymmetric-distance LOOKUP TABLE of Python-computed "
+    "literals (query and codebook are compile-time, so scoring a "
+    "vector is 8 literal-array indexes + 7 adds — the ADC trick that "
+    "makes PQ scan compressed codes instead of vectors), a "
+    "shortlist-20 by ADC, then EXACT fixed-point L2 refinement of the "
+    "shortlist (half-scale integer diffs, one IEEE sqrt) to top-5. "
+    "Plan: map-only scan -> TakeOrderedAndProject shortlist -> 20-row "
+    "refine — zero exchanges; at 100 TB the ADC pass reads only the "
+    "code columns' bytes and the exact re-rank touches 20 vectors.",
+    _PQ_ORACLE,
+)
+def x105_pq_portable(spark, sf_dir):
+    from ravelytics_spark.sources.tables import dataset_fingerprint
+
+    fp = dataset_fingerprint(sf_dir, "embeddings")
+    cached = _PQ_PLAN_CACHE.get(sf_dir)
+    if (
+        cached is not None
+        and cached[0] == fp
+        and cached[1].sparkSession is spark
+    ):
+        return cached[1]
+    e = load_table(spark, sf_dir, "embeddings")
+    probe_ent = _SRP_DIMS_CACHE.get(sf_dir)
+    if probe_ent is not None and probe_ent[0] == fp:
+        dims, mx = probe_ent[1]
+    else:
+        vecp = F.col("embedding").cast("array<double>")
+        row = e.agg(
+            F.max(F.size("embedding")).alias("d"),
+            F.max(F.array_max(F.transform(vecp, lambda x: F.abs(x)))).alias(
+                "mx"
+            ),
+        ).first()
+        dims, mx = row["d"], row["mx"]
+        _SRP_DIMS_CACHE[sf_dir] = (fp, (dims, mx))
+    if dims is None:
+        out = e.select(
+            "vec_id", F.lit(0.0).alias("adc"), F.lit(0.0).alias("dist")
+        ).filter(F.lit(False))
+        _PQ_PLAN_CACHE[sf_dir] = (fp, out)
+        return out
+    if dims < _PQ_NSUB * _PQ_SUBDIM:
+        raise ValueError(
+            f"x105_pq_portable needs width >= {_PQ_NSUB * _PQ_SUBDIM} "
+            f"(saw {dims}); regrid the subspace geometry for this table"
+        )
+    vec = F.col("embedding").cast("array<double>")
+    base = e.filter(F.size("embedding") == dims)
+    adc = None
+    for sub in range(_PQ_NSUB):
+        code = None
+        for b in range(_PQ_SIGNBITS):
+            i = sub * _PQ_SUBDIM + b
+            bit = F.when(
+                F.element_at(vec, i + 1) >= 0, F.lit(1 << b)
+            ).otherwise(F.lit(0))
+            code = bit if code is None else code + bit
+        term = F.element_at(
+            F.array(*[F.lit(v) for v in _PQ_LUT[sub]]), code + 1
+        )
+        adc = term if adc is None else adc + term
+    short = (
+        base.select("vec_id", "embedding", F.round(adc, 6).alias("adc"))
+        .orderBy("adc", "vec_id")
+        .limit(_PQ_SHORTLIST)
+    )
+    diff = None
+    for i in range(min(dims, _SRP_QDIM)):
+        f = (
+            F.element_at(vec, i + 1).cast("decimal(9,6)") * F.lit(1_000_000)
+        ).cast("long") - F.lit(_PQ_Q_SCALED[i])
+        t = f * f
+        diff = t if diff is None else diff + t
+    dist = F.round(
+        F.sqrt(diff.cast("double") / F.lit(1_000_000_000_000.0)), 6
+    )
+    out = (
+        short.select("vec_id", "adc", dist.alias("dist"))
+        .orderBy("dist", "vec_id")
+        .limit(_PQ_TOPK)
+    )
+    _PQ_PLAN_CACHE[sf_dir] = (fp, out)
+    return out
+
+
+_PQ_PLAN_CACHE: dict = {}
+
+
+# ---------------------------------------------------------------------------
+# x106 — per-key interval-overlap self-join (order activity windows)
+# ---------------------------------------------------------------------------
+
+_IV_DAYS = 30
+
+_IV_ORACLE = f"""
+WITH iv AS (
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS s
+    FROM orders
+),
+p AS (
+    SELECT a.o_custkey,
+           {_IV_DAYS} - abs(date_diff('day', a.s, b.s)) AS overlap_days
+    FROM iv a JOIN iv b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND abs(date_diff('day', a.s, b.s)) < {_IV_DAYS}
+)
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_overlaps,
+       CAST(SUM(overlap_days) AS BIGINT) AS sum_overlap_days
+FROM p GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
+@q(
+    "x106_interval_overlap",
+    "OP-J-ext",
+    "Interval-overlap SELF-join per key: each order opens a 30-day "
+    "activity window; pairs of overlapping windows of the SAME "
+    "customer are counted with their exact overlap length — the "
+    "concurrent-sessions/overlapping-reservations primitive that "
+    "completes the temporal-join family (xj_asof_join: nearest "
+    "preceding; xj_range_join: point-in-range; this: range-vs-range). "
+    "Two fixed-width intervals overlap iff |start_a - start_b| < "
+    "width, so the predicate is ONE exact integer day-diff — no "
+    "interval algebra, no tz math (DATE-granularity arithmetic). "
+    "Scale: the join is EQUI on the customer key (group-keyed "
+    "shuffle, bounded per-customer fan-out) — never a global range "
+    "join; for unkeyed interval sets the xj_range_join binning "
+    "strategy applies instead.",
+    _IV_ORACLE,
+)
+def x106_interval_overlap(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    iv = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("s"),
+    )
+    a, b = iv.alias("a"), iv.alias("b")
+    dd = F.abs(F.datediff(F.col("a.s"), F.col("b.s")))
+    p = a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+        & (dd < _IV_DAYS),
+    ).select(
+        F.col("a.o_custkey").alias("o_custkey"),
+        (F.lit(_IV_DAYS) - dd).alias("overlap_days"),
+    )
+    return (
+        p.groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("long").alias("n_overlaps"),
+            F.sum("overlap_days").cast("long").alias("sum_overlap_days"),
+        )
+        .orderBy("o_custkey")
     )

@@ -21,6 +21,8 @@ R20 = [
     "x102_srp_portable",
     "x103_triangle_count",
     "x104_equidepth_histogram",
+    "x105_pq_portable",
+    "x106_interval_overlap",
 ]
 
 
@@ -315,3 +317,72 @@ def test_equidepth_buckets_are_contiguous_and_balanced(spark):
     # but the LAST bucket absorbs the floor-assignment remainder)
     for r in rows[:-1]:
         assert abs(r.n_rows - target) / target < 0.6, r
+
+
+def test_pq_adc_orders_shortlist_usefully(spark):
+    """The ADC shortlist is a real approximation: the exact-distance
+    top-1 of the PQ result equals the brute-force nearest neighbor
+    among the shortlist, distances are nonnegative and sorted, and
+    ADC != exact distance (it IS an approximation, not a re-label)."""
+    rows = REGISTRY["x105_pq_portable"].spark(spark, SFS[1]).collect()
+    assert len(rows) == 5
+    dists = [r.dist for r in rows]
+    assert dists == sorted(dists)
+    assert all(d >= 0 for d in dists)
+    assert any(abs(r.adc - r.dist) > 1e-9 for r in rows)
+
+
+def test_pq_refinement_matches_python_l2(spark):
+    """Exact-refinement check independent of the oracle: the reported
+    distances equal the python L2 between the 6-dp-rounded vector and
+    the query."""
+    import math as _m
+
+    from ravelytics_spark.plans.round20 import _PQ_Q
+    from ravelytics_spark.sources.tables import load_table
+
+    rows = REGISTRY["x105_pq_portable"].spark(spark, SFS[1]).collect()
+    vecs = {
+        r.vec_id: r.embedding
+        for r in load_table(spark, SFS[1], "embeddings").collect()
+    }
+    for r in rows:
+        emb = vecs[r.vec_id]
+        d2 = sum(
+            (round(float(x), 6) - q) ** 2 for x, q in zip(emb, _PQ_Q)
+        )
+        assert abs(_m.sqrt(d2) - r.dist) < 2e-6, (r.vec_id, r.dist)
+
+
+def test_interval_overlap_pairs_verified_by_bruteforce(spark):
+    """Brute-force the overlap pair counts per customer in python at
+    sf0.001 and compare exactly."""
+    from collections import defaultdict
+
+    from ravelytics_spark.sources.tables import load_table
+
+    o = (
+        load_table(spark, SFS[0], "orders")
+        .select("o_custkey", "o_orderkey", F.to_date("o_orderdate").alias("s"))
+        .collect()
+    )
+    by_cust = defaultdict(list)
+    for r in o:
+        by_cust[r.o_custkey].append((r.o_orderkey, r.s))
+    want = {}
+    for ck, orders in by_cust.items():
+        n = tot = 0
+        for i in range(len(orders)):
+            for j in range(len(orders)):
+                if orders[i][0] < orders[j][0]:
+                    dd = abs((orders[i][1] - orders[j][1]).days)
+                    if dd < 30:
+                        n += 1
+                        tot += 30 - dd
+        if n:
+            want[ck] = (n, tot)
+    got = {
+        r.o_custkey: (r.n_overlaps, r.sum_overlap_days)
+        for r in REGISTRY["x106_interval_overlap"].spark(spark, SFS[0]).collect()
+    }
+    assert got == want
