@@ -329,27 +329,32 @@ def minhash_dedup_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     max_bucket_size: int | None = 500,
+    verify: str = "sets",
 ) -> DataFrame:
     """Full near-dup pipeline: MinHash → LSH candidates → exact Jaccard
     verification on candidates only. Returns (id_a, id_b, jaccard).
 
-    Single-scan shape: every branch — signatures, per-doc sizes, and
-    both verification sides — consumes the SAME deduped 2-column
-    (id, shingle-hash) frame in full, so the scan → tokenize →
-    shingle-window pipeline (the profile's dominant cost) runs once and
-    AQE's ReusedExchange serves every other consumer. Divergent
-    aggregations over it would be pruned differently per branch and
-    lose the reuse (measured: 2× recompute). The per-doc dedup and the
-    downstream signature/size aggregations add NO exchange of their
-    own: groupBy(id, ...) distributions are already satisfied by the
-    window's hashpartitioning(id).
+    Single-execution shape (``verify="sets"``, the default): ONE
+    aggregation over the deduped (id, shingle-hash) rows builds the
+    signature mins, the per-doc set size AND the per-doc hash-set
+    array the verification intersects, behind an EXPLICIT-count
+    id-keyed repartition. The explicit exchange matters: a keys-only
+    ``repartition("__id")`` is collapsed by the planner (the window's
+    hashpartitioning(id) already satisfies it), which silently moves
+    the reuse point below the shingle window — measured: the
+    scan → tokenize → sort → lead-window → dedup pipeline (the
+    profile's dominant cost) re-executed once per consumer branch
+    (4× at 16 bands). With the single agg + explicit exchange it runs
+    exactly once.
 
-    Verification is an inverted-index count over candidate pairs
-    (common = matching shingle-hash rows, J = common/(|A|+|B|−common))
-    instead of collect_set array intersection — sets never materialize,
-    only 8-byte hash rows move, and a candidate pair sharing no shingle
-    (possible via band-bucket hash collision) drops out with J<threshold
-    either way."""
+    ``verify="inverted"`` keeps the inverted-index count form
+    (common = matching shingle-hash rows, J = common/(|A|+|B|−common)):
+    per-doc sets never materialize, only 8-byte hash rows move — the
+    WIDE-DOCUMENT path when per-doc shingle sets (8 bytes × shingles)
+    would not fit an aggregation buffer row (a million-shingle doc is
+    an 8 MB array). Both forms produce identical Jaccard values; a
+    candidate pair sharing no shingle (possible via band-bucket hash
+    collision) drops out with J<threshold either way."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands}): "
@@ -357,56 +362,113 @@ def minhash_dedup_pairs(
             "positions the caller paid to compute (and shift the LSH "
             "collision-probability curve away from the requested geometry)"
         )
+    if verify not in ("sets", "inverted"):
+        raise ValueError(
+            f"verify must be 'sets' or 'inverted', got {verify!r}"
+        )
     rows_per_band = num_hashes // bands
     # Deduped (id, shingle-hash): MinHash over a set == over its multiset,
-    # and exact-Jaccard needs set semantics — dedup once for both. The
-    # trailing repartition("__id") is a deliberate shared-exchange
-    # barrier: all four consumers reuse ITS shuffle files, so the
-    # reduce-side shingle-window + dedup also run once instead of once
-    # per branch (the exchange is on the same key every downstream
-    # aggregation groups on, so it replaces — not adds to — their
-    # required exchange).
+    # and exact-Jaccard needs set semantics — dedup once for both.
     sh = (
         _hashed_shingles(df, id_col, text_col, n)
         .groupBy("__id", "__shash")
         .agg(F.lit(1).alias("__one"))
         .drop("__one")
-        .repartition("__id")
     )
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("__shash"))).alias(f"__m{i}")
         for i in range(num_hashes)
     ]
-    sigs = (
-        sh.groupBy("__id")
-        .agg(*mins)
-        .select(
-            "__id",
-            F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("__sig"),
+    n_par = df.sparkSession.sparkContext.defaultParallelism
+
+    if verify == "inverted":
+        sh = sh.repartition(n_par, "__id")
+        sigs = (
+            sh.groupBy("__id")
+            .agg(*mins)
+            .select(
+                "__id",
+                F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias(
+                    "__sig"
+                ),
+            )
         )
+        cand = minhash_lsh_candidates(
+            sigs, bands, rows_per_band, max_bucket_size
+        )
+        sizes = sh.groupBy("__id").agg(F.count("*").alias("__size"))
+        a_sh = sh.select(F.col("__id").alias("id_a"), "__shash")
+        b_sh = sh.select(F.col("__id").alias("id_b"), "__shash")
+        common = (
+            cand.join(a_sh, "id_a")
+            .join(b_sh, ["id_b", "__shash"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("__common"))
+        )
+        sa = sizes.select(
+            F.col("__id").alias("id_a"), F.col("__size").alias("__size_a")
+        )
+        sb = sizes.select(
+            F.col("__id").alias("id_b"), F.col("__size").alias("__size_b")
+        )
+        verified = (
+            common.join(sa, "id_a")
+            .join(sb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    F.col("__common").cast("double")
+                    / (
+                        F.col("__size_a")
+                        + F.col("__size_b")
+                        - F.col("__common")
+                    ).cast("double")
+                ).alias("jaccard"),
+            )
+        )
+        return verified.filter(F.col("jaccard") >= threshold)
+
+    # verify == "sets": ONE agg builds signature mins + the verify set,
+    # and a LAZY lineage cut makes it a single shared RDD. An exchange
+    # barrier is not enough here: the three consumers (banding, both
+    # verify sides) prune DIFFERENT columns (mins vs hset), Catalyst
+    # pushes the divergent projections below any repartition, the
+    # subtrees stop being canonically equal, and ReusedExchange
+    # dies — measured: the scan → tokenize → sort → lead-window →
+    # dedup pipeline re-executed per branch. The checkpoint stores the
+    # doc-level frame (ids + signatures + hash sets — the signature
+    # store a production dedup service persists anyway, ~per-doc
+    # shingle count × 8 bytes). EAGER like x101's pair graph: a lazy
+    # checkpoint materializes mid-action and its pre-checkpoint stage
+    # metrics race the driver's accumulator registry (observed
+    # DAGScheduler 'non-existent accumulator' noise); eager runs the
+    # pipeline as its own job at build, which is also the honest cost
+    # model — this call site is where a cluster pipeline would write
+    # its signature store.
+    doc = (
+        sh.repartition(n_par, "__id")
+        .groupBy("__id")
+        .agg(F.collect_set("__shash").alias("__hset"), *mins)
+        .localCheckpoint(eager=True)
+    )
+    sigs = doc.select(
+        "__id",
+        F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("__sig"),
     )
     cand = minhash_lsh_candidates(sigs, bands, rows_per_band, max_bucket_size)
-
-    sizes = sh.groupBy("__id").agg(F.count("*").alias("__size"))
-    a_sh = sh.select(F.col("__id").alias("id_a"), "__shash")
-    b_sh = sh.select(F.col("__id").alias("id_b"), "__shash")
-    common = (
-        cand.join(a_sh, "id_a")
-        .join(b_sh, ["id_b", "__shash"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("__common"))
-    )
-    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__size").alias("__size_a"))
-    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__size").alias("__size_b"))
+    sa = doc.select(F.col("__id").alias("id_a"), F.col("__hset").alias("__sa"))
+    sb = doc.select(F.col("__id").alias("id_b"), F.col("__hset").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb"))
     verified = (
-        common.join(sa, "id_a")
+        cand.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",
             (
-                F.col("__common").cast("double")
-                / (F.col("__size_a") + F.col("__size_b") - F.col("__common")).cast("double")
+                inter.cast("double")
+                / (F.size("__sa") + F.size("__sb") - inter).cast("double")
             ).alias("jaccard"),
         )
     )

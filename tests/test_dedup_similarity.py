@@ -658,3 +658,35 @@ def test_simhash_default_is_complete_for_radius(spark):
         for r in DD.simhash_near_pairs(sigs, max_hamming=3, max_bucket_size=10).collect()
     }
     assert (100, 101) not in capped_pairs  # the opt-in cap's honest cost
+
+
+def test_minhash_verify_forms_agree_and_sets_plan_runs_pipeline_once(spark):
+    """The set-intersection verify (default) and the inverted-index
+    verify (wide-document path) emit identical pairs and Jaccard
+    values; and the default plan contains NO shingle-window lineage in
+    its final plan (the checkpointed signature store subsumes it, so
+    the tokenize pipeline cannot re-execute per consumer branch)."""
+    from ravelytics_spark.operators.dedup import minhash_dedup_pairs
+    from ravelytics_spark.sources.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.01", "documents")
+    sets_df = minhash_dedup_pairs(d, "doc_id", "text", threshold=0.5)
+    inv_df = minhash_dedup_pairs(
+        d, "doc_id", "text", threshold=0.5, verify="inverted"
+    )
+    a = sorted(map(tuple, sets_df.collect()))
+    b = sorted(map(tuple, inv_df.collect()))
+    assert a == b and len(a) > 0
+    plan = sets_df._jdf.queryExecution().executedPlan().toString()
+    assert "lead(__hw" not in plan.split("== Initial Plan ==")[0]
+
+
+def test_minhash_verify_rejects_unknown_form(spark):
+    import pytest as _pytest
+
+    from ravelytics_spark.operators.dedup import minhash_dedup_pairs
+    from ravelytics_spark.sources.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    with _pytest.raises(ValueError, match="verify"):
+        minhash_dedup_pairs(d, "doc_id", "text", verify="nope")
