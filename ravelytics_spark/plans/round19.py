@@ -181,13 +181,25 @@ def portable_minhash_pairs(spark, docs):
     # rationale of operators/dedup.py). The verify's Jaccard is over
     # the 29-bit hash sets — identical in both engines; hash-merge
     # collisions perturb it at ~|set|^2/2^29 odds per pair.
-    sig = base.groupBy("doc_id").agg(
-        F.collect_set("h").alias("hset"),
-        *[
-            F.min((F.lit(_MH_A[i]) * F.col("h") + F.lit(_MH_B[i])) % _MH_P)
-            .alias(f"m{i}")
-            for i in range(_MH_K)
-        ]
+    # The eager lineage cut makes the signature store a single shared
+    # RDD: its three consumers (banding, both verify sides) prune
+    # DIFFERENT columns (mins vs hset), so Catalyst pushes divergent
+    # projections below any exchange and ReusedExchange dies — the
+    # 10x scale sweep measured the shingle+md5 pipeline executing 3x
+    # (29.7s) before the cut vs once after (the operators/dedup.py
+    # minhash_dedup_pairs rationale, applied to the portable twin).
+    sig = (
+        base.groupBy("doc_id")
+        .agg(
+            F.collect_set("h").alias("hset"),
+            *[
+                F.min(
+                    (F.lit(_MH_A[i]) * F.col("h") + F.lit(_MH_B[i])) % _MH_P
+                ).alias(f"m{i}")
+                for i in range(_MH_K)
+            ],
+        )
+        .localCheckpoint(eager=True)
     )
     # band key = struct of the band's R minhashes; ONE equi-join on
     # (band, key) — the banded-bucket shuffle of dedup.py, not B
