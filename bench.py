@@ -67,6 +67,10 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "x91_minhash_portable",
     "x96_grid_ivf_topk",
+    "x97_kmv_portable",
+    "x100_curation_portable",
+    "x102_srp_portable",
+    "x104_equidepth_histogram",
 ]
 
 
