@@ -554,25 +554,31 @@ def x101_dup_clusters_portable(spark, sf_dir):
         .select("id_a", "id_b")
         .localCheckpoint(eager=True)
     )
-    edges = pairs.union(
-        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    ).distinct()
-    labels = edges.select(F.col("id_a").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
+    # Closed-neighborhood form: adding self-loops folds "keep my own
+    # label" into the same min-agg, so each round is ONE join + ONE
+    # aggregation (instead of join + agg + left-join back) and the
+    # labels frame is referenced once per round — a linear lineage
+    # chain instead of the doubling tree the dual-reference form
+    # builds (2^k plan subtrees by round k; measured ~2x wall-clock on
+    # the same 8 rounds from re-optimization + the extra shuffle).
+    nodes = (
+        pairs.select(F.col("id_a").alias("node"))
+        .union(pairs.select(F.col("id_b").alias("node")))
+        .distinct()
     )
-    for _ in range(_CLUSTER_ITERS):
-        nbr_min = (
-            edges.join(labels, edges.id_a == labels.node)
-            .groupBy(F.col("id_b").alias("node2"))
-            .agg(F.min("label").alias("minl"))
+    edges = (
+        pairs.union(
+            pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
         )
-        labels = labels.join(
-            nbr_min, labels.node == nbr_min.node2, "left"
-        ).select(
-            "node",
-            F.least(
-                F.col("label"), F.coalesce(F.col("minl"), F.col("label"))
-            ).alias("label"),
+        .union(nodes.select(F.col("node").alias("id_a"), F.col("node").alias("id_b")))
+        .distinct()
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(_CLUSTER_ITERS):
+        labels = (
+            edges.join(labels, edges.id_a == labels.node)
+            .groupBy(F.col("id_b").alias("node"))
+            .agg(F.min("label").alias("label"))
         )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster")

@@ -170,24 +170,27 @@ def test_dup_clusters_iterations_reach_fixed_point(spark):
         .select("id_a", "id_b")
         .localCheckpoint(eager=True)
     )
-    edges = pairs.union(
-        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    ).distinct()
-    labels = edges.select(F.col("id_a").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
+    nodes = (
+        pairs.select(F.col("id_a").alias("node"))
+        .union(pairs.select(F.col("id_b").alias("node")))
+        .distinct()
     )
+    edges = (
+        pairs.union(
+            pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+        )
+        .union(
+            nodes.select(F.col("node").alias("id_a"), F.col("node").alias("id_b"))
+        )
+        .distinct()
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
 
     def step(lbls):
-        nbr_min = (
+        return (
             edges.join(lbls, edges.id_a == lbls.node)
-            .groupBy(F.col("id_b").alias("node2"))
-            .agg(F.min("label").alias("minl"))
-        )
-        return lbls.join(nbr_min, lbls.node == nbr_min.node2, "left").select(
-            "node",
-            F.least(
-                F.col("label"), F.coalesce(F.col("minl"), F.col("label"))
-            ).alias("label"),
+            .groupBy(F.col("id_b").alias("node"))
+            .agg(F.min("label").alias("label"))
         )
 
     for _ in range(_CLUSTER_ITERS):
