@@ -71,6 +71,12 @@ HEADLINE = [
     "x100_curation_portable",
     "x102_srp_portable",
     "x104_equidepth_histogram",
+    # round 5 batch 2: warehouse analytics + retrieval fusion
+    "x108_cms_heavy_hitters",
+    "x111_rfm_segmentation",
+    "x117_bm25_scan",
+    "x122_rrf_hybrid_search",
+    "x126_session_profile",
 ]
 
 

@@ -198,6 +198,16 @@ _SINGLE_PARTITION_OK = {
     "x97_kmv_portable": "the sketch-union merge: input is sources x K rows by construction (per-source K-min sets), the exact shape a KMV rollup ships to one combiner",
     "x103_triangle_count": "four scalar counters (nodes/edges/wedges/triangles): each agg combines to ONE row before the crossJoin assembles the report row",
     "x104_equidepth_histogram": "cumulative window over the FINE-BIN frame (~120 rows at any SF): the x74/x77 aggregate-first idiom — the corpus-sized step is the hash-agg onto bins",
+    # round-21/22 registrations (round 5 batch 2): same idioms.
+    "x111_rfm_segmentation": "three global ntiles over the CUSTOMER-level aggregate — docstring names the percentile-threshold swap at true scale",
+    "x112_pareto_abc": "cumulative window over the PART-level aggregate + revenue-total scalar broadcast",
+    "x113_basket_lift": "basket-count scalar N: one partial row per partition, then broadcast into the lift expression",
+    "x114_trend_slope": "month-origin scalar (global min month): one partial row per partition, then broadcast",
+    "x116_chi2_independence": "grand-total scalar N over the cell aggregate: one partial row per partition, then broadcast",
+    "x117_bm25_scan": "corpus N/avgdl/df scalars: one partial row per partition, then broadcast (the x83 idiom)",
+    "x120_seasonality_index": "trailing-12 window over the MONTH-level aggregate (x74/x77 aggregate-first idiom)",
+    "x122_rrf_hybrid_search": "rank windows over two TakeOrdered(100) frames + corpus-stats scalar broadcast — every SinglePartition input is <=100 rows by construction",
+    "x125_cusum_changepoint": "global window over the MONTH-level aggregate + tot/n scalar broadcast (x74/x77 idiom)",
 }
 
 
