@@ -103,7 +103,7 @@ WITH keys AS (
 ),
 hashes AS (
     SELECT d,
-           CAST('0x' || substr(md5('cms' || d || ':' || l_partkey), 1, 12) AS BIGINT)
+           CAST('0x' || substr(md5('cms:' || l_partkey), 1 + 3 * d, 3) AS BIGINT)
                % {_CMS_W} AS b
     FROM lineitem, (SELECT unnest([0, 1, 2, 3]) AS d)
 ),
@@ -112,7 +112,7 @@ counters AS (
 ),
 keyb AS (
     SELECT k.l_partkey, k.n_exact, d,
-           CAST('0x' || substr(md5('cms' || d || ':' || k.l_partkey), 1, 12) AS BIGINT)
+           CAST('0x' || substr(md5('cms:' || k.l_partkey), 1 + 3 * d, 3) AS BIGINT)
                % {_CMS_W} AS b
     FROM keys k, (SELECT unnest([0, 1, 2, 3]) AS d)
 )
@@ -126,50 +126,58 @@ ORDER BY n_exact DESC, l_partkey
 @q(
     "x108_cms_heavy_hitters",
     "OP-G5/X8-ext",
-    "Portable Count-Min sketch (d=4 md5-salted rows x w=512 counters) "
-    "over lineitem part frequencies, certified against the exact "
-    "top-20: the CMS estimate (min over rows) is >= exact by "
-    "construction and both sides are pure integer state. The counter "
-    "table is FIXED d*w cells built in one hash-agg with map-side "
-    "combine — mergeable across shards/days like the HLL registers of "
-    "x98, which is what makes it the 100 TB heavy-hitter scan (the "
-    "exact per-key agg it is checked against is the thing that does "
-    "NOT scale when keys are unbounded).",
+    "Portable Count-Min sketch (d=4 hash rows x w=512 counters) over "
+    "lineitem part frequencies, certified against the exact top-20: "
+    "the CMS estimate (min over rows) is >= exact by construction and "
+    "both sides are pure integer state. The 4 row-hashes are DISJOINT "
+    "9-of-12-bit slices of ONE md5 per key (the Kirsch-Mitzenmacher "
+    "multiple-hashes-from-one-digest construction) — one md5 per "
+    "input row instead of d salted digests, which is the dominant "
+    "per-row cost of any sketch scan. The counter table is FIXED d*w "
+    "cells built in one hash-agg with map-side combine — mergeable "
+    "across shards/days like the HLL registers of x98, which is what "
+    "makes it the 100 TB heavy-hitter scan (the exact per-key agg it "
+    "is checked against is the thing that does NOT scale when keys "
+    "are unbounded).",
     _CMS_ORACLE,
 )
 def x108_cms_heavy_hitters(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     pk = F.col("l_partkey").cast("string")
+    digest = F.md5(F.concat(F.lit("cms:"), pk))
 
-    def bucket(d: int):
-        return (_h48(pk, f"cms{d}:") % _CMS_W).alias("b")
+    def buckets():
+        # 12 hex chars sliced into 4 independent 3-hex (12-bit) words,
+        # each reduced mod w=512.
+        return [
+            F.struct(
+                F.lit(d).alias("d"),
+                (
+                    F.conv(F.substring(digest, 1 + 3 * d, 3), 16, 10).cast("long")
+                    % _CMS_W
+                ).alias("b"),
+            )
+            for d in range(_CMS_D)
+        ]
 
     exact = li.groupBy("l_partkey").agg(F.count("*").cast("long").alias("n_exact"))
     top = exact.orderBy(F.desc("n_exact"), "l_partkey").limit(20)
 
-    rows = li.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(d).alias("d"), bucket(d))
-                    for d in range(_CMS_D)
-                ]
-            )
-        ).alias("s")
-    ).select("s.d", "s.b")
+    # Explicit-count repartition before the digest fan-out: the testdata
+    # parquet is a single row group, so the scan stage is one task — a
+    # ~5 MB key-column shuffle buys full-core parallelism for the md5 +
+    # explode CPU (the round-19 hash-stage idiom).
+    n_par = spark.sparkContext.defaultParallelism
+    keys = li.select("l_partkey").repartition(n_par)
+    rows = keys.select(F.explode(F.array(*buckets())).alias("s")).select(
+        "s.d", "s.b"
+    )
     counters = rows.groupBy("d", "b").agg(F.count("*").cast("long").alias("cnt"))
 
     keyb = top.select(
         "l_partkey",
         "n_exact",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(d).alias("d"), bucket(d))
-                    for d in range(_CMS_D)
-                ]
-            )
-        ).alias("s"),
+        F.explode(F.array(*buckets())).alias("s"),
     ).select("l_partkey", "n_exact", "s.d", "s.b")
     return (
         keyb.join(F.broadcast(counters), ["d", "b"])
