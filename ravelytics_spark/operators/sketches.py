@@ -290,3 +290,95 @@ def kmv_quantile_estimate(
         ).alias("__s"),
     )
     return stacked.select(*group_cols, "__s.p", "__s.quantile")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: mergeable FREQUENCY estimates (the heavy-hitter
+# companion to HLL's distinct counts; Cormode & Muthukrishnan, "An
+# improved data stream summary: the count-min sketch and its
+# applications", 2005 — public)
+# ---------------------------------------------------------------------------
+
+
+def _cms_buckets(d: int, w: int) -> list:
+    """(row, bucket) structs for the value column ``__v``: d hash rows
+    derived from disjoint 16-bit slices of one xxhash64 (multiple
+    hashes from one strong digest — Kirsch & Mitzenmacher 2006), each
+    reduced mod w. One digest per input row, not d."""
+    assert 1 <= d <= 4, "d rows draw from 4 disjoint 16-bit words of one hash"
+    h = F.xxhash64(F.col("__v"))
+    return [
+        F.struct(
+            F.lit(row).alias("row"),
+            F.pmod(
+                F.shiftrightunsigned(h, 16 * row) % F.lit(1 << 16), F.lit(w)
+            ).cast("int").alias("bucket"),
+        )
+        for row in range(d)
+    ]
+
+
+def cms_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    d: int = 4,
+    w: int = 1024,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build Count-Min counter rows per group: (group..., row, bucket,
+    cnt). FIXED d*w state per group regardless of input size — one
+    hash-agg with map-side combine; ``weight_col`` turns it into a
+    weighted frequency sketch (e.g. bytes per key). The countState
+    analog of hll_sketch."""
+    group_cols = group_cols or []
+    wgt = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    rows = df.select(
+        *group_cols, F.col(value_col).alias("__v"), wgt.alias("__w")
+    ).select(
+        *group_cols, F.explode(F.array(*_cms_buckets(d, w))).alias("__s"), "__w"
+    )
+    return rows.groupBy(*group_cols, "__s.row", "__s.bucket").agg(
+        F.sum("__w").alias("cnt")
+    )
+
+
+def cms_merge(sketches: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Combine counter rows into coarser groups (day x key -> key): the
+    countMerge analog. Counter ADDITION is the merge — associative,
+    commutative, and exactly equal to having built one sketch over the
+    union (unlike the estimates, which are only >= truth)."""
+    group_cols = group_cols or []
+    return sketches.groupBy(*group_cols, "row", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def cms_query(
+    sketches: DataFrame,
+    keys: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Point-estimate frequencies for ``keys`` (a DataFrame with
+    ``value_col`` and any group cols): hash each key with the same
+    bucket family, equi-join the counter rows, take min over the d
+    rows. Estimate >= truth always; error <= e/w * N with prob
+    1 - e^-d. The keys side is typically tiny (candidate heavy
+    hitters) and broadcasts."""
+    group_cols = group_cols or []
+    kb = keys.select(
+        *group_cols, F.col(value_col).alias("__v")
+    ).select(
+        *group_cols,
+        F.col("__v").alias(value_col),
+        F.explode(F.array(*_cms_buckets(d, w))).alias("__s"),
+    ).select(*group_cols, value_col, "__s.row", "__s.bucket")
+    joined = kb.join(sketches, [*group_cols, "row", "bucket"], "left").fillna(
+        0, subset=["cnt"]
+    )
+    return joined.groupBy(*group_cols, value_col).agg(
+        F.min("cnt").cast("long").alias("cms_count")
+    )
