@@ -27,6 +27,10 @@ def main() -> int:
         SparkSession.builder.master("local[16]")
         .config("spark.sql.session.timeZone", "America/New_York")
         .config("spark.sql.shuffle.partitions", "16")
+        # see gate.py: the 1 GiB local default driver heap OOMs at sf0.1
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g")
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -40,6 +40,13 @@ def main() -> int:
         SparkSession.builder.master(f"local[{cores}]")
         .config("spark.sql.session.timeZone", "America/New_York")
         .config("spark.sql.shuffle.partitions", partitions)
+        # PySpark's local default is a 1 GiB driver heap; at sf0.1 the
+        # wedge-heavy entries (x103: 41M wedges) OOM the shared JVM and
+        # every later entry dies with ConnectionRefused. Size it like
+        # ravelytics_spark.session.get_spark does.
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g")
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
