@@ -1,0 +1,550 @@
+"""Round-23 operators — STAGED (round 5), registration deferred.
+
+The round-5 driver certification window is exactly filled by the 47
+already-registered uncertified oracle entries (tpch_q1, x81–x126), so
+these five are built, oracle-twinned and tested NOW but kept OUT of
+``REGISTRY`` until round 6 (the round-18 staging precedent: entries
+ship the round after the window they'd overflow). To register, round 6
+adds the two-line self-registration footer round18.py carries.
+
+* ``x127_kcore_peel`` — k-core decomposition (k=3) of the weight>=2
+  co-order part graph by 12 unrolled peel rounds (drop degree<k,
+  recompute, repeat): Spark iterates join+agg rounds, DuckDB runs the
+  same 12 rounds as literal unrolled CTEs — the x101 fixed-iteration
+  certification pattern applied to graph peeling (both engines always
+  agree because they run the SAME round count; a pytest asserts the
+  fixed point is actually reached at sf0.01, where peeling cascades
+  through 10 rounds).
+* ``x128_mutual_information`` — pointwise and expected mutual
+  information between document language and source over observed
+  contingency cells (pmi = ln(n*N/(R*C)) on exact-integer operands,
+  the x49 round(ln,8) convention) — the information-theoretic
+  companion of x116's chi-square and x121's entropy.
+* ``x129_cohort_ltv`` — the customer-LTV triangle: cohort = month of
+  first order, per (cohort, age) cell active customers and exact-cents
+  revenue, cumulative revenue over age, and LTV-per-customer in exact
+  integer micro-cents (x119's two-step floor division). Windows run
+  over the cohort x age aggregate (months^2 cells).
+* ``x130_lorenz_deciles`` — per-source Lorenz curve: docs ranked by
+  length within source, decile = ceil(10*i/n) as exact integers, and
+  the cumulative length share per decile — the curve whose area x115
+  summarizes as the Gini scalar.
+* ``x131_funnel_latency`` — time-to-convert: per user the x36 strict
+  stepwise funnel timestamps (first view, first click after it, first
+  purchase after that), then per step-pair conversion counts and
+  p50/p90 latency seconds via exact rank picks.
+
+Hash-parity conventions as plans/queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ravelytics_spark.plans.queries import Query
+from ravelytics_spark.sources.tables import load_table
+
+STAGED: dict[str, Query] = {}
+
+
+def _staged(name: str, op_id: str, doc: str, oracle: str | None = None):
+    def deco(fn):
+        STAGED[name] = Query(name, op_id, doc, fn, oracle)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# x127 — k-core peel of the weight>=2 co-order part graph
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 12
+
+
+def _kcore_ctes() -> str:
+    # Every CTE is MATERIALIZED: DuckDB inlines plain CTEs at each
+    # reference, and d_r references a_{r-1} TWICE — unmaterialized,
+    # the 12-round chain expands 2^12 copies of the co-order self-join
+    # (observed as a too-many-open-files explosion on the lineitem
+    # view). Materialization makes each round run exactly once — the
+    # same linear-lineage discipline the Spark side gets from its
+    # localCheckpoints.
+    parts = []
+    prev = "a0"
+    for r in range(1, _KCORE_ROUNDS + 1):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT e.u AS n, CAST(count(*) AS BIGINT) AS d\n"
+            f"          FROM und e JOIN {prev} x ON e.u = x.n\n"
+            f"                     JOIN {prev} y ON e.v = y.n GROUP BY e.u)"
+        )
+        parts.append(
+            f"a{r} AS MATERIALIZED (SELECT n FROM d{r} WHERE d >= {_KCORE_K})"
+        )
+        prev = f"a{r}"
+    return ",\n".join(parts)
+
+
+_KCORE_ORACLE = f"""
+WITH pk AS MATERIALIZED (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+e AS MATERIALIZED (
+    SELECT a.p AS u, b.p AS v
+    FROM pk a JOIN pk b ON a.o = b.o AND a.p < b.p
+    GROUP BY a.p, b.p HAVING count(*) >= 2
+),
+und AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+a0 AS MATERIALIZED (SELECT DISTINCT u AS n FROM und),
+{_kcore_ctes()}
+SELECT n AS part, d AS core_degree
+FROM d{_KCORE_ROUNDS} WHERE d >= {_KCORE_K}
+ORDER BY part
+"""
+
+
+@_staged(
+    "x127_kcore_peel",
+    "OP-X2-ext",
+    "k-core decomposition (k=3) of the weight>=2 co-order part graph "
+    "(parts bought together in at least two distinct orders — the "
+    "repeat-co-purchase backbone): 12 rounds of peel-and-recompute "
+    "(drop nodes with degree < k among still-alive nodes), emitting "
+    "the surviving core with its within-core degrees. The iterative "
+    "form certified against 12 literally-unrolled DuckDB CTE rounds — "
+    "the x101 fixed-round contract for graph algorithms (engines "
+    "always agree because they run the same round count; the pytest "
+    "fixed-point check proves 12 rounds suffice at the certification "
+    "SF, where the cascade needs 10). Scale: each round is two "
+    "node-keyed semi-joins + one degree agg over the CHECKPOINTED "
+    "edge list (the expensive co-order self-join runs once); per-node "
+    "state is one degree.",
+    _KCORE_ORACLE,
+)
+def x127_kcore_peel(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    pk = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = pk.alias("a"), pk.alias("b")
+    e = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    und = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)  # referenced 2x per round x 12 rounds
+    alive = und.select(F.col("u").alias("n")).distinct()
+    deg = None
+    for _ in range(_KCORE_ROUNDS):
+        # checkpoint the (tiny) alive set: it feeds two semi-joins per
+        # round — without the cut the lineage doubles every round
+        # (the x101 lesson).
+        alive = alive.localCheckpoint(eager=True)
+        deg = (
+            und.join(alive, und.u == alive.n, "left_semi")
+            .join(
+                alive.select(F.col("n").alias("n2")),
+                F.col("v") == F.col("n2"),
+                "left_semi",
+            )
+            .groupBy("u")
+            .agg(F.count("*").cast("long").alias("d"))
+        )
+        alive = deg.filter(F.col("d") >= _KCORE_K).select(F.col("u").alias("n"))
+    return (
+        deg.filter(F.col("d") >= _KCORE_K)
+        .select(F.col("u").alias("part"), F.col("d").alias("core_degree"))
+        .orderBy("part")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x128 — mutual information between language and source
+# ---------------------------------------------------------------------------
+
+_MI_ORACLE = """
+WITH o AS (
+    SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+    FROM documents GROUP BY lang, source
+),
+r AS (SELECT lang, CAST(sum(n) AS BIGINT) AS rn FROM o GROUP BY lang),
+c AS (SELECT source, CAST(sum(n) AS BIGINT) AS cn FROM o GROUP BY source),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS tn FROM o)
+SELECT lang, source, n,
+       round(ln(CAST(n AS DOUBLE) * CAST(tn AS DOUBLE)
+                / (CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE))), 8) AS pmi,
+       round((CAST(n AS DOUBLE) / CAST(tn AS DOUBLE))
+             * round(ln(CAST(n AS DOUBLE) * CAST(tn AS DOUBLE)
+                        / (CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE))), 8), 8)
+           AS mi_term
+FROM o JOIN r USING (lang) JOIN c USING (source), t
+ORDER BY lang, source
+"""
+
+
+@_staged(
+    "x128_mutual_information",
+    "OP-G6-ext",
+    "Pointwise and expected mutual information between document "
+    "language and source over observed contingency cells: pmi = "
+    "ln(n*N/(R*C)) with every operand an exact BIGINT cast to double "
+    "(identical IEEE inputs -> identical libm output, the x49 "
+    "round(ln,8) convention), mi_term = p*pmi per cell (the global MI "
+    "is their sum). Zero cells contribute 0 to MI by definition, so "
+    "unlike x116's chi-square the observed-cell join IS the full "
+    "statistic. The information-theoretic companion to x116 "
+    "(significance) and x121 (diversity) in a corpus-mix report; all "
+    "marginals from one map-side-combined agg over "
+    "|langs|x|sources| cells.",
+    _MI_ORACLE,
+)
+def x128_mutual_information(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    o = d.groupBy("lang", "source").agg(F.count("*").cast("long").alias("n"))
+    r = o.groupBy("lang").agg(F.sum("n").cast("long").alias("rn"))
+    c = o.groupBy("source").agg(F.sum("n").cast("long").alias("cn"))
+    t = o.agg(F.sum("n").cast("long").alias("tn"))
+    cells = (
+        o.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "source")
+        .crossJoin(F.broadcast(t))
+    )
+    pmi = F.round(
+        F.log(
+            F.col("n").cast("double")
+            * F.col("tn").cast("double")
+            / (F.col("rn").cast("double") * F.col("cn").cast("double"))
+        ),
+        8,
+    )
+    p = F.col("n").cast("double") / F.col("tn").cast("double")
+    return cells.select(
+        "lang",
+        "source",
+        "n",
+        pmi.alias("pmi"),
+        F.round(p * pmi, 8).alias("mi_term"),
+    ).orderBy("lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# x129 — cohort LTV triangle
+# ---------------------------------------------------------------------------
+
+_LTV_ORACLE = """
+WITH f AS (
+    SELECT o_custkey,
+           CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS cohort
+    FROM orders GROUP BY o_custkey
+),
+base AS (
+    SELECT f.cohort,
+           (year(o.o_orderdate) * 12 + month(o.o_orderdate))
+             - (year(f.cohort) * 12 + month(f.cohort)) AS age,
+           o.o_custkey,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders o JOIN f ON o.o_custkey = f.o_custkey
+),
+cell AS (
+    SELECT cohort, CAST(age AS BIGINT) AS age,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_active,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM base GROUP BY cohort, age
+),
+size_ AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size FROM f GROUP BY cohort),
+cum AS (
+    SELECT cohort, age, n_active, revenue_cents,
+           SUM(revenue_cents) OVER (PARTITION BY cohort ORDER BY age
+                                    ROWS UNBOUNDED PRECEDING) AS cum_cents
+    FROM cell
+)
+SELECT cum.cohort AS cohort, age, n_active, revenue_cents,
+       CAST(cum_cents AS BIGINT) AS cum_revenue_cents, cohort_size,
+       CAST((cum_cents // cohort_size) * 1000000
+            + ((cum_cents % cohort_size) * 1000000) // cohort_size AS BIGINT)
+           AS ltv_micros
+FROM cum JOIN size_ ON cum.cohort = size_.cohort
+ORDER BY cum.cohort, age
+"""
+
+
+@_staged(
+    "x129_cohort_ltv",
+    "OP-G3/W4/D1-ext",
+    "Customer-LTV triangle: cohort = calendar month of each customer's "
+    "FIRST order, then per (cohort, months-since) cell the active "
+    "customers, exact-cents revenue, running cumulative revenue, and "
+    "cumulative LTV per cohort customer in exact integer MICRO-cents "
+    "(x119's two-step floor division — no float divide in the "
+    "certified columns). The subscription/retention-economics staple "
+    "(x37 counts retained users; this follows the money). Scale: "
+    "first-order and cell aggs are custkey/cohort-keyed with map-side "
+    "combine; the cumulative window runs over the cohort x age "
+    "aggregate (months^2 cells, independent of order volume); cohort "
+    "sizes join broadcast.",
+    _LTV_ORACLE,
+)
+def x129_cohort_ltv(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    f = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("cohort")
+    )
+    idx = lambda col: F.year(col) * 12 + F.month(col)  # noqa: E731
+    base = o.join(f, "o_custkey").select(
+        "cohort",
+        (idx(F.col("o_orderdate")) - idx(F.col("cohort"))).cast("long").alias("age"),
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cell = base.groupBy("cohort", "age").agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_active"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+    size = f.groupBy("cohort").agg(F.count("*").cast("long").alias("cohort_size"))
+    wC = Window.partitionBy("cohort").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = cell.withColumn("cum_cents", F.sum("revenue_cents").over(wC))
+    ltv = F.expr(
+        "CAST((cum_cents DIV cohort_size) * 1000000"
+        " + ((cum_cents % cohort_size) * 1000000) DIV cohort_size AS BIGINT)"
+    )
+    return (
+        cum.join(F.broadcast(size), "cohort")
+        .select(
+            "cohort",
+            "age",
+            "n_active",
+            "revenue_cents",
+            F.col("cum_cents").cast("long").alias("cum_revenue_cents"),
+            "cohort_size",
+            ltv.alias("ltv_micros"),
+        )
+        .orderBy("cohort", "age")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x130 — per-source Lorenz deciles of document length
+# ---------------------------------------------------------------------------
+
+_LORENZ_ORACLE = """
+WITH r AS (
+    SELECT source, n_chars,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY n_chars, doc_id) AS i,
+           count(*) OVER (PARTITION BY source) AS n
+    FROM documents
+),
+dec AS (
+    SELECT source, (10 * i + n - 1) // n AS decile,
+           n_chars
+    FROM r
+),
+cell AS (
+    SELECT source, CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM dec GROUP BY source, decile
+),
+tot AS (SELECT source, CAST(sum(chars) AS BIGINT) AS total FROM cell GROUP BY source)
+SELECT cell.source AS source, decile, n_docs, chars,
+       CAST(SUM(chars) OVER (PARTITION BY cell.source ORDER BY decile
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_chars,
+       round(CAST(SUM(chars) OVER (PARTITION BY cell.source ORDER BY decile
+                                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / CAST(total AS DOUBLE), 8) AS cum_share
+FROM cell JOIN tot ON cell.source = tot.source
+ORDER BY cell.source, decile
+"""
+
+
+@_staged(
+    "x130_lorenz_deciles",
+    "OP-W-ext/OP-G6",
+    "Per-source Lorenz curve of document length: docs ranked "
+    "ascending within source (tie-broken total), decile = "
+    "ceil(10*i/n) computed as the exact integer (10i+n-1) DIV n, then "
+    "per-decile doc counts, char mass, and cumulative share (exact "
+    "BIGINT operands, one IEEE divide rounded to 8). The curve whose "
+    "area x115 reports as the Gini scalar — together they are the "
+    "corpus length-concentration report. Same scale shape as x115: "
+    "a per-source rank window (the documented few-sources caveat), "
+    "then everything runs over 10 rows per source.",
+    _LORENZ_ORACLE,
+)
+def x130_lorenz_deciles(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    wS = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wN = Window.partitionBy("source")
+    r = d.select(
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.row_number().over(wS).cast("long").alias("i"),
+        F.count("*").over(wN).cast("long").alias("n"),
+    )
+    dec = r.select(
+        "source",
+        F.expr("(10 * i + n - 1) DIV n").cast("long").alias("decile"),
+        "n_chars",
+    )
+    cell = dec.groupBy("source", "decile").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    tot = cell.groupBy("source").agg(F.sum("chars").cast("long").alias("total"))
+    wD = Window.partitionBy("source").orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = F.sum("chars").over(wD)
+    return (
+        cell.join(F.broadcast(tot), "source")
+        .select(
+            "source",
+            "decile",
+            "n_docs",
+            "chars",
+            cum.cast("long").alias("cum_chars"),
+            F.round(cum.cast("double") / F.col("total").cast("double"), 8).alias(
+                "cum_share"
+            ),
+        )
+        .orderBy("source", "decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x131 — funnel step latency (time-to-convert)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_LAT_ORACLE = """
+WITH s1 AS (
+    SELECT user_id, min(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, min(e.ts) AS t2 FROM events e
+    JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, min(e.ts) AS t3 FROM events e
+    JOIN s2 ON e.user_id = s2.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+),
+lat AS (
+    SELECT 'view_to_click' AS step, s1.user_id,
+           CAST(date_diff('second', s1.t1, s2.t2) AS BIGINT) AS lat_s
+    FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+    UNION ALL
+    SELECT 'click_to_purchase', s2.user_id,
+           CAST(date_diff('second', s2.t2, s3.t3) AS BIGINT)
+    FROM s2 JOIN s3 ON s2.user_id = s3.user_id
+    UNION ALL
+    SELECT 'view_to_purchase', s1.user_id,
+           CAST(date_diff('second', s1.t1, s3.t3) AS BIGINT)
+    FROM s1 JOIN s3 ON s1.user_id = s3.user_id
+),
+r AS (
+    SELECT step, lat_s,
+           row_number() OVER (PARTITION BY step ORDER BY lat_s, user_id) AS i,
+           count(*) OVER (PARTITION BY step) AS n
+    FROM lat
+)
+SELECT step, CAST(max(n) AS BIGINT) AS n_users,
+       CAST(max(CASE WHEN i = (n + 1) // 2 THEN lat_s END) AS BIGINT) AS p50_s,
+       CAST(max(CASE WHEN i = (9 * n + 9) // 10 THEN lat_s END) AS BIGINT) AS p90_s
+FROM r GROUP BY step ORDER BY step
+"""
+
+
+@_staged(
+    "x131_funnel_latency",
+    "OP-G1/J3/W-ext",
+    "Time-to-convert: per user the x36 strict stepwise funnel "
+    "timestamps (first view, first click strictly after it, first "
+    "purchase strictly after that — identical stepwise "
+    "conditional-min joins), then per step-pair the converted-user "
+    "count and p50/p90 latency in whole seconds (instant diffs, "
+    "timezone-free) via exact rank picks under a total (latency, "
+    "user) order. Completes the funnel pair: x36 reports HOW MANY "
+    "convert, this reports HOW FAST. All joins/aggs are user-keyed "
+    "and monotonically shrinking; the quantile windows partition on "
+    "the 3 step labels over converted users only.",
+    _FUNNEL_LAT_ORACLE,
+)
+def x131_funnel_latency(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2.select("user_id", "t2"), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    sec = lambda a, b: (  # noqa: E731
+        F.unix_timestamp(b) - F.unix_timestamp(a)
+    ).cast("long")
+    lat = (
+        s1.join(s2, "user_id")
+        .select(
+            F.lit("view_to_click").alias("step"),
+            "user_id",
+            sec(F.col("t1"), F.col("t2")).alias("lat_s"),
+        )
+        .unionByName(
+            s2.join(s3, "user_id").select(
+                F.lit("click_to_purchase").alias("step"),
+                "user_id",
+                sec(F.col("t2"), F.col("t3")).alias("lat_s"),
+            )
+        )
+        .unionByName(
+            s1.join(s3, "user_id").select(
+                F.lit("view_to_purchase").alias("step"),
+                "user_id",
+                sec(F.col("t1"), F.col("t3")).alias("lat_s"),
+            )
+        )
+    )
+    wP = Window.partitionBy("step").orderBy("lat_s", "user_id")
+    wN = Window.partitionBy("step")
+    r = lat.select(
+        "step",
+        "lat_s",
+        F.row_number().over(wP).cast("long").alias("i"),
+        F.count("*").over(wN).cast("long").alias("n"),
+    )
+
+    def pick(rank_expr, name):
+        return F.max(
+            F.when(F.col("i") == F.expr(rank_expr), F.col("lat_s"))
+        ).cast("long").alias(name)
+
+    return (
+        r.groupBy("step")
+        .agg(
+            F.max("n").cast("long").alias("n_users"),
+            pick("(n + 1) DIV 2", "p50_s"),
+            pick("(9 * n + 9) DIV 10", "p90_s"),
+        )
+        .orderBy("step")
+    )

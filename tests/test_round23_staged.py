@@ -1,0 +1,149 @@
+"""Oracle-comparison + property tests for the STAGED round-23 entries
+(built in round 5; registration deferred until the round-5
+certification window clears — the round-18 staging precedent)."""
+
+from __future__ import annotations
+
+import pytest
+
+from ravelytics_spark.plans.round23_staged import (
+    _KCORE_K,
+    _KCORE_ROUNDS,
+    STAGED,
+)
+from ravelytics_spark.testing import compare, duckdb_connection
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+
+@pytest.mark.parametrize("name", sorted(STAGED))
+@pytest.mark.parametrize("sf_dir", SFS)
+def test_round23_staged_matches_oracle(spark, name, sf_dir):
+    entry = STAGED[name]
+    con = duckdb_connection(sf_dir)
+    problems = compare(
+        entry.spark(spark, sf_dir), con, entry.oracle, name, strict_row_order=True
+    )
+    assert not problems, problems
+
+
+def test_round23_not_registered_yet(spark):
+    """The round-5 driver window is exactly filled; these must stay out
+    of REGISTRY until round 6 registers them."""
+    from ravelytics_spark.plans.queries import REGISTRY
+
+    assert not (set(STAGED) & set(REGISTRY))
+
+
+def test_kcore_matches_pure_python_peel_and_reaches_fixed_point(spark):
+    """The 12-round output equals the true k-core computed by an
+    in-memory reference peel (which also proves 12 rounds suffice at
+    the certification SF — the cascade needs 10)."""
+    import duckdb
+
+    con = duckdb.connect()
+    edges = con.execute(
+        f"""
+        WITH pk AS (SELECT DISTINCT l_orderkey o, l_partkey p
+                    FROM '{SFS[1]}/lineitem.parquet'),
+        e AS (SELECT a.p u, b.p v, count(*) w FROM pk a
+              JOIN pk b ON a.o = b.o AND a.p < b.p GROUP BY a.p, b.p)
+        SELECT u, v FROM e WHERE w >= 2"""
+    ).fetchall()
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    rounds = 0
+    while True:
+        drop = [n for n, ns in adj.items() if len(ns) < _KCORE_K]
+        if not drop:
+            break
+        rounds += 1
+        for n in drop:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+    assert rounds <= _KCORE_ROUNDS, "unrolled round count no longer suffices"
+    expect = {(n, len(ns)) for n, ns in adj.items()}
+    got = {
+        (r.part, r.core_degree)
+        for r in STAGED["x127_kcore_peel"].spark(spark, SFS[1]).collect()
+    }
+    assert got == expect
+    assert all(d >= _KCORE_K for _, d in got)
+
+
+def test_mutual_information_total_matches_python(spark):
+    import math
+
+    rows = STAGED["x128_mutual_information"].spark(spark, SFS[1]).collect()
+    rn: dict[str, int] = {}
+    cn: dict[str, int] = {}
+    tot = 0
+    for r in rows:
+        rn[r.lang] = rn.get(r.lang, 0) + r.n
+        cn[r.source] = cn.get(r.source, 0) + r.n
+        tot += r.n
+    expect = sum(
+        (r.n / tot) * math.log(r.n * tot / (rn[r.lang] * cn[r.source]))
+        for r in rows
+    )
+    got = sum(r.mi_term for r in rows)
+    assert got == pytest.approx(expect, abs=1e-5)
+    assert got >= -1e-9  # MI is non-negative
+
+
+def test_cohort_ltv_triangle_consistency(spark):
+    rows = STAGED["x129_cohort_ltv"].spark(spark, SFS[1]).collect()
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort, []).append(r)
+    for cohort, rs in by_cohort.items():
+        rs.sort(key=lambda r: r.age)
+        assert rs[0].age == 0  # every cohort starts at its own month
+        cum = 0
+        for r in rs:
+            cum += r.revenue_cents
+            assert r.cum_revenue_cents == cum
+            assert r.n_active <= r.cohort_size
+            assert r.ltv_micros == (cum * 1_000_000) // r.cohort_size
+
+
+def test_lorenz_deciles_shape(spark):
+    rows = STAGED["x130_lorenz_deciles"].spark(spark, SFS[1]).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.decile)
+        assert rs[-1].decile == 10 and rs[-1].cum_share == pytest.approx(1.0)
+        shares = [r.cum_share for r in rs]
+        assert shares == sorted(shares)
+        # ascending-length deciles: later deciles hold at least as much
+        # mass per doc as earlier ones
+        assert rs[-1].chars / rs[-1].n_docs >= rs[0].chars / rs[0].n_docs
+
+
+def test_funnel_latency_consistency(spark):
+    rows = {r.step: r for r in STAGED["x131_funnel_latency"].spark(spark, SFS[1]).collect()}
+    assert set(rows) == {"view_to_click", "click_to_purchase", "view_to_purchase"}
+    for r in rows.values():
+        assert 0 <= r.p50_s <= r.p90_s
+    # s3 ⊆ s2 ⊆ s1, so both purchase pairs cover exactly the s3 users
+    assert rows["click_to_purchase"].n_users == rows["view_to_purchase"].n_users
+    assert rows["view_to_click"].n_users >= rows["view_to_purchase"].n_users
+    # end-to-end latency dominates its first leg at the median
+    assert rows["view_to_purchase"].p50_s >= rows["view_to_click"].p50_s
+
+
+def test_staged_nontrivial_rows(spark):
+    for name, query in STAGED.items():
+        assert query.spark(spark, SFS[0]).count() > 0, name
+    # x127 peels NOTHING at sf0.001 (min degree 5 >= k) and nearly
+    # everything at sf0.1 — the sf0.01 oracle run above is the one
+    # with a 10-round cascade; assert the sf0.001 no-op holds too.
+    n_nodes = (
+        STAGED["x127_kcore_peel"].spark(spark, SFS[0]).count()
+    )
+    assert n_nodes == 200
