@@ -34,6 +34,20 @@ adds the two-line self-registration footer round18.py carries.
   purchase after that), then per step-pair conversion counts and
   p50/p90 latency seconds via exact rank picks.
 
+Batch 2 (same staging contract):
+
+* ``x132_segment_migration`` — monetary-quartile transition matrix
+  1995 -> 1996 (x111's cube turned into a flow).
+* ``x133_shipmode_latency`` — lead-time p50/p90/p99 + late fraction
+  per mode group (round7's derived commit/receipt dates).
+* ``x134_hhi_revenue`` — per-nation Herfindahl revenue concentration
+  from exact DECIMAL moment sums.
+* ``x135_weekday_index`` — day-of-week revenue index with PORTABLE
+  dow arithmetic (days-since-a-known-Monday mod 7 — engine
+  dayofweek() functions disagree on origin and range).
+* ``x136_discount_bands`` — discount-band pricing impact with the q1
+  decimal-exact double-sum convention.
+
 Hash-parity conventions as plans/queries.py.
 """
 
@@ -547,4 +561,379 @@ def x131_funnel_latency(spark, sf_dir):
             pick("(9 * n + 9) DIV 10", "p90_s"),
         )
         .orderBy("step")
+    )
+
+
+# ===========================================================================
+# Batch 2 (same staging contract): x132-x136
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# x132 — monetary-quartile migration between two years
+# ---------------------------------------------------------------------------
+
+_MIGRATION_ORACLE = """
+WITH cy AS (
+    SELECT o_custkey, year(o_orderdate) AS y,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+    GROUP BY o_custkey, y
+),
+q AS (
+    SELECT o_custkey, y, cents,
+           ntile(4) OVER (PARTITION BY y ORDER BY cents DESC, o_custkey) AS mq
+    FROM cy
+)
+SELECT CAST(a.mq AS BIGINT) AS from_q, CAST(b.mq AS BIGINT) AS to_q,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(a.cents) AS BIGINT) AS cents_1995,
+       CAST(sum(b.cents) AS BIGINT) AS cents_1996
+FROM q a JOIN q b ON a.o_custkey = b.o_custkey AND a.y = 1995 AND b.y = 1996
+GROUP BY a.mq, b.mq
+ORDER BY from_q, to_q
+"""
+
+
+@_staged(
+    "x132_segment_migration",
+    "OP-W-ext/OP-J2",
+    "Customer-segment migration matrix: monetary quartile (ntile(4) "
+    "on exact-cents yearly spend, TOTAL tie-broken order) in 1995 vs "
+    "1996, joined per customer — the segment-transition report that "
+    "turns x111's static RFM cube into a flow (who moved up, who "
+    "churned down). Output is the 4x4 lattice with customer counts "
+    "and exact cents on both sides. The ntiles run over the "
+    "customer-year aggregate (x111's documented scale shape); the "
+    "migration join is custkey-keyed.",
+    _MIGRATION_ORACLE,
+)
+def x132_segment_migration(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    cy = (
+        o.filter(F.year("o_orderdate").isin(1995, 1996))
+        .groupBy("o_custkey", F.year("o_orderdate").alias("y"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    wY = Window.partitionBy("y").orderBy(F.desc("cents"), "o_custkey")
+    q = cy.withColumn("mq", F.ntile(4).over(wY))
+    a = q.filter(F.col("y") == 1995).select(
+        "o_custkey", F.col("mq").alias("from_q"), F.col("cents").alias("c95")
+    )
+    b = q.filter(F.col("y") == 1996).select(
+        "o_custkey", F.col("mq").alias("to_q"), F.col("cents").alias("c96")
+    )
+    return (
+        a.join(b, "o_custkey")
+        .groupBy(
+            F.col("from_q").cast("long").alias("from_q"),
+            F.col("to_q").cast("long").alias("to_q"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("c95").cast("long").alias("cents_1995"),
+            F.sum("c96").cast("long").alias("cents_1996"),
+        )
+        .orderBy("from_q", "to_q")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x133 — ship→receipt latency quantiles per ship mode
+# ---------------------------------------------------------------------------
+
+_SHIPLAT_ORACLE = """
+WITH c AS (
+    SELECT l_returnflag AS mode_grp,
+           CAST((l_orderkey * 17 + l_linenumber * 13) % 30 + 1 AS BIGINT) AS lag_d,
+           CASE WHEN (l_orderkey * 17 + l_linenumber * 13) % 30 + 1
+                   > (l_orderkey * 31 + l_linenumber * 7) % 60 - 30
+                THEN 1 ELSE 0 END AS late,
+           l_orderkey, l_linenumber
+    FROM lineitem
+),
+r AS (
+    SELECT mode_grp, lag_d, late,
+           row_number() OVER (PARTITION BY mode_grp
+                              ORDER BY lag_d, l_orderkey, l_linenumber) AS i,
+           count(*) OVER (PARTITION BY mode_grp) AS n
+    FROM c
+)
+SELECT mode_grp, CAST(max(n) AS BIGINT) AS n_items,
+       CAST(max(CASE WHEN i = (n + 1) // 2 THEN lag_d END) AS BIGINT) AS p50_days,
+       CAST(max(CASE WHEN i = (9 * n + 9) // 10 THEN lag_d END) AS BIGINT) AS p90_days,
+       CAST(max(CASE WHEN i = (99 * n + 99) // 100 THEN lag_d END) AS BIGINT) AS p99_days,
+       CAST(sum(late) AS BIGINT) AS n_late,
+       round(CAST(sum(late) AS DOUBLE) / CAST(max(n) AS DOUBLE), 8) AS late_frac
+FROM r GROUP BY mode_grp ORDER BY mode_grp
+"""
+
+
+@_staged(
+    "x133_shipmode_latency",
+    "OP-G6/OP-W-ext",
+    "Logistics lead-time report: ship->receipt lag in whole days per "
+    "mode group with exact type-1 rank-pick p50/p90/p99 (the "
+    "x124/x126 zero-divide quantile form on pure integer day offsets) "
+    "plus the late-delivery count and fraction (receipt after commit, "
+    "one IEEE divide). Uses the round7 q12/q21 derivation — the "
+    "testdata lineitem carries no shipmode/commit/receipt columns, so "
+    "commit/receipt are the same bounded integer-mod day offsets and "
+    "l_returnflag stands in for the mode, the established precedent. "
+    "q12 counts late lines; this adds the latency distribution a "
+    "capacity planner reads. Per-group windows partition on the 3 "
+    "mode groups over a 4-column projection.",
+    _SHIPLAT_ORACLE,
+)
+def x133_shipmode_latency(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    receipt_off = (
+        (F.col("l_orderkey") * 17 + F.col("l_linenumber") * 13) % 30 + 1
+    ).cast("long")
+    commit_off = (
+        (F.col("l_orderkey") * 31 + F.col("l_linenumber") * 7) % 60 - 30
+    ).cast("long")
+    c = li.select(
+        F.col("l_returnflag").alias("mode_grp"),
+        receipt_off.alias("lag_d"),
+        F.when(receipt_off > commit_off, 1).otherwise(0).alias("late"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wP = Window.partitionBy("mode_grp").orderBy(
+        "lag_d", "l_orderkey", "l_linenumber"
+    )
+    wN = Window.partitionBy("mode_grp")
+    r = c.select(
+        "mode_grp",
+        "lag_d",
+        "late",
+        F.row_number().over(wP).cast("long").alias("i"),
+        F.count("*").over(wN).cast("long").alias("n"),
+    )
+
+    def pick(rank_expr, name):
+        return F.max(
+            F.when(F.col("i") == F.expr(rank_expr), F.col("lag_d"))
+        ).cast("long").alias(name)
+
+    return (
+        r.groupBy("mode_grp")
+        .agg(
+            F.max("n").cast("long").alias("n_items"),
+            pick("(n + 1) DIV 2", "p50_days"),
+            pick("(9 * n + 9) DIV 10", "p90_days"),
+            pick("(99 * n + 99) DIV 100", "p99_days"),
+            F.sum("late").cast("long").alias("n_late"),
+            F.round(
+                F.sum("late").cast("double") / F.max("n").cast("double"), 8
+            ).alias("late_frac"),
+        )
+        .orderBy("mode_grp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x134 — per-nation customer-revenue HHI concentration
+# ---------------------------------------------------------------------------
+
+_HHI_ORACLE = """
+WITH cr AS (
+    SELECT c_nationkey,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey, o_custkey
+),
+s AS (
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           SUM(CAST(v AS DECIMAL(38,0))) AS tot,
+           SUM(CAST(v AS DECIMAL(19,0)) * v) AS sumsq
+    FROM cr GROUP BY c_nationkey
+)
+SELECT n_name, n_customers, CAST(tot AS BIGINT) AS revenue_cents,
+       round(CAST(sumsq AS DOUBLE)
+             / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 8) AS hhi
+FROM s JOIN nation ON c_nationkey = n_nationkey
+ORDER BY n_name
+"""
+
+
+@_staged(
+    "x134_hhi_revenue",
+    "OP-G6-ext",
+    "Herfindahl-Hirschman revenue concentration per nation: HHI = "
+    "sum(v_i^2)/(sum v_i)^2 over per-customer exact-cents revenue — "
+    "1/n_customers when spend is uniform, ->1 when one customer "
+    "dominates. The market-concentration dial that complements x115's "
+    "Gini (dispersion) and x112's ABC (classification): squares and "
+    "sums stay exact DECIMAL (v^2 up to ~1e18 would sit at BIGINT's "
+    "edge; DECIMAL(38) has 20 digits of headroom), one IEEE divide at "
+    "the end. Two map-side-combined aggs (customer cents, then "
+    "nation moments); the nation dim joins broadcast.",
+    _HHI_ORACLE,
+)
+def x134_hhi_revenue(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    cr = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("v")
+        )
+    )
+    s = cr.groupBy("c_nationkey").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("tot"),
+        F.sum(F.col("v").cast("decimal(19,0)") * F.col("v")).alias("sumsq"),
+    )
+    return (
+        s.join(F.broadcast(nat), s.c_nationkey == nat.n_nationkey)
+        .select(
+            "n_name",
+            "n_customers",
+            F.col("tot").cast("long").alias("revenue_cents"),
+            F.round(
+                F.col("sumsq").cast("double")
+                / (F.col("tot").cast("double") * F.col("tot").cast("double")),
+                8,
+            ).alias("hhi"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x135 — day-of-week revenue index (portable dow)
+# ---------------------------------------------------------------------------
+
+_WEEKDAY_ORACLE = """
+WITH d AS (
+    SELECT ((date_diff('day', DATE '1992-01-06', CAST(o_orderdate AS DATE)) % 7)
+            + 7) % 7 AS dow,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+),
+g AS (
+    SELECT CAST(dow AS BIGINT) AS dow,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM d GROUP BY dow
+),
+t AS (SELECT CAST(sum(revenue_cents) AS BIGINT) AS tot FROM g)
+SELECT dow, n_orders, revenue_cents,
+       round(CAST(revenue_cents * 7 AS DOUBLE) / CAST(tot AS DOUBLE), 8)
+           AS weekday_index
+FROM g, t ORDER BY dow
+"""
+
+
+@_staged(
+    "x135_weekday_index",
+    "OP-D-ext/OP-G5",
+    "Day-of-week revenue index: each weekday's revenue vs the uniform "
+    "1/7 share, computed as 7*rev/total on exact integers (the x120 "
+    "idiom at weekly grain). The dow itself is PORTABLE ARITHMETIC — "
+    "((days-since-a-known-Monday % 7) + 7) % 7, 0 = Monday — because "
+    "engine dayofweek() functions disagree on both origin and range "
+    "(Spark 1=Sunday..7, DuckDB 0=Sunday..6) and this is pure DATE "
+    "subtraction, immune to session timezones too. One "
+    "map-side-combined agg to 7 rows; the total is a 1-row broadcast.",
+    _WEEKDAY_ORACLE,
+)
+def x135_weekday_index(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    dow = (
+        (
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-06").cast("date"))
+            % 7
+        )
+        + 7
+    ) % 7
+    g = (
+        o.select(
+            dow.cast("long").alias("dow"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("dow")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
+    t = g.agg(F.sum("revenue_cents").cast("long").alias("tot"))
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "dow",
+            "n_orders",
+            "revenue_cents",
+            F.round(
+                (F.col("revenue_cents") * 7).cast("double")
+                / F.col("tot").cast("double"),
+                8,
+            ).alias("weekday_index"),
+        )
+        .orderBy("dow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x136 — discount-band pricing impact
+# ---------------------------------------------------------------------------
+
+_DISCOUNT_ORACLE = """
+SELECT CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS gross,
+       CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,4))) AS DOUBLE)
+           AS forgone,
+       round(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,4))) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE), 8)
+           AS forgone_share
+FROM lineitem
+GROUP BY disc_pct
+ORDER BY disc_pct
+"""
+
+
+@_staged(
+    "x136_discount_bands",
+    "OP-G5/OP-G6-ext",
+    "Pricing-impact report by discount band: for each whole-percent "
+    "discount level, the item count, gross revenue, revenue forgone "
+    "to the discount, and the forgone share — the discount-"
+    "effectiveness table behind tpch_q6's single-band forecast. "
+    "Decimal-exact double sums (the q1 _dsum convention: accumulate "
+    "the IEEE products in DECIMAL(28,4), cast back once — float "
+    "addition is order-dependent, decimal isn't); the band key is "
+    "round(l_discount*100), an exact integer in both engines for the "
+    "11 TPC-H discount levels. One map-side-combined agg to 11 rows.",
+    _DISCOUNT_ORACLE,
+)
+def x136_discount_bands(spark, sf_dir):
+    from ravelytics_spark.plans.queries import _dsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    gross = _dsum(F.col("l_extendedprice"))
+    forgone = _dsum(F.col("l_extendedprice") * F.col("l_discount"))
+    return (
+        li.groupBy(
+            F.round(F.col("l_discount") * 100).cast("long").alias("disc_pct")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            gross.alias("gross"),
+            forgone.alias("forgone"),
+            F.round(forgone / gross, 8).alias("forgone_share"),
+        )
+        .orderBy("disc_pct")
     )

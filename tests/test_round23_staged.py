@@ -147,3 +147,47 @@ def test_staged_nontrivial_rows(spark):
         STAGED["x127_kcore_peel"].spark(spark, SFS[0]).count()
     )
     assert n_nodes == 200
+
+
+# ---------------------------------------------------------------------------
+# Batch 2 properties (the parametrized oracle tests above already cover
+# every STAGED entry at two SFs automatically)
+# ---------------------------------------------------------------------------
+
+
+def test_segment_migration_lattice(spark):
+    rows = STAGED["x132_segment_migration"].spark(spark, SFS[1]).collect()
+    assert all(1 <= r.from_q <= 4 and 1 <= r.to_q <= 4 for r in rows)
+    assert len(rows) <= 16
+    assert all(r.cents_1995 > 0 and r.cents_1996 > 0 for r in rows)
+
+
+def test_shipmode_latency_quantiles_ordered(spark):
+    rows = STAGED["x133_shipmode_latency"].spark(spark, SFS[1]).collect()
+    for r in rows:
+        assert 1 <= r.p50_days <= r.p90_days <= r.p99_days <= 30
+        assert 0.0 <= r.late_frac <= 1.0
+        assert r.n_late <= r.n_items
+
+
+def test_hhi_bounds(spark):
+    rows = STAGED["x134_hhi_revenue"].spark(spark, SFS[1]).collect()
+    for r in rows:
+        assert 1.0 / r.n_customers - 1e-9 <= r.hhi <= 1.0 + 1e-9, r
+
+
+def test_weekday_index_covers_week_and_averages_to_one(spark):
+    rows = STAGED["x135_weekday_index"].spark(spark, SFS[1]).collect()
+    assert [r.dow for r in rows] == list(range(7))
+    mean_idx = sum(r.weekday_index * r.revenue_cents for r in rows) / sum(
+        r.revenue_cents for r in rows
+    )
+    assert 0.9 < mean_idx < 1.2  # revenue-weighted mean of 7*share
+
+
+def test_discount_bands_share_tracks_band(spark):
+    """forgone/gross within a single-discount band IS that discount."""
+    rows = STAGED["x136_discount_bands"].spark(spark, SFS[1]).collect()
+    for r in rows:
+        assert r.forgone_share == pytest.approx(r.disc_pct / 100, abs=1e-6)
+    assert {r.disc_pct for r in rows} <= set(range(0, 11))
