@@ -201,3 +201,59 @@ def test_cms_grouped_and_weighted(spark):
     assert got[("g1", "a")] >= 15 and got[("g2", "a")] >= 100
     # group separation: g2 never sees g1's weights for key b
     assert got[("g1", "b")] < 100
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def test_qhist_quantiles_within_one_bin_of_exact(spark):
+    """The defining histogram-sketch guarantee: each quantile estimate
+    (lower bin edge) is within one bin width of the exact type-1
+    quantile."""
+    import math
+
+    from ravelytics_spark.operators.sketches import qhist_quantile, qhist_sketch
+
+    vals = [(i * 37) % 10_000 for i in range(5_000)]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    sk = qhist_sketch(df, "v", lo=0, hi=10_000, bins=100)
+    got = {
+        r.p: r.quantile_lo_edge
+        for r in qhist_quantile(sk, [0.25, 0.5, 0.9], 0, 10_000, bins=100).collect()
+    }
+    width = 10_000 / 100
+    svals = sorted(vals)
+    for p in (0.25, 0.5, 0.9):
+        exact = svals[max(0, math.ceil(p * len(vals)) - 1)]
+        assert abs(got[p] - exact) <= width, (p, got[p], exact)
+
+
+def test_qhist_merge_equals_sketch_of_union_exactly(spark):
+    from ravelytics_spark.operators.sketches import qhist_merge, qhist_sketch
+
+    a = spark.range(0, 4000).select((F.col("id") % 997).alias("v"))
+    b = spark.range(0, 6000).select((F.col("id") % 1009).alias("v"))
+    merged = qhist_merge(
+        qhist_sketch(a, "v", 0, 1024).union(qhist_sketch(b, "v", 0, 1024))
+    )
+    whole = qhist_sketch(a.union(b), "v", 0, 1024)
+    assert {(r.bin, r.cnt) for r in merged.collect()} == {
+        (r.bin, r.cnt) for r in whole.collect()
+    }
+
+
+def test_qhist_grouped_and_clamped(spark):
+    """Groups stay independent; out-of-domain values clamp into edge
+    bins with counts preserved."""
+    from ravelytics_spark.operators.sketches import qhist_sketch
+
+    df = spark.createDataFrame(
+        [("g1", -50), ("g1", 5), ("g1", 2000), ("g2", 512)], ["g", "v"]
+    )
+    rows = qhist_sketch(df, "v", 0, 1024, group_cols=["g"], bins=8).collect()
+    total = sum(r.cnt for r in rows)
+    assert total == 4
+    g1 = sorted((r.bin, r.cnt) for r in rows if r.g == "g1")
+    assert g1 == [(0, 2), (7, 1)]  # -50 clamps to bin 0, 2000 to bin 7
