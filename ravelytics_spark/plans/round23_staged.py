@@ -62,6 +62,20 @@ Batch 3 (same staging contract):
   trigram profiles (the artifact n-gram lang-id models train on;
   WindowGroupLimit plan shape).
 
+Batch 4 (same staging contract):
+
+* ``x141_penny_allocation`` — largest-remainder (Hamilton) proration
+  of header totals down to lineitems, all-integer, certified by
+  per-order conservation (allocated == header for every order).
+* ``x142_last_touch_attribution`` — purchases credited to the most
+  recent non-purchase touch within a 7-day lookback (asof-join shape
+  keyed on user), explicit 'unattributed' bucket so value totals the
+  ledger.
+* ``x143_qhist_portable`` — the oracle-certified twin of the
+  library's qhist quantile sketch: pure-integer bin geometry
+  (cents DIV 65536), cumulative picks at exact ranks over <=1024
+  bin rows per group.
+
 Hash-parity conventions as plans/queries.py.
 """
 
@@ -1268,4 +1282,335 @@ def x140_char_trigram_profile(spark, sf_dir):
             ),
         )
         .orderBy("lang", "rnk")
+    )
+
+
+# ===========================================================================
+# Batch 4 (same staging contract): x141-x143
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# x141 — penny-exact proportional allocation (largest remainder)
+# ---------------------------------------------------------------------------
+
+_ALLOC_ORACLE = """
+WITH li AS (
+    SELECT l_orderkey,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS line_cents,
+           l_linenumber
+    FROM lineitem
+),
+o AS (
+    SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS order_cents
+    FROM orders
+),
+base AS (
+    SELECT li.l_orderkey, li.l_linenumber, li.line_cents, o.order_cents,
+           SUM(li.line_cents) OVER (PARTITION BY li.l_orderkey) AS gross
+    FROM li JOIN o ON li.l_orderkey = o.o_orderkey
+),
+q AS (
+    SELECT l_orderkey, l_linenumber, line_cents, order_cents, gross,
+           (order_cents * line_cents) // gross AS floor_alloc,
+           (order_cents * line_cents) % gross AS rem
+    FROM base
+),
+r AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY l_orderkey
+                              ORDER BY rem DESC, line_cents, l_linenumber) AS rr,
+           order_cents - SUM(floor_alloc) OVER (PARTITION BY l_orderkey)
+               AS short
+    FROM q
+),
+alloc AS (
+    SELECT l_orderkey,
+           floor_alloc + CASE WHEN rr <= short THEN 1 ELSE 0 END AS alloc
+    FROM r
+)
+SELECT l_orderkey AS o_orderkey,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(max(r2.order_cents) AS BIGINT) AS order_cents,
+       CAST(sum(alloc.alloc) AS BIGINT) AS allocated_cents,
+       CAST(min(alloc.alloc) AS BIGINT) AS min_alloc,
+       CAST(max(alloc.alloc) AS BIGINT) AS max_alloc
+FROM alloc JOIN (SELECT DISTINCT l_orderkey AS k, order_cents FROM r) r2
+  ON alloc.l_orderkey = r2.k
+GROUP BY l_orderkey
+ORDER BY o_orderkey
+"""
+
+
+@_staged(
+    "x141_penny_allocation",
+    "OP-G3/W-ext",
+    "Penny-exact proportional allocation (largest-remainder / "
+    "Hamilton method): each order's header total is allocated down to "
+    "its lineitems proportionally to line value, ENTIRELY in integer "
+    "arithmetic — floor(total*line/gross) per line plus one extra "
+    "cent to the largest remainders until the allocations sum to the "
+    "header exactly. The financial-proration primitive (invoice tax/"
+    "freight split, budget distribution) where float proration "
+    "leaks pennies. Tie-break (remainder DESC, line_cents, linenumber) is swap-safe: the synthetic lineitem has DUPLICATE (order, linenumber) pairs, and rows tying on all three keys have identical floors, so the allocation multiset is invariant. Certified by per-order conservation: "
+    "allocated_cents == order_cents for every order (the output IS "
+    "the audit). All windows partition on the order key; products "
+    "total*line ~ 1e7*1e7 = 1e14 stay far inside BIGINT.",
+    _ALLOC_ORACLE,
+)
+def x141_penny_allocation(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("line_cents"),
+        "l_linenumber",
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("order_cents"),
+    )
+    wO = Window.partitionBy("l_orderkey")
+    base = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        "line_cents",
+        "order_cents",
+        F.sum("line_cents").over(wO).alias("gross"),
+    )
+    q = base.select(
+        "l_orderkey",
+        "l_linenumber",
+        "line_cents",
+        "order_cents",
+        F.expr("(order_cents * line_cents) DIV gross").alias("floor_alloc"),
+        F.expr("(order_cents * line_cents) % gross").alias("rem"),
+    )
+    r = q.select(
+        "*",
+        F.row_number()
+        .over(
+            Window.partitionBy("l_orderkey").orderBy(
+                F.desc("rem"), "line_cents", "l_linenumber"
+            )
+        )
+        .alias("rr"),
+        (F.col("order_cents") - F.sum("floor_alloc").over(wO)).alias("short"),
+    )
+    alloc = r.select(
+        "l_orderkey",
+        "order_cents",
+        (
+            F.col("floor_alloc")
+            + F.when(F.col("rr") <= F.col("short"), 1).otherwise(0)
+        ).alias("alloc"),
+    )
+    return (
+        alloc.groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.max("order_cents").cast("long").alias("order_cents"),
+            F.sum("alloc").cast("long").alias("allocated_cents"),
+            F.min("alloc").cast("long").alias("min_alloc"),
+            F.max("alloc").cast("long").alias("max_alloc"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x142 — last-touch attribution of purchases
+# ---------------------------------------------------------------------------
+
+_ATTRIB_ORACLE = """
+WITH p AS (
+    SELECT user_id, event_id AS p_id, ts AS p_ts, value AS p_value
+    FROM events WHERE event_type = 'purchase'
+),
+cand AS (
+    SELECT p.p_id, p.p_value, e.event_type, e.ts, e.event_id
+    FROM p JOIN events e
+      ON e.user_id = p.user_id
+     AND e.event_type <> 'purchase'
+     AND e.ts < p.p_ts
+     AND date_diff('second', e.ts, p.p_ts) <= 604800
+),
+best AS (
+    SELECT p_id, p_value, event_type,
+           row_number() OVER (PARTITION BY p_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM cand
+),
+att AS (
+    SELECT p.p_id, p.p_value,
+           COALESCE(b.event_type, 'unattributed') AS touch_type
+    FROM p LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON p.p_id = b.p_id
+)
+SELECT touch_type, CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CAST(p_value AS DECIMAL(28,6))) AS DOUBLE) AS attributed_value
+FROM att GROUP BY touch_type ORDER BY touch_type
+"""
+
+
+@_staged(
+    "x142_last_touch_attribution",
+    "OP-J-ext/OP-W3",
+    "Last-touch marketing attribution: every purchase is credited to "
+    "the user's most recent non-purchase event within a 7-day "
+    "lookback (strictly before the purchase, (ts, event_id)-DESC "
+    "tie-broken), purchases with no touch falling into an explicit "
+    "'unattributed' bucket so the value column always totals the "
+    "purchase ledger. The per-purchase argmax is an asof-join shape "
+    "keyed on user_id (co-partitioned join + one rank over candidate "
+    "touches); attributed value uses the q1 decimal-exact double-sum "
+    "convention. Complements the funnel pair (x36 counts, x131 "
+    "latency): this assigns CREDIT.",
+    _ATTRIB_ORACLE,
+)
+def x142_last_touch_attribution(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    from ravelytics_spark.plans.queries import _dsum
+
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    e = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    cand = p.join(e, "user_id").filter(
+        (F.col("ts") < F.col("p_ts"))
+        & (
+            F.unix_timestamp("p_ts") - F.unix_timestamp("ts")
+            <= 604800
+        )
+    )
+    wP = Window.partitionBy("p_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    best = (
+        cand.withColumn("rn", F.row_number().over(wP))
+        .filter(F.col("rn") == 1)
+        .select("p_id", "event_type")
+    )
+    att = p.join(best, "p_id", "left").select(
+        "p_value",
+        F.coalesce(F.col("event_type"), F.lit("unattributed")).alias("touch_type"),
+    )
+    return (
+        att.groupBy("touch_type")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            _dsum(F.col("p_value"), 6).alias("attributed_value"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x143 — portable fixed-bin quantile sketch (integer bin geometry)
+# ---------------------------------------------------------------------------
+
+_QHIST_LO = 0
+_QHIST_WIDTH = 65536  # cents per bin; domain [0, 1024*65536)=67.1M covers max o_totalprice (~50M cents)
+_QHIST_BINS = 1024
+_QHIST_PROBS = (25, 50, 90, 99)  # percent, exact integer ranks
+
+
+def _qhist_pick_sql(pct: int) -> str:
+    return (
+        f"CAST(max(CASE WHEN cum >= ({pct} * n + 99) // 100"
+        f" AND prev_cum < ({pct} * n + 99) // 100"
+        f" THEN {_QHIST_LO} + bin * {_QHIST_WIDTH} END) AS BIGINT) AS p{pct}_lo_edge"
+    )
+
+
+_QHIST_ORACLE = f"""
+WITH b AS (
+    SELECT o_orderpriority,
+           LEAST({_QHIST_BINS - 1},
+                 CAST(round(o_totalprice * 100) AS BIGINT) // {_QHIST_WIDTH})
+               AS bin
+    FROM orders
+),
+cnt AS (
+    SELECT o_orderpriority, bin, CAST(count(*) AS BIGINT) AS cnt
+    FROM b GROUP BY o_orderpriority, bin
+),
+cum AS (
+    SELECT o_orderpriority, bin, cnt,
+           SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+           SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) - cnt AS prev_cum,
+           SUM(cnt) OVER (PARTITION BY o_orderpriority) AS n
+    FROM cnt
+)
+SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS n_orders,
+       CAST(count(*) AS BIGINT) AS n_bins_used,
+       {", ".join(_qhist_pick_sql(p) for p in _QHIST_PROBS)}
+FROM cum GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@_staged(
+    "x143_qhist_portable",
+    "OP-G5/X8-ext",
+    "Portable fixed-bin quantile sketch: order values in cents bucket "
+    "into 1024 declared 65536-cent bins with PURE INTEGER geometry "
+    "(bin = cents DIV width — no float divide anywhere), per-group "
+    "cumulative counts over the bin frame (the x104 aggregate-first "
+    "idiom), and p25/p50/p90/p99 picks at exact integer ranks "
+    "ceil(pct*n/100) — the oracle-certified twin of the library's "
+    "qhist_sketch/qhist_quantile (operators/sketches.py), certifying "
+    "the ALGORITHM the way x97/x98 certify KMV/HLL. The sketch rows "
+    "are fixed mergeable state (counter addition, cms_merge's "
+    "guarantee): day-level sketches roll up to month/year quantiles "
+    "without rescanning raw data — the quantileState pattern at "
+    "100 TB. One hash-agg with map-side combine; windows run over "
+    "<=1024 rows per group.",
+    _QHIST_ORACLE,
+)
+def x143_qhist_portable(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    b = o.select(
+        "o_orderpriority",
+        F.least(
+            F.lit(_QHIST_BINS - 1),
+            F.expr(
+                f"CAST(round(o_totalprice * 100) AS BIGINT) DIV {_QHIST_WIDTH}"
+            ),
+        ).alias("bin"),
+    )
+    cnt = b.groupBy("o_orderpriority", "bin").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    wC = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wN = Window.partitionBy("o_orderpriority")
+    cum = cnt.select(
+        "o_orderpriority",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(wC).alias("cum"),
+        (F.sum("cnt").over(wC) - F.col("cnt")).alias("prev_cum"),
+        F.sum("cnt").over(wN).alias("n"),
+    )
+
+    def pick(pct: int):
+        rank = F.expr(f"({pct} * n + 99) DIV 100")
+        hit = (F.col("cum") >= rank) & (F.col("prev_cum") < rank)
+        return F.max(
+            F.when(hit, F.lit(_QHIST_LO) + F.col("bin") * _QHIST_WIDTH)
+        ).cast("long").alias(f"p{pct}_lo_edge")
+
+    return (
+        cum.groupBy("o_orderpriority")
+        .agg(
+            F.max("n").cast("long").alias("n_orders"),
+            F.count("*").cast("long").alias("n_bins_used"),
+            *[pick(p) for p in _QHIST_PROBS],
+        )
+        .orderBy("o_orderpriority")
     )

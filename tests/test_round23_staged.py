@@ -257,3 +257,94 @@ def test_trigram_profile_shape(spark):
         assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
         ns = [r.n for r in rs]
         assert ns == sorted(ns, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# Batch 4 properties
+# ---------------------------------------------------------------------------
+
+
+def test_penny_allocation_conserves_every_order(spark):
+    """The core claim: integer largest-remainder allocation sums to the
+    header total for EVERY order — no leaked pennies anywhere."""
+    rows = STAGED["x141_penny_allocation"].spark(spark, SFS[1]).collect()
+    assert rows
+    for r in rows:
+        assert r.allocated_cents == r.order_cents, r
+        assert r.min_alloc <= r.max_alloc
+
+
+def test_penny_allocation_matches_python_hamilton(spark):
+    """Spot-check one multi-line order against a pure-Python
+    largest-remainder allocation."""
+    import duckdb
+
+    con = duckdb.connect()
+    ok, oc = con.execute(
+        f"""
+        SELECT li.l_orderkey, CAST(round(o.o_totalprice * 100) AS BIGINT)
+        FROM '{SFS[1]}/lineitem.parquet' li
+        JOIN '{SFS[1]}/orders.parquet' o ON li.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2 HAVING count(*) >= 4 ORDER BY 1 LIMIT 1"""
+    ).fetchone()
+    lines = con.execute(
+        f"""SELECT l_linenumber, CAST(round(l_extendedprice * 100) AS BIGINT)
+            FROM '{SFS[1]}/lineitem.parquet' WHERE l_orderkey = ?
+            ORDER BY 1""",
+        [ok],
+    ).fetchall()
+    gross = sum(v for _, v in lines)
+    # list-based (NOT a dict keyed on linenumber): the synthetic
+    # lineitem contains duplicate (order, linenumber) pairs
+    floors = [[ln, v, (oc * v) // gross, (oc * v) % gross] for ln, v in lines]
+    short = oc - sum(f for _, _, f, _ in floors)
+    assert 0 <= short < len(lines)
+    for row in sorted(floors, key=lambda t: (-t[3], t[1], t[0]))[:short]:
+        row[2] += 1
+    allocs = [f for _, _, f, _ in floors]
+    got = {
+        r.o_orderkey: r
+        for r in STAGED["x141_penny_allocation"].spark(spark, SFS[1]).collect()
+    }[ok]
+    assert got.n_lines == len(lines)
+    assert got.min_alloc == min(allocs)
+    assert got.max_alloc == max(allocs)
+    assert sum(allocs) == oc == got.allocated_cents
+
+
+def test_attribution_totals_the_purchase_ledger(spark):
+    import duckdb
+
+    rows = STAGED["x142_last_touch_attribution"].spark(spark, SFS[1]).collect()
+    con = duckdb.connect()
+    n_purchases, total_value = con.execute(
+        f"""SELECT count(*), CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+            FROM '{SFS[1]}/events.parquet' WHERE event_type = 'purchase'"""
+    ).fetchone()
+    assert sum(r.n_purchases for r in rows) == n_purchases
+    assert sum(r.attributed_value for r in rows) == pytest.approx(
+        total_value, rel=1e-9
+    )
+    assert all(r.touch_type != "purchase" for r in rows)
+
+
+def test_qhist_portable_within_one_bin_of_exact(spark):
+    import duckdb
+    import math
+
+    rows = STAGED["x143_qhist_portable"].spark(spark, SFS[1]).collect()
+    con = duckdb.connect()
+    for r in rows:
+        vals = sorted(
+            v[0]
+            for v in con.execute(
+                f"""SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+                    FROM '{SFS[1]}/orders.parquet'
+                    WHERE o_orderpriority = ?""",
+                [r.o_orderpriority],
+            ).fetchall()
+        )
+        for pct in (25, 50, 90, 99):
+            exact = vals[max(0, math.ceil(pct * len(vals) / 100) - 1)]
+            edge = getattr(r, f"p{pct}_lo_edge")
+            assert edge <= exact < edge + 65536, (r.o_orderpriority, pct)
