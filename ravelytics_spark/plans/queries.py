@@ -837,3 +837,4 @@ from ravelytics_spark.plans import round19 as _round19  # noqa: E402,F401
 from ravelytics_spark.plans import round20 as _round20  # noqa: E402,F401
 from ravelytics_spark.plans import round21 as _round21  # noqa: E402,F401
 from ravelytics_spark.plans import round22 as _round22  # noqa: E402,F401
+from ravelytics_spark.plans import round23_staged as _round23  # noqa: E402,F401

@@ -1614,3 +1614,14 @@ def x143_qhist_portable(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+# Round-6 registration: the staging contract (see module docstring)
+# defers these entries one round so they never overflow a driver
+# certification window mid-round. Self-registering here (the
+# round18.py precedent) keeps the import acyclic whichever module
+# loads first: by the time this line runs, queries.REGISTRY exists
+# even when queries.py itself is mid-import.
+from ravelytics_spark.plans.queries import REGISTRY as _REGISTRY  # noqa: E402
+
+_REGISTRY.update(STAGED)
