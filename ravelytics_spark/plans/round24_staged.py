@@ -1,0 +1,623 @@
+"""Round-24 operators — STAGED (round 6), registration deferred.
+
+The round-6 driver certification window is already oversubscribed (64
+uncertified oracle entries: the 47 carried from round 5 plus the 17
+round-23 registrations), so this batch is built, oracle-twinned and
+tested NOW but kept OUT of ``REGISTRY`` until round 7 — the round-18 /
+round-23 staging contract: entries ship the round after the window
+they'd overflow. To register, round 7 adds the two-line
+self-registration footer round18.py / round23_staged.py carry.
+
+Reference parity: these extend SURVEY §2.10's mandate (warehouse
+analytics + LLM-training-data operators beyond the reference's own
+surface — the reference is Airflow DAGs + ClickHouse SQL; citations in
+per-entry docstrings where a reference construct is echoed).
+
+* ``x144_clamped_balance`` — the non-negative running balance
+  (wallet / inventory / credit ledger): the Lindley recursion
+  B_t = max(0, B_{t-1} + x_t) looks inherently sequential but has the
+  prefix-scan closed form B_t = S_t - min(0, running_min(S_t)), so it
+  compiles to TWO window functions over exact cents — no UDF, no
+  iteration, no per-key state beyond the window frame.
+* ``x145_f2_moment`` — AMS "tug-of-war" second-moment sketch: four
+  ±1-sign register sums (signs are disjoint hex nibbles of ONE md5,
+  the Kirsch-Mitzenmacher slicing x108 uses) estimate the self-join
+  size Σc² of lineitem part frequencies; registers are plain SUMs —
+  map-side combinable and mergeable across shards — certified
+  side-by-side against the exact F2.
+* ``x146_mmr_select`` — Maximal Marginal Relevance diversified top-5
+  over embeddings: relevance and pairwise similarity are EXACT
+  fixed-point integer dot products (x107's scale-6 quantization), the
+  5 greedy rounds are unrolled in both engines, every argmax totally
+  tie-broken — the diversity-sampling primitive of training-data
+  curation, certified bit-identically.
+* ``x147_rbo_drift`` — Rank-Biased Overlap (p=0.9) between one
+  year's and the next year's revenue top-20 part rankings, with the
+  p^(d-1)(1-p) weights as literal scaled integers (x123's literal-
+  discount convention): the ranking-stability / catalog-drift metric.
+* ``x148_holt_forecast`` — Brown's double exponential smoothing
+  (alpha=1/2) of monthly per-nation revenue: the x119 truncated
+  dyadic EWMA applied twice, then level = 2*S1 - S2, trend = S1 - S2
+  and the 1-step-ahead forecast 3*S1 - 2*S2 — all exact integer
+  micro-cents end to end.
+* ``x149_rake_keywords`` — RAKE-style keyword phrases: stopword/
+  punctuation-delimited candidate phrases (run-grouping via the x6
+  prefix-sum sessionize idiom), scored by summed word degree over the
+  corpus co-occurrence — exact integer degrees and frequencies.
+* ``x150_winnow_dup_spans`` — exact substring near-dup candidates by
+  MOSS winnowing: every k=24-char window hashed (48-bit md5 prefix),
+  each doc keeps the MIN hash of every w=8-window run (density
+  2/(w+1)); doc pairs sharing >= 3 fingerprints are emitted with
+  counts. Guarantee: any cross-doc verbatim run of >= w+k-1 = 31
+  chars shares a fingerprint — the Lee-et-al-style exact substring
+  dedup signal, bucketed (fingerprint equi-join), never all-pairs.
+* ``x152_eb_smoothed_rate`` — empirical-Bayes shrunken return rate
+  per part brand: (x + m*p0) / (n + m) with the global prior p0 kept
+  as the exact rational X/N, so the smoothed rate is one integer
+  floor-division to millionths — the low-volume-rate stabilizer every
+  CTR/return-rate dashboard needs.
+
+Hash-parity conventions as plans/queries.py: exact cents/BIGINT
+arithmetic, md5-derived portable hashes, nonnegative-operand floor
+divisions only (Spark DIV truncates toward zero, DuckDB // floors —
+they agree exactly on nonnegative operands, and every division below
+has provably nonnegative operands), total ORDER BY on every output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ravelytics_spark.plans.queries import Query
+from ravelytics_spark.sources.tables import load_table
+
+STAGED: dict[str, Query] = {}
+
+
+def _staged(name: str, op_id: str, doc: str, oracle: str | None = None):
+    def deco(fn):
+        STAGED[name] = Query(name, op_id, doc, fn, oracle)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# x144 — non-negative running balance (Lindley recursion, closed form)
+# ---------------------------------------------------------------------------
+
+_BAL_ORACLE = """
+WITH flow AS (
+    SELECT o_custkey,
+           o_orderdate,
+           o_orderkey,
+           CASE WHEN o_orderstatus = 'F'
+                THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                ELSE -CAST(round(o_totalprice * 100) AS BIGINT) END AS x
+    FROM orders
+),
+scan AS (
+    SELECT o_custkey, o_orderdate, o_orderkey,
+           SUM(x) OVER w AS s,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate DESC, o_orderkey DESC)
+               AS rn_desc
+    FROM flow
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+bal AS (
+    SELECT o_custkey, rn_desc,
+           s - least(CAST(0 AS BIGINT),
+                     MIN(s) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)) AS b
+    FROM scan
+)
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(max(CASE WHEN rn_desc = 1 THEN b END) AS BIGINT)
+           AS final_balance_cents,
+       CAST(max(b) AS BIGINT) AS max_balance_cents,
+       CAST(sum(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_at_zero
+FROM bal
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+
+@_staged(
+    "x144_clamped_balance",
+    "OP-W4-ext",
+    "Non-negative running balance per customer (orders as a signed "
+    "cash-flow ledger: finalized orders credit, open/pending debit): "
+    "the Lindley recursion B_t = max(0, B_{t-1} + x_t) — wallets, "
+    "inventory on hand, credit exposure — is NOT a plain windowed sum "
+    "and looks like it needs per-key sequential state (applyInPandas), "
+    "but it has the exact prefix-scan closed form "
+    "B_t = S_t - min(0, min_{j<=t} S_j), so it compiles to two "
+    "stacked window functions over the same (custkey, date, key) "
+    "frame: one running SUM, one running MIN of that sum. Everything "
+    "is exact integer cents; windows partition on the customer key "
+    "(bounded frames, streams through a single sort); zero Python. "
+    "Emitted per customer: order count, final and max balance, and "
+    "how often the floor clamped (n_at_zero — the 'would have gone "
+    "negative' audit).",
+    _BAL_ORACLE,
+)
+def x144_clamped_balance(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    flow = o.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", cents).otherwise(-cents).alias("x"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wdesc = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    scan = flow.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        F.sum("x").over(w).alias("s"),
+        F.row_number().over(wdesc).alias("rn_desc"),
+    )
+    bal = scan.select(
+        "o_custkey",
+        "rn_desc",
+        (
+            F.col("s")
+            - F.least(F.lit(0).cast("long"), F.min("s").over(w))
+        ).alias("b"),
+    )
+    return (
+        bal.groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.max(F.when(F.col("rn_desc") == 1, F.col("b")))
+            .cast("long")
+            .alias("final_balance_cents"),
+            F.max("b").cast("long").alias("max_balance_cents"),
+            F.sum(F.when(F.col("b") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_at_zero"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x145 — AMS tug-of-war F2 (self-join size) sketch vs exact
+# ---------------------------------------------------------------------------
+
+_F2_SIGNS_SQL = ", ".join(
+    f"SUM(CASE WHEN CAST('0x' || substr(md5('f2:' || l_partkey), {1 + d}, 1) "
+    f"AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END) AS z{d}"
+    for d in range(4)
+)
+
+_F2_ORACLE = f"""
+WITH reg AS (
+    SELECT {_F2_SIGNS_SQL} FROM lineitem
+),
+exact AS (
+    SELECT CAST(SUM(c * c) AS BIGINT) AS f2
+    FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_partkey)
+)
+SELECT CAST(z0 AS BIGINT) AS z0, CAST(z1 AS BIGINT) AS z1,
+       CAST(z2 AS BIGINT) AS z2, CAST(z3 AS BIGINT) AS z3,
+       CAST((z0*z0 + z1*z1 + z2*z2 + z3*z3) // 4 AS BIGINT) AS est_f2,
+       exact.f2 AS exact_f2,
+       CAST(((z0*z0 + z1*z1 + z2*z2 + z3*z3) // 4) * 1000000 // exact.f2
+            AS BIGINT) AS ratio_millionths
+FROM reg, exact
+"""
+
+
+@_staged(
+    "x145_f2_moment",
+    "OP-G5/X8-ext",
+    "AMS 'tug-of-war' second-moment sketch: F2 = sum of squared part "
+    "frequencies (= the lineitem-lineitem self-join size on partkey, "
+    "the cardinality a join optimizer wants BEFORE running the join). "
+    "Four +/-1 sign functions come from four disjoint hex nibbles of "
+    "ONE md5 per key (x108's Kirsch-Mitzenmacher slicing — one digest "
+    "per row, not four); each register Z_d = SUM(sign_d) over raw "
+    "rows, so the sketch state is four BIGINTs built in one map-side-"
+    "combinable pass — mergeable across shards/days by plain "
+    "addition, which is what makes it the 100 TB join-size probe "
+    "(E[Z^2] = F2 exactly; averaging 4 estimators tightens variance). "
+    "Emitted: the four registers, the estimate (mean of squares, "
+    "floor-div 4), the exact F2 from the per-key agg it replaces at "
+    "scale, and their ratio in millionths (nonnegative operands -> "
+    "floor division agrees across engines).",
+    _F2_ORACLE,
+)
+def x145_f2_moment(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    digest = F.md5(F.concat(F.lit("f2:"), F.col("l_partkey").cast("string")))
+    signs = [
+        F.sum(
+            F.when(
+                F.conv(F.substring(digest, 1 + d, 1), 16, 10).cast("long") % 2
+                == 0,
+                1,
+            ).otherwise(-1)
+        ).alias(f"z{d}")
+        for d in range(4)
+    ]
+    reg = li.agg(*signs)
+    exact = (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("exact_f2"))
+    )
+    return reg.crossJoin(exact).select(
+        F.col("z0").cast("long").alias("z0"),
+        F.col("z1").cast("long").alias("z1"),
+        F.col("z2").cast("long").alias("z2"),
+        F.col("z3").cast("long").alias("z3"),
+        F.expr(
+            "CAST((z0*z0 + z1*z1 + z2*z2 + z3*z3) DIV 4 AS BIGINT)"
+        ).alias("est_f2"),
+        "exact_f2",
+        F.expr(
+            "CAST(((z0*z0 + z1*z1 + z2*z2 + z3*z3) DIV 4) * 1000000 "
+            "DIV exact_f2 AS BIGINT)"
+        ).alias("ratio_millionths"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x152 — empirical-Bayes smoothed return rate per brand
+# ---------------------------------------------------------------------------
+
+_EB_M = 200  # prior pseudo-count
+
+_EB_ORACLE = f"""
+WITH br AS (
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS x
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+),
+g AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS big_n, CAST(SUM(x) AS BIGINT) AS big_x
+    FROM br
+)
+SELECT p_brand, n, x,
+       CAST(x * 1000000 // n AS BIGINT) AS raw_millionths,
+       CAST((x * big_n + {_EB_M} * big_x) * 1000000
+            // ((n + {_EB_M}) * big_n) AS BIGINT) AS smoothed_millionths
+FROM br, g
+ORDER BY p_brand
+"""
+
+
+@_staged(
+    "x152_eb_smoothed_rate",
+    "OP-G5/G6-ext",
+    "Empirical-Bayes shrunken return rate per part brand: "
+    "(x + m*p0) / (n + m) with pseudo-count m=200 and the global "
+    "prior p0 = X/N kept as an EXACT RATIONAL — the smoothed rate is "
+    "(x*N + m*X) / ((n+m)*N), one integer floor-division to "
+    "millionths, so no float prior is ever materialized and both "
+    "engines emit identical integers (all operands nonnegative). "
+    "This is the low-volume stabilizer every return-rate / CTR / "
+    "defect-rate dashboard needs: brands with few observations shrink "
+    "toward the corpus rate, high-volume brands keep their own. One "
+    "hash-agg over the fact join (broadcast part dim at scale), one "
+    "tiny global roll-up broadcast back — no second scan.",
+    _EB_ORACLE,
+)
+def x152_eb_smoothed_rate(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    br = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+        )
+    )
+    g = br.agg(
+        F.sum("n").cast("long").alias("big_n"),
+        F.sum("x").cast("long").alias("big_x"),
+    )
+    return (
+        br.crossJoin(F.broadcast(g))
+        .select(
+            "p_brand",
+            "n",
+            "x",
+            F.expr("CAST(x * 1000000 DIV n AS BIGINT)").alias("raw_millionths"),
+            F.expr(
+                f"CAST((x * big_n + {_EB_M} * big_x) * 1000000 "
+                f"DIV ((n + {_EB_M}) * big_n) AS BIGINT)"
+            ).alias("smoothed_millionths"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x147 — rank-biased overlap between consecutive-year top-20 rankings
+# ---------------------------------------------------------------------------
+
+_RBO_P_NUM = 9  # p = 0.9
+_RBO_DEPTH = 20
+# literal scaled weights: w_d = round(p^(d-1) * (1-p) * 1e9), d = 1..20
+_RBO_WEIGHTS = [
+    round((0.9 ** (d - 1)) * 0.1 * 1_000_000_000) for d in range(1, _RBO_DEPTH + 1)
+]
+_RBO_W_SQL = ", ".join(
+    f"({d}, CAST({w} AS BIGINT))" for d, w in enumerate(_RBO_WEIGHTS, start=1)
+)
+
+_RBO_ORACLE = f"""
+WITH rx AS (
+    SELECT l_partkey,
+           row_number() OVER (
+               ORDER BY SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) DESC,
+                        l_partkey) AS r
+    FROM lineitem WHERE year(l_shipdate) = 1996
+    GROUP BY l_partkey
+    ORDER BY SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) DESC, l_partkey
+    LIMIT {_RBO_DEPTH}
+),
+ry AS (
+    SELECT l_partkey,
+           row_number() OVER (
+               ORDER BY SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) DESC,
+                        l_partkey) AS r
+    FROM lineitem WHERE year(l_shipdate) = 1997
+    GROUP BY l_partkey
+    ORDER BY SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) DESC, l_partkey
+    LIMIT {_RBO_DEPTH}
+),
+m AS (
+    SELECT greatest(rx.r, ry.r) AS mind
+    FROM rx JOIN ry ON rx.l_partkey = ry.l_partkey
+),
+w AS (SELECT * FROM (VALUES {_RBO_W_SQL}) AS t(d, wgt)),
+ov AS (
+    SELECT w.d, w.wgt,
+           CAST(count(m.mind) AS BIGINT) AS overlap
+    FROM w LEFT JOIN m ON m.mind <= w.d
+    GROUP BY w.d, w.wgt
+)
+SELECT CAST(d AS BIGINT) AS depth, overlap, wgt AS weight_nanos,
+       CAST(wgt * overlap // d AS BIGINT) AS term_nanos,
+       CAST(SUM(wgt * overlap // d)
+            OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS rbo_nanos
+FROM ov
+ORDER BY depth
+"""
+
+
+@_staged(
+    "x147_rbo_drift",
+    "OP-O1/W-ext",
+    "Rank-Biased Overlap (Webber et al., p=0.9, depth 20) between the "
+    "1996 and 1997 revenue top-20 part rankings — the ranking-"
+    "stability / catalog-drift metric that, unlike Kendall tau, is "
+    "top-weighted and handles non-conjoint lists. Both top-20 lists "
+    "are TakeOrdered-bounded (total tie-break rank keys) BEFORE any "
+    "pairwise work, so the overlap join touches <= 20x20 rows no "
+    "matter the fact-table size; per-depth agreement A_d = |pairs "
+    "with max(rank_x, rank_y) <= d| comes from one LEFT JOIN against "
+    "a 20-row literal depth/weight table. The geometric weights "
+    "p^(d-1)*(1-p) are LITERAL nano-scaled integers (x123's literal-"
+    "discount convention — zero libm calls in either engine), each "
+    "term w_d*A_d/d floor-divided on nonnegative operands, and the "
+    "cumulative sum is the extrapolation-free RBO_min in nanos.",
+    _RBO_ORACLE,
+)
+def x147_rbo_drift(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+
+    def topk(year: int):
+        agg = (
+            li.filter(F.year("l_shipdate") == year)
+            .select("l_partkey", cents.alias("cents"))
+            .groupBy("l_partkey")
+            .agg(F.sum("cents").alias("rev"))
+            .orderBy(F.desc("rev"), "l_partkey")
+            .limit(_RBO_DEPTH)
+        )
+        return agg.select(
+            "l_partkey",
+            F.row_number()
+            .over(Window.orderBy(F.desc("rev"), "l_partkey"))
+            .alias("r"),
+        )
+
+    rx, ry = topk(1996).alias("rx"), topk(1997).alias("ry")
+    m = rx.join(ry, F.col("rx.l_partkey") == F.col("ry.l_partkey")).select(
+        F.greatest(F.col("rx.r"), F.col("ry.r")).alias("mind")
+    )
+    w = spark.createDataFrame(
+        [(d, w) for d, w in enumerate(_RBO_WEIGHTS, start=1)], "d INT, wgt LONG"
+    )
+    ov = (
+        w.join(F.broadcast(m), m.mind <= w.d, "left")
+        .groupBy("d", "wgt")
+        .agg(F.count("mind").cast("long").alias("overlap"))
+    )
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return ov.select(
+        F.col("d").cast("long").alias("depth"),
+        "overlap",
+        F.col("wgt").alias("weight_nanos"),
+        F.expr("CAST(wgt * overlap DIV d AS BIGINT)").alias("term_nanos"),
+        F.sum(F.expr("CAST(wgt * overlap DIV d AS BIGINT)"))
+        .over(wcum)
+        .cast("long")
+        .alias("rbo_nanos"),
+    ).orderBy("depth")
+
+
+# ---------------------------------------------------------------------------
+# x148 — Brown's double exponential smoothing (level + trend + forecast)
+# ---------------------------------------------------------------------------
+
+_HOLT_LAGS = 8
+
+_HOLT_NUM1 = " + ".join(
+    f"{1 << (_HOLT_LAGS - 1 - k)} * COALESCE(lag(y, {k}) OVER w, 0)"
+    for k in range(_HOLT_LAGS)
+)
+_HOLT_DEN1 = " + ".join(
+    f"CASE WHEN lag(y, {k}) OVER w IS NULL THEN 0 "
+    f"ELSE {1 << (_HOLT_LAGS - 1 - k)} END"
+    for k in range(_HOLT_LAGS)
+)
+_HOLT_NUM2 = " + ".join(
+    f"{1 << (_HOLT_LAGS - 1 - k)} * COALESCE(lag(s1, {k}) OVER w, 0)"
+    for k in range(_HOLT_LAGS)
+)
+_HOLT_DEN2 = " + ".join(
+    f"CASE WHEN lag(s1, {k}) OVER w IS NULL THEN 0 "
+    f"ELSE {1 << (_HOLT_LAGS - 1 - k)} END"
+    for k in range(_HOLT_LAGS)
+)
+
+_HOLT_ORACLE = f"""
+WITH m AS (
+    SELECT c_nationkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey, mon
+),
+e1 AS (
+    SELECT c_nationkey, mon, y,
+           CAST((({_HOLT_NUM1}) // ({_HOLT_DEN1})) * 1000000
+                + ((({_HOLT_NUM1}) % ({_HOLT_DEN1})) * 1000000)
+                  // ({_HOLT_DEN1}) AS BIGINT) AS s1
+    FROM m
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY mon)
+),
+e2 AS (
+    SELECT c_nationkey, mon, y, s1,
+           CAST(({_HOLT_NUM2}) // ({_HOLT_DEN2}) AS BIGINT) AS s2
+    FROM e1
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY mon)
+)
+SELECT n_name, mon, y AS revenue_cents, s1 AS s1_micros, s2 AS s2_micros,
+       CAST(2 * s1 - s2 AS BIGINT) AS level_micros,
+       CAST(s1 - s2 AS BIGINT) AS trend_micros,
+       CAST(3 * s1 - 2 * s2 AS BIGINT) AS forecast_micros
+FROM e2 JOIN nation ON c_nationkey = n_nationkey
+ORDER BY n_name, mon
+"""
+
+
+@_staged(
+    "x148_holt_forecast",
+    "OP-W3/OP-T-ext",
+    "Brown's double exponential smoothing (alpha=1/2) of monthly "
+    "per-nation revenue — x119's truncated 8-term dyadic EWMA applied "
+    "TWICE (S1 over revenue in exact micro-cents via the two-step "
+    "floor division; S2 over S1 at the same micro-cent scale), then "
+    "the closed-form level = 2*S1 - S2, trend = S1 - S2 (alpha/(1-"
+    "alpha) = 1 at alpha=1/2) and the 1-step-ahead forecast "
+    "3*S1 - 2*S2 — a complete trend-following forecaster in exact "
+    "BIGINT micro-cents end to end: dyadic weights keep every "
+    "intermediate exact, all divisions have nonnegative operands "
+    "(revenue >= 0 so S1 >= 0), and the possibly-negative trend is "
+    "emitted by subtraction only. The lag windows run over the month-"
+    "level aggregate (|nations| x |months| rows), never raw orders.",
+    _HOLT_ORACLE,
+)
+def x148_holt_forecast(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    m = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_nationkey",
+            F.date_trunc("month", "o_orderdate").cast("date").alias("mon"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("c_nationkey", "mon")
+        .agg(F.sum("cents").cast("long").alias("y"))
+    )
+    wN = Window.partitionBy("c_nationkey").orderBy("mon")
+
+    def dyadic(col: str):
+        num, den = None, None
+        for k in range(_HOLT_LAGS):
+            wgt = 1 << (_HOLT_LAGS - 1 - k)
+            lagv = F.lag(col, k).over(wN)
+            nterm = F.coalesce(lagv, F.lit(0)) * wgt
+            dterm = F.when(lagv.isNull(), 0).otherwise(wgt)
+            num = nterm if num is None else num + nterm
+            den = dterm if den is None else den + dterm
+        return num, den
+
+    n1, d1 = dyadic("y")
+    # two-step floor division keeps every intermediate exact BIGINT
+    e1 = m.select(
+        "c_nationkey",
+        "mon",
+        "y",
+        n1.cast("long").alias("_n1"),
+        d1.cast("long").alias("_d1"),
+    )
+    e1 = e1.select(
+        "c_nationkey",
+        "mon",
+        "y",
+        F.expr(
+            "CAST((_n1 DIV _d1) * 1000000 + ((_n1 % _d1) * 1000000) DIV _d1 "
+            "AS BIGINT)"
+        ).alias("s1"),
+    )
+    n2, d2 = dyadic("s1")
+    e2 = e1.select(
+        "c_nationkey",
+        "mon",
+        "y",
+        "s1",
+        n2.cast("long").alias("_n2"),
+        d2.cast("long").alias("_d2"),
+    ).select(
+        "c_nationkey",
+        "mon",
+        "y",
+        "s1",
+        F.expr("CAST(_n2 DIV _d2 AS BIGINT)").alias("s2"),
+    )
+    return (
+        e2.join(F.broadcast(nat), e2.c_nationkey == nat.n_nationkey)
+        .select(
+            "n_name",
+            "mon",
+            F.col("y").alias("revenue_cents"),
+            F.col("s1").alias("s1_micros"),
+            F.col("s2").alias("s2_micros"),
+            (2 * F.col("s1") - F.col("s2")).cast("long").alias("level_micros"),
+            (F.col("s1") - F.col("s2")).cast("long").alias("trend_micros"),
+            (3 * F.col("s1") - 2 * F.col("s2"))
+            .cast("long")
+            .alias("forecast_micros"),
+        )
+        .orderBy("n_name", "mon")
+    )

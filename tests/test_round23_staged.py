@@ -27,12 +27,15 @@ def test_round23_staged_matches_oracle(spark, name, sf_dir):
     assert not problems, problems
 
 
-def test_round23_not_registered_yet(spark):
-    """The round-5 driver window is exactly filled; these must stay out
-    of REGISTRY until round 6 registers them."""
+def test_round23_registered(spark):
+    """Round 6 lifted the staging freeze: every staged entry (and its
+    oracle) must now be live in REGISTRY via the module's
+    self-registration footer."""
     from ravelytics_spark.plans.queries import REGISTRY
 
-    assert not (set(STAGED) & set(REGISTRY))
+    assert set(STAGED) <= set(REGISTRY)
+    for name, entry in STAGED.items():
+        assert REGISTRY[name] is entry
 
 
 def test_kcore_matches_pure_python_peel_and_reaches_fixed_point(spark):

@@ -1,0 +1,135 @@
+"""Oracle-comparison + property tests for the STAGED round-24 entries
+(built in round 6; registration deferred until the round-6
+certification window clears — the round-18/round-23 staging
+precedent)."""
+
+from __future__ import annotations
+
+import pytest
+
+from ravelytics_spark.plans.round24_staged import STAGED
+from ravelytics_spark.testing import compare, duckdb_connection
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+
+@pytest.mark.parametrize("name", sorted(STAGED))
+@pytest.mark.parametrize("sf_dir", SFS)
+def test_round24_staged_matches_oracle(spark, name, sf_dir):
+    entry = STAGED[name]
+    if entry.oracle is None:
+        assert entry.spark(spark, sf_dir).count() >= 0
+        return
+    con = duckdb_connection(sf_dir)
+    problems = compare(
+        entry.spark(spark, sf_dir), con, entry.oracle, name, strict_row_order=True
+    )
+    assert not problems, problems
+
+
+def test_round24_not_registered_yet(spark):
+    """The round-6 driver window is oversubscribed (64 uncertified
+    entries); these must stay out of REGISTRY until round 7 registers
+    them."""
+    from ravelytics_spark.plans.queries import REGISTRY
+
+    assert not (set(STAGED) & set(REGISTRY))
+
+
+def test_clamped_balance_matches_sequential_simulation(spark):
+    """The prefix-scan closed form B_t = S_t - min(0, runmin(S))
+    equals the literal Lindley recursion B_t = max(0, B_{t-1} + x_t)
+    replayed sequentially in Python per customer."""
+    import duckdb
+
+    sf = SFS[1]
+    rows = duckdb.sql(
+        f"""
+        SELECT o_custkey,
+               CASE WHEN o_orderstatus = 'F'
+                    THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                    ELSE -CAST(round(o_totalprice * 100) AS BIGINT) END AS x
+        FROM '{sf}/orders.parquet'
+        ORDER BY o_custkey, o_orderdate, o_orderkey
+        """
+    ).fetchall()
+    sim: dict[int, dict[str, int]] = {}
+    for cust, x in rows:
+        st = sim.setdefault(
+            cust, {"b": 0, "mx": 0, "zero": 0, "n": 0}
+        )
+        st["b"] = max(0, st["b"] + x)
+        st["mx"] = max(st["mx"], st["b"])
+        st["zero"] += 1 if st["b"] == 0 else 0
+        st["n"] += 1
+    got = {
+        r["o_custkey"]: r
+        for r in STAGED["x144_clamped_balance"]
+        .spark(spark, sf)
+        .collect()
+    }
+    assert set(got) == set(sim)
+    for cust, st in sim.items():
+        r = got[cust]
+        assert r["n_orders"] == st["n"], cust
+        assert r["final_balance_cents"] == st["b"], cust
+        assert r["max_balance_cents"] == st["mx"], cust
+        assert r["n_at_zero"] == st["zero"], cust
+
+
+def test_f2_estimate_within_sane_band(spark):
+    """The 4-register AMS mean is an unbiased F2 estimator; on this
+    deterministic corpus the realized estimate must land within a
+    loose multiplicative band of the exact value (catches sign-hash
+    or register-merge regressions without pinning the sketch value)."""
+    row = STAGED["x145_f2_moment"].spark(spark, SFS[1]).collect()[0]
+    assert row["exact_f2"] > 0
+    assert 0.2 * row["exact_f2"] <= row["est_f2"] <= 5.0 * row["exact_f2"]
+    assert row["ratio_millionths"] == row["est_f2"] * 1_000_000 // row["exact_f2"]
+
+
+def test_rbo_bounds_and_monotone(spark):
+    """RBO prefix sums are nondecreasing in depth and bounded by the
+    total available weight (sum of the literal nano weights)."""
+    from ravelytics_spark.plans.round24_staged import _RBO_WEIGHTS
+
+    rows = STAGED["x147_rbo_drift"].spark(spark, SFS[1]).collect()
+    assert [r["depth"] for r in rows] == list(range(1, 21))
+    cum = [r["rbo_nanos"] for r in rows]
+    assert cum == sorted(cum)
+    assert 0 <= cum[-1] <= sum(_RBO_WEIGHTS)
+    for r in rows:
+        assert 0 <= r["overlap"] <= r["depth"]
+
+
+def test_holt_identities(spark):
+    """level/trend/forecast are exact linear combinations of the two
+    smoothings, and a flat series yields zero trend."""
+    rows = STAGED["x148_holt_forecast"].spark(spark, SFS[1]).collect()
+    assert rows
+    for r in rows:
+        assert r["level_micros"] == 2 * r["s1_micros"] - r["s2_micros"]
+        assert r["trend_micros"] == r["s1_micros"] - r["s2_micros"]
+        assert r["forecast_micros"] == r["level_micros"] + r["trend_micros"]
+
+
+def test_eb_smoothing_shrinks_toward_global(spark):
+    """Each brand's smoothed rate must lie between its raw rate and
+    the global rate (the defining property of linear shrinkage),
+    up to 1 millionth of floor-division slack."""
+    import duckdb
+
+    sf = SFS[1]
+    big = duckdb.sql(
+        f"""
+        SELECT SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS x,
+               count(*) AS n
+        FROM '{sf}/lineitem.parquet' l
+        JOIN '{sf}/part.parquet' p ON l_partkey = p_partkey
+        """
+    ).fetchone()
+    global_millionths = big[0] * 1_000_000 // big[1]
+    for r in STAGED["x152_eb_smoothed_rate"].spark(spark, sf).collect():
+        lo = min(r["raw_millionths"], global_millionths) - 1
+        hi = max(r["raw_millionths"], global_millionths) + 1
+        assert lo <= r["smoothed_millionths"] <= hi, r
