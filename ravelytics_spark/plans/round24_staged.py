@@ -27,8 +27,10 @@ per-entry docstrings where a reference construct is echoed).
   side-by-side against the exact F2.
 * ``x146_mmr_select`` — Maximal Marginal Relevance diversified top-5
   over embeddings: relevance and pairwise similarity are EXACT
-  fixed-point integer dot products (x107's scale-6 quantization), the
-  5 greedy rounds are unrolled in both engines, every argmax totally
+  fixed-point integer dot products (x107's scale-6 quantization);
+  the pool is TakeOrdered-bounded at 20 before any pairwise work,
+  then the 5 greedy rounds run driver-side over the literal-bounded
+  pool (Spark) / as 4 unrolled CTEs (DuckDB), every argmax totally
   tie-broken — the diversity-sampling primitive of training-data
   curation, certified bit-identically.
 * ``x147_rbo_drift`` — Rank-Biased Overlap (p=0.9) between one
@@ -621,3 +623,462 @@ def x148_holt_forecast(spark, sf_dir):
         )
         .orderBy("n_name", "mon")
     )
+
+
+# ---------------------------------------------------------------------------
+# x150 — MOSS winnowing: exact substring near-dup candidate pairs
+# ---------------------------------------------------------------------------
+
+_WIN_K = 24  # k-gram length (chars)
+_WIN_W = 8  # winnow window (k-grams)
+_WIN_MIN_SHARED = 3  # pair emission threshold
+
+_WINNOW_ORACLE = f"""
+WITH pos AS (
+    SELECT doc_id, text,
+           unnest(range(1, greatest(length(text) - {_WIN_K} + 2, 1)::BIGINT))
+               AS i
+    FROM documents
+),
+kh AS (
+    SELECT doc_id, i,
+           CAST('0x' || substr(md5(substr(text, i::INT, {_WIN_K})), 1, 12)
+                AS BIGINT) AS h
+    FROM pos
+),
+wm AS (
+    SELECT doc_id,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN {_WIN_W - 1} PRECEDING AND CURRENT ROW)
+               AS fp
+    FROM kh
+),
+fps AS (SELECT DISTINCT doc_id, fp FROM wm),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_shared
+FROM pairs WHERE n_shared >= {_WIN_MIN_SHARED}
+ORDER BY doc_a, doc_b
+"""
+
+
+@_staged(
+    "x150_winnow_dup_spans",
+    "OP-X1/X2-ext",
+    "Exact substring near-dup candidates via MOSS winnowing "
+    "(Schleimer/Wilkerson/Aiken): every k=24-char window of every "
+    "document is hashed (48-bit md5 prefix — engine-portable), and "
+    "each document keeps only the MIN hash of each run of w=8 "
+    "consecutive window hashes (expected fingerprint density "
+    "2/(w+1) ~ 22% of positions), giving the guarantee that ANY "
+    "cross-document verbatim run of >= w+k-1 = 31 characters shares "
+    "at least one fingerprint. Document pairs sharing >= 3 "
+    "fingerprints are emitted with counts — the Lee-et-al-style "
+    "exact-substring dedup signal that catches copied SPANS exact/"
+    "whole-doc dedup (x1) and bag-of-shingles MinHash (x2/x91) both "
+    "miss. Scale shape: position explosion is linear in corpus "
+    "CHARS but the per-doc window-min runs inside one partition-"
+    "local sort; candidate pairs come from ONE fingerprint equi-join "
+    "(bucketed, never all-pairs), and the shuffle carries 8-byte "
+    "hashes, not text. A production corpus adds the x2-style hot-"
+    "bucket cap on pathological fingerprints (boilerplate); kept "
+    "uncapped here so the oracle certifies completeness.",
+    _WINNOW_ORACLE,
+)
+def x150_winnow_dup_spans(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    # positions 1 .. len-k+1; Spark sequence(a, b) DESCENDS when a > b,
+    # so short docs must yield an empty array, not [1, 0, ...]
+    npos = F.length("text") - F.lit(_WIN_K - 1)
+    pos = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.when(npos >= 1, F.sequence(F.lit(1), npos)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("i"),
+    )
+    kh = pos.select(
+        "doc_id",
+        "i",
+        F.conv(
+            F.substring(F.md5(F.expr(f"substring(text, i, {_WIN_K})")), 1, 12),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    wWin = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(-(_WIN_W - 1), Window.currentRow)
+    )
+    fps = (
+        kh.select("doc_id", F.min("h").over(wWin).alias("fp"))
+        .distinct()
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WIN_MIN_SHARED)
+    )
+    return pairs.orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# x149 — RAKE-style keyword phrases (degree-scored, exact integers)
+# ---------------------------------------------------------------------------
+
+_RAKE_STOP = (
+    "a an and are as at be by for from has he in is it its of on or "
+    "that the to was were will with"
+).split()
+_RAKE_MAX_WORDS = 4
+_RAKE_TOPK = 20
+_RAKE_STOP_SQL = ", ".join(f"'{w}'" for w in _RAKE_STOP)
+
+_RAKE_ORACLE = f"""
+WITH norm AS (
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')) AS s
+    FROM documents
+),
+tok AS (
+    SELECT doc_id,
+           generate_subscripts(string_split(s, ' '), 1) AS pos,
+           unnest(string_split(s, ' ')) AS word
+    FROM norm
+),
+marked AS (
+    SELECT doc_id, pos, word,
+           CASE WHEN word IN ({_RAKE_STOP_SQL}) OR word = ''
+                THEN 1 ELSE 0 END AS is_stop
+    FROM tok
+),
+runs AS (
+    SELECT doc_id, pos, word, is_stop,
+           SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS phrase_id
+    FROM marked
+),
+pw AS (
+    SELECT doc_id, phrase_id, pos, word FROM runs WHERE is_stop = 0
+),
+psz AS (
+    SELECT doc_id, phrase_id, CAST(count(*) AS BIGINT) AS n_words
+    FROM pw GROUP BY doc_id, phrase_id
+    HAVING count(*) BETWEEN 1 AND {_RAKE_MAX_WORDS}
+),
+kept AS (
+    SELECT pw.doc_id, pw.phrase_id, pw.pos, pw.word, psz.n_words
+    FROM pw JOIN psz USING (doc_id, phrase_id)
+),
+wscore AS (
+    SELECT word, CAST(SUM(n_words) AS BIGINT) AS degree
+    FROM kept GROUP BY word
+),
+inst AS (
+    SELECT k.doc_id, k.phrase_id,
+           string_agg(k.word, ' ' ORDER BY k.pos) AS phrase,
+           CAST(max(k.n_words) AS BIGINT) AS n_words,
+           CAST(SUM(w.degree) AS BIGINT) AS deg_score
+    FROM kept k JOIN wscore w ON k.word = w.word
+    GROUP BY k.doc_id, k.phrase_id
+)
+SELECT phrase, n_words,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(max(deg_score) AS BIGINT) AS deg_score
+FROM inst
+GROUP BY phrase, n_words
+ORDER BY deg_score DESC, phrase
+LIMIT {_RAKE_TOPK}
+"""
+
+
+@_staged(
+    "x149_rake_keywords",
+    "OP-X4-ext",
+    "RAKE-style keyword extraction (Rose et al.): candidate phrases "
+    "are maximal stopword/punctuation-free word runs (the run id is a "
+    "prefix SUM of the stopword indicator — the x6 sessionize idiom "
+    "applied to token streams), capped at 4 words; each word's DEGREE "
+    "is the summed length of every kept phrase it appears in (freq + "
+    "co-occurrence, the RAKE deg(w) = sum of phrase lengths "
+    "convention), and a phrase scores the SUM of its words' degrees — "
+    "all exact BIGINTs, so the corpus-global score of a phrase string "
+    "is instance-invariant and both engines rank identically with the "
+    "(score DESC, phrase) total tie-break. The heavy lifting is two "
+    "hash-aggs over exploded tokens (word-keyed shuffle carries "
+    "short strings) plus one per-doc window over token positions; "
+    "top-20 compiles to TakeOrderedAndProject.",
+    _RAKE_ORACLE,
+)
+def x149_rake_keywords(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    norm = d.select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z]+", " ")
+        ).alias("s"),
+    )
+    tok = norm.select(
+        "doc_id", F.posexplode(F.split("s", " ")).alias("pos", "word")
+    )
+    marked = tok.select(
+        "doc_id",
+        "pos",
+        "word",
+        F.when(
+            F.col("word").isin(_RAKE_STOP) | (F.col("word") == ""), 1
+        )
+        .otherwise(0)
+        .alias("is_stop"),
+    )
+    wRun = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = marked.select(
+        "doc_id",
+        "pos",
+        "word",
+        "is_stop",
+        F.sum("is_stop").over(wRun).alias("phrase_id"),
+    )
+    pw = runs.filter(F.col("is_stop") == 0).select(
+        "doc_id", "phrase_id", "pos", "word"
+    )
+    psz = (
+        pw.groupBy("doc_id", "phrase_id")
+        .agg(F.count("*").cast("long").alias("n_words"))
+        .filter(F.col("n_words").between(1, _RAKE_MAX_WORDS))
+    )
+    kept = pw.join(psz, ["doc_id", "phrase_id"])
+    wscore = kept.groupBy("word").agg(
+        F.sum("n_words").cast("long").alias("degree")
+    )
+    inst = (
+        kept.join(wscore, "word")
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s.word,
+                ),
+                " ",
+            ).alias("phrase"),
+            F.max("n_words").cast("long").alias("n_words"),
+            F.sum("degree").cast("long").alias("deg_score"),
+        )
+    )
+    return (
+        inst.groupBy("phrase", "n_words")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.max("deg_score").cast("long").alias("deg_score"),
+        )
+        .orderBy(F.desc("deg_score"), "phrase")
+        .limit(_RAKE_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# x146 — Maximal Marginal Relevance diversified top-5 (unrolled greedy)
+# ---------------------------------------------------------------------------
+
+_MMR_POOL = 20
+_MMR_PICKS = 5
+_MMR_FX_SQL = (
+    "list_transform(embedding, x -> CAST(CAST(CAST(x AS DOUBLE) "
+    "AS DECIMAL(9,6)) * 1000000 AS BIGINT))"
+)
+
+
+def _mmr_round_ctes() -> str:
+    parts = []
+    for r in range(2, _MMR_PICKS + 1):
+        prev = f"sel{r - 1}"
+        parts.append(
+            f"""ms{r} AS (
+    SELECT c.vec_id, c.rel, CAST(MAX(s.s) AS BIGINT) AS maxsim
+    FROM pool c
+    JOIN {prev} t ON c.vec_id NOT IN (SELECT vec_id FROM {prev})
+    JOIN sim s ON s.ia = c.vec_id AND s.ib = t.vec_id
+    GROUP BY c.vec_id, c.rel
+),
+p{r} AS (
+    SELECT vec_id, rel, maxsim FROM ms{r}
+    ORDER BY 2 * rel * 1000000 - maxsim DESC, vec_id LIMIT 1
+),
+sel{r} AS (
+    SELECT * FROM {prev}
+    UNION ALL
+    SELECT vec_id, {r} AS pick_round,
+           CAST(rel * 1000000 AS BIGINT) AS rel_e12,
+           maxsim AS maxsim_e12
+    FROM p{r}
+)"""
+        )
+    return ",\n".join(parts)
+
+
+_MMR_ORACLE = f"""
+WITH fx AS (
+    SELECT vec_id, {_MMR_FX_SQL} AS f
+    FROM embeddings
+    WHERE len(embedding) = (SELECT max(len(embedding)) FROM embeddings)
+),
+ex AS (
+    SELECT vec_id, generate_subscripts(f, 1) - 1 AS i, unnest(f) AS v
+    FROM fx
+),
+rel AS (
+    SELECT vec_id, CAST(SUM(v * ((i * 37) % 19 - 9)) AS BIGINT) AS rel
+    FROM ex GROUP BY vec_id
+),
+pool AS (
+    SELECT vec_id, rel FROM rel ORDER BY rel DESC, vec_id LIMIT {_MMR_POOL}
+),
+sim AS (
+    SELECT a.vec_id AS ia, b.vec_id AS ib,
+           CAST(list_dot_product(fa.f, fb.f) AS BIGINT) AS s
+    FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+    JOIN fx fa ON fa.vec_id = a.vec_id
+    JOIN fx fb ON fb.vec_id = b.vec_id
+),
+p1 AS (
+    SELECT vec_id, rel FROM pool ORDER BY rel DESC, vec_id LIMIT 1
+),
+sel1 AS (
+    SELECT vec_id, 1 AS pick_round,
+           CAST(rel * 1000000 AS BIGINT) AS rel_e12,
+           CAST(0 AS BIGINT) AS maxsim_e12
+    FROM p1
+),
+{_mmr_round_ctes()}
+SELECT CAST(pick_round AS BIGINT) AS pick_round, vec_id, rel_e12, maxsim_e12,
+       CAST(2 * rel_e12 - maxsim_e12 AS BIGINT) AS score_e12
+FROM sel{_MMR_PICKS}
+ORDER BY pick_round
+"""
+
+
+@_staged(
+    "x146_mmr_select",
+    "OP-X3/OP-X9-ext",
+    "Maximal Marginal Relevance (Carbonell-Goldstein) diversified "
+    "top-5 over the embedding corpus — the diversity-sampling "
+    "primitive of training-data curation and search reranking: seed "
+    "with the most query-relevant vector, then 4 greedy rounds each "
+    "pick argmax of lambda*rel - (1-lambda)*max-sim-to-selected "
+    "(lambda = 2/3, folded into integer weights 2:1). Relevance is "
+    "the EXACT fixed-point inner product with a literal integer "
+    "query pattern c_i = (i*37) % 19 - 9 (no dims probe needed — "
+    "the weight is a function of the subscript), similarity the "
+    "exact scale-12 integer dot product (x107's quantization: "
+    "element products stay under 2^53, so even the oracle's double "
+    "list_dot_product is integer-exact). The candidate pool is "
+    "TakeOrdered-bounded at 20 BEFORE any pairwise work; the greedy "
+    "rounds then run over <= 20x19 candidate/sim rows — driver-side "
+    "under the guarded bounded-collect contract on the Spark side "
+    "(pool size is a LITERAL, never data-dependent — the ANN-"
+    "codebook rule), and as 4 unrolled CTEs in DuckDB (the x127 "
+    "fixed-iteration certification pattern). Every argmax carries "
+    "the (score DESC, vec_id) total tie-break, making the greedy "
+    "trajectory engine-identical.",
+    _MMR_ORACLE,
+)
+def x146_mmr_select(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    mx = e.agg(F.max(F.size("embedding")).alias("L"))
+    fx = (
+        e.join(F.broadcast(mx), F.size("embedding") == F.col("L"))
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> CAST(CAST(CAST(x AS DOUBLE) "
+                "AS DECIMAL(9,6)) * 1000000 AS BIGINT))"
+            ).alias("f"),
+        )
+    )
+    rel = (
+        fx.select("vec_id", F.posexplode("f").alias("i", "v"))
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("v") * ((F.col("i") * 37) % 19 - 9))
+            .cast("long")
+            .alias("rel")
+        )
+    )
+    # Distributed part: TakeOrdered pool selection + exact integer
+    # dot products. The greedy itself runs driver-side over the
+    # HARD-BOUNDED pool (<= 20 candidates, <= 20*19 sim rows) — the
+    # same guarded bounded-collect contract as the ANN codebooks
+    # (similarity.py): pool size is a literal, never data-dependent.
+    pool = rel.orderBy(F.desc("rel"), "vec_id").limit(_MMR_POOL)
+    pf = pool.join(fx, "vec_id").select("vec_id", "rel", "f")
+    a, b = pf.alias("a"), pf.alias("b")
+    dot = F.expr(
+        "aggregate(zip_with(a.f, b.f, (x, y) -> x * y), 0L, (acc, t) -> acc + t)"
+    )
+    sim_rows = (
+        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("ia"),
+            F.col("b.vec_id").alias("ib"),
+            dot.cast("long").alias("s"),
+        )
+        .collect()
+    )
+    pool_rows = pool.collect()
+    assert len(pool_rows) <= _MMR_POOL, "pool must be literal-bounded"
+    sims = {(r["ia"], r["ib"]): r["s"] for r in sim_rows}
+    rels = {r["vec_id"]: r["rel"] for r in pool_rows}
+    remaining = sorted(rels)
+    seed = max(remaining, key=lambda v: (rels[v], -v))
+    picks = [(1, seed, rels[seed] * 1_000_000, 0)]
+    remaining.remove(seed)
+    for r in range(2, _MMR_PICKS + 1):
+        chosen = [p[1] for p in picks]
+        best = max(
+            remaining,
+            key=lambda v: (
+                2 * rels[v] * 1_000_000 - max(sims[(v, t)] for t in chosen),
+                -v,
+            ),
+        )
+        picks.append(
+            (
+                r,
+                best,
+                rels[best] * 1_000_000,
+                max(sims[(best, t)] for t in chosen),
+            )
+        )
+        remaining.remove(best)
+    out = spark.createDataFrame(
+        [
+            (pr, vid, rel, ms, 2 * rel - ms)
+            for pr, vid, rel, ms in picks
+        ],
+        "pick_round LONG, vec_id LONG, rel_e12 LONG, maxsim_e12 LONG, "
+        "score_e12 LONG",
+    )
+    return out.orderBy("pick_round")

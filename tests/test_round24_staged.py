@@ -133,3 +133,64 @@ def test_eb_smoothing_shrinks_toward_global(spark):
         lo = min(r["raw_millionths"], global_millionths) - 1
         hi = max(r["raw_millionths"], global_millionths) + 1
         assert lo <= r["smoothed_millionths"] <= hi, r
+
+
+def test_mmr_greedy_trajectory_properties(spark):
+    """Picks are distinct pool members; the seed has the maximum
+    relevance; marginal scores are nonincreasing by round (selected
+    sets only grow, candidate sets only shrink)."""
+    rows = (
+        STAGED["x146_mmr_select"].spark(spark, SFS[1]).orderBy("pick_round").collect()
+    )
+    assert [r["pick_round"] for r in rows] == [1, 2, 3, 4, 5]
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == 5
+    assert rows[0]["maxsim_e12"] == 0
+    assert rows[0]["rel_e12"] == max(r["rel_e12"] for r in rows)
+    scores = [r["score_e12"] for r in rows]
+    assert all(a >= b for a, b in zip(scores, scores[1:]))
+    for r in rows:
+        assert r["score_e12"] == 2 * r["rel_e12"] - r["maxsim_e12"]
+
+
+def test_rake_phrases_are_stopword_free_runs(spark):
+    """No emitted phrase contains a stopword or empty token; lengths
+    respect the cap; the degree score is at least the phrase length
+    (each word's degree includes this occurrence's phrase length)."""
+    from ravelytics_spark.plans.round24_staged import _RAKE_MAX_WORDS, _RAKE_STOP
+
+    rows = STAGED["x149_rake_keywords"].spark(spark, SFS[1]).collect()
+    assert rows
+    stop = set(_RAKE_STOP)
+    for r in rows:
+        words = r["phrase"].split(" ")
+        assert 1 <= len(words) <= _RAKE_MAX_WORDS
+        assert len(words) == r["n_words"]
+        assert all(w and w not in stop for w in words)
+        assert r["deg_score"] >= r["n_words"]
+        assert r["n_occurrences"] >= 1
+
+
+def test_winnow_pairs_share_verbatim_kgram(spark):
+    """Soundness: every emitted candidate pair really shares at least
+    one verbatim 24-char substring (fingerprints are window-min
+    k-gram hashes, so a shared fingerprint implies a shared k-gram
+    modulo 48-bit collisions — none on this corpus)."""
+    import duckdb
+
+    from ravelytics_spark.plans.round24_staged import _WIN_K
+
+    sf = SFS[1]
+    pairs = STAGED["x150_winnow_dup_spans"].spark(spark, sf).collect()
+    assert pairs, "corpus is known to contain cross-doc duplicate spans"
+    texts = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM '{sf}/documents.parquet'"
+        ).fetchall()
+    )
+    for p in pairs:
+        a, b = texts[p["doc_a"]], texts[p["doc_b"]]
+        grams_a = {a[i : i + _WIN_K] for i in range(len(a) - _WIN_K + 1)}
+        assert any(
+            b[i : i + _WIN_K] in grams_a for i in range(len(b) - _WIN_K + 1)
+        ), (p["doc_a"], p["doc_b"])
