@@ -1082,3 +1082,96 @@ def x146_mmr_select(spark, sf_dir):
         "score_e12 LONG",
     )
     return out.orderBy("pick_round")
+
+
+# ---------------------------------------------------------------------------
+# x151 — watermarked stream-stream interval join (harness)
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "x151_stream_interval_join",
+    "OP-T-ext",
+    "Watermarked stream-stream inner interval join end-to-end: two "
+    "file-source streams (views, clicks) through streaming/joins."
+    "stream_click_attribution — each click attributed to same-user "
+    "views within the preceding 10 minutes, watermarks on BOTH sides "
+    "plus a two-sided time bound so join state is droppable (O(window "
+    "traffic), not O(history) — the only stream-stream join shape "
+    "that survives a 100 TB/day clickstream). Deterministic fixture: "
+    "5 views x 4 clicks where exactly 3 (view, click) pairs fall "
+    "inside the window, one click is pre-view (dropped by the lower "
+    "bound), one click is late-but-in-window for an earlier view. "
+    "Returns the attributed pairs with lag seconds; rows/schema "
+    "checked by the harness (streaming semantics have no SQL oracle).",
+    None,
+)
+def x151_stream_interval_join(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from ravelytics_spark.streaming.joins import stream_click_attribution
+
+    base = tempfile.mkdtemp(prefix="rvl_ssjoin_")
+    vdir, cdir = os.path.join(base, "views"), os.path.join(base, "clicks")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(vdir)
+    os.makedirs(cdir)
+    t0 = "2024-03-01 12:00:00"
+
+    def ts(minute: int, sec: int = 0) -> str:
+        return f"2024-03-01 12:{minute:02d}:{sec:02d}"
+
+    with open(os.path.join(vdir, "v.json"), "w") as fh:
+        fh.write(
+            "\n".join(
+                [
+                    f'{{"view_id": 1, "user_id": 7, "view_ts": "{t0}"}}',
+                    f'{{"view_id": 2, "user_id": 7, "view_ts": "{ts(8)}"}}',
+                    f'{{"view_id": 3, "user_id": 9, "view_ts": "{ts(1)}"}}',
+                    f'{{"view_id": 4, "user_id": 9, "view_ts": "{ts(40)}"}}',
+                    f'{{"view_id": 5, "user_id": 11, "view_ts": "{ts(5)}"}}',
+                ]
+            )
+        )
+    with open(os.path.join(cdir, "c.json"), "w") as fh:
+        fh.write(
+            "\n".join(
+                [
+                    # in-window for views 1 AND 2 (user 7, minute 9)
+                    f'{{"click_id": 101, "user_id": 7, "click_ts": "{ts(9)}"}}',
+                    # pre-view: before user 9's first view -> dropped
+                    f'{{"click_id": 102, "user_id": 9, "click_ts": "{ts(0, 30)}"}}',
+                    # in-window for view 3 (user 9, minute 10)
+                    f'{{"click_id": 103, "user_id": 9, "click_ts": "{ts(10)}"}}',
+                    # out-of-window for everything (user 11, minute 30)
+                    f'{{"click_id": 104, "user_id": 11, "click_ts": "{ts(30)}"}}',
+                ]
+            )
+        )
+    views = spark.readStream.schema(
+        "view_id long, user_id long, view_ts timestamp"
+    ).json(vdir)
+    clicks = spark.readStream.schema(
+        "click_id long, user_id long, click_ts timestamp"
+    ).json(cdir)
+    q = (
+        stream_click_attribution(views, clicks)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    res = (
+        spark.read.parquet(out)
+        .select("user_id", "view_id", "click_id", "lag_s")
+        .orderBy("user_id", "view_id", "click_id")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return res

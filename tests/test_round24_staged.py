@@ -194,3 +194,19 @@ def test_winnow_pairs_share_verbatim_kgram(spark):
         assert any(
             b[i : i + _WIN_K] in grams_a for i in range(len(b) - _WIN_K + 1)
         ), (p["doc_a"], p["doc_b"])
+
+
+def test_stream_interval_join_attributes_exact_pairs(spark):
+    """The watermarked stream-stream interval join emits exactly the
+    3 in-window (view, click) pairs of the deterministic fixture:
+    pre-view clicks are dropped by the lower bound, stale clicks by
+    the upper bound, and one click fans out to two in-window views."""
+    rows = [
+        (r["user_id"], r["view_id"], r["click_id"], r["lag_s"])
+        for r in STAGED["x151_stream_interval_join"].spark(spark, SFS[0]).collect()
+    ]
+    assert rows == [
+        (7, 1, 101, 540),
+        (7, 2, 101, 60),
+        (9, 3, 103, 540),
+    ]
