@@ -1,0 +1,186 @@
+"""Round-6 scale sweep: the round-24 staged operators at 1x / 10x / 100x.
+
+Same contract as scale_sweep_r5.py: scaled TABLE DIRECTORIES so the
+sweep runs the exact staged entries, replica-disjoint truth (documents
+word-salted, fact keys offset per replica), setup excluded, best-of-2
+noop-sink writes. This round's directory additionally carries part /
+customer (key-offset replicas, so the x152 brand join and the x148
+customer->nation join stay key-consistent with the scaled facts) and
+nation (copied — nationkeys are NOT offset, matching the unchanged
+c_nationkey domain).
+
+    python scripts/scale_sweep_r6.py [factors...]    # default 1 10 100
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ravelytics_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORK = "/tmp/ravelytics_scale_sweep_r6"
+
+DOC_ENTRIES = ["x149_rake_keywords", "x150_winnow_dup_spans"]
+ORDER_ENTRIES = ["x144_clamped_balance", "x148_holt_forecast"]
+LINEITEM_ENTRIES = [
+    "x145_f2_moment",
+    "x147_rbo_drift",
+    "x152_eb_smoothed_rate",
+]
+EMBED_ENTRIES = ["x146_mmr_select"]
+
+
+def build_dir(spark, factor: int) -> str:
+    out_dir = f"{WORK}/sf_{factor}x"
+    done = f"{out_dir}/.done"
+    if os.path.exists(done):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    rep = spark.range(factor).select(F.col("id").alias("__rep"))
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    (
+        docs.crossJoin(F.broadcast(rep))
+        .select(
+            (F.col("doc_id") + F.col("__rep") * F.lit(10_000_000)).alias(
+                "doc_id"
+            ),
+            F.when(F.col("__rep") == 0, F.col("text"))
+            .otherwise(
+                F.concat(
+                    F.lit("r"),
+                    F.col("__rep").cast("string"),
+                    F.lit("x "),
+                    F.regexp_replace(
+                        "text",
+                        " ",
+                        F.concat(
+                            F.lit(" r"),
+                            F.col("__rep").cast("string"),
+                            F.lit("x"),
+                        ),
+                    ),
+                )
+            )
+            .alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .repartition(max(2, factor // 2))
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/documents.parquet")
+    )
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    (
+        orders.crossJoin(F.broadcast(rep))
+        .withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.col("__rep") * 100_000_000
+        )
+        .withColumn(
+            "o_custkey", F.col("o_custkey") + F.col("__rep") * 10_000_000
+        )
+        .drop("__rep")
+        .repartition(max(2, factor // 2))
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/orders.parquet")
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    (
+        li.crossJoin(F.broadcast(rep))
+        .withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.col("__rep") * 100_000_000
+        )
+        .withColumn(
+            "l_partkey", F.col("l_partkey") + F.col("__rep") * 10_000_000
+        )
+        .drop("__rep")
+        .repartition(max(2, factor))
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/lineitem.parquet")
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    (
+        emb.crossJoin(F.broadcast(rep))
+        .withColumn("vec_id", F.col("vec_id") + F.col("__rep") * 10_000_000)
+        .drop("__rep")
+        .repartition(max(2, factor // 2))
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/embeddings.parquet")
+    )
+
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    (
+        part.crossJoin(F.broadcast(rep))
+        .withColumn(
+            "p_partkey", F.col("p_partkey") + F.col("__rep") * 10_000_000
+        )
+        .drop("__rep")
+        .repartition(max(2, factor // 2))
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/part.parquet")
+    )
+
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    (
+        cust.crossJoin(F.broadcast(rep))
+        .withColumn(
+            "c_custkey", F.col("c_custkey") + F.col("__rep") * 10_000_000
+        )
+        .drop("__rep")
+        .repartition(max(2, factor // 2))
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/customer.parquet")
+    )
+
+    for small in ("nation", "region"):
+        (
+            spark.read.parquet(f"{SF_DIR}/{small}.parquet")
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/{small}.parquet")
+        )
+    open(done, "w").close()
+    return out_dir
+
+
+def main():
+    factors = [int(a) for a in sys.argv[1:]] or [1, 10, 100]
+    spark = get_spark(app_name="scale_sweep_r6")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from ravelytics_spark.plans.round24_staged import STAGED
+
+    for factor in factors:
+        d = build_dir(spark, factor)
+        n = spark.read.parquet(f"{d}/documents.parquet").count()
+        print(f"-- {factor}x ({n} docs)", flush=True)
+        for name in (
+            DOC_ENTRIES + ORDER_ENTRIES + LINEITEM_ENTRIES + EMBED_ENTRIES
+        ):
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                STAGED[name].spark(spark, d).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best or 9e9, time.perf_counter() - t0)
+            print(f"    {name:28s} {best:8.2f}s", flush=True)
+
+    if os.environ.get("SWEEP_KEEP", "") != "1":
+        shutil.rmtree(WORK, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

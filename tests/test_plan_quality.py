@@ -208,6 +208,15 @@ _SINGLE_PARTITION_OK = {
     "x120_seasonality_index": "trailing-12 window over the MONTH-level aggregate (x74/x77 aggregate-first idiom)",
     "x122_rrf_hybrid_search": "rank windows over two TakeOrdered(100) frames + corpus-stats scalar broadcast — every SinglePartition input is <=100 rows by construction",
     "x125_cusum_changepoint": "global window over the MONTH-level aggregate + tot/n scalar broadcast (x74/x77 idiom)",
+    # round-23 registrations (round 6): same bounded-aggregate idioms.
+    "x128_mutual_information": "grand-total scalar N over the lang x source contingency-cell aggregate: one partial row per partition, then broadcast",
+    "x135_weekday_index": "overall-mean scalar over the 7-row day-of-week aggregate, then broadcast into the index ratio",
+    "x137_share_of_total": "grand-total window over the 25-row NATION aggregate — ratio_to_report is aggregate-first by construction",
+    "x138_volatility_bands": "trailing-6 window over the MONTH-level aggregate (x74/x77 aggregate-first idiom)",
+    # round-24 staged (registration lands round 7; inert until then).
+    "x145_f2_moment": "the sketch contract itself: four register SUMs combine one partial row per partition, then join the exact-F2 scalar",
+    "x147_rbo_drift": "rank + cumulative windows over two TakeOrdered(20) frames and a 20-row literal depth table — every SinglePartition input is <=20 rows by construction",
+    "x152_eb_smoothed_rate": "global prior scalar (X, N) over the ~25-row brand aggregate: one partial row per partition, then broadcast",
 }
 
 
