@@ -53,11 +53,25 @@ per-entry docstrings where a reference construct is echoed).
   counts. Guarantee: any cross-doc verbatim run of >= w+k-1 = 31
   chars shares a fingerprint — the Lee-et-al-style exact substring
   dedup signal, bucketed (fingerprint equi-join), never all-pairs.
+* ``x151_stream_interval_join`` — watermarked stream-stream inner
+  interval join (view-to-click attribution) end to end over two
+  file-source streams; harness entry (streaming semantics have no
+  SQL oracle), with the exact attributed pairs pinned by test.
 * ``x152_eb_smoothed_rate`` — empirical-Bayes shrunken return rate
   per part brand: (x + m*p0) / (n + m) with the global prior p0 kept
   as the exact rational X/N, so the smoothed rate is one integer
   floor-division to millionths — the low-volume-rate stabilizer every
   CTR/return-rate dashboard needs.
+* ``x153_hash_bootstrap_ci`` — deterministic online bootstrap
+  (Oza-Russell): B=16 resamples weight each order by Binomial(2,1/2)
+  md5 bits of (resample, key); each resample is a mergeable weighted
+  SUM pair and the confidence band is an exact rank-pick over the
+  resample means — uncertainty bars in ONE pass, no data copies.
+* ``x154_item_cf_topk`` — item-item collaborative filtering: top-5
+  co-order neighbors for the 10 most-ordered parts, ranked by the
+  exact squared-cosine integer c_ij^2*1e6/(c_i*c_j) (sqrt-free,
+  monotone, engine-exact), candidate pairs bounded by the seed
+  basket self-join.
 
 Hash-parity conventions as plans/queries.py: exact cents/BIGINT
 arithmetic, md5-derived portable hashes, nonnegative-operand floor
@@ -1175,3 +1189,261 @@ def x151_stream_interval_join(spark, sf_dir):
     )
     shutil.rmtree(base, ignore_errors=True)
     return res
+
+
+# ---------------------------------------------------------------------------
+# x153 — deterministic hash-bootstrap confidence band for group means
+# ---------------------------------------------------------------------------
+
+_BS_B = 16  # resamples
+
+_BS_ORACLE = f"""
+WITH base AS (
+    SELECT c_nationkey,
+           o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+),
+w AS (
+    SELECT c_nationkey, cents, b.b,
+           CAST('0x' || substr(md5('bs:' || b.b || ':' || o_orderkey), 1, 1)
+                AS BIGINT) % 2
+           + CAST('0x' || substr(md5('bs:' || b.b || ':' || o_orderkey), 2, 1)
+                AS BIGINT) % 2 AS wgt
+    FROM base, (SELECT unnest(range({_BS_B})) AS b) b
+),
+rs AS (
+    SELECT c_nationkey, b,
+           CAST(SUM(wgt) AS BIGINT) AS n_b,
+           CAST(SUM(wgt * cents) AS BIGINT) AS s_b
+    FROM w GROUP BY c_nationkey, b
+),
+means AS (
+    SELECT c_nationkey, b,
+           CAST(s_b * 1000 // n_b AS BIGINT) AS mean_millicents,
+           row_number() OVER (PARTITION BY c_nationkey
+                              ORDER BY s_b * 1000 // n_b, b) AS rk
+    FROM rs WHERE n_b > 0
+),
+pt AS (
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) * 1000 // count(*) AS BIGINT)
+               AS point_mean_millicents
+    FROM base GROUP BY c_nationkey
+)
+SELECT n_name,
+       pt.n_orders,
+       pt.point_mean_millicents,
+       CAST(max(CASE WHEN rk = 2 THEN mean_millicents END) AS BIGINT)
+           AS lo_millicents,
+       CAST(max(CASE WHEN rk = {_BS_B - 1} THEN mean_millicents END)
+            AS BIGINT) AS hi_millicents,
+       CAST(min(mean_millicents) AS BIGINT) AS min_millicents,
+       CAST(max(mean_millicents) AS BIGINT) AS max_millicents
+FROM means
+JOIN pt USING (c_nationkey)
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name, pt.n_orders, pt.point_mean_millicents
+ORDER BY n_name
+"""
+
+
+@_staged(
+    "x153_hash_bootstrap_ci",
+    "OP-G6/X9-ext",
+    "Deterministic online bootstrap (Oza-Russell) confidence band for "
+    "the per-nation mean order value: each of B=16 resamples weights "
+    "every order by Binomial(2, 1/2) drawn from two md5 bits of "
+    "(resample, orderkey) — a pure function of the KEY, so resample "
+    "membership is reproducible across engines, partitionings and "
+    "reruns (df.sample is partition-seeded and is neither). Each "
+    "resample is just a weighted SUM pair (n_b, s_b) — map-side "
+    "combinable, mergeable across shards, one shuffle carrying "
+    "nations x B rows — and the band is an exact rank-pick over the "
+    "16 resample means (2nd/15th order statistics ~ an 87% CI, plus "
+    "min/max), every mean an exact nonneg floor-division to "
+    "millicents. This is how a 100 TB pipeline gets uncertainty "
+    "bars: B weighted aggregates in ONE pass, never B data copies.",
+    _BS_ORACLE,
+)
+def x153_hash_bootstrap_ci(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    base = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_nationkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    b = spark.range(_BS_B).select(F.col("id").cast("int").alias("b"))
+    digest = F.md5(
+        F.concat(
+            F.lit("bs:"),
+            F.col("b").cast("string"),
+            F.lit(":"),
+            F.col("o_orderkey").cast("string"),
+        )
+    )
+    wgt = (
+        F.conv(F.substring(digest, 1, 1), 16, 10).cast("long") % 2
+        + F.conv(F.substring(digest, 2, 1), 16, 10).cast("long") % 2
+    )
+    w = base.crossJoin(F.broadcast(b)).select(
+        "c_nationkey", "cents", "b", wgt.alias("wgt")
+    )
+    rs = w.groupBy("c_nationkey", "b").agg(
+        F.sum("wgt").cast("long").alias("n_b"),
+        F.sum(F.col("wgt") * F.col("cents")).cast("long").alias("s_b"),
+    )
+    means = rs.filter(F.col("n_b") > 0).select(
+        "c_nationkey",
+        "b",
+        F.expr("CAST(s_b * 1000 DIV n_b AS BIGINT)").alias("mean_millicents"),
+        F.row_number()
+        .over(
+            Window.partitionBy("c_nationkey").orderBy(
+                F.expr("s_b * 1000 DIV n_b"), "b"
+            )
+        )
+        .alias("rk"),
+    )
+    pt = base.groupBy("c_nationkey").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.expr("CAST(SUM(cents) * 1000 DIV count(*) AS BIGINT)").alias(
+            "point_mean_millicents"
+        ),
+    )
+    return (
+        means.join(pt, "c_nationkey")
+        .join(F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey)
+        .groupBy("n_name", "n_orders", "point_mean_millicents")
+        .agg(
+            F.max(F.when(F.col("rk") == 2, F.col("mean_millicents")))
+            .cast("long")
+            .alias("lo_millicents"),
+            F.max(
+                F.when(F.col("rk") == _BS_B - 1, F.col("mean_millicents"))
+            )
+            .cast("long")
+            .alias("hi_millicents"),
+            F.min("mean_millicents").cast("long").alias("min_millicents"),
+            F.max("mean_millicents").cast("long").alias("max_millicents"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x154 — item-item collaborative filtering (co-order cosine top-k)
+# ---------------------------------------------------------------------------
+
+_CF_SEEDS = 10
+_CF_TOPK = 5
+
+_CF_ORACLE = f"""
+WITH pk AS (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+deg AS (
+    SELECT p, CAST(count(*) AS BIGINT) AS c FROM pk GROUP BY p
+),
+seeds AS (
+    SELECT p, c FROM deg ORDER BY c DESC, p LIMIT {_CF_SEEDS}
+),
+co AS (
+    SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS cij
+    FROM pk a JOIN pk b ON a.o = b.o AND a.p <> b.p
+    WHERE a.p IN (SELECT p FROM seeds)
+    GROUP BY a.p, b.p
+),
+scored AS (
+    SELECT co.pa, co.pb, co.cij,
+           CAST(co.cij * co.cij * 1000000 // (da.c * db.c) AS BIGINT)
+               AS cos2_millionths,
+           row_number() OVER (
+               PARTITION BY co.pa
+               ORDER BY co.cij * co.cij * 1000000 // (da.c * db.c) DESC,
+                        co.cij DESC, co.pb) AS rk
+    FROM co
+    JOIN deg da ON da.p = co.pa
+    JOIN deg db ON db.p = co.pb
+)
+SELECT pa AS seed_part, pb AS rec_part, cij AS n_co_orders,
+       cos2_millionths, CAST(rk AS BIGINT) AS rk
+FROM scored WHERE rk <= {_CF_TOPK}
+ORDER BY seed_part, rk
+"""
+
+
+@_staged(
+    "x154_item_cf_topk",
+    "OP-X3/J2-ext",
+    "Item-item collaborative filtering: for the 10 most-ordered parts, "
+    "the top-5 'customers also ordered' neighbors by co-occurrence "
+    "cosine c_ij/sqrt(c_i*c_j) — ranked WITHOUT sqrt via the exact "
+    "squared-cosine integer c_ij^2 * 1e6 / (c_i*c_j) (nonneg floor "
+    "division; monotone in the true cosine, so the ranking is "
+    "identical and engine-exact; ties broken by raw co-count then "
+    "part id). Candidate pairs come from the basket self-join "
+    "restricted to SEED rows — work is seeds x basket width, bounded "
+    "by the x103 wedge argument, never all-pairs over the catalog — "
+    "and the seed set itself is a TakeOrdered-10. Integer domain: "
+    "c_ij^2 * 1e6 needs c_ij < 3e6 co-orders per pair (fine for any "
+    "real basket corpus; beyond that, drop the 1e6 scale or bucket "
+    "counts first). The everyday 'frequently bought together' "
+    "primitive, exact on both engines.",
+    _CF_ORACLE,
+)
+def x154_item_cf_topk(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    pk = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    deg = pk.groupBy("p").agg(F.count("*").cast("long").alias("c"))
+    seeds = deg.orderBy(F.desc("c"), "p").limit(_CF_SEEDS)
+    a = pk.join(F.broadcast(seeds.select("p")), "p").select(
+        F.col("o"), F.col("p").alias("pa")
+    )
+    b = pk.select(F.col("o"), F.col("p").alias("pb"))
+    co = (
+        a.join(b, "o")
+        .filter(F.col("pa") != F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").cast("long").alias("cij"))
+    )
+    da = deg.select(F.col("p").alias("pa"), F.col("c").alias("ca"))
+    db = deg.select(F.col("p").alias("pb"), F.col("c").alias("cb"))
+    scored = (
+        co.join(F.broadcast(da), "pa")
+        .join(db, "pb")
+        .select(
+            "pa",
+            "pb",
+            "cij",
+            F.expr(
+                "CAST(cij * cij * 1000000 DIV (ca * cb) AS BIGINT)"
+            ).alias("cos2_millionths"),
+        )
+    )
+    ranked = scored.select(
+        "*",
+        F.row_number()
+        .over(
+            Window.partitionBy("pa").orderBy(
+                F.desc("cos2_millionths"), F.desc("cij"), "pb"
+            )
+        )
+        .alias("rk"),
+    )
+    return (
+        ranked.filter(F.col("rk") <= _CF_TOPK)
+        .select(
+            F.col("pa").alias("seed_part"),
+            F.col("pb").alias("rec_part"),
+            F.col("cij").alias("n_co_orders"),
+            "cos2_millionths",
+            F.col("rk").cast("long").alias("rk"),
+        )
+        .orderBy("seed_part", "rk")
+    )

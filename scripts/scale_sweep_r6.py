@@ -30,11 +30,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WORK = "/tmp/ravelytics_scale_sweep_r6"
 
 DOC_ENTRIES = ["x149_rake_keywords", "x150_winnow_dup_spans"]
-ORDER_ENTRIES = ["x144_clamped_balance", "x148_holt_forecast"]
+ORDER_ENTRIES = [
+    "x144_clamped_balance",
+    "x148_holt_forecast",
+    "x153_hash_bootstrap_ci",
+]
 LINEITEM_ENTRIES = [
     "x145_f2_moment",
     "x147_rbo_drift",
     "x152_eb_smoothed_rate",
+    "x154_item_cf_topk",
 ]
 EMBED_ENTRIES = ["x146_mmr_select"]
 

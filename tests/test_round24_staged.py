@@ -210,3 +210,57 @@ def test_stream_interval_join_attributes_exact_pairs(spark):
         (7, 2, 101, 60),
         (9, 3, 103, 540),
     ]
+
+
+def test_bootstrap_band_brackets_point_mean(spark):
+    """Band ordering holds (min <= lo <= hi <= max) and the point mean
+    falls inside the resample envelope on this deterministic corpus —
+    the Binomial(2,1/2) weights are mean-1, so 16 resample means
+    bracket the sample mean."""
+    rows = STAGED["x153_hash_bootstrap_ci"].spark(spark, SFS[1]).collect()
+    assert rows
+    for r in rows:
+        assert r["n_orders"] > 0
+        assert (
+            r["min_millicents"]
+            <= r["lo_millicents"]
+            <= r["hi_millicents"]
+            <= r["max_millicents"]
+        )
+        assert (
+            r["min_millicents"]
+            <= r["point_mean_millicents"]
+            <= r["max_millicents"]
+        )
+
+
+def test_item_cf_recs_are_valid_cosines(spark):
+    """Squared cosine is bounded by 1 (c_ij <= min(c_i, c_j)), ranks
+    are contiguous from 1, recs are distinct per seed, and the seeds
+    are exactly the top-10 parts by distinct-order degree."""
+    import duckdb
+
+    sf = SFS[1]
+    rows = STAGED["x154_item_cf_topk"].spark(spark, sf).collect()
+    assert rows
+    by_seed: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r["cos2_millionths"] <= 1_000_000
+        assert r["n_co_orders"] >= 1
+        by_seed.setdefault(r["seed_part"], []).append(r)
+    expected_seeds = {
+        p
+        for (p,) in duckdb.sql(
+            f"""
+            SELECT p FROM (
+                SELECT l_partkey AS p, count(DISTINCT l_orderkey) AS c
+                FROM '{sf}/lineitem.parquet' GROUP BY 1
+            ) ORDER BY c DESC, p LIMIT 10
+            """
+        ).fetchall()
+    }
+    assert set(by_seed) <= expected_seeds
+    for seed, recs in by_seed.items():
+        rks = sorted(r["rk"] for r in recs)
+        assert rks == list(range(1, len(recs) + 1))
+        assert len({r["rec_part"] for r in recs}) == len(recs)
