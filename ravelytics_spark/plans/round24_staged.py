@@ -41,7 +41,8 @@ per-entry docstrings where a reference construct is echoed).
   (alpha=1/2) of monthly per-nation revenue: the x119 truncated
   dyadic EWMA applied twice, then level = 2*S1 - S2, trend = S1 - S2
   and the 1-step-ahead forecast 3*S1 - 2*S2 — all exact integer
-  micro-cents end to end.
+  milli-cents end to end (scale-3 chosen for 255x-weighted-sum
+  headroom; the 100x sweep caught scale-6 overflowing).
 * ``x149_rake_keywords`` — RAKE-style keyword phrases: stopword/
   punctuation-delimited candidate phrases (run-grouping via the x6
   prefix-sum sessionize idiom), scored by summed word degree over the
@@ -523,8 +524,8 @@ WITH m AS (
 ),
 e1 AS (
     SELECT c_nationkey, mon, y,
-           CAST((({_HOLT_NUM1}) // ({_HOLT_DEN1})) * 1000000
-                + ((({_HOLT_NUM1}) % ({_HOLT_DEN1})) * 1000000)
+           CAST((({_HOLT_NUM1}) // ({_HOLT_DEN1})) * 1000
+                + ((({_HOLT_NUM1}) % ({_HOLT_DEN1})) * 1000)
                   // ({_HOLT_DEN1}) AS BIGINT) AS s1
     FROM m
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY mon)
@@ -535,10 +536,10 @@ e2 AS (
     FROM e1
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY mon)
 )
-SELECT n_name, mon, y AS revenue_cents, s1 AS s1_micros, s2 AS s2_micros,
-       CAST(2 * s1 - s2 AS BIGINT) AS level_micros,
-       CAST(s1 - s2 AS BIGINT) AS trend_micros,
-       CAST(3 * s1 - 2 * s2 AS BIGINT) AS forecast_micros
+SELECT n_name, mon, y AS revenue_cents, s1 AS s1_millis, s2 AS s2_millis,
+       CAST(2 * s1 - s2 AS BIGINT) AS level_millis,
+       CAST(s1 - s2 AS BIGINT) AS trend_millis,
+       CAST(3 * s1 - 2 * s2 AS BIGINT) AS forecast_millis
 FROM e2 JOIN nation ON c_nationkey = n_nationkey
 ORDER BY n_name, mon
 """
@@ -549,12 +550,17 @@ ORDER BY n_name, mon
     "OP-W3/OP-T-ext",
     "Brown's double exponential smoothing (alpha=1/2) of monthly "
     "per-nation revenue — x119's truncated 8-term dyadic EWMA applied "
-    "TWICE (S1 over revenue in exact micro-cents via the two-step "
-    "floor division; S2 over S1 at the same micro-cent scale), then "
+    "TWICE (S1 over revenue in exact MILLI-cents via the two-step "
+    "floor division; S2 over S1 at the same milli-cent scale — "
+    "milli, not micro, is the deliberate headroom choice: the "
+    "second smoothing's weighted sum is <= 255*S1, and the 100x "
+    "scale sweep showed 255 * micro-scaled spiky months overflowing "
+    "BIGINT; at scale-3 the identical pipeline has ~1000x headroom "
+    "beyond the 100x sweep), then "
     "the closed-form level = 2*S1 - S2, trend = S1 - S2 (alpha/(1-"
     "alpha) = 1 at alpha=1/2) and the 1-step-ahead forecast "
     "3*S1 - 2*S2 — a complete trend-following forecaster in exact "
-    "BIGINT micro-cents end to end: dyadic weights keep every "
+    "BIGINT milli-cents end to end: dyadic weights keep every "
     "intermediate exact, all divisions have nonnegative operands "
     "(revenue >= 0 so S1 >= 0), and the possibly-negative trend is "
     "emitted by subtraction only. The lag windows run over the month-"
@@ -602,7 +608,7 @@ def x148_holt_forecast(spark, sf_dir):
         "mon",
         "y",
         F.expr(
-            "CAST((_n1 DIV _d1) * 1000000 + ((_n1 % _d1) * 1000000) DIV _d1 "
+            "CAST((_n1 DIV _d1) * 1000 + ((_n1 % _d1) * 1000) DIV _d1 "
             "AS BIGINT)"
         ).alias("s1"),
     )
@@ -627,13 +633,13 @@ def x148_holt_forecast(spark, sf_dir):
             "n_name",
             "mon",
             F.col("y").alias("revenue_cents"),
-            F.col("s1").alias("s1_micros"),
-            F.col("s2").alias("s2_micros"),
-            (2 * F.col("s1") - F.col("s2")).cast("long").alias("level_micros"),
-            (F.col("s1") - F.col("s2")).cast("long").alias("trend_micros"),
+            F.col("s1").alias("s1_millis"),
+            F.col("s2").alias("s2_millis"),
+            (2 * F.col("s1") - F.col("s2")).cast("long").alias("level_millis"),
+            (F.col("s1") - F.col("s2")).cast("long").alias("trend_millis"),
             (3 * F.col("s1") - 2 * F.col("s2"))
             .cast("long")
-            .alias("forecast_micros"),
+            .alias("forecast_millis"),
         )
         .orderBy("n_name", "mon")
     )
@@ -1446,4 +1452,247 @@ def x154_item_cf_topk(spark, sf_dir):
             F.col("rk").cast("long").alias("rk"),
         )
         .orderBy("seed_part", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x155 — Theil-Sen robust trend slope (median of pairwise slopes)
+# ---------------------------------------------------------------------------
+
+# Portable SIGNED floor division: Spark's DIV truncates toward zero and
+# DuckDB's // floors, so they disagree on negative numerators. Both
+# engines' % carries the DIVIDEND's sign, so the nonneg remainder
+# r = ((a % b) + b) % b is engine-identical for b > 0, and
+# (a - r) / b is the exact mathematical floor in both. The final `/`
+# returns DOUBLE in both engines, but (a - r) is exactly divisible by
+# b, so the quotient is an integer-valued double — exact as long as
+# |quotient| < 2^53 (callers must keep the scaled quotient under
+# ~9e15; the CAST back to BIGINT is then lossless).
+def _fdiv_sql(a: str, b: str) -> str:
+    return f"(({a}) - ((({a}) % ({b})) + ({b})) % ({b})) / ({b})"
+
+
+_TS_ORACLE = f"""
+WITH m AS (
+    SELECT c_nationkey,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey, mon
+),
+t AS (
+    SELECT c_nationkey, y,
+           row_number() OVER (PARTITION BY c_nationkey ORDER BY mon) AS t
+    FROM m
+),
+pairs AS (
+    SELECT a.c_nationkey,
+           CAST({_fdiv_sql('(b.y - a.y) * 1000000', 'b.t - a.t')} AS BIGINT)
+               AS slope_micros,
+           a.t AS ti, b.t AS tj
+    FROM t a JOIN t b ON a.c_nationkey = b.c_nationkey AND a.t < b.t
+),
+ranked AS (
+    SELECT c_nationkey, slope_micros,
+           row_number() OVER (PARTITION BY c_nationkey
+                              ORDER BY slope_micros, ti, tj) AS rk,
+           count(*) OVER (PARTITION BY c_nationkey) AS np
+    FROM pairs
+)
+SELECT n_name,
+       CAST(max(np) AS BIGINT) AS n_pairs,
+       CAST(max(CASE WHEN rk = (np + 1) // 2 THEN slope_micros END)
+            AS BIGINT) AS theil_sen_micros,
+       CAST(min(slope_micros) AS BIGINT) AS min_slope_micros,
+       CAST(max(slope_micros) AS BIGINT) AS max_slope_micros
+FROM ranked JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+@_staged(
+    "x155_theil_sen",
+    "OP-G6/W-ext",
+    "Theil-Sen robust trend: the MEDIAN of all pairwise monthly "
+    "revenue slopes per nation — the estimator that shrugs off the "
+    "outlier months that bend x114's OLS line (29% breakdown point). "
+    "Slopes are exact integer micro-cents/month via a PORTABLE "
+    "signed floor division ((a - ((a%b)+b)%b) / b — Spark DIV "
+    "truncates toward zero, DuckDB // floors, but both %'s follow "
+    "the dividend sign, so the nonneg-remainder form is the exact "
+    "mathematical floor in BOTH engines even for negative dy). The "
+    "median is an exact rank-pick with a total (slope, i, j) "
+    "tie-break. Pair space is months-squared PER NATION (~3k rows "
+    "per key at 7 years — the window and self-join run over the "
+    "month-level aggregate, never raw orders), which is the "
+    "standard Theil-Sen deployment shape: per-series pairs, series "
+    "count scales out, pair count per series stays calendar-bounded.",
+    _TS_ORACLE,
+)
+def x155_theil_sen(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    m = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_nationkey",
+            F.date_trunc("month", "o_orderdate").cast("date").alias("mon"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("c_nationkey", "mon")
+        .agg(F.sum("cents").cast("long").alias("y"))
+    )
+    t = m.select(
+        "c_nationkey",
+        "y",
+        F.row_number()
+        .over(Window.partitionBy("c_nationkey").orderBy("mon"))
+        .alias("t"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    fdiv = _fdiv_sql("(b.y - a.y) * 1000000", "b.t - a.t")
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.t") < F.col("b.t")),
+    ).select(
+        F.col("a.c_nationkey").alias("c_nationkey"),
+        F.expr(f"CAST({fdiv} AS BIGINT)").alias("slope_micros"),
+        F.col("a.t").alias("ti"),
+        F.col("b.t").alias("tj"),
+    )
+    wN = Window.partitionBy("c_nationkey")
+    ranked = pairs.select(
+        "c_nationkey",
+        "slope_micros",
+        F.row_number()
+        .over(wN.orderBy("slope_micros", "ti", "tj"))
+        .alias("rk"),
+        F.count("*").over(wN).alias("np"),
+    )
+    return (
+        ranked.join(F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.max("np").cast("long").alias("n_pairs"),
+            F.max(
+                F.when(
+                    F.col("rk") == F.expr("(np + 1) DIV 2"),
+                    F.col("slope_micros"),
+                )
+            )
+            .cast("long")
+            .alias("theil_sen_micros"),
+            F.min("slope_micros").cast("long").alias("min_slope_micros"),
+            F.max("slope_micros").cast("long").alias("max_slope_micros"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x156 — knee/elbow point of the cumulative revenue curve
+# ---------------------------------------------------------------------------
+
+_KNEE_ORACLE = """
+WITH m AS (
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+    FROM orders GROUP BY mon
+),
+cum AS (
+    SELECT mon, y,
+           SUM(y) OVER (ORDER BY mon ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cy,
+           row_number() OVER (ORDER BY mon) AS t,
+           count(*) OVER () AS n
+    FROM m
+),
+ends AS (
+    SELECT max(CASE WHEN t = 1 THEN cy END) AS y0,
+           max(CASE WHEN t = n THEN cy END) AS y1,
+           max(n) AS n
+    FROM cum
+),
+cross_d AS (
+    SELECT c.mon, c.cy, c.t,
+           CAST((e.y1 - e.y0) * (c.t - 1) - (e.n - 1) * (c.cy - e.y0)
+                AS BIGINT) AS cross_2a
+    FROM cum c, ends e
+)
+SELECT mon, CAST(cy AS BIGINT) AS cum_cents, cross_2a,
+       CASE WHEN abs(cross_2a) = (SELECT max(abs(cross_2a)) FROM cross_d)
+                 AND abs(cross_2a) > 0
+            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_knee
+FROM cross_d
+ORDER BY mon
+"""
+
+
+@_staged(
+    "x156_knee_point",
+    "OP-W4/OP-T-ext",
+    "Knee/elbow detection on the cumulative monthly revenue curve "
+    "(the Kneedle idea reduced to its exact geometric core): the knee "
+    "is the month maximizing the distance to the chord between the "
+    "curve's endpoints, and since that distance is |cross product| / "
+    "|chord| with a CONSTANT denominator, the argmax needs only the "
+    "exact integer cross product (y1-y0)*(t-t0) - (t1-t0)*(cy-y0) — "
+    "no sqrt, no floats, engine-exact (ties: every tying month is "
+    "flagged). The curve lives on the MONTH-level aggregate (the "
+    "x74/x77 aggregate-first idiom — global windows run over tens of "
+    "rows at any corpus size). The everyday 'where does growth bend' "
+    "/ 'pick k at the elbow' primitive, here over a revenue "
+    "timeline.",
+    _KNEE_ORACLE,
+)
+def x156_knee_point(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    m = (
+        o.select(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("mon"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("mon")
+        .agg(F.sum("cents").cast("long").alias("y"))
+    )
+    wCum = Window.orderBy("mon").rowsBetween(Window.unboundedPreceding, 0)
+    wAll = Window.partitionBy()
+    cum = m.select(
+        "mon",
+        "y",
+        F.sum("y").over(wCum).alias("cy"),
+        F.row_number().over(Window.orderBy("mon")).alias("t"),
+        F.count("*").over(wAll).alias("n"),
+    )
+    ends = cum.agg(
+        F.max(F.when(F.col("t") == 1, F.col("cy"))).alias("y0"),
+        F.max(F.when(F.col("t") == F.col("n"), F.col("cy"))).alias("y1"),
+        F.max("n").alias("n_months"),
+    )
+    crossed = cum.crossJoin(F.broadcast(ends)).select(
+        "mon",
+        "cy",
+        F.expr(
+            "CAST((y1 - y0) * (t - 1) - (n_months - 1) * (cy - y0) AS BIGINT)"
+        ).alias("cross_2a"),
+    )
+    mx = crossed.agg(F.max(F.abs("cross_2a")).alias("mx"))
+    return (
+        crossed.crossJoin(F.broadcast(mx))
+        .select(
+            "mon",
+            F.col("cy").alias("cum_cents"),
+            "cross_2a",
+            F.when(
+                (F.abs("cross_2a") == F.col("mx")) & (F.abs("cross_2a") > 0),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("is_knee"),
+        )
+        .orderBy("mon")
     )

@@ -34,6 +34,8 @@ ORDER_ENTRIES = [
     "x144_clamped_balance",
     "x148_holt_forecast",
     "x153_hash_bootstrap_ci",
+    "x155_theil_sen",
+    "x156_knee_point",
 ]
 LINEITEM_ENTRIES = [
     "x145_f2_moment",

@@ -108,9 +108,9 @@ def test_holt_identities(spark):
     rows = STAGED["x148_holt_forecast"].spark(spark, SFS[1]).collect()
     assert rows
     for r in rows:
-        assert r["level_micros"] == 2 * r["s1_micros"] - r["s2_micros"]
-        assert r["trend_micros"] == r["s1_micros"] - r["s2_micros"]
-        assert r["forecast_micros"] == r["level_micros"] + r["trend_micros"]
+        assert r["level_millis"] == 2 * r["s1_millis"] - r["s2_millis"]
+        assert r["trend_millis"] == r["s1_millis"] - r["s2_millis"]
+        assert r["forecast_millis"] == r["level_millis"] + r["trend_millis"]
 
 
 def test_eb_smoothing_shrinks_toward_global(spark):
@@ -264,3 +264,52 @@ def test_item_cf_recs_are_valid_cosines(spark):
         rks = sorted(r["rk"] for r in recs)
         assert rks == list(range(1, len(recs) + 1))
         assert len({r["rec_part"] for r in recs}) == len(recs)
+
+
+def test_theil_sen_within_slope_envelope(spark):
+    """The median slope lies between the extreme pairwise slopes, and
+    the pair count matches m*(m-1)/2 for each nation's month count."""
+    import duckdb
+
+    sf = SFS[1]
+    months = dict(
+        duckdb.sql(
+            f"""
+            SELECT c_nationkey, count(DISTINCT date_trunc('month', o_orderdate))
+            FROM '{sf}/orders.parquet' o
+            JOIN '{sf}/customer.parquet' c ON o_custkey = c_custkey
+            GROUP BY 1
+            """
+        ).fetchall()
+    )
+    names = dict(
+        duckdb.sql(
+            f"SELECT n_name, n_nationkey FROM '{sf}/nation.parquet'"
+        ).fetchall()
+    )
+    rows = STAGED["x155_theil_sen"].spark(spark, sf).collect()
+    assert rows
+    for r in rows:
+        m = months[names[r["n_name"]]]
+        assert r["n_pairs"] == m * (m - 1) // 2
+        assert (
+            r["min_slope_micros"]
+            <= r["theil_sen_micros"]
+            <= r["max_slope_micros"]
+        )
+
+
+def test_knee_point_flags_exact_argmax(spark):
+    """Exactly the months attaining the max |cross product| are
+    flagged, the cumulative curve is nondecreasing, and the endpoints
+    are never knees (their cross product is zero by construction)."""
+    rows = STAGED["x156_knee_point"].spark(spark, SFS[1]).orderBy("mon").collect()
+    assert rows
+    cums = [r["cum_cents"] for r in rows]
+    assert cums == sorted(cums)
+    assert rows[0]["cross_2a"] == 0 and rows[-1]["cross_2a"] == 0
+    mx = max(abs(r["cross_2a"]) for r in rows)
+    assert mx > 0
+    for r in rows:
+        assert r["is_knee"] == (1 if abs(r["cross_2a"]) == mx else 0)
+    assert rows[0]["is_knee"] == 0 and rows[-1]["is_knee"] == 0
