@@ -59,8 +59,9 @@ per-entry docstrings where a reference construct is echoed).
   file-source streams; harness entry (streaming semantics have no
   SQL oracle), with the exact attributed pairs pinned by test.
 * ``x152_eb_smoothed_rate`` — empirical-Bayes shrunken return rate
-  per part brand: (x + m*p0) / (n + m) with the global prior p0 kept
-  as the exact rational X/N, so the smoothed rate is one integer
+  per part brand: (x + m*p0) / (n + m) with the global prior carried
+  as pre-floored micro-units (the scale-safe form — the exact-
+  rational prior overflowed BIGINT in the 100x sweep), one integer
   floor-division to millionths — the low-volume-rate stabilizer every
   CTR/return-rate dashboard needs.
 * ``x153_hash_bootstrap_ci`` — deterministic online bootstrap
@@ -315,8 +316,8 @@ g AS (
 )
 SELECT p_brand, n, x,
        CAST(x * 1000000 // n AS BIGINT) AS raw_millionths,
-       CAST((x * big_n + {_EB_M} * big_x) * 1000000
-            // ((n + {_EB_M}) * big_n) AS BIGINT) AS smoothed_millionths
+       CAST((x * 1000000 + {_EB_M} * (big_x * 1000000 // big_n))
+            // (n + {_EB_M}) AS BIGINT) AS smoothed_millionths
 FROM br, g
 ORDER BY p_brand
 """
@@ -327,10 +328,13 @@ ORDER BY p_brand
     "OP-G5/G6-ext",
     "Empirical-Bayes shrunken return rate per part brand: "
     "(x + m*p0) / (n + m) with pseudo-count m=200 and the global "
-    "prior p0 = X/N kept as an EXACT RATIONAL — the smoothed rate is "
-    "(x*N + m*X) / ((n+m)*N), one integer floor-division to "
-    "millionths, so no float prior is ever materialized and both "
-    "engines emit identical integers (all operands nonnegative). "
+    "prior carried as PRE-FLOORED MICRO-UNITS p0u = X*1e6 DIV N — "
+    "the smoothed rate is (x*1e6 + m*p0u) DIV (n+m), every operand "
+    "nonnegative BIGINT with ~1e4x headroom beyond the 100x sweep "
+    "(the exact-rational form (x*N + m*X)*1e6 overflowed there: "
+    "x*N*1e6 ~ 1.4e20 at 6e7 rows), no float prior ever "
+    "materialized, both engines emitting identical integers; the "
+    "micro-floored prior shifts the result by < 1 millionth. "
     "This is the low-volume stabilizer every return-rate / CTR / "
     "defect-rate dashboard needs: brands with few observations shrink "
     "toward the corpus rate, high-volume brands keep their own. One "
@@ -363,8 +367,8 @@ def x152_eb_smoothed_rate(spark, sf_dir):
             "x",
             F.expr("CAST(x * 1000000 DIV n AS BIGINT)").alias("raw_millionths"),
             F.expr(
-                f"CAST((x * big_n + {_EB_M} * big_x) * 1000000 "
-                f"DIV ((n + {_EB_M}) * big_n) AS BIGINT)"
+                f"CAST((x * 1000000 + {_EB_M} * (big_x * 1000000 DIV big_n)) "
+                f"DIV (n + {_EB_M}) AS BIGINT)"
             ).alias("smoothed_millionths"),
         )
         .orderBy("p_brand")
@@ -1052,25 +1056,23 @@ def x146_mmr_select(spark, sf_dir):
     # HARD-BOUNDED pool (<= 20 candidates, <= 20*19 sim rows) — the
     # same guarded bounded-collect contract as the ANN codebooks
     # (similarity.py): pool size is a literal, never data-dependent.
-    pool = rel.orderBy(F.desc("rel"), "vec_id").limit(_MMR_POOL)
-    pf = pool.join(fx, "vec_id").select("vec_id", "rel", "f")
-    a, b = pf.alias("a"), pf.alias("b")
-    dot = F.expr(
-        "aggregate(zip_with(a.f, b.f, (x, y) -> x * y), 0L, (acc, t) -> acc + t)"
-    )
-    sim_rows = (
-        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("ia"),
-            F.col("b.vec_id").alias("ib"),
-            dot.cast("long").alias("s"),
-        )
-        .collect()
-    )
-    pool_rows = pool.collect()
+    # One corpus-scale pass: quantize -> relevance agg -> top-20.
+    pool_rows = rel.orderBy(F.desc("rel"), "vec_id").limit(_MMR_POOL).collect()
     assert len(pool_rows) <= _MMR_POOL, "pool must be literal-bounded"
-    sims = {(r["ia"], r["ib"]): r["s"] for r in sim_rows}
     rels = {r["vec_id"]: r["rel"] for r in pool_rows}
+    # Second pass fetches ONLY the 20 pool vectors: the literal IN
+    # list pushes to the parquet scan, so the embedding column is
+    # decoded for matching rows alone. The 20x19 pairwise integer dot
+    # products then run driver-side — Python ints are exact on the
+    # same scale-6 quantized values the oracle multiplies.
+    pf_rows = fx.filter(F.col("vec_id").isin(list(rels))).collect()
+    vecs = {r["vec_id"]: r["f"] for r in pf_rows}
+    sims = {
+        (i, j): sum(x * y for x, y in zip(vecs[i], vecs[j]))
+        for i in vecs
+        for j in vecs
+        if i != j
+    }
     remaining = sorted(rels)
     seed = max(remaining, key=lambda v: (rels[v], -v))
     picks = [(1, seed, rels[seed] * 1_000_000, 0)]
