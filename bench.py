@@ -77,6 +77,12 @@ HEADLINE = [
     "x117_bm25_scan",
     "x122_rrf_hybrid_search",
     "x126_session_profile",
+    # round 6 additions: iterative graph peel, LTV triangle, exact
+    # penny allocation, mergeable quantile sketch
+    "x127_kcore_peel",
+    "x129_cohort_ltv",
+    "x141_penny_allocation",
+    "x143_qhist_portable",
 ]
 
 
