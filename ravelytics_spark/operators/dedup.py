@@ -745,3 +745,100 @@ def simhash_near_pairs_multitable(
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# MOSS winnowing: exact-substring near-dup candidates
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 24,
+    w: int = 8,
+) -> DataFrame:
+    """Per-document winnowing fingerprints (Schleimer/Wilkerson/Aiken
+    MOSS): hash every ``k``-char window with xxhash64, keep the MIN
+    hash of each run of ``w`` consecutive window hashes, distinct per
+    document. Guarantee: two documents sharing a verbatim run of
+    ``w + k - 1`` chars or more share at least one fingerprint — the
+    exact-substring dedup signal whole-doc hashing (dedup_exact) and
+    bag-of-shingles MinHash both miss. The certified md5 twin is
+    ``plans/round24_staged.x150_winnow_dup_spans``; this production
+    form trades the portable digest for xxhash64 (~4x less CPU on the
+    char-linear hashing pass, the dominant cost — SCALING.md round-6).
+
+    Returns (id_col, fp). Cost: one hash per char position (linear in
+    corpus chars, partition-local), one window-min sort per document.
+    """
+    npos = F.length(text_col) - F.lit(k - 1)
+    pos = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__t"),
+        F.explode(
+            F.when(npos >= 1, F.sequence(F.lit(1), npos)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("__i"),
+    )
+    kh = pos.select(
+        "__id",
+        "__i",
+        F.xxhash64(F.expr(f"substring(__t, __i, {k})")).alias("__h"),
+    )
+    wWin = (
+        Window.partitionBy("__id")
+        .orderBy("__i")
+        .rowsBetween(-(w - 1), Window.currentRow)
+    )
+    return (
+        kh.select("__id", F.min("__h").over(wWin).alias("fp"))
+        .distinct()
+        .select(F.col("__id").alias(id_col), "fp")
+    )
+
+
+def winnow_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 24,
+    w: int = 8,
+    min_shared: int = 3,
+    max_bucket_size: int | None = 2000,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints
+    (see ``winnow_fingerprints``). Pairs come from ONE fingerprint
+    equi-join — bucketed, never all-pairs; the shuffle carries 8-byte
+    hashes. ``max_bucket_size`` drops pathological fingerprints shared
+    by more than that many documents (boilerplate headers — the
+    C(bucket, 2) blowup guard, same contract as minhash_lsh_candidates);
+    pass None to disable for completeness-certified runs.
+
+    Returns (id_a, id_b, n_shared) with id_a < id_b.
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+    if max_bucket_size is not None:
+        sizes = fps.groupBy("fp").agg(F.count("*").alias("__n"))
+        fps = (
+            fps.join(
+                F.broadcast(
+                    sizes.filter(F.col("__n") > max_bucket_size).select("fp")
+                ),
+                "fp",
+                "left_anti",
+            )
+        )
+    a = fps.select(F.col(id_col).alias("__ida"), "fp")
+    b = fps.select(F.col(id_col).alias("__idb"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .groupBy(
+            F.col("__ida").alias("id_a"), F.col("__idb").alias("id_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
