@@ -74,6 +74,20 @@ per-entry docstrings where a reference construct is echoed).
   exact squared-cosine integer c_ij^2*1e6/(c_i*c_j) (sqrt-free,
   monotone, engine-exact), candidate pairs bounded by the seed
   basket self-join.
+* ``x155_theil_sen`` / ``x156_knee_point`` — robust trend (median of
+  pairwise slopes, portable signed floor division) and exact-integer
+  elbow detection (cross-product argmax, the Kneedle core).
+* ``x157_conformal_band`` — split-conformal prediction interval for
+  the naive forecaster: exact rank-9/10 calibration residual + held-
+  out coverage, all integers.
+* ``x158_mase_eval`` — naive vs seasonal-naive summed-absolute-error
+  ratio (the MASE staple), exact cents to one millionths division.
+* ``x159_ks_drift`` — per-source two-sample KS distance on document
+  lengths via cleared-denominator integers (exact statistic AND
+  exact argmax threshold).
+* ``x160_ab_significance`` — two-proportion z-test decided entirely
+  in DECIMAL(38,0) cross-multiplied form (the x138 no-float-compare
+  discipline applied to hypothesis testing).
 
 Hash-parity conventions as plans/queries.py: exact cents/BIGINT
 arithmetic, md5-derived portable hashes, nonnegative-operand floor
@@ -1698,3 +1712,507 @@ def x156_knee_point(spark, sf_dir):
         )
         .orderBy("mon")
     )
+
+
+# ---------------------------------------------------------------------------
+# x157 — split-conformal prediction band for the naive forecaster
+# ---------------------------------------------------------------------------
+
+_CONF_CAL_MONTHS = 24  # calibration prefix per nation
+
+_CONF_ORACLE = f"""
+WITH m AS (
+    SELECT c_nationkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey, mon
+),
+r AS (
+    SELECT c_nationkey, mon, y,
+           row_number() OVER w AS t,
+           abs(y - lag(y) OVER w) AS ares
+    FROM m WINDOW w AS (PARTITION BY c_nationkey ORDER BY mon)
+),
+cal AS (
+    SELECT c_nationkey, ares,
+           row_number() OVER (PARTITION BY c_nationkey ORDER BY ares, mon)
+               AS rk,
+           count(*) OVER (PARTITION BY c_nationkey) AS nc
+    FROM r WHERE t BETWEEN 2 AND {_CONF_CAL_MONTHS}
+),
+q AS (
+    SELECT c_nationkey,
+           CAST(max(CASE WHEN rk = (9 * nc + 9) // 10 THEN ares END)
+                AS BIGINT) AS q90_cents,
+           CAST(max(nc) AS BIGINT) AS n_cal
+    FROM cal GROUP BY c_nationkey
+),
+ev AS (
+    SELECT r.c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(SUM(CASE WHEN r.ares <= q.q90_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_covered
+    FROM r JOIN q ON r.c_nationkey = q.c_nationkey
+    WHERE r.t > {_CONF_CAL_MONTHS}
+    GROUP BY r.c_nationkey
+)
+SELECT n_name, q.n_cal, q.q90_cents, ev.n_eval, ev.n_covered,
+       CAST(ev.n_covered * 1000000 // ev.n_eval AS BIGINT)
+           AS coverage_millionths
+FROM q JOIN ev ON q.c_nationkey = ev.c_nationkey
+JOIN nation ON q.c_nationkey = n_nationkey
+ORDER BY n_name
+"""
+
+
+@_staged(
+    "x157_conformal_band",
+    "OP-W3/G6-ext",
+    "Split-conformal prediction band for the naive month-ahead "
+    "forecaster: per nation, absolute one-step residuals |y_t - "
+    "y_{{t-1}}| on a 24-month calibration prefix give the band "
+    "half-width as the EXACT rank-9/10 order statistic (ceil via "
+    "(9n+9) DIV 10 on nonneg ints, total (ares, mon) tie-break); "
+    "the held-out months then report realized coverage — the "
+    "distribution-free ~90% guarantee conformal prediction promises, "
+    "checked in exact integers end to end (band in cents, coverage "
+    "one floor-division to millionths). Calibration/eval split is by "
+    "POSITION in the series (no randomness), windows partition on "
+    "nation over the month aggregate. This is the uncertainty "
+    "wrapper that upgrades any point forecaster (x148) to intervals "
+    "at 100 TB cost: two windows and one rank-pick per series.",
+    _CONF_ORACLE,
+)
+def x157_conformal_band(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    m = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_nationkey",
+            F.date_trunc("month", "o_orderdate").cast("date").alias("mon"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("c_nationkey", "mon")
+        .agg(F.sum("cents").cast("long").alias("y"))
+    )
+    wN = Window.partitionBy("c_nationkey").orderBy("mon")
+    r = m.select(
+        "c_nationkey",
+        "mon",
+        F.row_number().over(wN).alias("t"),
+        F.abs(F.col("y") - F.lag("y").over(wN)).alias("ares"),
+    )
+    cal = r.filter(
+        (F.col("t") >= 2) & (F.col("t") <= _CONF_CAL_MONTHS)
+    ).select(
+        "c_nationkey",
+        "ares",
+        F.row_number()
+        .over(Window.partitionBy("c_nationkey").orderBy("ares", "mon"))
+        .alias("rk"),
+        F.count("*")
+        .over(Window.partitionBy("c_nationkey"))
+        .alias("nc"),
+    )
+    q = cal.groupBy("c_nationkey").agg(
+        F.max(
+            F.when(F.col("rk") == F.expr("(9 * nc + 9) DIV 10"), F.col("ares"))
+        )
+        .cast("long")
+        .alias("q90_cents"),
+        F.max("nc").cast("long").alias("n_cal"),
+    )
+    ev = (
+        r.filter(F.col("t") > _CONF_CAL_MONTHS)
+        .join(q, "c_nationkey")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("n_eval"),
+            F.sum(
+                F.when(F.col("ares") <= F.col("q90_cents"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_covered"),
+        )
+    )
+    return (
+        q.join(ev, "c_nationkey")
+        .join(F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey)
+        .select(
+            "n_name",
+            "n_cal",
+            "q90_cents",
+            "n_eval",
+            "n_covered",
+            F.expr(
+                "CAST(n_covered * 1000000 DIV n_eval AS BIGINT)"
+            ).alias("coverage_millionths"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x158 — MASE: naive vs seasonal-naive forecast error ratio
+# ---------------------------------------------------------------------------
+
+_MASE_ORACLE = """
+WITH m AS (
+    SELECT c_nationkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey, mon
+),
+r AS (
+    SELECT c_nationkey,
+           abs(y - lag(y, 1) OVER w) AS e1,
+           abs(y - lag(y, 12) OVER w) AS e12
+    FROM m WINDOW w AS (PARTITION BY c_nationkey ORDER BY mon)
+),
+s AS (
+    SELECT c_nationkey,
+           CAST(count(e12) AS BIGINT) AS n_common,
+           CAST(SUM(CASE WHEN e12 IS NOT NULL THEN e1 END) AS BIGINT)
+               AS sae_naive,
+           CAST(SUM(e12) AS BIGINT) AS sae_seasonal
+    FROM r WHERE e1 IS NOT NULL
+    GROUP BY c_nationkey
+)
+SELECT n_name, n_common, sae_naive, sae_seasonal,
+       CAST(sae_naive * 1000000 // sae_seasonal AS BIGINT)
+           AS mase_millionths
+FROM s JOIN nation ON c_nationkey = n_nationkey
+WHERE sae_seasonal > 0
+ORDER BY n_name
+"""
+
+
+@_staged(
+    "x158_mase_eval",
+    "OP-G6/W3-ext",
+    "MASE-style forecaster comparison per nation: the summed absolute "
+    "error of the NAIVE month-ahead forecast vs the SEASONAL-naive "
+    "(lag-12) forecast over the months where both are defined — the "
+    "scale-free forecast-accuracy staple (Hyndman-Koehler) that x148/"
+    "x157 report against. Ratio < 1 means momentum beats seasonality "
+    "on this series. Everything is exact: absolute errors in integer "
+    "cents, one floor-division to millionths, the common-support "
+    "restriction (e12 defined) applied identically in both engines. "
+    "Cost shape: two lag windows over the nation x month aggregate "
+    "and one hash-agg — evaluation is as cheap as the forecast.",
+    _MASE_ORACLE,
+)
+def x158_mase_eval(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    m = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_nationkey",
+            F.date_trunc("month", "o_orderdate").cast("date").alias("mon"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("c_nationkey", "mon")
+        .agg(F.sum("cents").cast("long").alias("y"))
+    )
+    wN = Window.partitionBy("c_nationkey").orderBy("mon")
+    r = m.select(
+        "c_nationkey",
+        F.abs(F.col("y") - F.lag("y", 1).over(wN)).alias("e1"),
+        F.abs(F.col("y") - F.lag("y", 12).over(wN)).alias("e12"),
+    )
+    s = (
+        r.filter(F.col("e1").isNotNull())
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("e12").cast("long").alias("n_common"),
+            F.sum(F.when(F.col("e12").isNotNull(), F.col("e1")))
+            .cast("long")
+            .alias("sae_naive"),
+            F.sum("e12").cast("long").alias("sae_seasonal"),
+        )
+    )
+    return (
+        s.filter(F.col("sae_seasonal") > 0)
+        .join(F.broadcast(nat), s.c_nationkey == nat.n_nationkey)
+        .select(
+            "n_name",
+            "n_common",
+            "sae_naive",
+            "sae_seasonal",
+            F.expr(
+                "CAST(sae_naive * 1000000 DIV sae_seasonal AS BIGINT)"
+            ).alias("mase_millionths"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x159 — two-sample KS drift: each source's length distribution vs rest
+# ---------------------------------------------------------------------------
+
+_KS_ORACLE = """
+WITH d AS (
+    SELECT source, n_chars AS v FROM documents
+),
+per AS (
+    SELECT source, v, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY source, v
+),
+tot AS (
+    SELECT v, CAST(count(*) AS BIGINT) AS ct FROM d GROUP BY v
+),
+ns AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM d GROUP BY source
+),
+grand AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+grid AS (
+    SELECT s.source, t.v, t.ct, COALESCE(p.c, 0) AS c
+    FROM (SELECT DISTINCT source FROM d) s
+    CROSS JOIN tot t
+    LEFT JOIN per p ON p.source = s.source AND p.v = t.v
+),
+cum AS (
+    SELECT source, v,
+           SUM(c) OVER (PARTITION BY source ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cs,
+           SUM(ct) OVER (PARTITION BY source ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS call
+    FROM grid
+),
+dd AS (
+    SELECT c.source, c.v,
+           abs(c.cs * (g.n - ns.n_s) - (c.call - c.cs) * ns.n_s) AS dnum
+    FROM cum c JOIN ns ON c.source = ns.source CROSS JOIN grand g
+),
+mx AS (
+    SELECT source AS msource, CAST(max(dnum) AS BIGINT) AS d_num,
+           CAST(min(CASE WHEN dnum = m THEN v END) AS BIGINT) AS at_chars
+    FROM (SELECT source, v, dnum, max(dnum) OVER (PARTITION BY source) AS m
+          FROM dd)
+    GROUP BY source
+)
+SELECT mx.msource AS source, ns.n_s,
+       CAST(g.n - ns.n_s AS BIGINT) AS n_rest,
+       mx.d_num, mx.at_chars,
+       CAST(mx.d_num * 1000000 // (ns.n_s * (g.n - ns.n_s)) AS BIGINT)
+           AS ks_millionths
+FROM mx JOIN ns ON mx.msource = ns.source CROSS JOIN grand g
+ORDER BY source
+"""
+
+
+@_staged(
+    "x159_ks_drift",
+    "OP-G6/X9-ext",
+    "Two-sample Kolmogorov-Smirnov drift per source: the KS distance "
+    "between each source's document-length distribution and the rest "
+    "of the corpus, computed EXACTLY — the ECDF difference "
+    "|F_s - F_rest| is compared via the cleared-denominator integer "
+    "|cum_s * n_rest - cum_rest * n_s| (no float ECDFs, so the "
+    "argmax threshold and the distance are engine-identical; the "
+    "millionths ratio is one nonneg floor-division at the end). The "
+    "ECDF grid is sources x distinct-lengths (a broadcast lattice, "
+    "the x116 idiom) with cumulative windows per source over the "
+    "VALUE-level aggregate — corpus-sized work is the two hash-aggs. "
+    "This is the drift detector a training-mix monitor runs per "
+    "ingest batch: distribution shift caught at exact-arithmetic "
+    "fidelity, reported with WHERE the gap peaks (at_chars).",
+    _KS_ORACLE,
+)
+def x159_ks_drift(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").alias("v")
+    )
+    per = d.groupBy("source", "v").agg(F.count("*").cast("long").alias("c"))
+    tot = d.groupBy("v").agg(F.count("*").cast("long").alias("ct"))
+    ns = d.groupBy("source").agg(F.count("*").cast("long").alias("n_s"))
+    grand = d.agg(F.count("*").cast("long").alias("n"))
+    srcs = d.select("source").distinct()
+    grid = (
+        srcs.crossJoin(F.broadcast(tot))
+        .join(per, ["source", "v"], "left")
+        .select(
+            "source", "v", "ct", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+        )
+    )
+    wS = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.select(
+        "source",
+        "v",
+        F.sum("c").over(wS).alias("cs"),
+        F.sum("ct").over(wS).alias("call"),
+    )
+    dd = (
+        cum.join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "source",
+            "v",
+            F.abs(
+                F.col("cs") * (F.col("n") - F.col("n_s"))
+                - (F.col("call") - F.col("cs")) * F.col("n_s")
+            ).alias("dnum"),
+        )
+    )
+    wM = Window.partitionBy("source")
+    mx = (
+        dd.select(
+            "source", "v", "dnum", F.max("dnum").over(wM).alias("m")
+        )
+        .groupBy("source")
+        .agg(
+            F.max("dnum").cast("long").alias("d_num"),
+            F.min(F.when(F.col("dnum") == F.col("m"), F.col("v")))
+            .cast("long")
+            .alias("at_chars"),
+        )
+    )
+    return (
+        mx.join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "source",
+            "n_s",
+            (F.col("n") - F.col("n_s")).cast("long").alias("n_rest"),
+            "d_num",
+            "at_chars",
+            F.expr(
+                "CAST(d_num * 1000000 DIV (n_s * (n - n_s)) AS BIGINT)"
+            ).alias("ks_millionths"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x160 — exact-integer two-proportion significance (A/B test decision)
+# ---------------------------------------------------------------------------
+
+_AB_CRIT_NUM = 38416  # z^2 critical value 3.8416 (alpha=0.05), scaled 1e4
+_AB_CRIT_DEN = 10000
+
+_AB_ORACLE = f"""
+WITH g AS (
+    SELECT p_brand,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n1,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' AND l_returnflag = 'R'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n2,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' AND l_returnflag = 'R'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS x2
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+),
+ok AS (
+    SELECT * FROM g
+    WHERE n1 > 0 AND n2 > 0 AND x1 + x2 > 0 AND x1 + x2 < n1 + n2
+)
+SELECT p_brand, n1, x1, n2, x2,
+       CAST(CASE WHEN x1 * n2 > x2 * n1 THEN 1
+                 WHEN x1 * n2 < x2 * n1 THEN -1 ELSE 0 END AS BIGINT)
+           AS diff_sign,
+       CAST(CASE WHEN
+                CAST((x1 * n2 - x2 * n1) * (x1 * n2 - x2 * n1)
+                     AS DECIMAL(38, 0))
+                * CAST((n1 + n2) * {_AB_CRIT_DEN} AS DECIMAL(38, 0))
+                >=
+                CAST({_AB_CRIT_NUM} * (x1 + x2) * (n1 + n2 - x1 - x2)
+                     AS DECIMAL(38, 0))
+                * CAST(n1 * n2 AS DECIMAL(38, 0))
+            THEN 1 ELSE 0 END AS BIGINT) AS significant
+FROM ok
+ORDER BY p_brand
+"""
+
+
+@_staged(
+    "x160_ab_significance",
+    "OP-G5/G6-ext",
+    "Two-proportion z-test decided ENTIRELY in exact integer/decimal "
+    "arithmetic: per brand, return rates of the 'O' vs 'F' line-"
+    "status cohorts are compared at alpha=0.05 by clearing every "
+    "denominator out of z^2 = (x1*n2 - x2*n1)^2 * N / (n1*n2*(x1+x2)"
+    "*(N-x)) >= 3.8416 — the cross-multiplied inequality runs in "
+    "DECIMAL(38,0) (both engines compute it exactly; intermediate "
+    "products reach ~1e25, past BIGINT but far inside 38 digits), so "
+    "the significance DECISION has no float rounding to disagree "
+    "over, the x138 no-sqrt-no-float-compare discipline applied to "
+    "hypothesis testing. Degenerate cohorts (empty side, all-or-no "
+    "returns) are excluded identically. One fact-join hash-agg "
+    "produces all four cohort counters per brand — the A/B decision "
+    "layer is free once the counts exist.",
+    _AB_ORACLE,
+)
+def x160_ab_significance(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    g = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.when(F.col("l_linestatus") == "O", 1).otherwise(0))
+            .cast("long")
+            .alias("n1"),
+            F.sum(
+                F.when(
+                    (F.col("l_linestatus") == "O")
+                    & (F.col("l_returnflag") == "R"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("x1"),
+            F.sum(F.when(F.col("l_linestatus") == "F", 1).otherwise(0))
+            .cast("long")
+            .alias("n2"),
+            F.sum(
+                F.when(
+                    (F.col("l_linestatus") == "F")
+                    & (F.col("l_returnflag") == "R"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("x2"),
+        )
+    )
+    ok = g.filter(
+        (F.col("n1") > 0)
+        & (F.col("n2") > 0)
+        & (F.col("x1") + F.col("x2") > 0)
+        & (F.col("x1") + F.col("x2") < F.col("n1") + F.col("n2"))
+    )
+    return ok.select(
+        "p_brand",
+        "n1",
+        "x1",
+        "n2",
+        "x2",
+        F.expr(
+            "CAST(CASE WHEN x1 * n2 > x2 * n1 THEN 1 "
+            "WHEN x1 * n2 < x2 * n1 THEN -1 ELSE 0 END AS BIGINT)"
+        ).alias("diff_sign"),
+        F.expr(
+            f"CAST(CASE WHEN "
+            f"CAST((x1 * n2 - x2 * n1) * (x1 * n2 - x2 * n1) "
+            f"     AS DECIMAL(38, 0)) "
+            f"* CAST((n1 + n2) * {_AB_CRIT_DEN} AS DECIMAL(38, 0)) "
+            f">= "
+            f"CAST({_AB_CRIT_NUM} * (x1 + x2) * (n1 + n2 - x1 - x2) "
+            f"     AS DECIMAL(38, 0)) "
+            f"* CAST(n1 * n2 AS DECIMAL(38, 0)) "
+            f"THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("significant"),
+    ).orderBy("p_brand")

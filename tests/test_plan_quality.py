@@ -218,6 +218,7 @@ _SINGLE_PARTITION_OK = {
     "x147_rbo_drift": "rank + cumulative windows over two TakeOrdered(20) frames and a 20-row literal depth table — every SinglePartition input is <=20 rows by construction",
     "x152_eb_smoothed_rate": "global prior scalar (X, N) over the ~25-row brand aggregate: one partial row per partition, then broadcast",
     "x156_knee_point": "cumulative + endpoint/argmax scalars over the MONTH-level aggregate (x74/x77 aggregate-first idiom)",
+    "x159_ks_drift": "grand-count scalar + broadcast value lattice (the x116 idiom); cumulative windows run over the sources x distinct-length grid",
 }
 
 

@@ -313,3 +313,140 @@ def test_knee_point_flags_exact_argmax(spark):
     for r in rows:
         assert r["is_knee"] == (1 if abs(r["cross_2a"]) == mx else 0)
     assert rows[0]["is_knee"] == 0 and rows[-1]["is_knee"] == 0
+
+
+def test_conformal_coverage_math(spark):
+    """Replay the conformal split in Python: band = exact ceil-rank
+    9/10 order statistic of calibration residuals, coverage counted
+    on the held-out months."""
+    import duckdb
+
+    sf = SFS[1]
+    rows = duckdb.sql(
+        f"""
+        SELECT c_nationkey, date_trunc('month', o_orderdate) AS mon,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+        FROM '{sf}/orders.parquet' o
+        JOIN '{sf}/customer.parquet' c ON o_custkey = c_custkey
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    names = dict(
+        duckdb.sql(
+            f"SELECT n_nationkey, n_name FROM '{sf}/nation.parquet'"
+        ).fetchall()
+    )
+    series: dict[int, list[int]] = {}
+    for nk, _, y in rows:
+        series.setdefault(nk, []).append(y)
+    got = {
+        r["n_name"]: r
+        for r in STAGED["x157_conformal_band"].spark(spark, sf).collect()
+    }
+    for nk, ys in series.items():
+        res = [abs(b - a) for a, b in zip(ys, ys[1:])]
+        cal, ev = res[:23], res[23:]
+        if not cal or not ev:
+            assert names[nk] not in got or got[names[nk]]["n_eval"] == 0
+            continue
+        q90 = sorted(cal)[(9 * len(cal) + 9) // 10 - 1]
+        r = got[names[nk]]
+        assert r["n_cal"] == len(cal)
+        assert r["q90_cents"] == q90
+        assert r["n_covered"] == sum(1 for e in ev if e <= q90)
+        assert r["n_eval"] == len(ev)
+        assert 0 <= r["coverage_millionths"] <= 1_000_000
+
+
+def test_ks_drift_attains_reported_max(spark):
+    """Recompute one source's exact KS numerator in Python and match
+    the reported (d_num, at_chars, millionths)."""
+    import duckdb
+
+    sf = SFS[1]
+    rows = duckdb.sql(
+        f"SELECT source, n_chars FROM '{sf}/documents.parquet'"
+    ).fetchall()
+    got = {r["source"]: r for r in STAGED["x159_ks_drift"].spark(spark, sf).collect()}
+    sources = {s for s, _ in rows}
+    n = len(rows)
+    for src in sources:
+        mine = sorted(v for s, v in rows if s == src)
+        rest = sorted(v for s, v in rows if s != src)
+        ns_, nr = len(mine), len(rest)
+        values = sorted({v for _, v in rows})
+        best, at = -1, None
+        ci = cj = 0
+        for v in values:
+            while ci < ns_ and mine[ci] <= v:
+                ci += 1
+            while cj < nr and rest[cj] <= v:
+                cj += 1
+            d = abs(ci * nr - cj * ns_)
+            if d > best:
+                best, at = d, v
+        r = got[src]
+        assert r["d_num"] == best
+        assert r["at_chars"] == at
+        assert r["ks_millionths"] == best * 1_000_000 // (ns_ * nr)
+
+
+def test_ab_significance_matches_float_ztest_on_clear_cases(spark):
+    """The exact-integer decision equals the float z^2 >= 3.8416
+    decision whenever the float statistic is not razor-edge
+    (|z^2 - crit| > 1e-6)."""
+    rows = STAGED["x160_ab_significance"].spark(spark, SFS[1]).collect()
+    assert rows
+    saw_sig = saw_insig = False
+    for r in rows:
+        n1, x1, n2, x2 = r["n1"], r["x1"], r["n2"], r["x2"]
+        n = n1 + n2
+        x = x1 + x2
+        z2 = ((x1 / n1 - x2 / n2) ** 2) / (
+            (x / n) * (1 - x / n) * (1 / n1 + 1 / n2)
+        )
+        if abs(z2 - 3.8416) > 1e-6:
+            assert r["significant"] == (1 if z2 >= 3.8416 else 0), r
+        saw_sig |= r["significant"] == 1
+        saw_insig |= r["significant"] == 0
+    assert saw_sig or saw_insig
+
+
+def test_mase_matches_python_replay(spark):
+    """Replay one nation's naive vs seasonal-naive absolute errors."""
+    import duckdb
+
+    sf = SFS[1]
+    rows = duckdb.sql(
+        f"""
+        SELECT c_nationkey, date_trunc('month', o_orderdate) AS mon,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+        FROM '{sf}/orders.parquet' o
+        JOIN '{sf}/customer.parquet' c ON o_custkey = c_custkey
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    names = dict(
+        duckdb.sql(
+            f"SELECT n_nationkey, n_name FROM '{sf}/nation.parquet'"
+        ).fetchall()
+    )
+    series: dict[int, list[int]] = {}
+    for nk, _, y in rows:
+        series.setdefault(nk, []).append(y)
+    got = {
+        r["n_name"]: r for r in STAGED["x158_mase_eval"].spark(spark, sf).collect()
+    }
+    for nk, ys in series.items():
+        sae1 = sae12 = ncom = 0
+        for t in range(12, len(ys)):
+            sae1 += abs(ys[t] - ys[t - 1])
+            sae12 += abs(ys[t] - ys[t - 12])
+            ncom += 1
+        name = names[nk]
+        if sae12 > 0 and ncom > 0:
+            r = got[name]
+            assert r["n_common"] == ncom
+            assert r["sae_naive"] == sae1
+            assert r["sae_seasonal"] == sae12
+            assert r["mase_millionths"] == sae1 * 1_000_000 // sae12
