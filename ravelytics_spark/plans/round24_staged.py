@@ -88,6 +88,14 @@ per-entry docstrings where a reference construct is echoed).
 * ``x160_ab_significance`` — two-proportion z-test decided entirely
   in DECIMAL(38,0) cross-multiplied form (the x138 no-float-compare
   discipline applied to hypothesis testing).
+* ``x161_late_data_watermark`` — append-mode watermark finalization
+  driven end to end over three sequential micro-batch runs: late
+  event dropped, in-watermark straggler counted, open windows never
+  emitted (harness; exact windows pinned by test).
+* ``x164_capped_sessions`` — gap + max-span sessionization: the span
+  cap makes the recursion genuinely sequential (no prefix-sum closed
+  form), so this is the catalog's certified applyInPandas exhibit —
+  Arrow-batched per-key scans vs a DuckDB recursive-CTE oracle.
 
 Hash-parity conventions as plans/queries.py: exact cents/BIGINT
 arithmetic, md5-derived portable hashes, nonnegative-operand floor
@@ -2216,3 +2224,236 @@ def x160_ab_significance(spark, sf_dir):
             f"THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("significant"),
     ).orderBy("p_brand")
+
+
+# ---------------------------------------------------------------------------
+# x161 — watermark late-data semantics end-to-end (harness)
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "x161_late_data_watermark",
+    "OP-T2-ext",
+    "Event-time watermark late-data policy driven end to end: a "
+    "10-minute tumbling count with a 10-minute watermark consumes "
+    "three micro-batches (maxFilesPerTrigger=1 under "
+    "Trigger.AvailableNow), where batch 2 advances the watermark "
+    "past window W1 and batch 3 then delivers (a) a LATE event for "
+    "W1 — dropped, its window already finalized — and (b) a "
+    "late-but-within-watermark event for W2 — still counted. Append "
+    "mode emits each window exactly once, when the watermark passes "
+    "it. This is the §2.8 semantics the reference pipeline simply "
+    "lacks (its MV chain has no watermark/late policy at all — "
+    "001_init_spotify_tracks.sql:50-74 is pure append): bounded "
+    "state + deterministic late-data handling is what makes a "
+    "100 TB/day windowed aggregate finalizable. Harness entry "
+    "(streaming finalization has no SQL oracle); the exact emitted "
+    "windows are pinned by test.",
+    None,
+)
+def x161_late_data_watermark(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="rvl_wm_")
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src)
+
+    _mtime = [1_700_000_000]
+
+    def write_batch(name: str, rows: list[str]) -> None:
+        path = os.path.join(src, name)
+        with open(path, "w") as fh:
+            fh.write("\n".join(rows))
+        # the file source orders batches by modification time; pin
+        # strictly increasing mtimes so b1 < b2 < b3 deterministically
+        _mtime[0] += 60
+        os.utime(path, (_mtime[0], _mtime[0]))
+
+    # W1 = [12:00, 12:10), W2 = [12:10, 12:20), W3 = [12:20, 12:30)
+    write_batch(
+        "b1.json",
+        [
+            '{"event_id": 1, "ts": "2024-03-01 12:01:00"}',
+            '{"event_id": 2, "ts": "2024-03-01 12:05:00"}',
+            '{"event_id": 3, "ts": "2024-03-01 12:11:00"}',
+        ],
+    )
+    def run_batch() -> None:
+        # one AvailableNow run per fixture file, all sharing the
+        # checkpoint: each run consumes only the new file, and the
+        # watermark persists/advances across runs (the x59 sequential
+        # micro-batch pattern — a single run would collapse all files
+        # into one batch and never observe "late").
+        stream = spark.readStream.schema("event_id long, ts timestamp").json(
+            src
+        )
+        counts = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(F.count("*").cast("long").alias("n"))
+            .select(F.col("w.start").alias("w_start"), "n")
+        )
+        q = (
+            counts.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_batch()
+    # advances max event time to 12:31 -> watermark 12:21: W1 and W2
+    # are both finalized by the NEXT run
+    write_batch(
+        "b2.json",
+        [
+            '{"event_id": 4, "ts": "2024-03-01 12:31:00"}',
+            '{"event_id": 5, "ts": "2024-03-01 12:12:00"}',
+        ],
+    )
+    run_batch()
+    # event 6 is LATE for W1 (watermark long past 12:10) -> dropped;
+    # event 7 lands in W3, which is still open
+    write_batch(
+        "b3.json",
+        [
+            '{"event_id": 6, "ts": "2024-03-01 12:02:00"}',
+            '{"event_id": 7, "ts": "2024-03-01 12:29:00"}',
+        ],
+    )
+    run_batch()
+    res = (
+        spark.read.parquet(out)
+        .orderBy("w_start")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return res
+
+
+# ---------------------------------------------------------------------------
+# x164 — capped sessionization: gap AND max-span rules (applyInPandas)
+# ---------------------------------------------------------------------------
+
+_SESS_GAP_DAYS = 30
+_SESS_SPAN_DAYS = 60
+
+_CAPPED_ORACLE = f"""
+WITH RECURSIVE o AS (
+    SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS d,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS rn
+    FROM orders
+),
+walk AS (
+    SELECT ck, rn, d, 1 AS sess_id, d AS sess_start
+    FROM o WHERE rn = 1
+    UNION ALL
+    SELECT o.ck, o.rn, o.d,
+           CASE WHEN date_diff('day', w.d, o.d) > {_SESS_GAP_DAYS}
+                     OR date_diff('day', w.sess_start, o.d)
+                        > {_SESS_SPAN_DAYS}
+                THEN w.sess_id + 1 ELSE w.sess_id END,
+           CASE WHEN date_diff('day', w.d, o.d) > {_SESS_GAP_DAYS}
+                     OR date_diff('day', w.sess_start, o.d)
+                        > {_SESS_SPAN_DAYS}
+                THEN o.d ELSE w.sess_start END
+    FROM walk w JOIN o ON o.ck = w.ck AND o.rn = w.rn + 1
+),
+sess AS (
+    SELECT ck, sess_id, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(date_diff('day', min(d), max(d)) AS BIGINT) AS span_days
+    FROM walk GROUP BY ck, sess_id
+)
+SELECT ck AS o_custkey,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+       CAST(max(n_orders) AS BIGINT) AS max_session_orders,
+       CAST(max(span_days) AS BIGINT) AS max_span_days
+FROM sess
+GROUP BY ck
+ORDER BY o_custkey
+"""
+
+
+@_staged(
+    "x164_capped_sessions",
+    "OP-U1/X6-ext",
+    "Production sessionization with BOTH rules real systems use: a "
+    "new session starts on a gap > 30 days OR when the running "
+    "session span would exceed 60 days. The span cap makes this "
+    "genuinely sequential — the restart condition depends on the "
+    "session-start chosen by earlier decisions, so no window/prefix-"
+    "sum closed form exists (unlike x6's gap-only form or x144's "
+    "Lindley scan) — making it the catalog's certified exhibit of "
+    "the SANCTIONED slow path: applyInPandas over customer groups, "
+    "Arrow-batched, sequential only WITHIN a key while keys scale "
+    "out across executors. The oracle replays the identical "
+    "recursion as a DuckDB recursive CTE (depth = max orders per "
+    "customer). Dates cross the Arrow boundary as DATE (never "
+    "session-tz timestamps whose DST offsets would corrupt day "
+    "arithmetic); all outputs exact integers.",
+    _CAPPED_ORACLE,
+)
+def x164_capped_sessions(spark, sf_dir):
+    import pandas as pd
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        "o_orderkey",
+    )
+
+    def sessionize(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["d", "o_orderkey"])
+        n_sessions = 0
+        sess_start = prev = None
+        cur_orders = 0
+        max_orders = 0
+        max_span = 0
+        cur_start = None
+
+        def close() -> None:
+            nonlocal max_orders, max_span
+            if cur_orders:
+                max_orders = max(max_orders, cur_orders)
+                max_span = max(max_span, (prev - cur_start).days)
+
+        for d in pdf["d"]:
+            if (
+                prev is None
+                or (d - prev).days > _SESS_GAP_DAYS
+                or (d - cur_start).days > _SESS_SPAN_DAYS
+            ):
+                close()
+                n_sessions += 1
+                cur_start = d
+                cur_orders = 0
+            cur_orders += 1
+            prev = d
+        close()
+        return pd.DataFrame(
+            {
+                "o_custkey": [int(pdf["o_custkey"].iloc[0])],
+                "n_sessions": [n_sessions],
+                "n_orders": [len(pdf)],
+                "max_session_orders": [max_orders],
+                "max_span_days": [max_span],
+            }
+        )
+
+    return (
+        o.groupBy("o_custkey")
+        .applyInPandas(
+            sessionize,
+            "o_custkey long, n_sessions long, n_orders long, "
+            "max_session_orders long, max_span_days long",
+        )
+        .orderBy("o_custkey")
+    )

@@ -450,3 +450,54 @@ def test_mase_matches_python_replay(spark):
             assert r["sae_naive"] == sae1
             assert r["sae_seasonal"] == sae12
             assert r["mase_millionths"] == sae1 * 1_000_000 // sae12
+
+
+def test_watermark_finalizes_exactly_the_passed_windows(spark):
+    """Append-mode watermark semantics, pinned: W1 and W2 are emitted
+    once the watermark (12:21) passes them; the batch-3 late event
+    for W1 is dropped (not re-emitted, count stays 2); W3 stays open
+    and is never emitted."""
+    rows = [
+        (str(r["w_start"]), r["n"])
+        for r in STAGED["x161_late_data_watermark"].spark(spark, SFS[0]).collect()
+    ]
+    assert rows == [
+        ("2024-03-01 12:00:00", 2),
+        ("2024-03-01 12:10:00", 2),
+    ]
+
+
+def test_capped_sessions_cap_is_binding_and_consistent(spark):
+    """The span cap must actually bind on this corpus (more sessions
+    than the gap-only rule yields for at least one customer), and
+    per-customer session counts are never below the gap-only count."""
+    import duckdb
+
+    sf = SFS[1]
+    gap_only = dict(
+        duckdb.sql(
+            f"""
+            WITH o AS (
+                SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS d,
+                       lag(CAST(o_orderdate AS DATE)) OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey) AS pd
+                FROM '{sf}/orders.parquet'
+            )
+            SELECT ck, 1 + SUM(CASE WHEN pd IS NOT NULL
+                                         AND date_diff('day', pd, d) > 30
+                                    THEN 1 ELSE 0 END)
+            FROM o GROUP BY ck
+            """
+        ).fetchall()
+    )
+    rows = STAGED["x164_capped_sessions"].spark(spark, sf).collect()
+    assert rows
+    binding = 0
+    for r in rows:
+        assert r["n_sessions"] >= gap_only[r["o_custkey"]]
+        # a split fires BEFORE an order joins the session, so every
+        # closed session's span stays within the cap
+        assert r["max_span_days"] <= 60
+        binding += 1 if r["n_sessions"] > gap_only[r["o_custkey"]] else 0
+    assert binding > 0, "span cap never binds — fixture too easy"
