@@ -96,6 +96,17 @@ per-entry docstrings where a reference construct is echoed).
   cap makes the recursion genuinely sequential (no prefix-sum closed
   form), so this is the catalog's certified applyInPandas exhibit —
   Arrow-batched per-key scans vs a DuckDB recursive-CTE oracle.
+* ``x165_grid_neighbor_join`` — spatial neighbor join by grid
+  bucketing: 3x3 cell expansion + one cell-keyed equi-join + exact
+  integer squared-distance verify (no trig, no floats; brute-force-
+  validated).
+* ``x166_bitmap_retention`` — the groupBitmap idiom: monthly activity
+  packed 62-bits-per-BIGINT via bit_or (mergeable words), month-over-
+  month retention as popcount(a AND b) at O(words) cost.
+* ``x167_cdc_apply`` — changelog MERGE into a snapshot: latest-wins
+  per key, deletes beating stale rows, inserts surviving — the
+  foreachBatch MERGE shape certified declaratively (inverse of
+  x80_snapshot_cdc).
 
 Hash-parity conventions as plans/queries.py: exact cents/BIGINT
 arithmetic, md5-derived portable hashes, nonnegative-operand floor
@@ -2456,4 +2467,404 @@ def x164_capped_sessions(spark, sf_dir):
             "max_session_orders long, max_span_days long",
         )
         .orderBy("o_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x165 — grid-bucketed spatial neighbor join (exact integer distance)
+# ---------------------------------------------------------------------------
+
+_GEO_SPACE = 5000  # integer coordinate space [0, 5000)^2
+_GEO_CELL = 500  # grid cell size
+_GEO_R = 400  # neighbor radius (< cell size -> 3x3 cells suffice)
+
+_GEO_ORACLE = f"""
+WITH pts AS (
+    SELECT c_custkey AS id,
+           CAST('0x' || substr(md5('gx:' || c_custkey), 1, 8) AS BIGINT)
+               % {_GEO_SPACE} AS x,
+           CAST('0x' || substr(md5('gy:' || c_custkey), 1, 8) AS BIGINT)
+               % {_GEO_SPACE} AS y
+    FROM customer
+),
+cells AS (
+    SELECT id, x, y, x // {_GEO_CELL} AS cx, y // {_GEO_CELL} AS cy
+    FROM pts
+),
+bex AS (
+    SELECT c.id, c.x, c.y, c.cx + dx.d AS jx, c.cy + dy.d AS jy
+    FROM cells c
+    CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
+    CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy
+),
+pairs AS (
+    SELECT a.cx, a.cy, a.id AS id_a, b.id AS id_b,
+           (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+    FROM cells a
+    JOIN bex b ON b.jx = a.cx AND b.jy = a.cy AND a.id < b.id
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+          <= {_GEO_R * _GEO_R}
+)
+SELECT cx AS cell_x, cy AS cell_y,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(min(d2) AS BIGINT) AS min_d2,
+       CAST(SUM(d2) AS BIGINT) AS sum_d2
+FROM pairs
+GROUP BY cx, cy
+ORDER BY cell_x, cell_y
+"""
+
+
+@_staged(
+    "x165_grid_neighbor_join",
+    "OP-J-ext",
+    "Spatial neighbor join by grid bucketing: customers get "
+    "deterministic integer coordinates (md5-derived, engine-"
+    "portable), one side explodes into its 3x3 neighboring cells "
+    "(radius < cell size makes that provably sufficient), candidates "
+    "meet in ONE cell-keyed equi-join — the standard distributed "
+    "spatial-join shape (bucketed, never all-pairs) — and the exact "
+    "integer squared distance filters pairs with zero trig and zero "
+    "floats. Pairs are attributed to the left point's cell and "
+    "reported as per-cell counts with exact distance moments. Scale "
+    "contract (stated, not hidden): grid joins are linear in CELLS "
+    "and quadratic in per-cell DENSITY — real corpora grow in area, "
+    "and a density-growing corpus needs the cell size (or radius) "
+    "rescaled, exactly like choosing LSH band geometry.",
+    _GEO_ORACLE,
+)
+def x165_grid_neighbor_join(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+
+    def coord(prefix: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(prefix), F.col("c_custkey").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _GEO_SPACE
+        )
+
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        coord("gx:").alias("x"),
+        coord("gy:").alias("y"),
+    )
+    cells = pts.select(
+        "id",
+        "x",
+        "y",
+        F.expr(f"x DIV {_GEO_CELL}").alias("cx"),
+        F.expr(f"y DIV {_GEO_CELL}").alias("cy"),
+    )
+    d = spark.range(-1, 2).select(F.col("id").cast("int").alias("d"))
+    bex = (
+        cells.crossJoin(F.broadcast(d.select(F.col("d").alias("dx"))))
+        .crossJoin(F.broadcast(d.select(F.col("d").alias("dy"))))
+        .select(
+            F.col("id").alias("id_b"),
+            F.col("x").alias("xb"),
+            F.col("y").alias("yb"),
+            (F.col("cx") + F.col("dx")).alias("jx"),
+            (F.col("cy") + F.col("dy")).alias("jy"),
+        )
+    )
+    d2 = (F.col("x") - F.col("xb")) * (F.col("x") - F.col("xb")) + (
+        F.col("y") - F.col("yb")
+    ) * (F.col("y") - F.col("yb"))
+    pairs = (
+        cells.join(
+            bex,
+            (F.col("jx") == F.col("cx"))
+            & (F.col("jy") == F.col("cy"))
+            & (F.col("id") < F.col("id_b")),
+        )
+        .filter(d2 <= _GEO_R * _GEO_R)
+        .select("cx", "cy", d2.alias("d2"))
+    )
+    return (
+        pairs.groupBy("cx", "cy")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.min("d2").cast("long").alias("min_d2"),
+            F.sum("d2").cast("long").alias("sum_d2"),
+        )
+        .select(
+            F.col("cx").alias("cell_x"),
+            F.col("cy").alias("cell_y"),
+            "n_pairs",
+            "min_d2",
+            "sum_d2",
+        )
+        .orderBy("cell_x", "cell_y")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x166 — mergeable bitmap segments (bit_or words + popcount retention)
+# ---------------------------------------------------------------------------
+
+_BM_BUCKETS = 4096
+_BM_BITS = 62  # bits used per word: stay off the sign bit portably
+
+_BM_ORACLE = f"""
+WITH act AS (
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+           CAST('0x' || substr(md5('bm:' || o_custkey), 1, 8) AS BIGINT)
+               % {_BM_BUCKETS} AS b
+    FROM orders
+),
+words AS (
+    SELECT mon, b // {_BM_BITS} AS w,
+           bit_or(1::BIGINT << CAST(b % {_BM_BITS} AS INT)) AS bits
+    FROM act GROUP BY mon, b // {_BM_BITS}
+),
+mons AS (
+    SELECT mon, lead(mon) OVER (ORDER BY mon) AS nxt
+    FROM (SELECT DISTINCT mon FROM words)
+),
+joined AS (
+    SELECT m.mon, m.nxt,
+           a.w, a.bits AS ba, COALESCE(b.bits, 0) AS bb
+    FROM mons m
+    JOIN words a ON a.mon = m.mon
+    LEFT JOIN words b ON b.mon = m.nxt AND b.w = a.w
+    WHERE m.nxt IS NOT NULL
+)
+SELECT mon, nxt,
+       CAST(SUM(bit_count(ba)) AS BIGINT) AS active_buckets,
+       CAST(SUM(bit_count(ba & bb)) AS BIGINT) AS retained_buckets,
+       CAST(SUM(bit_count(ba & bb)) * 1000000 // SUM(bit_count(ba))
+            AS BIGINT) AS retention_millionths
+FROM joined
+GROUP BY mon, nxt
+ORDER BY mon
+"""
+
+
+@_staged(
+    "x166_bitmap_retention",
+    "OP-G5/X8-ext",
+    "Mergeable bitmap segments — the groupBitmap/roaring idiom in "
+    "portable form: each month's active customers hash into 4096 "
+    "buckets packed 62-per-word into BIGINTs via a bit_or aggregate "
+    "(62, not 64: the sign bit and 1<<63 behave differently across "
+    "engines, the portable-shift rule), so a month's activity "
+    "bitmap is ~66 words of MERGEABLE state (bit_or across shards/"
+    "days, the HLL-register story for SET INTERSECTION instead of "
+    "cardinality). Month-over-month retention is then "
+    "popcount(a AND b) / popcount(a) on the word pairs — bucket-"
+    "level inclusion-exclusion at O(words) cost per month pair, "
+    "never a customer-level self-join. The estimate's resolution is "
+    "the bucket count (4096 here; a production bitmap sizes buckets "
+    "to the key cardinality or goes exact-roaring); both engines "
+    "emit identical integers because the bitmap content is a pure "
+    "function of md5.",
+    _BM_ORACLE,
+)
+def x166_bitmap_retention(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    act = o.select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("mon"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("bm:"), F.col("o_custkey").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _BM_BUCKETS
+        ).alias("b"),
+    )
+    words = act.select(
+        "mon",
+        F.expr(f"b DIV {_BM_BITS}").alias("w"),
+        F.expr(f"shiftleft(1L, CAST(b % {_BM_BITS} AS INT))").alias("v"),
+    ).groupBy("mon", "w").agg(F.expr("bit_or(v)").alias("bits"))
+    mons = (
+        words.select("mon")
+        .distinct()
+        .select(
+            "mon", F.lead("mon").over(Window.orderBy("mon")).alias("nxt")
+        )
+        .filter(F.col("nxt").isNotNull())
+    )
+    a = words.select(
+        F.col("mon").alias("amon"), "w", F.col("bits").alias("ba")
+    )
+    b = words.select(
+        F.col("mon").alias("bmon"),
+        F.col("w").alias("bw"),
+        F.col("bits").alias("bb"),
+    )
+    joined = (
+        F.broadcast(mons)
+        .join(a, mons.mon == a.amon)
+        .join(
+            b,
+            (F.col("nxt") == F.col("bmon")) & (F.col("w") == F.col("bw")),
+            "left",
+        )
+        .select(
+            "mon",
+            "nxt",
+            "ba",
+            F.coalesce(F.col("bb"), F.lit(0).cast("long")).alias("bb"),
+        )
+    )
+    return (
+        joined.groupBy("mon", "nxt")
+        .agg(
+            F.sum(F.bit_count("ba")).cast("long").alias("active_buckets"),
+            F.sum(F.bit_count(F.col("ba").bitwiseAND(F.col("bb"))))
+            .cast("long")
+            .alias("retained_buckets"),
+        )
+        .select(
+            "mon",
+            "nxt",
+            "active_buckets",
+            "retained_buckets",
+            F.expr(
+                "CAST(retained_buckets * 1000000 DIV active_buckets "
+                "AS BIGINT)"
+            ).alias("retention_millionths"),
+        )
+        .orderBy("mon")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x167 — CDC apply: upsert + delete changelog merged into a snapshot
+# ---------------------------------------------------------------------------
+
+_CDC_ORACLE = """
+WITH base AS (
+    SELECT c_custkey AS k, c_name AS name, c_mktsegment AS seg,
+           CAST(1 AS BIGINT) AS version, 'U' AS op
+    FROM customer
+),
+h AS (
+    SELECT c_custkey AS k, c_name, c_mktsegment,
+           CAST('0x' || substr(md5('cdc:' || c_custkey), 1, 4) AS BIGINT)
+               % 10 AS r
+    FROM customer
+),
+changelog AS (
+    SELECT k, upper(c_name) || '-V2' AS name, c_mktsegment AS seg,
+           CAST(2 AS BIGINT) AS version, 'U' AS op
+    FROM h WHERE r IN (0, 1, 2)
+    UNION ALL
+    SELECT k, NULL AS name, NULL AS seg, CAST(2 AS BIGINT), 'D'
+    FROM h WHERE r = 3
+    UNION ALL
+    SELECT k + 10000000, 'NEW-' || k, 'MACHINERY', CAST(2 AS BIGINT), 'U'
+    FROM h WHERE r = 4
+),
+merged AS (
+    SELECT *, row_number() OVER (PARTITION BY k
+                                 ORDER BY version DESC, op DESC) AS rn
+    FROM (SELECT * FROM base UNION ALL SELECT * FROM changelog)
+)
+SELECT k AS c_custkey, name, seg, version
+FROM merged
+WHERE rn = 1 AND op <> 'D'
+ORDER BY c_custkey
+"""
+
+
+@_staged(
+    "x167_cdc_apply",
+    "OP-J5/T3-ext",
+    "CDC apply — the MERGE a lakehouse foreachBatch sink performs, "
+    "certified declaratively: a deterministic changelog (updates, "
+    "deletes and inserts synthesized from md5 buckets so both "
+    "engines build the identical log) merges into the base snapshot "
+    "by latest-wins per key (version DESC with a total tie-break), "
+    "deletes filtered AFTER the winner is chosen (so a delete beats "
+    "the stale base row it supersedes — the classic CDC-apply "
+    "ordering bug this entry pins down). The plan is one union, one "
+    "per-key window, one filter: at 100 TB this is exactly Delta/"
+    "Iceberg MERGE's shuffle shape (key-partitioned dedup of "
+    "base+delta), and the x80_snapshot_cdc entry is its inverse "
+    "(diffing two snapshots back into a changelog).",
+    _CDC_ORACLE,
+)
+def x167_cdc_apply(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(1).cast("long").alias("version"),
+        F.lit("U").alias("op"),
+    )
+    r = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("cdc:"), F.col("c_custkey").cast("string"))
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    h = c.select(
+        F.col("c_custkey").alias("k"),
+        "c_name",
+        "c_mktsegment",
+        r.alias("r"),
+    )
+    updates = h.filter(F.col("r").isin(0, 1, 2)).select(
+        "k",
+        F.concat(F.upper("c_name"), F.lit("-V2")).alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(2).cast("long").alias("version"),
+        F.lit("U").alias("op"),
+    )
+    deletes = h.filter(F.col("r") == 3).select(
+        "k",
+        F.lit(None).cast("string").alias("name"),
+        F.lit(None).cast("string").alias("seg"),
+        F.lit(2).cast("long").alias("version"),
+        F.lit("D").alias("op"),
+    )
+    inserts = h.filter(F.col("r") == 4).select(
+        (F.col("k") + 10000000).alias("k"),
+        F.concat(F.lit("NEW-"), F.col("k").cast("string")).alias("name"),
+        F.lit("MACHINERY").alias("seg"),
+        F.lit(2).cast("long").alias("version"),
+        F.lit("U").alias("op"),
+    )
+    merged = base.unionByName(updates).unionByName(deletes).unionByName(
+        inserts
+    )
+    w = Window.partitionBy("k").orderBy(F.desc("version"), F.desc("op"))
+    return (
+        merged.select("*", F.row_number().over(w).alias("rn"))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            F.col("k").alias("c_custkey"), "name", "seg", "version"
+        )
+        .orderBy("c_custkey")
     )

@@ -501,3 +501,116 @@ def test_capped_sessions_cap_is_binding_and_consistent(spark):
         assert r["max_span_days"] <= 60
         binding += 1 if r["n_sessions"] > gap_only[r["o_custkey"]] else 0
     assert binding > 0, "span cap never binds — fixture too easy"
+
+
+def test_grid_neighbor_join_matches_bruteforce(spark):
+    """O(n^2) Python replay at the smallest SF: per-cell pair counts
+    and distance sums must match exactly (proves the 3x3 cell
+    expansion loses nothing for r < cell size)."""
+    import duckdb
+    import hashlib
+
+    from ravelytics_spark.plans.round24_staged import (
+        _GEO_CELL,
+        _GEO_R,
+        _GEO_SPACE,
+    )
+
+    sf = SFS[0]
+    keys = [
+        k
+        for (k,) in duckdb.sql(
+            f"SELECT c_custkey FROM '{sf}/customer.parquet'"
+        ).fetchall()
+    ]
+
+    def coord(prefix, k):
+        return int(hashlib.md5(f"{prefix}{k}".encode()).hexdigest()[:8], 16) % _GEO_SPACE
+
+    pts = [(k, coord("gx:", k), coord("gy:", k)) for k in keys]
+    cells: dict[tuple, list] = {}
+    for i, (ka, xa, ya) in enumerate(pts):
+        for kb, xb, yb in pts[i + 1 :]:
+            if ka >= kb:
+                ka2, xa2, ya2, kb2, xb2, yb2 = kb, xb, yb, ka, xa, ya
+            else:
+                ka2, xa2, ya2, kb2, xb2, yb2 = ka, xa, ya, kb, xb, yb
+            d2 = (xa2 - xb2) ** 2 + (ya2 - yb2) ** 2
+            if d2 <= _GEO_R * _GEO_R:
+                cell = (xa2 // _GEO_CELL, ya2 // _GEO_CELL)
+                cells.setdefault(cell, []).append(d2)
+    got = {
+        (r["cell_x"], r["cell_y"]): r
+        for r in STAGED["x165_grid_neighbor_join"].spark(spark, sf).collect()
+    }
+    assert set(got) == set(cells)
+    for cell, d2s in cells.items():
+        r = got[cell]
+        assert r["n_pairs"] == len(d2s)
+        assert r["min_d2"] == min(d2s)
+        assert r["sum_d2"] == sum(d2s)
+
+
+def test_bitmap_retention_matches_exact_bucket_sets(spark):
+    """Replay the bucket sets in Python: popcount(AND)/popcount must
+    equal exact bucket-set intersection over union-free monthly
+    activity."""
+    import duckdb
+    import hashlib
+
+    from ravelytics_spark.plans.round24_staged import _BM_BUCKETS
+
+    sf = SFS[1]
+    rows = duckdb.sql(
+        f"""
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE), o_custkey
+        FROM '{sf}/orders.parquet'
+        """
+    ).fetchall()
+    months: dict = {}
+    for mon, ck in rows:
+        b = int(hashlib.md5(f"bm:{ck}".encode()).hexdigest()[:8], 16) % _BM_BUCKETS
+        months.setdefault(mon, set()).add(b)
+    seq = sorted(months)
+    got = {
+        str(r["mon"]): r
+        for r in STAGED["x166_bitmap_retention"].spark(spark, sf).collect()
+    }
+    for a, b in zip(seq, seq[1:]):
+        r = got[str(a)]
+        assert r["active_buckets"] == len(months[a])
+        assert r["retained_buckets"] == len(months[a] & months[b])
+
+
+def test_cdc_apply_invariants(spark):
+    """Deleted keys are gone, updated keys carry version 2 and the
+    rewritten name, untouched keys keep version 1, inserts exist."""
+    import duckdb
+    import hashlib
+
+    sf = SFS[1]
+    base = dict(
+        duckdb.sql(
+            f"SELECT c_custkey, c_name FROM '{sf}/customer.parquet'"
+        ).fetchall()
+    )
+    got = {
+        r["c_custkey"]: r
+        for r in STAGED["x167_cdc_apply"].spark(spark, sf).collect()
+    }
+    n_ins = 0
+    for k, name in base.items():
+        r10 = int(hashlib.md5(f"cdc:{k}".encode()).hexdigest()[:4], 16) % 10
+        if r10 == 3:
+            assert k not in got
+        elif r10 in (0, 1, 2):
+            assert got[k]["version"] == 2
+            assert got[k]["name"] == name.upper() + "-V2"
+        else:
+            assert got[k]["version"] == 1
+            assert got[k]["name"] == name
+        if r10 == 4:
+            ins = got[k + 10000000]
+            assert ins["version"] == 2 and ins["name"] == f"NEW-{k}"
+            n_ins += 1
+    assert n_ins > 0
