@@ -2143,12 +2143,12 @@ SELECT p_brand, n1, x1, n2, x2,
                  WHEN x1 * n2 < x2 * n1 THEN -1 ELSE 0 END AS BIGINT)
            AS diff_sign,
        CAST(CASE WHEN
-                CAST((x1 * n2 - x2 * n1) * (x1 * n2 - x2 * n1)
-                     AS DECIMAL(38, 0))
+                CAST(x1 * n2 - x2 * n1 AS DECIMAL(38, 0))
+                * CAST(x1 * n2 - x2 * n1 AS DECIMAL(38, 0))
                 * CAST((n1 + n2) * {_AB_CRIT_DEN} AS DECIMAL(38, 0))
                 >=
-                CAST({_AB_CRIT_NUM} * (x1 + x2) * (n1 + n2 - x1 - x2)
-                     AS DECIMAL(38, 0))
+                CAST({_AB_CRIT_NUM} * (x1 + x2) AS DECIMAL(38, 0))
+                * CAST(n1 + n2 - x1 - x2 AS DECIMAL(38, 0))
                 * CAST(n1 * n2 AS DECIMAL(38, 0))
             THEN 1 ELSE 0 END AS BIGINT) AS significant
 FROM ok
@@ -2164,8 +2164,11 @@ ORDER BY p_brand
     "status cohorts are compared at alpha=0.05 by clearing every "
     "denominator out of z^2 = (x1*n2 - x2*n1)^2 * N / (n1*n2*(x1+x2)"
     "*(N-x)) >= 3.8416 — the cross-multiplied inequality runs in "
-    "DECIMAL(38,0) (both engines compute it exactly; intermediate "
-    "products reach ~1e25, past BIGINT but far inside 38 digits), so "
+    "DECIMAL(38,0) (both engines compute it exactly; every factor is "
+    "cast to DECIMAL BEFORE multiplication — the 100x sweep caught "
+    "the original form squaring the ~1e11 rate-difference in BIGINT "
+    "first, an overflow invisible at certification scale; products "
+    "now peak ~3e33 at 100x sf0.1, inside 38 digits), so "
     "the significance DECISION has no float rounding to disagree "
     "over, the x138 no-sqrt-no-float-compare discipline applied to "
     "hypothesis testing. Degenerate cohorts (empty side, all-or-no "
@@ -2225,12 +2228,12 @@ def x160_ab_significance(spark, sf_dir):
         ).alias("diff_sign"),
         F.expr(
             f"CAST(CASE WHEN "
-            f"CAST((x1 * n2 - x2 * n1) * (x1 * n2 - x2 * n1) "
-            f"     AS DECIMAL(38, 0)) "
+            f"CAST(x1 * n2 - x2 * n1 AS DECIMAL(38, 0)) "
+            f"* CAST(x1 * n2 - x2 * n1 AS DECIMAL(38, 0)) "
             f"* CAST((n1 + n2) * {_AB_CRIT_DEN} AS DECIMAL(38, 0)) "
             f">= "
-            f"CAST({_AB_CRIT_NUM} * (x1 + x2) * (n1 + n2 - x1 - x2) "
-            f"     AS DECIMAL(38, 0)) "
+            f"CAST({_AB_CRIT_NUM} * (x1 + x2) AS DECIMAL(38, 0)) "
+            f"* CAST(n1 + n2 - x1 - x2 AS DECIMAL(38, 0)) "
             f"* CAST(n1 * n2 AS DECIMAL(38, 0)) "
             f"THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("significant"),

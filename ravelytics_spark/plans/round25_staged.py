@@ -1,0 +1,1053 @@
+"""Round-25 operators — STAGED (round 6), registration deferred.
+
+Same staging contract as round24_staged.py: the round-6/7 driver
+certification windows are oversubscribed, so this batch is built,
+oracle-twinned and pytest-covered NOW but kept OUT of ``REGISTRY``
+until a later round adds the two-line self-registration footer that
+round18.py / round23_staged.py carry.
+
+Reference parity: these extend SURVEY §2.10's mandate (warehouse
+analytics + LLM-training-data operators beyond the reference's own
+surface — the reference is Airflow DAGs + ClickHouse SQL).
+
+* ``x168_mann_whitney`` — exact Mann-Whitney U rank-sum comparison of
+  discounted vs full-price line quantities per return flag: because
+  l_quantity has a 50-value domain, the rank sums compile to a
+  value-level hash-agg plus a 50-row window — U (doubled to absorb
+  tie half-ranks) and the rank-biserial effect numerator/denominator
+  are exact BIGINTs; no global sort of the fact table, ever.
+* ``x169_spearman_monthly`` — Spearman rank correlation between
+  monthly shipped quantity and monthly revenue per part brand:
+  doubled average ranks (2*rank + ties - 1, exact integers) over a
+  calendar-bounded series (<= 84 months per brand), then the cleared-
+  denominator Pearson-on-ranks ingredients (num, denx, deny) as exact
+  BIGINTs with one IEEE divide at the edge for rho.
+* ``x170_kendall_tau`` — Kendall tau-b ingredients (concordant /
+  discordant / tie pair counts) between monthly order count and
+  monthly revenue per nation: the all-pairs scan is calendar-bounded
+  (<= 84 months -> <= 3486 pairs per nation), exact integers end to
+  end, one IEEE divide for tau_b.
+* ``x171_acf_lags`` — exact autocorrelation (lags 1..3) of monthly
+  revenue per nation: revenue floored to whole kilodollars keeps the
+  N-cleared covariance products (N*x_t - S)(N*x_{t-k} - S) inside
+  BIGINT through the 100x sweep; ACF emitted as exact num/den plus
+  one IEEE divide.
+
+Hash-parity conventions as plans/queries.py: exact cents/BIGINT
+arithmetic, nonnegative-operand floor divisions only, decimal-exact
+sums cast to DOUBLE at the edge (the ``_dsum`` discipline), total
+ORDER BY on every output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ravelytics_spark.plans.queries import Query
+from ravelytics_spark.sources.tables import load_table
+
+STAGED: dict[str, Query] = {}
+
+
+def _staged(name: str, op_id: str, doc: str, oracle: str | None = None):
+    def deco(fn):
+        STAGED[name] = Query(name, op_id, doc, fn, oracle)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# x168 — Mann-Whitney U via value-level counting (50-value domain)
+# ---------------------------------------------------------------------------
+
+_MW_ORACLE = """
+WITH v AS (
+    SELECT l_returnflag AS flag,
+           CAST(l_quantity AS BIGINT) AS q,
+           CAST(sum(CASE WHEN l_discount > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS a,
+           CAST(sum(CASE WHEN l_discount > 0 THEN 0 ELSE 1 END) AS BIGINT)
+               AS b
+    FROM lineitem
+    GROUP BY l_returnflag, CAST(l_quantity AS BIGINT)
+),
+w AS (
+    SELECT flag, q, a, b,
+           COALESCE(SUM(b) OVER (PARTITION BY flag ORDER BY q
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS cumb_less
+    FROM v
+)
+SELECT flag,
+       CAST(SUM(a) AS BIGINT) AS n_a,
+       CAST(SUM(b) AS BIGINT) AS n_b,
+       CAST(SUM(a * (2 * cumb_less + b)) AS BIGINT) AS u2_a,
+       CAST(2 * SUM(a) * SUM(b) - SUM(a * (2 * cumb_less + b)) AS BIGINT)
+           AS u2_b,
+       CAST(2 * SUM(a * (2 * cumb_less + b)) - 2 * SUM(a) * SUM(b)
+            AS BIGINT) AS rb_num,
+       CAST(2 * SUM(a) * SUM(b) AS BIGINT) AS rb_den
+FROM w
+GROUP BY flag
+ORDER BY flag
+"""
+
+
+@_staged(
+    "x168_mann_whitney",
+    "OP-G6/X9-ext",
+    "Exact Mann-Whitney U rank-sum test ingredients comparing the "
+    "quantity distribution of discounted (l_discount > 0) vs "
+    "full-price lines, per return flag — the nonparametric two-sample "
+    "location test every experimentation platform reaches for when "
+    "t-test normality fails. The textbook form ranks all N rows "
+    "globally (a full sort); because l_quantity lives on a 50-value "
+    "integer domain, U collapses to value-level counting: one "
+    "hash-agg to (flag, q, a, b) counts, a 50-row-per-flag window for "
+    "the cumulative other-group count, and U_A = sum a*(cumB< + "
+    "ties/2). Everything is doubled (u2_* = 2U) so tie half-ranks "
+    "stay integral; rank-biserial effect size is emitted as exact "
+    "num/den. Scale: the only shuffle is the value-level agg "
+    "(map-side combinable to <= 150 groups); the window runs over "
+    "<= 50 rows per flag. At 100 TB the plan is one partial-agg pass.",
+    _MW_ORACLE,
+)
+def x168_mann_whitney(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    v = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_quantity").cast("long").alias("q"),
+            F.when(F.col("l_discount") > 0, 1).otherwise(0).alias("is_a"),
+        )
+        .groupBy("flag", "q")
+        .agg(
+            F.sum("is_a").cast("long").alias("a"),
+            F.sum(1 - F.col("is_a")).cast("long").alias("b"),
+        )
+    )
+    wq = (
+        Window.partitionBy("flag")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w = v.withColumn(
+        "cumb_less", F.coalesce(F.sum("b").over(wq), F.lit(0))
+    )
+    u2a = F.sum(F.col("a") * (2 * F.col("cumb_less") + F.col("b")))
+    return (
+        w.groupBy("flag")
+        .agg(
+            F.sum("a").cast("long").alias("n_a"),
+            F.sum("b").cast("long").alias("n_b"),
+            u2a.cast("long").alias("u2_a"),
+            (2 * F.sum("a") * F.sum("b") - u2a).cast("long").alias("u2_b"),
+            (2 * u2a - 2 * F.sum("a") * F.sum("b"))
+            .cast("long")
+            .alias("rb_num"),
+            (2 * F.sum("a") * F.sum("b")).cast("long").alias("rb_den"),
+        )
+        .orderBy("flag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x169 — Spearman rank correlation over calendar-bounded monthly series
+# ---------------------------------------------------------------------------
+
+_SPEAR_ORACLE = """
+WITH m AS (
+    SELECT p.p_brand AS brand,
+           CAST(date_trunc('month', l.l_shipdate) AS DATE) AS mon,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand, CAST(date_trunc('month', l.l_shipdate) AS DATE)
+),
+r AS (
+    SELECT brand, mon,
+           2 * rank() OVER (PARTITION BY brand ORDER BY qty)
+               + count(*) OVER (PARTITION BY brand, qty) - 1 AS d1,
+           2 * rank() OVER (PARTITION BY brand ORDER BY cents)
+               + count(*) OVER (PARTITION BY brand, cents) - 1 AS d2
+    FROM m
+),
+s AS (
+    SELECT brand,
+           CAST(count(*) AS BIGINT) AS n_months,
+           CAST(SUM(d1 * d2) AS BIGINT) AS s12,
+           CAST(SUM(d1) AS BIGINT) AS s1,
+           CAST(SUM(d2) AS BIGINT) AS s2,
+           CAST(SUM(d1 * d1) AS BIGINT) AS s11,
+           CAST(SUM(d2 * d2) AS BIGINT) AS s22
+    FROM r
+    GROUP BY brand
+)
+SELECT brand, n_months,
+       CAST(n_months * s12 - s1 * s2 AS BIGINT) AS num,
+       CAST(n_months * s11 - s1 * s1 AS BIGINT) AS denx,
+       CAST(n_months * s22 - s2 * s2 AS BIGINT) AS deny,
+       CASE WHEN n_months * s11 - s1 * s1 = 0
+              OR n_months * s22 - s2 * s2 = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(n_months * s12 - s1 * s2 AS DOUBLE)
+                 / sqrt(CAST(n_months * s11 - s1 * s1 AS DOUBLE)
+                        * CAST(n_months * s22 - s2 * s2 AS DOUBLE)) END
+           AS rho
+FROM s
+ORDER BY brand
+"""
+
+
+@_staged(
+    "x169_spearman_monthly",
+    "OP-G6/W2-ext",
+    "Spearman rank correlation between monthly shipped quantity and "
+    "monthly revenue, per part brand — the robust does-volume-track-"
+    "revenue monitor (rank correlation ignores outlier months that "
+    "wreck Pearson). Ranks use the exact average-rank tie convention, "
+    "doubled to stay integral: d = 2*rank + ties - 1. The series is "
+    "CALENDAR-BOUNDED (<= 84 months per brand regardless of data "
+    "scale), so every cleared-denominator ingredient — num = n*S12 - "
+    "S1*S2, denx, deny — fits BIGINT with ~9 digits of headroom at "
+    "any corpus size; rho itself is the catalog's one-IEEE-divide-at-"
+    "the-edge convention (exact integers in, one correctly-rounded "
+    "sqrt+divide out, bit-identical across engines). Scale: one fact "
+    "hash-agg to brand x month (map-side combinable), then windows "
+    "over <= 84 rows per brand.",
+    _SPEAR_ORACLE,
+)
+def x169_spearman_monthly(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    m = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.date_trunc("month", "l_shipdate").cast("date").alias("mon"),
+            F.col("l_quantity").cast("long").alias("lq"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("lc"),
+        )
+        .groupBy("brand", "mon")
+        .agg(
+            F.sum("lq").cast("long").alias("qty"),
+            F.sum("lc").cast("long").alias("cents"),
+        )
+    )
+
+    def dranks(col, alias):
+        wr = Window.partitionBy("brand").orderBy(col)
+        wt = Window.partitionBy("brand", col)
+        return (
+            2 * F.rank().over(wr) + F.count("*").over(wt) - 1
+        ).cast("long").alias(alias)
+
+    r = m.select(
+        "brand", "mon", dranks("qty", "d1"), dranks("cents", "d2")
+    )
+    s = r.groupBy("brand").agg(
+        F.count("*").cast("long").alias("n_months"),
+        F.sum(F.col("d1") * F.col("d2")).cast("long").alias("s12"),
+        F.sum("d1").cast("long").alias("s1"),
+        F.sum("d2").cast("long").alias("s2"),
+        F.sum(F.col("d1") * F.col("d1")).cast("long").alias("s11"),
+        F.sum(F.col("d2") * F.col("d2")).cast("long").alias("s22"),
+    )
+    num = (F.col("n_months") * F.col("s12") - F.col("s1") * F.col("s2")).cast(
+        "long"
+    )
+    denx = (
+        F.col("n_months") * F.col("s11") - F.col("s1") * F.col("s1")
+    ).cast("long")
+    deny = (
+        F.col("n_months") * F.col("s22") - F.col("s2") * F.col("s2")
+    ).cast("long")
+    return (
+        s.select(
+            "brand",
+            "n_months",
+            num.alias("num"),
+            denx.alias("denx"),
+            deny.alias("deny"),
+            F.when((denx == 0) | (deny == 0), F.lit(0.0))
+            .otherwise(
+                num.cast("double")
+                / F.sqrt(denx.cast("double") * deny.cast("double"))
+            )
+            .alias("rho"),
+        )
+        .orderBy("brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x170 — Kendall tau-b pair counts over calendar-bounded monthly series
+# ---------------------------------------------------------------------------
+
+_KT_ORACLE = """
+WITH m AS (
+    SELECT c.c_nationkey AS nkey,
+           CAST(date_trunc('month', o.o_orderdate) AS DATE) AS mon,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey, CAST(date_trunc('month', o.o_orderdate) AS DATE)
+),
+pairs AS (
+    SELECT a.nkey,
+           CASE WHEN (a.n_orders < b.n_orders AND a.cents < b.cents)
+                  OR (a.n_orders > b.n_orders AND a.cents > b.cents)
+                THEN 1 ELSE 0 END AS conc,
+           CASE WHEN (a.n_orders < b.n_orders AND a.cents > b.cents)
+                  OR (a.n_orders > b.n_orders AND a.cents < b.cents)
+                THEN 1 ELSE 0 END AS disc,
+           CASE WHEN a.n_orders = b.n_orders AND a.cents <> b.cents
+                THEN 1 ELSE 0 END AS tx,
+           CASE WHEN a.cents = b.cents AND a.n_orders <> b.n_orders
+                THEN 1 ELSE 0 END AS ty,
+           CASE WHEN a.n_orders = b.n_orders AND a.cents = b.cents
+                THEN 1 ELSE 0 END AS txy
+    FROM m a JOIN m b ON a.nkey = b.nkey AND a.mon < b.mon
+)
+SELECT nkey,
+       CAST(SUM(conc) AS BIGINT) AS concordant,
+       CAST(SUM(disc) AS BIGINT) AS discordant,
+       CAST(SUM(tx) AS BIGINT) AS ties_x,
+       CAST(SUM(ty) AS BIGINT) AS ties_y,
+       CAST(SUM(txy) AS BIGINT) AS ties_xy,
+       CASE WHEN SUM(conc) + SUM(disc) + SUM(tx) + SUM(txy) = 0
+              OR SUM(conc) + SUM(disc) + SUM(ty) + SUM(txy) = 0
+            THEN CAST(0 AS DOUBLE)
+            ELSE CAST(SUM(conc) - SUM(disc) AS DOUBLE)
+                 / sqrt(CAST(SUM(conc) + SUM(disc) + SUM(tx) + SUM(txy)
+                             AS DOUBLE)
+                        * CAST(SUM(conc) + SUM(disc) + SUM(ty) + SUM(txy)
+                               AS DOUBLE)) END AS tau_b
+FROM pairs
+GROUP BY nkey
+ORDER BY nkey
+"""
+
+
+@_staged(
+    "x170_kendall_tau",
+    "OP-G6/J2-ext",
+    "Kendall tau-b rank correlation between monthly order count and "
+    "monthly revenue, per nation — the pair-counting rank statistic "
+    "(more robust than Spearman for short, tie-heavy series, and its "
+    "C/D counts feed Mann-Kendall trend tests directly). The "
+    "quadratic all-pairs scan that makes tau notorious is harmless "
+    "here because the series is CALENDAR-BOUNDED: <= 84 months per "
+    "nation -> <= 3486 pairs per key, regardless of fact-table scale, "
+    "generated by one self-equi-join on the nation key of the monthly "
+    "aggregate (not the fact table). Concordant / discordant / tie "
+    "counts are exact BIGINTs; tau_b is the one-IEEE-divide "
+    "convention. Scale: the fact table sees exactly one map-side-"
+    "combinable hash-agg; everything downstream touches <= 84 rows "
+    "per nation.",
+    _KT_ORACLE,
+)
+def x170_kendall_tau(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    m = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_nationkey").alias("nkey"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("mon"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents0"),
+        )
+        .groupBy("nkey", "mon")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents0").cast("long").alias("cents"),
+        )
+    )
+    a = m.select(
+        "nkey",
+        F.col("mon").alias("mon_a"),
+        F.col("n_orders").alias("xa"),
+        F.col("cents").alias("ya"),
+    )
+    b = m.select(
+        "nkey",
+        F.col("mon").alias("mon_b"),
+        F.col("n_orders").alias("xb"),
+        F.col("cents").alias("yb"),
+    )
+    pairs = a.join(b, "nkey").filter(F.col("mon_a") < F.col("mon_b"))
+    conc = F.when(
+        ((F.col("xa") < F.col("xb")) & (F.col("ya") < F.col("yb")))
+        | ((F.col("xa") > F.col("xb")) & (F.col("ya") > F.col("yb"))),
+        1,
+    ).otherwise(0)
+    disc = F.when(
+        ((F.col("xa") < F.col("xb")) & (F.col("ya") > F.col("yb")))
+        | ((F.col("xa") > F.col("xb")) & (F.col("ya") < F.col("yb"))),
+        1,
+    ).otherwise(0)
+    tx = F.when(
+        (F.col("xa") == F.col("xb")) & (F.col("ya") != F.col("yb")), 1
+    ).otherwise(0)
+    ty = F.when(
+        (F.col("ya") == F.col("yb")) & (F.col("xa") != F.col("xb")), 1
+    ).otherwise(0)
+    txy = F.when(
+        (F.col("xa") == F.col("xb")) & (F.col("ya") == F.col("yb")), 1
+    ).otherwise(0)
+    g = pairs.groupBy("nkey").agg(
+        F.sum(conc).cast("long").alias("concordant"),
+        F.sum(disc).cast("long").alias("discordant"),
+        F.sum(tx).cast("long").alias("ties_x"),
+        F.sum(ty).cast("long").alias("ties_y"),
+        F.sum(txy).cast("long").alias("ties_xy"),
+    )
+    nx = (
+        F.col("concordant")
+        + F.col("discordant")
+        + F.col("ties_x")
+        + F.col("ties_xy")
+    )
+    ny = (
+        F.col("concordant")
+        + F.col("discordant")
+        + F.col("ties_y")
+        + F.col("ties_xy")
+    )
+    return (
+        g.withColumn(
+            "tau_b",
+            F.when((nx == 0) | (ny == 0), F.lit(0.0)).otherwise(
+                (F.col("concordant") - F.col("discordant")).cast("double")
+                / F.sqrt(nx.cast("double") * ny.cast("double"))
+            ),
+        )
+        .orderBy("nkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x171 — exact autocorrelation (lags 1..3) of monthly revenue per nation
+# ---------------------------------------------------------------------------
+
+_ACF_LAGS = 3
+
+_ACF_ORACLE = f"""
+WITH m AS (
+    SELECT c.c_nationkey AS nkey,
+           CAST(date_trunc('month', o.o_orderdate) AS DATE) AS mon,
+           CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT) // 100000 AS ykd
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey, CAST(date_trunc('month', o.o_orderdate) AS DATE)
+),
+s AS (
+    SELECT nkey, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(ykd) AS BIGINT) AS tot
+    FROM m GROUP BY nkey
+),
+d AS (
+    SELECT m.nkey, m.mon, s.n, s.n * m.ykd - s.tot AS e,
+           row_number() OVER (PARTITION BY m.nkey ORDER BY m.mon) AS t
+    FROM m JOIN s ON m.nkey = s.nkey
+),
+lagged AS (
+    SELECT a.nkey, lag.k, a.e AS e_t, b.e AS e_tk, a.n
+    FROM d a
+    JOIN (SELECT unnest(range(1, {_ACF_LAGS + 1})) AS k) lag ON TRUE
+    JOIN d b ON b.nkey = a.nkey AND b.t = a.t - lag.k
+),
+den AS (
+    SELECT nkey, CAST(SUM(e * e) AS BIGINT) AS den FROM d GROUP BY nkey
+)
+SELECT l.nkey, CAST(l.k AS BIGINT) AS lag_k,
+       CAST(SUM(l.e_t * l.e_tk) AS BIGINT) AS num,
+       den.den AS den,
+       CASE WHEN den.den = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(SUM(l.e_t * l.e_tk) AS DOUBLE)
+                 / CAST(den.den AS DOUBLE) END AS acf
+FROM lagged l JOIN den ON l.nkey = den.nkey
+GROUP BY l.nkey, l.k, den.den
+ORDER BY l.nkey, lag_k
+"""
+
+
+@_staged(
+    "x171_acf_lags",
+    "OP-W3/G6-ext",
+    "Exact autocorrelation function (lags 1..3) of monthly revenue "
+    "per nation — the seasonality/momentum fingerprint behind every "
+    "forecast-model choice (AR order selection, seasonal-naive "
+    "validity). Mean-centering normally forces floats; here the "
+    "deviations are cleared by N (e_t = N*y_t - S, exact BIGINT) so "
+    "num_k = sum e_t*e_{{t-k}} and den = sum e_t^2 are exact integers "
+    "— monthly revenue is pre-floored to whole kilodollars "
+    "(nonnegative floor division, engine-identical) to keep e^2 "
+    "inside BIGINT through the 100x sweep (~6e17 at 100x sf0.1, 9.2e18 "
+    "ceiling; the bound is documented, not hoped). The series is "
+    "calendar-bounded (<= 84 months/nation); lag alignment is an "
+    "equi-join on (nation, t-k) over the aggregate, never the fact "
+    "table. ACF itself is the one-IEEE-divide convention; its exact "
+    "num/den ride along for engine-proof comparison.",
+    _ACF_ORACLE,
+)
+def x171_acf_lags(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    m = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_nationkey").alias("nkey"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("mon"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("nkey", "mon")
+        .agg(
+            F.expr("sum(cents) div 100000").cast("long").alias("ykd")
+        )
+    )
+    s = m.groupBy("nkey").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("ykd").cast("long").alias("tot"),
+    )
+    wT = Window.partitionBy("nkey").orderBy("mon")
+    d = (
+        m.join(s, "nkey")
+        .select(
+            "nkey",
+            "mon",
+            "n",
+            (F.col("n") * F.col("ykd") - F.col("tot")).cast("long").alias("e"),
+        )
+        .withColumn("t", F.row_number().over(wT))
+    )
+    lags = spark.range(1, _ACF_LAGS + 1).select(
+        F.col("id").cast("long").alias("lag_k")
+    )
+    a = d.select("nkey", "t", F.col("e").alias("e_t"))
+    b = d.select(
+        F.col("nkey").alias("nkb"),
+        F.col("t").alias("tb"),
+        F.col("e").alias("e_tk"),
+    )
+    lagged = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("nkey") == F.col("nkb"))
+            & (F.col("tb") == F.col("t") - F.col("lag_k")),
+        )
+        .drop("nkb", "tb")
+    )
+    den = d.groupBy("nkey").agg(
+        F.sum(F.col("e") * F.col("e")).cast("long").alias("den")
+    )
+    g = (
+        lagged.groupBy("nkey", "lag_k")
+        .agg(F.sum(F.col("e_t") * F.col("e_tk")).cast("long").alias("num"))
+        .join(den, "nkey")
+    )
+    return (
+        g.select(
+            "nkey",
+            "lag_k",
+            "num",
+            "den",
+            F.when(F.col("den") == 0, F.lit(0.0))
+            .otherwise(F.col("num").cast("double") / F.col("den").cast("double"))
+            .alias("acf"),
+        )
+        .orderBy("nkey", "lag_k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x172 — bounded BFS hop distance over the co-order part graph
+# ---------------------------------------------------------------------------
+
+_BFS_ORACLE = """
+WITH cnt AS (
+    SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+    FROM lineitem GROUP BY l_partkey
+),
+seeds AS (
+    SELECT l_partkey AS pk FROM cnt
+    ORDER BY c DESC, l_partkey LIMIT 5
+),
+e AS (
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+h1 AS (
+    SELECT DISTINCT e.dst AS pk FROM e
+    WHERE e.src IN (SELECT pk FROM seeds)
+      AND e.dst NOT IN (SELECT pk FROM seeds)
+),
+h2 AS (
+    SELECT DISTINCT e.dst AS pk FROM e
+    WHERE e.src IN (SELECT pk FROM h1)
+      AND e.dst NOT IN (SELECT pk FROM seeds)
+      AND e.dst NOT IN (SELECT pk FROM h1)
+)
+SELECT CAST(0 AS BIGINT) AS hop,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(COALESCE(sum(pk), 0) AS BIGINT) AS sum_partkey
+FROM seeds
+UNION ALL
+SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+       CAST(COALESCE(sum(pk), 0) AS BIGINT) FROM h1
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+       CAST(COALESCE(sum(pk), 0) AS BIGINT) FROM h2
+ORDER BY hop
+"""
+
+
+@_staged(
+    "x172_bfs_hops",
+    "OP-X2/J3-ext",
+    "Bounded breadth-first search over the co-order part graph: hop "
+    "distance (0/1/2) from the 5 most-ordered parts, where parts are "
+    "adjacent when they appear on the same order — the "
+    "recommendation-radius / blast-radius primitive (also-bought "
+    "expansion, contaminated-lot tracing). Spark-first shape: the "
+    "edge list is the within-order self-join (orders hold <= ~7 "
+    "lines, so fan-out per order is bounded ~C(7,2) and edge count "
+    "is LINEAR in lineitem); each BFS round is one broadcast "
+    "semi-join of the tiny frontier against the edge list plus an "
+    "anti-join against the visited set — no iteration state on the "
+    "driver beyond the frontier row count. Unrolled to 2 hops so the "
+    "DuckDB twin is plain unrolled CTEs (no recursion semantics to "
+    "match). Output per hop: part count + partkey checksum.",
+    _BFS_ORACLE,
+)
+def x172_bfs_hops(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    cnt = li.groupBy("l_partkey").agg(F.count("*").cast("long").alias("c"))
+    seeds = (
+        cnt.orderBy(F.desc("c"), F.asc("l_partkey"))
+        .limit(5)
+        .select(F.col("l_partkey").alias("pk"))
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
+    )
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    h1 = (
+        e.join(F.broadcast(seeds), e.src == seeds.pk, "semi")
+        .select("dst")
+        .distinct()
+        .join(F.broadcast(seeds), F.col("dst") == seeds.pk, "anti")
+        .select(F.col("dst").alias("pk"))
+    )
+    h2 = (
+        e.join(F.broadcast(h1), e.src == h1.pk, "semi")
+        .select("dst")
+        .distinct()
+        .join(F.broadcast(seeds), F.col("dst") == seeds.pk, "anti")
+        .join(F.broadcast(h1), F.col("dst") == h1.pk, "anti")
+        .select(F.col("dst").alias("pk"))
+    )
+
+    def level(df, hop):
+        return df.agg(
+            F.lit(hop).cast("long").alias("hop"),
+            F.count("*").cast("long").alias("n_parts"),
+            F.coalesce(F.sum("pk"), F.lit(0)).cast("long").alias(
+                "sum_partkey"
+            ),
+        )
+
+    return (
+        level(seeds, 0)
+        .unionAll(level(h1, 1))
+        .unionAll(level(h2, 2))
+        .orderBy("hop")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x173 — exact weighted median price per brand (quantity-weighted)
+# ---------------------------------------------------------------------------
+
+_WMED_ORACLE = """
+WITH v AS (
+    SELECT p.p_brand AS brand,
+           CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS w
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand, CAST(round(l.l_extendedprice * 100) AS BIGINT)
+),
+c AS (
+    SELECT brand, cents, w,
+           SUM(w) OVER (PARTITION BY brand ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cumw,
+           SUM(w) OVER (PARTITION BY brand) AS totw
+    FROM v
+)
+SELECT brand,
+       CAST(max(totw) AS BIGINT) AS total_weight,
+       CAST(min(CASE WHEN 2 * cumw >= totw THEN cents END) AS BIGINT)
+           AS wmedian_cents
+FROM c
+GROUP BY brand
+ORDER BY brand
+"""
+
+
+@_staged(
+    "x173_weighted_median",
+    "OP-G6/W4-ext",
+    "Exact quantity-weighted median line price per part brand — the "
+    "robust 'typical transaction price' (unit-weighted medians "
+    "over-represent small orders; revenue dashboards weight by "
+    "volume). Exactness trick: aggregate to the (brand, price) VALUE "
+    "level first — the price domain is bounded by parts x 50 "
+    "quantities, not by fact rows — then one cumulative-weight window "
+    "per brand picks the smallest price whose doubled cumulative "
+    "weight reaches the total (the lower weighted median, a pure "
+    "integer comparison: 2*cumw >= W avoids the W/2 division "
+    "entirely). Scale: the fact table sees one map-side-combinable "
+    "hash-agg; the window sorts the bounded value-level table, never "
+    "the facts. All BIGINT.",
+    _WMED_ORACLE,
+)
+def x173_weighted_median(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    v = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("cents"),
+            F.col("l_quantity").cast("long").alias("lq"),
+        )
+        .groupBy("brand", "cents")
+        .agg(F.sum("lq").cast("long").alias("w"))
+    )
+    wcum = (
+        Window.partitionBy("brand")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("brand")
+    c = v.select(
+        "brand",
+        "cents",
+        F.sum("w").over(wcum).alias("cumw"),
+        F.sum("w").over(wtot).alias("totw"),
+    )
+    return (
+        c.groupBy("brand")
+        .agg(
+            F.max("totw").cast("long").alias("total_weight"),
+            F.min(
+                F.when(2 * F.col("cumw") >= F.col("totw"), F.col("cents"))
+            )
+            .cast("long")
+            .alias("wmedian_cents"),
+        )
+        .orderBy("brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x174 — U-shaped (position-based) multi-touch attribution, penny-exact
+# ---------------------------------------------------------------------------
+
+_UATTR_ORACLE = """
+WITH p AS (
+    SELECT user_id, event_id AS p_id, ts AS p_ts
+    FROM events WHERE event_type = 'purchase'
+),
+cand AS (
+    SELECT p.p_id, e.event_type, e.ts, e.event_id
+    FROM p JOIN events e
+      ON e.user_id = p.user_id
+     AND e.event_type <> 'purchase'
+     AND e.ts < p.p_ts
+     AND date_diff('second', e.ts, p.p_ts) <= 604800
+),
+r AS (
+    SELECT p_id, event_type,
+           row_number() OVER (PARTITION BY p_id
+                              ORDER BY ts, event_id) AS rn,
+           count(*) OVER (PARTITION BY p_id) AS m
+    FROM cand
+),
+credit AS (
+    SELECT event_type,
+           CASE WHEN m = 1 THEN 1000
+                WHEN m = 2 THEN 500
+                WHEN rn = 1 OR rn = m THEN 400
+                ELSE 200 // (m - 2)
+                     + CASE WHEN rn - 1 <= 200 % (m - 2) THEN 1 ELSE 0 END
+           END AS milli
+    FROM r
+),
+touched AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(SUM(milli) AS BIGINT) AS milli_credits
+    FROM credit GROUP BY event_type
+),
+unattr AS (
+    SELECT 'unattributed' AS event_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(1000 * count(*) AS BIGINT) AS milli_credits
+    FROM p WHERE p_id NOT IN (SELECT DISTINCT p_id FROM cand)
+)
+SELECT * FROM touched
+UNION ALL
+SELECT * FROM unattr WHERE n_touches > 0
+ORDER BY event_type
+"""
+
+
+@_staged(
+    "x174_u_attribution",
+    "OP-W1/G3-ext",
+    "U-shaped (position-based) multi-touch attribution over the "
+    "events stream: each purchase distributes exactly 1000 "
+    "milli-credits across its prior-7-day touches — 40/20/40 shaped "
+    "(first touch 400, last touch 400, middles share 200), with the "
+    "middle share allocated PENNY-EXACTLY via the x141 largest-"
+    "remainder idiom: floor(200/(m-2)) each plus one extra "
+    "milli-credit to the earliest (200 mod (m-2)) middles, so every "
+    "journey sums to exactly 1000 and the books balance to "
+    "1000 * n_purchases by construction. Degenerate journeys follow "
+    "industry convention (single touch 1000, two touches 500/500, "
+    "no touches -> 'unattributed'). Complements x142's last-touch: "
+    "same candidate join, different credit model. All divisions have "
+    "nonnegative operands (engine-identical floor). Scale: one "
+    "time-bounded join purchase x prior-events, two windows "
+    "partitioned by purchase id (journey-bounded frames).",
+    _UATTR_ORACLE,
+)
+def x174_u_attribution(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    e = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    cand = p.join(e, "user_id").filter(
+        (F.col("ts") < F.col("p_ts"))
+        & (F.unix_timestamp("p_ts") - F.unix_timestamp("ts") <= 604800)
+    )
+    wP = Window.partitionBy("p_id").orderBy("ts", "event_id")
+    wC = Window.partitionBy("p_id")
+    r = cand.select(
+        "p_id",
+        "event_type",
+        F.row_number().over(wP).alias("rn"),
+        F.count("*").over(wC).alias("m"),
+    )
+    mid_base = F.expr("200 div (m - 2)")
+    mid_extra = F.when(
+        F.col("rn") - 1 <= F.expr("200 % (m - 2)"), 1
+    ).otherwise(0)
+    credit = r.select(
+        "event_type",
+        F.when(F.col("m") == 1, 1000)
+        .when(F.col("m") == 2, 500)
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("m")), 400)
+        .otherwise(mid_base + mid_extra)
+        .cast("long")
+        .alias("milli"),
+    )
+    touched = credit.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_touches"),
+        F.sum("milli").cast("long").alias("milli_credits"),
+    )
+    unattr = (
+        p.join(cand.select("p_id").distinct(), "p_id", "anti")
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            (1000 * F.count("*")).cast("long").alias("milli_credits"),
+        )
+        .select(
+            F.lit("unattributed").alias("event_type"),
+            "n_touches",
+            "milli_credits",
+        )
+        .filter(F.col("n_touches") > 0)
+    )
+    return touched.unionAll(unattr).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# x175 — cluster quality audit: cohesion vs separation per label
+# ---------------------------------------------------------------------------
+
+_CQ_Q_SQL = (
+    "CAST(CAST(CAST(x AS DOUBLE) + 1 AS DECIMAL(9,6)) * 1000000 AS BIGINT)"
+)
+
+_CQ_ORACLE = f"""
+WITH ex AS (
+    SELECT label, vec_id, generate_subscripts(embedding, 1) AS d,
+           {_CQ_Q_SQL.replace("x", "unnest(embedding)")} AS q
+    FROM embeddings
+),
+n AS (
+    SELECT label, CAST(count(DISTINCT vec_id) AS BIGINT) AS n
+    FROM ex GROUP BY label
+),
+cent AS (
+    SELECT ex.label, ex.d, CAST(SUM(ex.q) AS BIGINT) // max(n.n) AS c
+    FROM ex JOIN n ON ex.label = n.label
+    GROUP BY ex.label, ex.d
+),
+intra AS (
+    SELECT ex.label,
+           CAST(SUM(CAST((ex.q - cent.c) * (ex.q - cent.c)
+                         AS DECIMAL(38,0))) AS DOUBLE) AS intra_ss
+    FROM ex JOIN cent ON ex.label = cent.label AND ex.d = cent.d
+    GROUP BY ex.label
+),
+sep AS (
+    SELECT a.label,
+           CAST(min(s.ss) AS BIGINT) AS sep_ss,
+           CAST(min(CASE WHEN s.ss = m.mss THEN s.label_b END) AS BIGINT)
+               AS nearest_label
+    FROM (SELECT DISTINCT label FROM ex) a
+    JOIN (
+        SELECT ca.label AS label_a, cb.label AS label_b,
+               SUM((ca.c - cb.c) * (ca.c - cb.c)) AS ss
+        FROM cent ca JOIN cent cb
+          ON ca.d = cb.d AND ca.label <> cb.label
+        GROUP BY ca.label, cb.label
+    ) s ON s.label_a = a.label
+    JOIN (
+        SELECT ca.label AS label_a, min(ss) AS mss FROM (
+            SELECT ca2.label, cb2.label AS lb,
+                   SUM((ca2.c - cb2.c) * (ca2.c - cb2.c)) AS ss
+            FROM cent ca2 JOIN cent cb2
+              ON ca2.d = cb2.d AND ca2.label <> cb2.label
+            GROUP BY ca2.label, cb2.label
+        ) ca GROUP BY ca.label
+    ) m ON m.label_a = a.label
+    GROUP BY a.label
+)
+SELECT n.label, n.n, intra.intra_ss, sep.nearest_label, sep.sep_ss
+FROM n JOIN intra ON n.label = intra.label
+JOIN sep ON n.label = sep.label
+ORDER BY n.label
+"""
+
+
+@_staged(
+    "x175_cluster_quality",
+    "OP-X3-ext",
+    "Cluster quality audit per embedding label: intra-cluster "
+    "cohesion (sum of squared fixed-point distances to the own-label "
+    "centroid) vs separation (squared distance to the nearest OTHER "
+    "centroid, with the nearest label named) — the Davies-Bouldin-"
+    "style health check run after every clustering/labeling job "
+    "(collapsed clusters show sep_ss << intra_ss/n). Exactness: "
+    "embeddings are shifted +1 then quantized scale-6 (the x107 "
+    "DECIMAL(9,6) convention; the shift makes every value NONNEGATIVE "
+    "so the centroid floor-division S_d DIV n is engine-identical, "
+    "and distances are shift-invariant); centroids are exact integer "
+    "vectors, separation is exact BIGINT, and cohesion is a "
+    "DECIMAL(38,0)-exact sum cast once to DOUBLE (the _dsum "
+    "discipline). Scale: one posexplode pass + two keyed aggs; the "
+    "centroid table is labels x dims (tiny, broadcast); nearest-"
+    "centroid search is centroid x centroid (bounded by labels^2).",
+    _CQ_ORACLE,
+)
+def x175_cluster_quality(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        "vec_id",
+        F.posexplode("embedding").alias("d0", "x"),
+    ).select(
+        "label",
+        "vec_id",
+        (F.col("d0") + 1).alias("d"),
+        (
+            (F.col("x").cast("double") + 1).cast("decimal(9,6)")
+            * F.lit(1_000_000)
+        )
+        .cast("long")
+        .alias("q"),
+    )
+    n = ex.groupBy("label").agg(
+        F.count_distinct("vec_id").cast("long").alias("n")
+    )
+    cent = (
+        ex.groupBy("label", "d")
+        .agg(F.sum("q").cast("long").alias("s"))
+        .join(n, "label")
+        .select(
+            "label", "d", F.expr("s div n").cast("long").alias("c")
+        )
+    )
+    intra = (
+        ex.join(F.broadcast(cent), ["label", "d"])
+        .select(
+            "label",
+            ((F.col("q") - F.col("c")) * (F.col("q") - F.col("c")))
+            .cast("decimal(38,0)")
+            .alias("dd"),
+        )
+        .groupBy("label")
+        .agg(F.sum("dd").cast("double").alias("intra_ss"))
+    )
+    ca = cent.select(
+        F.col("label").alias("la"), "d", F.col("c").alias("cc_a")
+    )
+    cb = cent.select(
+        F.col("label").alias("lb"), "d", F.col("c").alias("cc_b")
+    )
+    pair = (
+        ca.join(cb, "d")
+        .filter(F.col("la") != F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(
+            F.sum(
+                (F.col("cc_a") - F.col("cc_b"))
+                * (F.col("cc_a") - F.col("cc_b"))
+            )
+            .cast("long")
+            .alias("ss")
+        )
+    )
+    wmin = Window.partitionBy("la")
+    sep = (
+        pair.withColumn("mss", F.min("ss").over(wmin))
+        .groupBy("la")
+        .agg(
+            F.min(F.when(F.col("ss") == F.col("mss"), F.col("lb")))
+            .cast("long")
+            .alias("nearest_label"),
+            F.min("ss").cast("long").alias("sep_ss"),
+        )
+        .withColumnRenamed("la", "label")
+    )
+    return (
+        n.join(intra, "label")
+        .join(sep, "label")
+        .select("label", "n", "intra_ss", "nearest_label", "sep_ss")
+        .orderBy("label")
+    )

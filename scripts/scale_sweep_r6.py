@@ -29,19 +29,32 @@ from ravelytics_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WORK = "/tmp/ravelytics_scale_sweep_r6"
 
-DOC_ENTRIES = ["x149_rake_keywords", "x150_winnow_dup_spans"]
+DOC_ENTRIES = [
+    "x149_rake_keywords",
+    "x150_winnow_dup_spans",
+    "x159_ks_drift",
+]
 ORDER_ENTRIES = [
     "x144_clamped_balance",
     "x148_holt_forecast",
     "x153_hash_bootstrap_ci",
     "x155_theil_sen",
     "x156_knee_point",
+    "x157_conformal_band",
+    "x158_mase_eval",
+    "x164_capped_sessions",
+    "x166_bitmap_retention",
 ]
 LINEITEM_ENTRIES = [
     "x145_f2_moment",
     "x147_rbo_drift",
     "x152_eb_smoothed_rate",
     "x154_item_cf_topk",
+    "x160_ab_significance",
+]
+CUSTOMER_ENTRIES = [
+    "x165_grid_neighbor_join",
+    "x167_cdc_apply",
 ]
 EMBED_ENTRIES = ["x146_mmr_select"]
 
@@ -173,9 +186,18 @@ def main():
         d = build_dir(spark, factor)
         n = spark.read.parquet(f"{d}/documents.parquet").count()
         print(f"-- {factor}x ({n} docs)", flush=True)
+        only = {
+            n for n in os.environ.get("SWEEP_ONLY", "").split(",") if n
+        }
         for name in (
-            DOC_ENTRIES + ORDER_ENTRIES + LINEITEM_ENTRIES + EMBED_ENTRIES
+            DOC_ENTRIES
+            + ORDER_ENTRIES
+            + LINEITEM_ENTRIES
+            + CUSTOMER_ENTRIES
+            + EMBED_ENTRIES
         ):
+            if only and name not in only:
+                continue
             best = None
             for _ in range(2):
                 t0 = time.perf_counter()

@@ -1,0 +1,238 @@
+"""Oracle-comparison + property tests for the STAGED round-25 entries
+(built in round 6; registration deferred — the round-18/23/24 staging
+precedent: entries ship the round after the window they'd overflow)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from ravelytics_spark.plans.round25_staged import STAGED
+from ravelytics_spark.testing import compare, duckdb_connection
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+
+@pytest.mark.parametrize("name", sorted(STAGED))
+@pytest.mark.parametrize("sf_dir", SFS)
+def test_round25_staged_matches_oracle(spark, name, sf_dir):
+    entry = STAGED[name]
+    if entry.oracle is None:
+        assert entry.spark(spark, sf_dir).count() >= 0
+        return
+    con = duckdb_connection(sf_dir)
+    problems = compare(
+        entry.spark(spark, sf_dir),
+        con,
+        entry.oracle,
+        name,
+        strict_row_order=True,
+    )
+    assert not problems, problems
+
+
+def test_round25_not_registered_yet(spark):
+    from ravelytics_spark.plans.queries import REGISTRY
+
+    assert not (set(STAGED) & set(REGISTRY))
+
+
+def test_mann_whitney_matches_bruteforce_ranks(spark):
+    """u2_a equals the textbook rank-sum form 2*(R_A - n_a(n_a+1)/2)
+    computed from literal average ranks in Python."""
+    sf = SFS[0]
+    rows = duckdb.sql(
+        f"""
+        SELECT l_returnflag, CAST(l_quantity AS BIGINT),
+               CASE WHEN l_discount > 0 THEN 1 ELSE 0 END
+        FROM '{sf}/lineitem.parquet'
+        """
+    ).fetchall()
+    by_flag: dict[str, list[tuple[int, int]]] = {}
+    for flag, q, is_a in rows:
+        by_flag.setdefault(flag, []).append((q, is_a))
+    got = {
+        r["flag"]: r
+        for r in STAGED["x168_mann_whitney"].spark(spark, sf).collect()
+    }
+    for flag, vals in by_flag.items():
+        qs = sorted(v[0] for v in vals)
+        # average rank per value, doubled to stay integral
+        first = {}
+        for i, q in enumerate(qs, start=1):
+            first.setdefault(q, i)
+        count = {}
+        for q, _ in vals:
+            count[q] = count.get(q, 0) + 1
+        d = {q: 2 * first[q] + count[q] - 1 for q in count}  # 2*avg rank
+        n_a = sum(1 for _, ia in vals if ia)
+        r2_a = sum(d[q] for q, ia in vals if ia)  # 2*R_A
+        u2_a = r2_a - n_a * (n_a + 1)
+        r = got[flag]
+        assert r["n_a"] == n_a
+        assert r["u2_a"] == u2_a, flag
+        assert r["u2_a"] + r["u2_b"] == 2 * r["n_a"] * r["n_b"]
+
+
+def test_kendall_pair_counts_partition_all_pairs(spark):
+    """C + D + tx + ty + txy covers every month pair exactly once."""
+    sf = SFS[1]
+    rows = STAGED["x170_kendall_tau"].spark(spark, sf).collect()
+    n_months = {
+        r[0]: r[1]
+        for r in duckdb.sql(
+            f"""
+            SELECT c_nationkey, count(*) FROM (
+                SELECT c.c_nationkey,
+                       date_trunc('month', o.o_orderdate) AS mon
+                FROM '{sf}/orders.parquet' o
+                JOIN '{sf}/customer.parquet' c
+                  ON o.o_custkey = c.c_custkey
+                GROUP BY 1, 2
+            ) GROUP BY 1
+            """
+        ).fetchall()
+    }
+    for r in rows:
+        n = n_months[r["nkey"]]
+        total = (
+            r["concordant"]
+            + r["discordant"]
+            + r["ties_x"]
+            + r["ties_y"]
+            + r["ties_xy"]
+        )
+        assert total == n * (n - 1) // 2, r["nkey"]
+        assert -1.0 <= r["tau_b"] <= 1.0
+
+
+def test_acf_lag0_identity_and_range(spark):
+    """den is exactly sum(e^2) (brute-forced) and |acf| <= 1 for
+    every emitted lag."""
+    sf = SFS[1]
+    rows = STAGED["x171_acf_lags"].spark(spark, sf).collect()
+    series = {}
+    for nkey, ykd in duckdb.sql(
+        f"""
+        SELECT c.c_nationkey,
+               SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) // 100000
+        FROM '{sf}/orders.parquet' o
+        JOIN '{sf}/customer.parquet' c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey, date_trunc('month', o.o_orderdate)
+        ORDER BY c.c_nationkey, date_trunc('month', o.o_orderdate)
+        """
+    ).fetchall():
+        series.setdefault(nkey, []).append(ykd)
+    for r in rows:
+        ys = series[r["nkey"]]
+        n, s = len(ys), sum(ys)
+        den = sum((n * y - s) ** 2 for y in ys)
+        assert r["den"] == den, r["nkey"]
+        k = r["lag_k"]
+        num = sum(
+            (n * ys[t] - s) * (n * ys[t - k] - s)
+            for t in range(k, len(ys))
+        )
+        assert r["num"] == num, (r["nkey"], k)
+        # Cauchy-Schwarz on the truncated sum can exceed 1 slightly in
+        # theory only when the two windows differ; check the sane band.
+        assert abs(r["acf"]) <= 1.05
+
+
+def test_bfs_hops_matches_python_bfs(spark):
+    """Hop sets equal a literal Python BFS over the co-order graph."""
+    sf = SFS[0]
+    adj: dict[int, set[int]] = {}
+    order_parts: dict[int, list[int]] = {}
+    for ok, pk in duckdb.sql(
+        f"SELECT l_orderkey, l_partkey FROM '{sf}/lineitem.parquet'"
+    ).fetchall():
+        order_parts.setdefault(ok, []).append(pk)
+    for parts in order_parts.values():
+        for x in parts:
+            for y in parts:
+                if x != y:
+                    adj.setdefault(x, set()).add(y)
+    cnt: dict[int, int] = {}
+    for parts in order_parts.values():
+        for x in parts:
+            cnt[x] = cnt.get(x, 0) + 1
+    seeds = set(
+        pk
+        for pk, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    )
+    h1 = set()
+    for s in seeds:
+        h1 |= adj.get(s, set())
+    h1 -= seeds
+    h2 = set()
+    for s in h1:
+        h2 |= adj.get(s, set())
+    h2 -= seeds | h1
+    got = {
+        r["hop"]: r for r in STAGED["x172_bfs_hops"].spark(spark, sf).collect()
+    }
+    for hop, want in ((0, seeds), (1, h1), (2, h2)):
+        assert got[hop]["n_parts"] == len(want), hop
+        assert got[hop]["sum_partkey"] == sum(want), hop
+
+
+def test_weighted_median_bruteforce(spark):
+    """The emitted price is the exact lower weighted median."""
+    sf = SFS[0]
+    data: dict[str, list[tuple[int, int]]] = {}
+    for brand, cents, w in duckdb.sql(
+        f"""
+        SELECT p.p_brand, CAST(round(l.l_extendedprice * 100) AS BIGINT),
+               CAST(l.l_quantity AS BIGINT)
+        FROM '{sf}/lineitem.parquet' l
+        JOIN '{sf}/part.parquet' p ON l.l_partkey = p.p_partkey
+        """
+    ).fetchall():
+        data.setdefault(brand, []).append((cents, w))
+    got = {
+        r["brand"]: r
+        for r in STAGED["x173_weighted_median"].spark(spark, sf).collect()
+    }
+    for brand, vals in data.items():
+        vals.sort()
+        tot = sum(w for _, w in vals)
+        cum = 0
+        med = None
+        for cents, w in vals:
+            cum += w
+            if 2 * cum >= tot:
+                med = cents
+                break
+        assert got[brand]["total_weight"] == tot
+        assert got[brand]["wmedian_cents"] == med, brand
+
+
+def test_u_attribution_books_balance(spark):
+    """Every purchase distributes exactly 1000 milli-credits: the
+    grand total equals 1000 * n_purchases, penny-exactly."""
+    sf = SFS[1]
+    rows = STAGED["x174_u_attribution"].spark(spark, sf).collect()
+    total = sum(r["milli_credits"] for r in rows)
+    n_purch = duckdb.sql(
+        f"""SELECT count(*) FROM '{sf}/events.parquet'
+            WHERE event_type = 'purchase'"""
+    ).fetchone()[0]
+    assert total == 1000 * n_purch
+    assert all(r["milli_credits"] > 0 for r in rows)
+
+
+def test_cluster_quality_centroid_is_own_nearest(spark):
+    """Separation is positive and intra cohesion per member is below
+    the squared distance to the nearest OTHER centroid whenever the
+    labels are genuinely clustered; at minimum the invariants hold:
+    sep_ss > 0, nearest_label != label, intra_ss >= 0."""
+    sf = SFS[1]
+    rows = STAGED["x175_cluster_quality"].spark(spark, sf).collect()
+    labels = {r["label"] for r in rows}
+    for r in rows:
+        assert r["sep_ss"] > 0
+        assert r["nearest_label"] in labels
+        assert r["nearest_label"] != r["label"]
+        assert r["intra_ss"] >= 0.0
+        assert r["n"] > 0
