@@ -32,6 +32,35 @@ surface — the reference is Airflow DAGs + ClickHouse SQL).
   N-cleared covariance products (N*x_t - S)(N*x_{t-k} - S) inside
   BIGINT through the 100x sweep; ACF emitted as exact num/den plus
   one IEEE divide.
+* ``x172_bfs_hops`` — bounded BFS (hops 0/1/2) from the 5 most-
+  ordered parts over the co-order graph: per-round broadcast
+  semi-join frontier expansion, edge list linear in lineitem
+  (within-order fan-out bounded), unrolled so the oracle is plain
+  CTEs.
+* ``x173_weighted_median`` — exact quantity-weighted median price
+  per brand via value-level aggregation + one cumulative-weight
+  window; 2*cumw >= W avoids the W/2 division.
+* ``x174_u_attribution`` — U-shaped (40/20/40) multi-touch
+  attribution with the middle share penny-allocated largest-
+  remainder style; every journey sums to exactly 1000
+  milli-credits.
+* ``x175_cluster_quality`` — per-label cohesion vs nearest-other-
+  centroid separation over shift-quantized (nonnegative scale-6)
+  embeddings: integer centroids via floor division, exact BIGINT
+  separation, DECIMAL-exact cohesion cast once to DOUBLE.
+* ``x176_seq_brand_adoption`` — customers whose first brand-A month
+  strictly precedes their first brand-B month: the temporal
+  association miner, quadratic only over each customer's <= 25
+  brand rows.
+* ``x177_ann_recall_eval`` — recall@{1,5,10} of the x102 portable
+  SRP multiprobe candidates vs the exact cosine top-10, both
+  rankings engine-portable so the EVAL itself is hash-certified; a
+  lazy localCheckpoint on the ~24-byte/row score table keeps the
+  four-consumer DAG from re-inlining the 64-dim projection.
+* ``x178_stump_split`` — exact decision stump (best quantity
+  threshold predicting returns) by misclassification count:
+  min(pos, neg) per side keeps everything in BIGINT addition — no
+  Gini squared-count overflow cliff at any scale.
 
 Hash-parity conventions as plans/queries.py: exact cents/BIGINT
 arithmetic, nonnegative-operand floor divisions only, decimal-exact
@@ -1050,4 +1079,463 @@ def x175_cluster_quality(spark, sf_dir):
         .join(sep, "label")
         .select("label", "n", "intra_ss", "nearest_label", "sep_ss")
         .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x176 — sequential brand adoption pairs (A before B) per customer
+# ---------------------------------------------------------------------------
+
+_SEQ_ORACLE = """
+WITH fm AS (
+    SELECT o.o_custkey AS cust, p.p_brand AS brand,
+           min(CAST(date_trunc('month', o.o_orderdate) AS DATE)) AS first_mon
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY o.o_custkey, p.p_brand
+),
+pairs AS (
+    SELECT a.brand AS brand_a, b.brand AS brand_b,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM fm a JOIN fm b
+      ON a.cust = b.cust AND a.brand <> b.brand
+     AND a.first_mon < b.first_mon
+    GROUP BY a.brand, b.brand
+)
+SELECT brand_a, brand_b, n_customers
+FROM pairs
+ORDER BY n_customers DESC, brand_a, brand_b
+LIMIT 20
+"""
+
+
+@_staged(
+    "x176_seq_brand_adoption",
+    "OP-G3/J2-ext",
+    "Sequential adoption pairs: for each ordered brand pair (A, B), "
+    "how many customers first bought brand A in a strictly earlier "
+    "month than their first brand-B purchase — the temporal "
+    "association signal (gateway products, upgrade paths) that "
+    "same-basket lift (x113) cannot see and event-level transitions "
+    "(x82) only see inside one session. Spark-first shape: the fact "
+    "tables collapse FIRST to the (customer, brand, first_month) "
+    "aggregate — bounded by customers x 25 brands, one map-side-"
+    "combinable shuffle — and the quadratic pair join runs per "
+    "customer over <= 25 rows (<= 600 pairs), never over orders. "
+    "Month granularity makes 'before' deterministic and "
+    "calendar-stable; ties (same first month) count for neither "
+    "direction. Exact BIGINT counts; top-20 with a total tie-break "
+    "compiles to TakeOrderedAndProject.",
+    _SEQ_ORACLE,
+)
+def x176_seq_brand_adoption(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    fm = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("p_brand").alias("brand"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("mon"),
+        )
+        .groupBy("cust", "brand")
+        .agg(F.min("mon").alias("first_mon"))
+    )
+    a = fm.select(
+        "cust", F.col("brand").alias("brand_a"), F.col("first_mon").alias("ma")
+    )
+    b = fm.select(
+        "cust", F.col("brand").alias("brand_b"), F.col("first_mon").alias("mb")
+    )
+    return (
+        a.join(b, "cust")
+        .filter(
+            (F.col("brand_a") != F.col("brand_b"))
+            & (F.col("ma") < F.col("mb"))
+        )
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+        .orderBy(F.desc("n_customers"), "brand_a", "brand_b")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# x177 — ANN recall@k eval: SRP multiprobe candidates vs exact top-k
+# ---------------------------------------------------------------------------
+
+
+def _x177_oracle() -> str:
+    from ravelytics_spark.plans.round20 import (
+        _SRP_PROBES_SQL,
+        _SRP_Q_VALUES_SQL,
+        _SRP_QNORM,
+        _SRP_SIGN_SQL,
+        _SRP_BITS,
+    )
+
+    return f"""
+WITH ex AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+           CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,12)) AS dx,
+           CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(9,6)) AS fx
+    FROM embeddings
+    WHERE len(embedding) = (SELECT max(len(embedding)) FROM embeddings)
+),
+sj AS (
+    SELECT ex.vec_id, j.j,
+           SUM(CASE WHEN {_SRP_SIGN_SQL} = 0 THEN ex.dx
+                    WHEN {_SRP_SIGN_SQL} = 1 THEN -ex.dx
+                    ELSE 0 END) AS s
+    FROM ex CROSS JOIN (SELECT unnest(range({_SRP_BITS})) AS j) j
+    GROUP BY ex.vec_id, j.j
+),
+code AS (
+    SELECT vec_id,
+           SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(j AS INT))
+                    ELSE 0 END) AS code
+    FROM sj GROUP BY vec_id
+),
+qv(i, q) AS (VALUES {_SRP_Q_VALUES_SQL}),
+dn AS (
+    SELECT ex.vec_id,
+           round(CAST(SUM(ex.dx * qv.q) AS DOUBLE) / {_SRP_QNORM!r}
+                 / sqrt(CAST(SUM(ex.fx * ex.fx) AS DOUBLE)), 6) AS cosine
+    FROM ex JOIN qv ON qv.i = ex.i
+    GROUP BY ex.vec_id
+),
+e10 AS (
+    SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id) AS rn
+    FROM dn ORDER BY cosine DESC, vec_id LIMIT 10
+),
+c10 AS (
+    SELECT dn.vec_id,
+           row_number() OVER (ORDER BY dn.cosine DESC, dn.vec_id) AS rn
+    FROM dn JOIN code ON code.vec_id = dn.vec_id
+    WHERE code.code IN ({_SRP_PROBES_SQL})
+    ORDER BY dn.cosine DESC, dn.vec_id LIMIT 10
+),
+ncand AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_candidates
+    FROM code WHERE code.code IN ({_SRP_PROBES_SQL})
+),
+ks(k) AS (VALUES (1), (5), (10)),
+hits AS (
+    SELECT ks.k,
+           CAST(COALESCE(SUM(CASE WHEN e10.rn <= ks.k AND c10.rn <= ks.k
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits
+    FROM ks LEFT JOIN e10 ON TRUE
+    LEFT JOIN c10 ON c10.vec_id = e10.vec_id
+    GROUP BY ks.k
+)
+SELECT CAST(hits.k AS BIGINT) AS k, hits.hits,
+       ncand.n_candidates,
+       CAST(hits.hits * 1000 // hits.k AS BIGINT) AS recall_milli
+FROM hits CROSS JOIN ncand
+ORDER BY k
+"""
+
+
+@_staged(
+    "x177_ann_recall_eval",
+    "OP-X3-ext",
+    "ANN quality eval, ORACLE-CERTIFIED end to end: recall@{1,5,10} "
+    "of the x102 portable SRP-LSH multiprobe candidate set against "
+    "the EXACT cosine top-10 for the same literal query — the "
+    "measurement loop every ANN deployment needs (an index you can't "
+    "score is an index you can't tune), here with both the exact and "
+    "the approximate rankings engine-portable (x102's fixed-point "
+    "projections, literal query vector, literal Hamming<=2 probe "
+    "set), so even the EVAL is hash-certified rather than trusted. "
+    "Plan shape: one scan computes each vector's exact score and its "
+    "8-bit SRP code; exact top-10 and candidate top-10 both compile "
+    "to TakeOrderedAndProject (no global window); the rank-overlap "
+    "join touches 10x10 rows. Emits per k: hits, candidate-set size, "
+    "and recall in exact milli-units (floor division, nonnegative "
+    "operands).",
+)
+def x177_ann_recall_eval(spark, sf_dir):
+    from ravelytics_spark.plans.round20 import (
+        _SRP_BITS,
+        _SRP_PROBES,
+        _SRP_Q,
+        _SRP_QNORM,
+        _srp_sign,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    row = e.agg(F.max(F.size("embedding")).alias("d")).first()
+    dims = row["d"] or 0
+    scale = 1_000_000_000_000
+    norm_scale = 1_000_000
+    elems = [
+        (F.element_at(vec, i + 1).cast("decimal(18,12)") * F.lit(scale))
+        .cast("long")
+        .alias(f"_e{i}")
+        for i in range(dims)
+    ]
+    felems = [
+        (F.element_at(vec, i + 1).cast("decimal(9,6)") * F.lit(norm_scale))
+        .cast("long")
+        .alias(f"_f{i}")
+        for i in range(dims)
+    ]
+    stage1 = e.filter(F.size("embedding") == dims).select(
+        "vec_id", *elems, *felems
+    )
+    # exact dot with the literal query (scale-12 longs x small ints);
+    # dims beyond the literal query's length contribute zero, matching
+    # the oracle's qv equi-join
+    dot = None
+    for i in range(min(dims, len(_SRP_Q))):
+        if _SRP_Q[i] == 0:
+            continue
+        term = F.col(f"_e{i}") * F.lit(_SRP_Q[i])
+        dot = term if dot is None else dot + term
+    nrm2 = None
+    for i in range(dims):
+        term = F.col(f"_f{i}") * F.col(f"_f{i}")
+        nrm2 = term if nrm2 is None else nrm2 + term
+    # SRP projection sums: sign-weighted scale-12 longs (x102 idiom)
+    code = None
+    for j in range(_SRP_BITS):
+        s = None
+        for i in range(dims):
+            sgn = _srp_sign(i, j)
+            if sgn == 0:
+                continue
+            term = F.col(f"_e{i}") * F.lit(sgn)
+            s = term if s is None else s + term
+        bit = F.when(s > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        code = bit if code is None else code + bit
+    # division ORDER mirrors the oracle exactly: (dot/1e12) is the
+    # correctly-rounded double of the exact rational (dot_long < 2^53),
+    # then / QNORM, then / sqrt(nrm2/1e12) — IEEE divides in the same
+    # sequence on the same doubles are bit-identical across engines
+    scored = stage1.select(
+        "vec_id",
+        F.round(
+            (dot.cast("double") / F.lit(float(scale)))
+            / F.lit(_SRP_QNORM)
+            / F.sqrt(nrm2.cast("double") / F.lit(float(norm_scale**2))),
+            6,
+        ).alias("cosine"),
+        code.cast("long").alias("code"),
+    )
+    # Lineage barrier (lazy — no action here): the eval has FOUR
+    # consumers of the score table (exact top-k, candidate top-k,
+    # candidate count, overlap join); without the barrier Catalyst
+    # re-inlines the 64-dim unrolled fixed-point projection into every
+    # branch and the optimizer tree blows the driver heap. The
+    # materialized form is ~24 bytes/row (id, cosine, code) — the
+    # x48-style build/serve split, here as score-once/eval-many.
+    scored = scored.localCheckpoint(eager=False)
+    probes = [int(c) for c in _SRP_PROBES]
+    cand = scored.filter(F.col("code").isin(probes))
+    w10 = Window.orderBy(F.desc("cosine"), "vec_id")
+    e10 = (
+        scored.orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+        .withColumn("rn", F.row_number().over(w10))
+        .select("vec_id", "rn")
+    )
+    c10 = (
+        cand.orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+        .withColumn("rn", F.row_number().over(w10))
+        .select(F.col("vec_id").alias("cid"), F.col("rn").alias("crn"))
+    )
+    ncand = cand.agg(F.count("*").cast("long").alias("n_candidates"))
+    ks = spark.range(1, 11).filter(F.col("id").isin([1, 5, 10])).select(
+        F.col("id").cast("long").alias("k")
+    )
+    overlap = e10.join(c10, e10.vec_id == F.col("cid"), "left")
+    hits = (
+        ks.crossJoin(F.broadcast(overlap))
+        .groupBy("k")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("rn") <= F.col("k"))
+                        & (F.col("crn") <= F.col("k")),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("hits")
+        )
+    )
+    return (
+        hits.crossJoin(F.broadcast(ncand))
+        .select(
+            "k",
+            "hits",
+            "n_candidates",
+            F.expr("CAST(hits * 1000 div k AS BIGINT)").alias(
+                "recall_milli"
+            ),
+        )
+        .orderBy("k")
+    )
+
+
+# x177's oracle is assembled lazily (it imports round20 literals);
+# attach it post-registration so the staged Query carries it.
+STAGED["x177_ann_recall_eval"] = Query(
+    "x177_ann_recall_eval",
+    STAGED["x177_ann_recall_eval"].op_id,
+    STAGED["x177_ann_recall_eval"].doc,
+    STAGED["x177_ann_recall_eval"].spark,
+    _x177_oracle(),
+)
+
+
+# ---------------------------------------------------------------------------
+# x178 — exact decision stump: best quantity split for return prediction
+# ---------------------------------------------------------------------------
+
+_STUMP_ORACLE = """
+WITH v AS (
+    SELECT CAST(l_quantity AS BIGINT) AS q,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS pos
+    FROM lineitem
+    GROUP BY CAST(l_quantity AS BIGINT)
+),
+tot AS (
+    SELECT SUM(n) AS nn, SUM(pos) AS np FROM v
+),
+c AS (
+    SELECT q AS threshold,
+           SUM(n) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS n_l,
+           SUM(pos) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS pos_l
+    FROM v
+),
+s AS (
+    SELECT c.threshold,
+           CAST(c.n_l AS BIGINT) AS n_l,
+           CAST(c.pos_l AS BIGINT) AS pos_l,
+           CAST(tot.nn - c.n_l AS BIGINT) AS n_r,
+           CAST(tot.np - c.pos_l AS BIGINT) AS pos_r,
+           CAST(least(c.pos_l, c.n_l - c.pos_l)
+                + least(tot.np - c.pos_l,
+                        (tot.nn - c.n_l) - (tot.np - c.pos_l))
+                AS BIGINT) AS errors
+    FROM c CROSS JOIN tot
+    WHERE c.n_l < tot.nn
+),
+best AS (
+    SELECT min(errors) AS me FROM s
+),
+best2 AS (
+    SELECT min(s.threshold) AS mt FROM s, best WHERE s.errors = best.me
+)
+SELECT s.threshold, s.n_l, s.pos_l, s.n_r, s.pos_r, s.errors,
+       CAST(CASE WHEN s.errors = best.me AND s.threshold = best2.mt
+            THEN 1 ELSE 0 END AS BIGINT) AS is_best
+FROM s CROSS JOIN best CROSS JOIN best2
+ORDER BY s.threshold
+"""
+
+
+@_staged(
+    "x178_stump_split",
+    "OP-G5/W4-ext",
+    "Exact decision stump over quantity predicting returns: for every "
+    "split threshold t, classify lines by q <= t vs q > t, predict "
+    "the majority class on each side, and count misclassifications — "
+    "the best split (min errors, lowest threshold on ties) is the "
+    "1-rule baseline every feature-screening pass starts from. "
+    "Misclassification count (min(pos, neg) per side) keeps the "
+    "whole computation in pure BIGINT addition — no squared-count "
+    "products, so unlike Gini there is NO overflow cliff at any "
+    "scale. The 50-value quantity domain collapses the scan to one "
+    "value-level hash-agg + a 50-row cumulative window; thresholds "
+    "with an empty right side are excluded identically in both "
+    "engines. Emits the full split table with the winner flagged.",
+    _STUMP_ORACLE,
+)
+def x178_stump_split(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    v = (
+        li.select(
+            F.col("l_quantity").cast("long").alias("q"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("p"),
+        )
+        .groupBy("q")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("p").cast("long").alias("pos"),
+        )
+    )
+    wc = Window.orderBy("q").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = v.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("pos").cast("long").alias("np"),
+    )
+    c = v.select(
+        F.col("q").alias("threshold"),
+        F.sum("n").over(wc).cast("long").alias("n_l"),
+        F.sum("pos").over(wc).cast("long").alias("pos_l"),
+    )
+    s = (
+        c.crossJoin(F.broadcast(tot))
+        .filter(F.col("n_l") < F.col("nn"))
+        .select(
+            "threshold",
+            "n_l",
+            "pos_l",
+            (F.col("nn") - F.col("n_l")).cast("long").alias("n_r"),
+            (F.col("np") - F.col("pos_l")).cast("long").alias("pos_r"),
+            (
+                F.least(F.col("pos_l"), F.col("n_l") - F.col("pos_l"))
+                + F.least(
+                    F.col("np") - F.col("pos_l"),
+                    (F.col("nn") - F.col("n_l"))
+                    - (F.col("np") - F.col("pos_l")),
+                )
+            )
+            .cast("long")
+            .alias("errors"),
+        )
+    )
+    wbest = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    s2 = s.withColumn("min_err", F.min("errors").over(wbest)).withColumn(
+        "best_thr",
+        F.min(
+            F.when(F.col("errors") == F.col("min_err"), F.col("threshold"))
+        ).over(wbest),
+    )
+    return (
+        s2.select(
+            "threshold",
+            "n_l",
+            "pos_l",
+            "n_r",
+            "pos_r",
+            "errors",
+            F.when(
+                (F.col("errors") == F.col("min_err"))
+                & (F.col("threshold") == F.col("best_thr")),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("is_best"),
+        )
+        .orderBy("threshold")
     )

