@@ -219,6 +219,11 @@ _SINGLE_PARTITION_OK = {
     "x152_eb_smoothed_rate": "global prior scalar (X, N) over the ~25-row brand aggregate: one partial row per partition, then broadcast",
     "x156_knee_point": "cumulative + endpoint/argmax scalars over the MONTH-level aggregate (x74/x77 aggregate-first idiom)",
     "x159_ks_drift": "grand-count scalar + broadcast value lattice (the x116 idiom); cumulative windows run over the sources x distinct-length grid",
+    # round-25 staged (registration lands round 7; inert until then).
+    "x172_bfs_hops": "three per-hop count/checksum scalars: each global agg combines one partial row per partition; frontier sets themselves stay distributed through the broadcast semi-joins",
+    "x174_u_attribution": "unattributed-bucket scalar (count over the anti-joined purchases): one partial row per partition, then a 1-row union with the per-type aggregate",
+    "x177_ann_recall_eval": "rank windows over two TakeOrdered(10) frames + candidate-count scalar — every SinglePartition input is <=10 rows or one partial row per partition",
+    "x178_stump_split": "min-error/argmin window over the <=50-row quantity-threshold frame (the value-domain aggregate-first idiom) + nn/np scalar broadcast",
 }
 
 
