@@ -61,6 +61,14 @@ surface — the reference is Airflow DAGs + ClickHouse SQL).
   threshold predicting returns) by misclassification count:
   min(pos, neg) per side keeps everything in BIGINT addition — no
   Gini squared-count overflow cliff at any scale.
+* ``x179_neardup_threshold_curve`` — pair/document counts at each
+  cosine cut 0.4..0.9 over the certified x107 SRP candidate pairs:
+  the dedup-tau tuning artifact, composed from already-certified
+  machinery so even the calibration is hash-checked.
+* ``x180_event_burstiness`` — Fano factor (variance/mean of daily
+  counts) per event type; days via epoch floor-division (engine
+  date casts diverge under non-UTC sessions, epoch arithmetic
+  cannot), variance cleared by N, one IEEE divide at the edge.
 
 Hash-parity conventions as plans/queries.py: exact cents/BIGINT
 arithmetic, nonnegative-operand floor divisions only, decimal-exact
@@ -1538,4 +1546,191 @@ def x178_stump_split(spark, sf_dir):
             .alias("is_best"),
         )
         .orderBy("threshold")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x179 — near-dup threshold calibration curve over certified SRP pairs
+# ---------------------------------------------------------------------------
+
+_TC_TAUS = [400, 500, 600, 700, 800, 900]  # milli-cosine thresholds
+
+
+def _x179_oracle() -> str:
+    from ravelytics_spark.plans.round20 import _ND_ORACLE
+
+    taus = ", ".join(f"({t})" for t in _TC_TAUS)
+    return f"""
+WITH nd_pairs AS ({_ND_ORACLE}),
+taus(tau_milli) AS (VALUES {taus}),
+j AS (
+    SELECT t.tau_milli, p.id_a, p.id_b
+    FROM taus t JOIN nd_pairs p
+      ON p.cosine >= CAST(t.tau_milli AS DOUBLE) / 1000.0
+),
+docs AS (
+    SELECT tau_milli, unnest([id_a, id_b]) AS id FROM j
+),
+agg AS (
+    SELECT j.tau_milli,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM j GROUP BY j.tau_milli
+),
+dagg AS (
+    SELECT tau_milli, CAST(count(DISTINCT id) AS BIGINT) AS n_docs
+    FROM docs GROUP BY tau_milli
+)
+SELECT CAST(t.tau_milli AS BIGINT) AS tau_milli,
+       COALESCE(agg.n_pairs, 0) AS n_pairs,
+       COALESCE(dagg.n_docs, 0) AS n_docs
+FROM taus t
+LEFT JOIN agg ON agg.tau_milli = t.tau_milli
+LEFT JOIN dagg ON dagg.tau_milli = t.tau_milli
+ORDER BY tau_milli
+"""
+
+
+@_staged(
+    "x179_neardup_threshold_curve",
+    "OP-X2/X3-ext",
+    "Near-dup threshold calibration curve: pair count and distinct "
+    "documents involved at each candidate cosine cut (0.4 .. 0.9) "
+    "over the x107 certified banded-SRP candidate pairs — the tuning "
+    "artifact every dedup deployment needs before committing a tau "
+    "(too low merges topical neighbors, too high leaves templated "
+    "spam; the curve's knee is the decision input, cf. x156). "
+    "Composes the already-certified x107 machinery unchanged: its "
+    "rounded-6 cosines are engine-identical doubles, so the literal "
+    "milli-threshold comparisons are deterministic in both engines; "
+    "zero-pair thresholds still emit (LEFT JOIN + coalesce). Scale: "
+    "the expensive part IS x107 (bucketed, never all-pairs); the "
+    "curve adds one broadcast non-equi join of 6 literal thresholds "
+    "against the (small) surviving pair set.",
+)
+def x179_neardup_threshold_curve(spark, sf_dir):
+    from ravelytics_spark.plans.queries import REGISTRY
+
+    pairs = REGISTRY["x107_embed_neardup_portable"].spark(spark, sf_dir)
+    taus = spark.createDataFrame(
+        [(t,) for t in _TC_TAUS], "tau_milli long"
+    )
+    j = taus.join(
+        F.broadcast(pairs),
+        F.col("cosine") >= F.col("tau_milli").cast("double") / 1000.0,
+        "left",
+    )
+    agg = j.groupBy("tau_milli").agg(
+        F.sum(F.when(F.col("id_a").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pairs")
+    )
+    docs = (
+        j.filter(F.col("id_a").isNotNull())
+        .select(
+            "tau_milli",
+            F.explode(F.array("id_a", "id_b")).alias("id"),
+        )
+        .groupBy("tau_milli")
+        .agg(F.count_distinct("id").cast("long").alias("n_docs"))
+    )
+    return (
+        agg.join(docs, "tau_milli", "left")
+        .select(
+            "tau_milli",
+            "n_pairs",
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias(
+                "n_docs"
+            ),
+        )
+        .orderBy("tau_milli")
+    )
+
+
+STAGED["x179_neardup_threshold_curve"] = Query(
+    "x179_neardup_threshold_curve",
+    STAGED["x179_neardup_threshold_curve"].op_id,
+    STAGED["x179_neardup_threshold_curve"].doc,
+    STAGED["x179_neardup_threshold_curve"].spark,
+    _x179_oracle(),
+)
+
+
+# ---------------------------------------------------------------------------
+# x180 — event burstiness (Fano factor of daily counts per type)
+# ---------------------------------------------------------------------------
+
+_BURST_ORACLE = """
+WITH d AS (
+    SELECT event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_id,
+           CAST(count(*) AS BIGINT) AS x
+    FROM events
+    GROUP BY event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400
+),
+s AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(SUM(x) AS BIGINT) AS tot,
+           CAST(SUM(x * x) AS BIGINT) AS sq
+    FROM d GROUP BY event_type
+)
+SELECT event_type, n_days, tot,
+       CAST(n_days * sq - tot * tot AS BIGINT) AS num,
+       CAST(n_days * tot AS BIGINT) AS den,
+       CASE WHEN n_days * tot = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(n_days * sq - tot * tot AS DOUBLE)
+                 / CAST(n_days * tot AS DOUBLE) END AS fano
+FROM s
+ORDER BY event_type
+"""
+
+
+@_staged(
+    "x180_event_burstiness",
+    "OP-G6/D1-ext",
+    "Burstiness (Fano factor: variance-to-mean ratio of daily counts) "
+    "per event type — the ingest-health fingerprint that separates "
+    "steady telemetry (Fano ~ 1, Poisson) from bursty/campaign "
+    "traffic and from upstream batching artifacts, the first thing "
+    "to check before alerting on volume anomalies. Portability: days "
+    "are epoch-second floor-divisions (nonnegative), NOT calendar "
+    "to_date() — engine date casts disagree under non-UTC session "
+    "timezones, epoch arithmetic cannot. Variance is cleared by N "
+    "(num = N*sum(x^2) - S^2, exact BIGINT at any scale since daily "
+    "counts are corpus/days sized), Fano is the one-IEEE-divide "
+    "convention with exact num/den riding along. Scale: one "
+    "map-side-combinable hash-agg to (type, day), one to type.",
+    _BURST_ORACLE,
+)
+def x180_event_burstiness(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            "event_type",
+            F.expr("unix_timestamp(ts) div 86400").alias("day_id"),
+        )
+        .groupBy("event_type", "day_id")
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    s = d.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("tot"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sq"),
+    )
+    num = (F.col("n_days") * F.col("sq") - F.col("tot") * F.col("tot")).cast(
+        "long"
+    )
+    den = (F.col("n_days") * F.col("tot")).cast("long")
+    return (
+        s.select(
+            "event_type",
+            "n_days",
+            "tot",
+            num.alias("num"),
+            den.alias("den"),
+            F.when(den == 0, F.lit(0.0))
+            .otherwise(num.cast("double") / den.cast("double"))
+            .alias("fano"),
+        )
+        .orderBy("event_type")
     )

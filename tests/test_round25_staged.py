@@ -348,3 +348,53 @@ def test_stump_split_bruteforce(spark):
     flagged = [r for r in rows if r["is_best"] == 1]
     assert len(flagged) == 1
     assert (flagged[0]["errors"], flagged[0]["threshold"]) == best
+
+
+def test_threshold_curve_monotone_and_anchored(spark):
+    """Pair counts are non-increasing in tau, and the 0.4 row equals
+    the full certified x107 pair count."""
+    sf = SFS[1]
+    from ravelytics_spark.plans.queries import REGISTRY
+
+    rows = (
+        STAGED["x179_neardup_threshold_curve"].spark(spark, sf).collect()
+    )
+    assert [r["tau_milli"] for r in rows] == [400, 500, 600, 700, 800, 900]
+    pair_counts = [r["n_pairs"] for r in rows]
+    assert pair_counts == sorted(pair_counts, reverse=True)
+    doc_counts = [r["n_docs"] for r in rows]
+    assert doc_counts == sorted(doc_counts, reverse=True)
+    n_x107 = (
+        REGISTRY["x107_embed_neardup_portable"].spark(spark, sf).count()
+    )
+    assert pair_counts[0] == n_x107
+    for r in rows:
+        assert r["n_docs"] <= 2 * r["n_pairs"]
+
+
+def test_burstiness_matches_bruteforce(spark):
+    """num/den equal a literal Python recount over epoch-floored
+    day buckets."""
+    sf = SFS[1]
+    rows = {
+        r["event_type"]: r
+        for r in STAGED["x180_event_burstiness"].spark(spark, sf).collect()
+    }
+    daily: dict[tuple[str, int], int] = {}
+    for et, day in duckdb.sql(
+        f"""
+        SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400
+        FROM '{sf}/events.parquet'
+        """
+    ).fetchall():
+        daily[(et, day)] = daily.get((et, day), 0) + 1
+    per_type: dict[str, list[int]] = {}
+    for (et, _), x in daily.items():
+        per_type.setdefault(et, []).append(x)
+    for et, xs in per_type.items():
+        n, s, sq = len(xs), sum(xs), sum(x * x for x in xs)
+        r = rows[et]
+        assert r["n_days"] == n
+        assert r["tot"] == s
+        assert r["num"] == n * sq - s * s
+        assert r["den"] == n * s
