@@ -69,6 +69,10 @@ surface — the reference is Airflow DAGs + ClickHouse SQL).
   counts) per event type; days via epoch floor-division (engine
   date casts diverge under non-UTC sessions, epoch arithmetic
   cannot), variance cleared by N, one IEEE divide at the edge.
+* ``x181_fk_integrity`` — referential-integrity audit over all six
+  declared FK edges: row/orphan counts per edge via left-anti
+  joins, orphan rate in exact ppm — the cross-table data-quality
+  gate beside xq's column rules.
 
 Hash-parity conventions as plans/queries.py: exact cents/BIGINT
 arithmetic, nonnegative-operand floor divisions only, decimal-exact
@@ -1734,3 +1738,144 @@ def x180_event_burstiness(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# x181 — referential-integrity audit across every FK edge
+# ---------------------------------------------------------------------------
+
+_FK_ORACLE = """
+WITH edges AS (
+    SELECT 'orders.o_custkey->customer' AS fk_edge,
+           (SELECT count(*) FROM orders) AS n_rows,
+           (SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM part p
+                               WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'supplier.s_nationkey->nation',
+           (SELECT count(*) FROM supplier),
+           (SELECT count(*) FROM supplier s
+             WHERE NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = s.s_nationkey))
+    UNION ALL
+    SELECT 'nation.n_regionkey->region',
+           (SELECT count(*) FROM nation),
+           (SELECT count(*) FROM nation n
+             WHERE NOT EXISTS (SELECT 1 FROM region r
+                               WHERE r.r_regionkey = n.n_regionkey))
+)
+SELECT fk_edge,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_orphans AS BIGINT) AS n_orphans,
+       CAST(CASE WHEN n_rows = 0 THEN 0
+                 ELSE n_orphans * 1000000 // n_rows END AS BIGINT)
+           AS orphan_ppm
+FROM edges
+ORDER BY fk_edge
+"""
+
+
+@_staged(
+    "x181_fk_integrity",
+    "OP-J4/G5-ext",
+    "Referential-integrity audit across every declared FK edge of the "
+    "warehouse (orders->customer, lineitem->orders, lineitem->part, "
+    "customer->nation, supplier->nation, nation->region): row count, "
+    "orphan count (child rows whose key has no parent), and orphan "
+    "rate in exact parts-per-million (floor division, nonnegative "
+    "operands) — the data-quality gate every ingest pipeline runs "
+    "before publishing a snapshot, and the first diagnostic when a "
+    "join 'loses' rows. Spark-first shape: each edge is ONE left-anti "
+    "join counted (broadcast for the dim-sized parents, shuffle-hash "
+    "for fact->fact), unioned into a six-row report; every global agg "
+    "combines one partial row per partition. Complements xq's "
+    "column-rule validation report with CROSS-TABLE rules.",
+    _FK_ORACLE,
+)
+def x181_fk_integrity(spark, sf_dir):
+    def edge(name, child, ckey, parent, pkey):
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(pkey)
+        orphans = c.join(
+            p, c[ckey] == p[pkey], "anti"
+        ).agg(F.count("*").cast("long").alias("n_orphans"))
+        total = c.agg(F.count("*").cast("long").alias("n_rows"))
+        return (
+            total.crossJoin(orphans)
+            .select(
+                F.lit(name).alias("fk_edge"),
+                "n_rows",
+                "n_orphans",
+                F.expr(
+                    "CAST(CASE WHEN n_rows = 0 THEN 0 "
+                    "ELSE n_orphans * 1000000 div n_rows END AS BIGINT)"
+                ).alias("orphan_ppm"),
+            )
+        )
+
+    edges = [
+        edge(
+            "orders.o_custkey->customer",
+            "orders",
+            "o_custkey",
+            "customer",
+            "c_custkey",
+        ),
+        edge(
+            "lineitem.l_orderkey->orders",
+            "lineitem",
+            "l_orderkey",
+            "orders",
+            "o_orderkey",
+        ),
+        edge(
+            "lineitem.l_partkey->part",
+            "lineitem",
+            "l_partkey",
+            "part",
+            "p_partkey",
+        ),
+        edge(
+            "customer.c_nationkey->nation",
+            "customer",
+            "c_nationkey",
+            "nation",
+            "n_nationkey",
+        ),
+        edge(
+            "supplier.s_nationkey->nation",
+            "supplier",
+            "s_nationkey",
+            "nation",
+            "n_nationkey",
+        ),
+        edge(
+            "nation.n_regionkey->region",
+            "nation",
+            "n_regionkey",
+            "region",
+            "r_regionkey",
+        ),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionAll(e)
+    return out.orderBy("fk_edge")

@@ -398,3 +398,45 @@ def test_burstiness_matches_bruteforce(spark):
         assert r["tot"] == s
         assert r["num"] == n * sq - s * s
         assert r["den"] == n * s
+
+
+def test_fk_integrity_edges_and_injected_orphans(spark, tmp_path):
+    """The generated warehouse is orphan-free on all six edges; a
+    corrupted copy (customers removed) is caught with the exact
+    orphan count."""
+    import shutil
+
+    sf = SFS[0]
+    rows = {
+        r["fk_edge"]: r
+        for r in STAGED["x181_fk_integrity"].spark(spark, sf).collect()
+    }
+    assert len(rows) == 6
+    assert all(r["n_orphans"] == 0 for r in rows.values())
+    assert all(r["orphan_ppm"] == 0 for r in rows.values())
+    # corrupt: drop half the customers, keep orders pointing at them
+    bad = tmp_path / "bad_sf"
+    bad.mkdir()
+    for t in (
+        "orders customer lineitem part supplier nation region".split()
+    ):
+        shutil.copy(f"{sf}/{t}.parquet", bad / f"{t}.parquet")
+    duckdb.sql(
+        f"""
+        COPY (SELECT * FROM '{sf}/customer.parquet'
+              WHERE c_custkey % 2 = 0)
+        TO '{bad}/customer.parquet' (FORMAT PARQUET)
+        """
+    )
+    n_orphan_orders = duckdb.sql(
+        f"""SELECT count(*) FROM '{sf}/orders.parquet'
+            WHERE o_custkey % 2 = 1"""
+    ).fetchone()[0]
+    got = {
+        r["fk_edge"]: r
+        for r in STAGED["x181_fk_integrity"].spark(spark, str(bad)).collect()
+    }
+    assert (
+        got["orders.o_custkey->customer"]["n_orphans"] == n_orphan_orders
+    )
+    assert got["lineitem.l_orderkey->orders"]["n_orphans"] == 0
