@@ -73,6 +73,11 @@ surface — the reference is Airflow DAGs + ClickHouse SQL).
   declared FK edges: row/orphan counts per edge via left-anti
   joins, orphan rate in exact ppm — the cross-table data-quality
   gate beside xq's column rules.
+* ``x182_power_sample_size`` — per-brand sample size per arm to
+  detect a 10% relative return-rate lift (alpha=0.05, power 80%):
+  the classical formula cleared to one exact BIGINT ceil-division
+  (the shared factor x cancelled — the uncancelled form overflowed
+  at the 100x sweep scale).
 
 Hash-parity conventions as plans/queries.py: exact cents/BIGINT
 arithmetic, nonnegative-operand floor divisions only, decimal-exact
@@ -1879,3 +1884,84 @@ def x181_fk_integrity(spark, sf_dir):
     for e in edges[1:]:
         out = out.unionAll(e)
     return out.orderBy("fk_edge")
+
+
+# ---------------------------------------------------------------------------
+# x182 — exact sample-size planning for the x160 two-proportion test
+# ---------------------------------------------------------------------------
+
+# (z_{alpha/2} + z_beta)^2 for alpha=0.05, power 80%:
+# (1.95996 + 0.84162)^2 = 7.84886... carried as the literal rational
+# 78489/10000 (floor at 1e-4 — a PLANNING constant, both engines use
+# the identical literal so the output is engine-exact by construction).
+_POW_Z2_NUM = 78489
+_POW_Z2_DEN = 10000
+
+_POW_ORACLE = f"""
+WITH g AS (
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS x
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+),
+ok AS (
+    SELECT * FROM g WHERE x > 0 AND 11 * x < 10 * n
+)
+SELECT p_brand, n, x,
+       CAST((
+            {_POW_Z2_NUM} * (210 * n - 221 * x)
+            + {_POW_Z2_DEN} * x - 1
+           ) // ({_POW_Z2_DEN} * x) AS BIGINT) AS required_n_per_arm
+FROM ok
+ORDER BY p_brand
+"""
+
+
+@_staged(
+    "x182_power_sample_size",
+    "OP-G5/G6-ext",
+    "Experiment planning, engine-exact: per brand, the sample size "
+    "per arm required to detect a 10% relative lift in return rate "
+    "at alpha=0.05 with 80% power — the companion every x160-style "
+    "significance test needs BEFORE launch (underpowered tests "
+    "produce exactly the flip-flopping dashboards they were meant to "
+    "prevent). The classical n = z2*(p1*q1 + p2*q2)/(p1-p2)^2 is all "
+    "rationals over the observed counts (p1 = x/n, p2 = 1.1*p1): "
+    "clearing denominators AND cancelling the shared factor x gives "
+    "required_n = ceil(z2_num * (210*n - 221*x) / (z2_den * x)) — "
+    "the uncancelled x^2 form would overflow BIGINT at the 100x "
+    "sweep (~1.7e19); after cancellation the product peaks ~4e13. "
+    "Exact BIGINT ceil-division with nonnegative operands (the "
+    "a+b-1 // b form; 221x < 210n follows from the 11x < 10n "
+    "filter), z2 carried as the literal rational 78489/10000. Brands "
+    "where the lifted rate would exceed 1 (11x >= 10n) or with zero "
+    "events are excluded identically. One fact-join hash-agg; the "
+    "planning layer is free once the counts exist.",
+    _POW_ORACLE,
+)
+def x182_power_sample_size(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    g = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+        )
+    )
+    ok = g.filter((F.col("x") > 0) & (11 * F.col("x") < 10 * F.col("n")))
+    return ok.select(
+        "p_brand",
+        "n",
+        "x",
+        F.expr(
+            f"CAST(({_POW_Z2_NUM} * (210 * n - 221 * x) "
+            f"+ {_POW_Z2_DEN} * x - 1) "
+            f"div ({_POW_Z2_DEN} * x) AS BIGINT)"
+        ).alias("required_n_per_arm"),
+    ).orderBy("p_brand")

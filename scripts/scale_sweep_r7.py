@@ -38,6 +38,10 @@ ENTRIES = [
     "x176_seq_brand_adoption",
     "x177_ann_recall_eval",
     "x178_stump_split",
+    "x179_neardup_threshold_curve",
+    "x180_event_burstiness",
+    "x181_fk_integrity",
+    "x182_power_sample_size",
 ]
 
 
@@ -67,6 +71,26 @@ def add_events(spark, factor: int) -> str:
     return out_dir
 
 
+def add_supplier(spark, factor: int) -> None:
+    out_dir = f"{WORK}/sf_{factor}x"
+    done = f"{out_dir}/.supplier_done"
+    if os.path.exists(done):
+        return
+    rep = spark.range(factor).select(F.col("id").alias("__rep"))
+    sup = spark.read.parquet(f"{SF_DIR}/supplier.parquet")
+    (
+        sup.crossJoin(F.broadcast(rep))
+        .withColumn(
+            "s_suppkey", F.col("s_suppkey") + F.col("__rep") * 10_000_000
+        )
+        .drop("__rep")
+        .repartition(max(2, factor // 2))
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/supplier.parquet")
+    )
+    open(done, "w").close()
+
+
 def main():
     factors = [int(a) for a in sys.argv[1:]] or [1, 10, 100]
     spark = get_spark(app_name="scale_sweep_r7")
@@ -78,6 +102,7 @@ def main():
     for factor in factors:
         d = build_dir(spark, factor)
         add_events(spark, factor)
+        add_supplier(spark, factor)
         print(f"-- {factor}x", flush=True)
         for name in ENTRIES:
             if only and name not in only:

@@ -440,3 +440,24 @@ def test_fk_integrity_edges_and_injected_orphans(spark, tmp_path):
         got["orders.o_custkey->customer"]["n_orphans"] == n_orphan_orders
     )
     assert got["lineitem.l_orderkey->orders"]["n_orphans"] == 0
+
+
+def test_power_sample_size_matches_float_formula(spark):
+    """Exact integer ceil matches the classical float formula to
+    within 2 (rounding of the z2 literal), and is >= it only through
+    the ceil."""
+    sf = SFS[1]
+    rows = STAGED["x182_power_sample_size"].spark(spark, sf).collect()
+    assert rows
+    for r in rows:
+        n, x = r["n"], r["x"]
+        p1 = x / n
+        p2 = 1.1 * p1
+        want = (
+            7.8489
+            * (p1 * (1 - p1) + p2 * (1 - p2))
+            / (p1 - p2) ** 2
+        )
+        got = r["required_n_per_arm"]
+        assert abs(got - want) < 2, (r["p_brand"], got, want)
+        assert 11 * x < 10 * n and x > 0
