@@ -78,6 +78,10 @@ surface — the reference is Airflow DAGs + ClickHouse SQL).
   the classical formula cleared to one exact BIGINT ceil-division
   (the shared factor x cancelled — the uncancelled form overflowed
   at the 100x sweep scale).
+* ``x183_join_key_skew`` — distinct/max/p99 key-frequency and
+  max-to-average skew per fact join key, with p99 rank-picked over
+  the frequency-of-frequency table so no sort ever sees keys — the
+  input to every salting/AQE-threshold decision.
 
 Hash-parity conventions as plans/queries.py: exact cents/BIGINT
 arithmetic, nonnegative-operand floor divisions only, decimal-exact
@@ -1965,3 +1969,109 @@ def x182_power_sample_size(spark, sf_dir):
             f"div ({_POW_Z2_DEN} * x) AS BIGINT)"
         ).alias("required_n_per_arm"),
     ).orderBy("p_brand")
+
+
+# ---------------------------------------------------------------------------
+# x183 — join-key skew report over the fact table's three join keys
+# ---------------------------------------------------------------------------
+
+
+def _skew_sql_one(col: str) -> str:
+    return f"""
+    SELECT '{col}' AS key_col,
+           CAST(SUM(f * nk) AS BIGINT) AS n_rows,
+           CAST(SUM(nk) AS BIGINT) AS n_distinct,
+           CAST(max(f) AS BIGINT) AS max_freq,
+           CAST(min(CASE WHEN 100 * cum_nk >= 99 * tot_nk THEN f END)
+                AS BIGINT) AS p99_freq,
+           CAST(max(f) * SUM(nk) * 1000 // SUM(f * nk) AS BIGINT)
+               AS skew_milli
+    FROM (
+        SELECT f, nk,
+               SUM(nk) OVER (ORDER BY f
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum_nk,
+               SUM(nk) OVER () AS tot_nk
+        FROM (
+            SELECT f, CAST(count(*) AS BIGINT) AS nk
+            FROM (
+                SELECT {col}, CAST(count(*) AS BIGINT) AS f
+                FROM lineitem GROUP BY {col}
+            ) GROUP BY f
+        )
+    )
+    """
+
+
+_SKEW_ORACLE = (
+    _skew_sql_one("l_orderkey")
+    + " UNION ALL "
+    + _skew_sql_one("l_partkey")
+    + " UNION ALL "
+    + _skew_sql_one("l_suppkey")
+    + " ORDER BY key_col"
+)
+
+
+@_staged(
+    "x183_join_key_skew",
+    "OP-G5/W4-ext",
+    "Join-key skew report for the fact table's three join keys "
+    "(orderkey / partkey / suppkey): distinct-key count, max and p99 "
+    "per-key frequency, and the max-to-average ratio in exact milli "
+    "units — the diagnostic a Spark operator reads BEFORE choosing "
+    "salting (x32/x33), AQE skew-join thresholds, or broadcast "
+    "strategy; a skew_milli of 1000 means perfectly uniform, and the "
+    "p99/max gap separates one hot key from broad skew. Scale shape: "
+    "the only fact-table pass is the per-key count (map-side "
+    "combinable); p99 is a rank-pick over the FREQUENCY-OF-FREQUENCY "
+    "table (a few hundred rows regardless of corpus size — the "
+    "x74/x77 aggregate-first idiom taken one level further), so no "
+    "global sort ever sees keys, let alone rows. All exact BIGINTs; "
+    "the ratio is a nonnegative floor division.",
+    _SKEW_ORACLE,
+)
+def x183_join_key_skew(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def one(col):
+        perkey = li.groupBy(col).agg(F.count("*").cast("long").alias("f"))
+        fof = perkey.groupBy("f").agg(
+            F.count("*").cast("long").alias("nk")
+        )
+        wc = Window.orderBy("f").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        wt = Window.orderBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        c = fof.select(
+            "f",
+            "nk",
+            F.sum("nk").over(wc).alias("cum_nk"),
+            F.sum("nk").over(wt).alias("tot_nk"),
+        )
+        return c.agg(
+            F.lit(col).alias("key_col"),
+            F.sum(F.col("f") * F.col("nk")).cast("long").alias("n_rows"),
+            F.sum("nk").cast("long").alias("n_distinct"),
+            F.max("f").cast("long").alias("max_freq"),
+            F.min(
+                F.when(
+                    100 * F.col("cum_nk") >= 99 * F.col("tot_nk"),
+                    F.col("f"),
+                )
+            )
+            .cast("long")
+            .alias("p99_freq"),
+            F.expr(
+                "CAST(max(f) * sum(nk) * 1000 div sum(f * nk) AS BIGINT)"
+            ).alias("skew_milli"),
+        )
+
+    return (
+        one("l_orderkey")
+        .unionAll(one("l_partkey"))
+        .unionAll(one("l_suppkey"))
+        .orderBy("key_col")
+    )

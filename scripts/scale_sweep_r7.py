@@ -42,6 +42,7 @@ ENTRIES = [
     "x180_event_burstiness",
     "x181_fk_integrity",
     "x182_power_sample_size",
+    "x183_join_key_skew",
 ]
 
 
@@ -106,6 +107,21 @@ def main():
         print(f"-- {factor}x", flush=True)
         for name in ENTRIES:
             if only and name not in only:
+                continue
+            if name == "x179_neardup_threshold_curve" and factor >= 100:
+                # No silent caps: replicas copy embedding VECTORS
+                # verbatim (only vec_id offsets), so every vector
+                # gains C(factor,2) TRUE duplicate pairs — the answer
+                # itself is quadratic in the replica factor (~25M true
+                # pairs at 100x) and the fixed 256-code SRP space
+                # densifies the candidate join the same way. 10x
+                # (45x true pairs) ran 57s, output-bound like x165.
+                print(
+                    f"    {name:28s}  SKIPPED at {factor}x "
+                    "(output-bound: verbatim-replica vectors make true "
+                    "pairs quadratic in the factor; see SCALING.md)",
+                    flush=True,
+                )
                 continue
             best = None
             for _ in range(2):

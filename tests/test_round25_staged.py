@@ -461,3 +461,39 @@ def test_power_sample_size_matches_float_formula(spark):
         got = r["required_n_per_arm"]
         assert abs(got - want) < 2, (r["p_brand"], got, want)
         assert 11 * x < 10 * n and x > 0
+
+
+def test_join_key_skew_bruteforce(spark):
+    """Distinct/max/p99 match a literal Python recount for all three
+    key columns."""
+    sf = SFS[0]
+    rows = {
+        r["key_col"]: r
+        for r in STAGED["x183_join_key_skew"].spark(spark, sf).collect()
+    }
+    assert set(rows) == {"l_orderkey", "l_partkey", "l_suppkey"}
+    for col, r in rows.items():
+        freqs = [
+            f
+            for (f,) in duckdb.sql(
+                f"""SELECT count(*) FROM '{sf}/lineitem.parquet'
+                    GROUP BY {col}"""
+            ).fetchall()
+        ]
+        freqs.sort()
+        d = len(freqs)
+        assert r["n_rows"] == sum(freqs)
+        assert r["n_distinct"] == d
+        assert r["max_freq"] == freqs[-1]
+        # p99: smallest f with cum distinct-keys >= 99% of D
+        cum = 0
+        p99 = None
+        from collections import Counter
+
+        for f, nk in sorted(Counter(freqs).items()):
+            cum += nk
+            if 100 * cum >= 99 * d:
+                p99 = f
+                break
+        assert r["p99_freq"] == p99, col
+        assert r["skew_milli"] == freqs[-1] * d * 1000 // sum(freqs)
