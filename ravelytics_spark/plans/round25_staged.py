@@ -82,6 +82,10 @@ surface — the reference is Airflow DAGs + ClickHouse SQL).
   max-to-average skew per fact join key, with p99 rank-picked over
   the frequency-of-frequency table so no sort ever sees keys — the
   input to every salting/AQE-threshold decision.
+* ``x184_dup_cluster_sizes`` — exact-dup cluster size distribution
+  (clusters / docs / exact ppm / keep-one removable count per
+  size): the before-action duplication audit behind every "dedup
+  saved N%" claim; 16-byte hashes cross the shuffle, not documents.
 
 Hash-parity conventions as plans/queries.py: exact cents/BIGINT
 arithmetic, nonnegative-operand floor divisions only, decimal-exact
@@ -2074,4 +2078,82 @@ def x183_join_key_skew(spark, sf_dir):
         .unionAll(one("l_partkey"))
         .unionAll(one("l_suppkey"))
         .orderBy("key_col")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x184 — exact-dup cluster size distribution (corpus duplication health)
+# ---------------------------------------------------------------------------
+
+_DUPDIST_ORACLE = """
+WITH cl AS (
+    SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS sz
+    FROM documents GROUP BY md5(text)
+),
+dist AS (
+    SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters
+    FROM cl GROUP BY sz
+),
+tot AS (
+    SELECT SUM(sz * n_clusters) AS n_docs_total FROM dist
+)
+SELECT dist.sz AS cluster_size,
+       dist.n_clusters,
+       CAST(dist.sz * dist.n_clusters AS BIGINT) AS n_docs,
+       CAST(dist.sz * dist.n_clusters * 1000000 // tot.n_docs_total
+            AS BIGINT) AS corpus_ppm,
+       CAST(CASE WHEN dist.sz > 1
+                 THEN (dist.sz - 1) * dist.n_clusters ELSE 0 END
+            AS BIGINT) AS removable_docs
+FROM dist CROSS JOIN tot
+ORDER BY cluster_size
+"""
+
+
+@_staged(
+    "x184_dup_cluster_sizes",
+    "OP-X1/G5-ext",
+    "Exact-duplicate cluster size distribution over document text: "
+    "for each cluster size, how many clusters, how many documents "
+    "they hold (exact ppm of the corpus), and how many a keep-one "
+    "dedup would remove — the corpus-duplication health panel that "
+    "decides whether dedup is worth a pipeline stage at all, and the "
+    "denominator behind every 'dedup saved N%' claim (sum of "
+    "removable_docs / corpus). Distinct from x1 (which PERFORMS the "
+    "dedup) and x2 (near-dup): this is the before-action audit. "
+    "Shape: one md5-groupBy of the corpus (the 16-byte hash crosses "
+    "the shuffle, not documents), then frequency-of-frequency onto a "
+    "handful of rows; the total is a scalar broadcast. All exact "
+    "BIGINTs; ppm is a nonnegative floor division.",
+    _DUPDIST_ORACLE,
+)
+def x184_dup_cluster_sizes(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    cl = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.count("*").cast("long").alias("sz")
+    )
+    dist = cl.groupBy("sz").agg(
+        F.count("*").cast("long").alias("n_clusters")
+    )
+    tot = dist.agg(
+        F.sum(F.col("sz") * F.col("n_clusters")).alias("n_docs_total")
+    )
+    return (
+        dist.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("sz").alias("cluster_size"),
+            "n_clusters",
+            (F.col("sz") * F.col("n_clusters")).cast("long").alias("n_docs"),
+            F.expr(
+                "CAST(sz * n_clusters * 1000000 div n_docs_total AS BIGINT)"
+            ).alias("corpus_ppm"),
+            F.when(
+                F.col("sz") > 1,
+                (F.col("sz") - 1) * F.col("n_clusters"),
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("removable_docs"),
+        )
+        .orderBy("cluster_size")
     )

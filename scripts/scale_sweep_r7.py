@@ -43,6 +43,7 @@ ENTRIES = [
     "x181_fk_integrity",
     "x182_power_sample_size",
     "x183_join_key_skew",
+    "x184_dup_cluster_sizes",
 ]
 
 

@@ -226,6 +226,7 @@ _SINGLE_PARTITION_OK = {
     "x178_stump_split": "min-error/argmin window over the <=50-row quantity-threshold frame (the value-domain aggregate-first idiom) + nn/np scalar broadcast",
     "x181_fk_integrity": "six per-edge count scalars (rows + anti-join orphans): each global agg combines one partial row per partition into the 6-row report",
     "x183_join_key_skew": "rank-pick windows over the frequency-of-frequency frame (a few hundred rows at any corpus size) + three per-column report scalars",
+    "x184_dup_cluster_sizes": "corpus-total scalar over the frequency-of-frequency frame: one partial row per partition, then broadcast into the ppm ratio",
 }
 
 

@@ -497,3 +497,19 @@ def test_join_key_skew_bruteforce(spark):
                 break
         assert r["p99_freq"] == p99, col
         assert r["skew_milli"] == freqs[-1] * d * 1000 // sum(freqs)
+
+
+def test_dup_cluster_sizes_conservation(spark):
+    """Docs across all cluster sizes sum to the corpus; removable
+    equals corpus - distinct texts; ppm sums to ~1e6."""
+    sf = SFS[1]
+    rows = STAGED["x184_dup_cluster_sizes"].spark(spark, sf).collect()
+    n_total, n_distinct = duckdb.sql(
+        f"""SELECT count(*), count(DISTINCT md5(text))
+            FROM '{sf}/documents.parquet'"""
+    ).fetchone()
+    assert sum(r["n_docs"] for r in rows) == n_total
+    assert sum(r["n_clusters"] for r in rows) == n_distinct
+    assert sum(r["removable_docs"] for r in rows) == n_total - n_distinct
+    ppm = sum(r["corpus_ppm"] for r in rows)
+    assert 1_000_000 - len(rows) <= ppm <= 1_000_000
