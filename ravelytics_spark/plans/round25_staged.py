@@ -86,6 +86,9 @@ surface — the reference is Airflow DAGs + ClickHouse SQL).
   (clusters / docs / exact ppm / keep-one removable count per
   size): the before-action duplication audit behind every "dedup
   saved N%" claim; 16-byte hashes cross the shuffle, not documents.
+* ``x185_xyz_classes`` — XYZ demand-variability classes per brand:
+  the cv thresholds squared into pure integer N-cleared moment
+  compares (no sqrt), the inventory companion to x112's ABC.
 
 Hash-parity conventions as plans/queries.py: exact cents/BIGINT
 arithmetic, nonnegative-operand floor divisions only, decimal-exact
@@ -2156,4 +2159,107 @@ def x184_dup_cluster_sizes(spark, sf_dir):
             .alias("removable_docs"),
         )
         .orderBy("cluster_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x185 — XYZ demand-variability classes (exact cv^2 threshold compares)
+# ---------------------------------------------------------------------------
+
+_XYZ_ORACLE = """
+WITH m AS (
+    SELECT l.l_partkey AS pk,
+           CAST(date_trunc('month', l.l_shipdate) AS DATE) AS mon,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+    FROM lineitem l
+    GROUP BY l.l_partkey, CAST(date_trunc('month', l.l_shipdate) AS DATE)
+),
+s AS (
+    SELECT pk,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(q) AS BIGINT) AS tot,
+           CAST(SUM(q * q) AS BIGINT) AS sq
+    FROM m GROUP BY pk
+),
+cls AS (
+    SELECT s.pk, p.p_brand AS brand,
+           CASE WHEN 4 * (s.n * s.sq - s.tot * s.tot) < s.tot * s.tot
+                THEN 'X'
+                WHEN s.n * s.sq - s.tot * s.tot < s.tot * s.tot
+                THEN 'Y'
+                ELSE 'Z' END AS xyz
+    FROM s JOIN part p ON p.p_partkey = s.pk
+)
+SELECT brand,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(SUM(CASE WHEN xyz = 'X' THEN 1 ELSE 0 END) AS BIGINT) AS x_cnt,
+       CAST(SUM(CASE WHEN xyz = 'Y' THEN 1 ELSE 0 END) AS BIGINT) AS y_cnt,
+       CAST(SUM(CASE WHEN xyz = 'Z' THEN 1 ELSE 0 END) AS BIGINT) AS z_cnt
+FROM cls
+GROUP BY brand
+ORDER BY brand
+"""
+
+
+@_staged(
+    "x185_xyz_classes",
+    "OP-G6/C3-ext",
+    "XYZ demand-variability classification per part, rolled up per "
+    "brand — the inventory-planning companion to x112's ABC revenue "
+    "classes (X = steady demand, forecastable; Z = erratic, safety-"
+    "stock territory). The class boundary is the coefficient of "
+    "variation (cv < 0.5 -> X, < 1.0 -> Y), which normally means a "
+    "sqrt; squaring the thresholds instead gives pure integer "
+    "comparisons on the N-cleared moments: cv^2 = (N*sum(q^2) - "
+    "S^2)/S^2, so X is 4*(N*sq - S^2) < S^2 and Y is (N*sq - S^2) < "
+    "S^2 — exact BIGINT at any scale (monthly per-part quantities "
+    "are calendar-bounded sums). Shape: one fact hash-agg to part x "
+    "month, one to part, one dim join, one brand rollup — all "
+    "map-side combinable.",
+    _XYZ_ORACLE,
+)
+def x185_xyz_classes(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    m = (
+        li.select(
+            F.col("l_partkey").alias("pk"),
+            F.date_trunc("month", "l_shipdate").cast("date").alias("mon"),
+            F.col("l_quantity").cast("long").alias("lq"),
+        )
+        .groupBy("pk", "mon")
+        .agg(F.sum("lq").cast("long").alias("q"))
+    )
+    s = m.groupBy("pk").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("q").cast("long").alias("tot"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("sq"),
+    )
+    varnum = F.col("n") * F.col("sq") - F.col("tot") * F.col("tot")
+    s2 = F.col("tot") * F.col("tot")
+    cls = (
+        s.join(p, s.pk == p.p_partkey)
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.when(4 * varnum < s2, "X")
+            .when(varnum < s2, "Y")
+            .otherwise("Z")
+            .alias("xyz"),
+        )
+    )
+    return (
+        cls.groupBy("brand")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum(F.when(F.col("xyz") == "X", 1).otherwise(0))
+            .cast("long")
+            .alias("x_cnt"),
+            F.sum(F.when(F.col("xyz") == "Y", 1).otherwise(0))
+            .cast("long")
+            .alias("y_cnt"),
+            F.sum(F.when(F.col("xyz") == "Z", 1).otherwise(0))
+            .cast("long")
+            .alias("z_cnt"),
+        )
+        .orderBy("brand")
     )

@@ -44,6 +44,7 @@ ENTRIES = [
     "x182_power_sample_size",
     "x183_join_key_skew",
     "x184_dup_cluster_sizes",
+    "x185_xyz_classes",
 ]
 
 

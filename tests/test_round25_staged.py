@@ -513,3 +513,42 @@ def test_dup_cluster_sizes_conservation(spark):
     assert sum(r["removable_docs"] for r in rows) == n_total - n_distinct
     ppm = sum(r["corpus_ppm"] for r in rows)
     assert 1_000_000 - len(rows) <= ppm <= 1_000_000
+
+
+def test_xyz_classes_bruteforce(spark):
+    """Class assignment matches a float cv computation (the squared
+    integer compare is exactly cv<0.5 / cv<1.0), and counts conserve."""
+    sf = SFS[1]
+    rows = {
+        r["brand"]: r
+        for r in STAGED["x185_xyz_classes"].spark(spark, sf).collect()
+    }
+    series: dict[int, list[int]] = {}
+    for pk, q in duckdb.sql(
+        f"""
+        SELECT l_partkey, SUM(CAST(l_quantity AS BIGINT))
+        FROM '{sf}/lineitem.parquet'
+        GROUP BY l_partkey, date_trunc('month', l_shipdate)
+        """
+    ).fetchall():
+        series.setdefault(pk, []).append(q)
+    brand_of = dict(
+        duckdb.sql(
+            f"SELECT p_partkey, p_brand FROM '{sf}/part.parquet'"
+        ).fetchall()
+    )
+    want: dict[str, dict[str, int]] = {}
+    for pk, qs in series.items():
+        n, s, sq = len(qs), sum(qs), sum(q * q for q in qs)
+        varnum = n * sq - s * s
+        # exact integer compare == float cv compare (s > 0 always here)
+        cls = "X" if 4 * varnum < s * s else ("Y" if varnum < s * s else "Z")
+        b = brand_of[pk]
+        d = want.setdefault(b, {"X": 0, "Y": 0, "Z": 0})
+        d[cls] += 1
+    for b, d in want.items():
+        r = rows[b]
+        assert r["x_cnt"] == d["X"], b
+        assert r["y_cnt"] == d["Y"], b
+        assert r["z_cnt"] == d["Z"], b
+        assert r["n_parts"] == d["X"] + d["Y"] + d["Z"]
