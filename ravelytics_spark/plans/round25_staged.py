@@ -89,6 +89,10 @@ surface — the reference is Airflow DAGs + ClickHouse SQL).
 * ``x185_xyz_classes`` — XYZ demand-variability classes per brand:
   the cv thresholds squared into pure integer N-cleared moment
   compares (no sqrt), the inventory companion to x112's ABC.
+* ``x186_growth_accounting`` — per-period new / retained /
+  resurrected / churned-next user decomposition over calendar-free
+  30-day epoch periods; active = new + retained + resurrected holds
+  by construction.
 
 Hash-parity conventions as plans/queries.py: exact cents/BIGINT
 arithmetic, nonnegative-operand floor divisions only, decimal-exact
@@ -2262,4 +2266,127 @@ def x185_xyz_classes(spark, sf_dir):
             .alias("z_cnt"),
         )
         .orderBy("brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x186 — user growth accounting (new / retained / resurrected / churned)
+# ---------------------------------------------------------------------------
+
+_GROWTH_ORACLE = """
+WITH up AS (
+    SELECT DISTINCT user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) // 86400 // 30 AS p
+    FROM events
+),
+lagd AS (
+    SELECT user_id, p,
+           lag(p) OVER (PARTITION BY user_id ORDER BY p) AS prev_p,
+           min(p) OVER (PARTITION BY user_id) AS first_p
+    FROM up
+),
+flags AS (
+    SELECT p,
+           CASE WHEN p = first_p THEN 1 ELSE 0 END AS is_new,
+           CASE WHEN prev_p = p - 1 THEN 1 ELSE 0 END AS is_retained,
+           CASE WHEN p > first_p AND (prev_p IS NULL OR prev_p < p - 1)
+                THEN 1 ELSE 0 END AS is_resurrected
+    FROM lagd
+),
+per AS (
+    SELECT p,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(SUM(is_new) AS BIGINT) AS n_new,
+           CAST(SUM(is_retained) AS BIGINT) AS n_retained,
+           CAST(SUM(is_resurrected) AS BIGINT) AS n_resurrected
+    FROM flags GROUP BY p
+)
+SELECT a.p AS period,
+       a.n_active, a.n_new, a.n_retained, a.n_resurrected,
+       CAST(a.n_active - COALESCE(b.n_retained, 0) AS BIGINT)
+           AS n_churned_next
+FROM per a LEFT JOIN per b ON b.p = a.p + 1
+ORDER BY period
+"""
+
+
+@_staged(
+    "x186_growth_accounting",
+    "OP-W3/G3-ext",
+    "User growth accounting over the events stream: per 30-day epoch "
+    "period, active users split into new (first-ever period), "
+    "retained (also active the previous period), resurrected (active "
+    "before, but not the previous period), plus churned-next (active "
+    "now, not retained into the next period) — the DAU/MAU growth "
+    "decomposition (Reforge-style) that explains WHERE growth comes "
+    "from, which a plain active-user count cannot. Identity "
+    "active = new + retained + resurrected holds per period by "
+    "construction (tested). Periods are epoch-day floor-divisions "
+    "(calendar-free, timezone-proof — the x180 discipline); the only "
+    "corpus-sized steps are one DISTINCT (user, period) agg and "
+    "per-user lag windows over <= periods rows each. All exact "
+    "BIGINTs.",
+    _GROWTH_ORACLE,
+)
+def x186_growth_accounting(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    up = (
+        ev.select(
+            "user_id",
+            F.expr("unix_timestamp(ts) div 86400 div 30").alias("p"),
+        )
+        .distinct()
+    )
+    wU = Window.partitionBy("user_id").orderBy("p")
+    wAll = Window.partitionBy("user_id")
+    lagd = up.select(
+        "user_id",
+        "p",
+        F.lag("p").over(wU).alias("prev_p"),
+        F.min("p").over(wAll).alias("first_p"),
+    )
+    flags = lagd.select(
+        "p",
+        F.when(F.col("p") == F.col("first_p"), 1).otherwise(0).alias(
+            "is_new"
+        ),
+        F.when(F.col("prev_p") == F.col("p") - 1, 1)
+        .otherwise(0)
+        .alias("is_retained"),
+        F.when(
+            (F.col("p") > F.col("first_p"))
+            & (
+                F.col("prev_p").isNull()
+                | (F.col("prev_p") < F.col("p") - 1)
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_resurrected"),
+    )
+    per = flags.groupBy("p").agg(
+        F.count("*").cast("long").alias("n_active"),
+        F.sum("is_new").cast("long").alias("n_new"),
+        F.sum("is_retained").cast("long").alias("n_retained"),
+        F.sum("is_resurrected").cast("long").alias("n_resurrected"),
+    )
+    nxt = per.select(
+        (F.col("p") - 1).alias("p"),
+        F.col("n_retained").alias("next_retained"),
+    )
+    return (
+        per.join(nxt, "p", "left")
+        .select(
+            F.col("p").alias("period"),
+            "n_active",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            (
+                F.col("n_active") - F.coalesce(F.col("next_retained"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_churned_next"),
+        )
+        .orderBy("period")
     )

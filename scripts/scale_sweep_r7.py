@@ -45,6 +45,7 @@ ENTRIES = [
     "x183_join_key_skew",
     "x184_dup_cluster_sizes",
     "x185_xyz_classes",
+    "x186_growth_accounting",
 ]
 
 

@@ -552,3 +552,22 @@ def test_xyz_classes_bruteforce(spark):
         assert r["y_cnt"] == d["Y"], b
         assert r["z_cnt"] == d["Z"], b
         assert r["n_parts"] == d["X"] + d["Y"] + d["Z"]
+
+
+def test_growth_accounting_identity(spark):
+    """active = new + retained + resurrected per period; period-0
+    users are all new; churned_next of the last period equals its
+    actives."""
+    sf = SFS[1]
+    rows = sorted(
+        STAGED["x186_growth_accounting"].spark(spark, sf).collect(),
+        key=lambda r: r["period"],
+    )
+    assert rows
+    for r in rows:
+        assert (
+            r["n_active"]
+            == r["n_new"] + r["n_retained"] + r["n_resurrected"]
+        ), r["period"]
+    assert rows[0]["n_new"] == rows[0]["n_active"]
+    assert rows[-1]["n_churned_next"] == rows[-1]["n_active"]
