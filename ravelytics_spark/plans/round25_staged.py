@@ -93,6 +93,10 @@ surface — the reference is Airflow DAGs + ClickHouse SQL).
   resurrected / churned-next user decomposition over calendar-free
   30-day epoch periods; active = new + retained + resurrected holds
   by construction.
+* ``x187_session_paths`` — top first-4-step session journeys
+  ('view>click>purchase'), path strings made engine-identical by a
+  total per-session event order; the path-mining staple pairwise
+  transitions and fixed funnels both miss.
 
 Hash-parity conventions as plans/queries.py: exact cents/BIGINT
 arithmetic, nonnegative-operand floor divisions only, decimal-exact
@@ -2389,4 +2393,109 @@ def x186_growth_accounting(spark, sf_dir):
             .alias("n_churned_next"),
         )
         .orderBy("period")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x187 — top session journey paths (first 4 steps per gap session)
+# ---------------------------------------------------------------------------
+
+_PATHS_ORACLE = """
+WITH s AS (
+    SELECT user_id, event_id, ts, event_type,
+           CAST(sum(CASE WHEN gap_s IS NULL OR gap_s > 1800
+                         THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM (
+        SELECT user_id, event_id, ts, event_type,
+               date_diff('second',
+                         lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id),
+                         ts) AS gap_s
+        FROM events
+    )
+),
+paths AS (
+    SELECT user_id, session_id,
+           array_to_string(
+               (list(event_type ORDER BY ts, event_id))[1:4], '>'
+           ) AS path
+    FROM s
+    GROUP BY user_id, session_id
+)
+SELECT path,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN path LIKE '%purchase%' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_with_purchase
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 20
+"""
+
+
+@_staged(
+    "x187_session_paths",
+    "OP-W3/G2-ext",
+    "Top user journey paths: each 30-minute-gap session (the x6 "
+    "sessionize idiom) reduced to its first four event types joined "
+    "'a>b>c>d', counted across the corpus with a purchase-containing "
+    "flag — the path-mining staple behind 'what do users actually do "
+    "first' questions that pairwise transitions (x82) and fixed "
+    "funnels (x36) both miss, truncated at 4 steps so the path "
+    "alphabet stays bounded (<= |types|^4 distinct paths regardless "
+    "of corpus size). Determinism: the per-session event order is "
+    "total ((ts, event_id) inside an array_sort'ed struct on the "
+    "Spark side, ordered list() aggregation in DuckDB), so the path "
+    "STRINGS are engine-identical and hash-certifiable. Shape: lag + "
+    "running-sum windows per user, one (user, session) agg, one "
+    "path-level count, TakeOrdered(20).",
+    _PATHS_ORACLE,
+)
+def x187_session_paths(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    brk = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    s = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum(brk).over(wsum).cast("long").alias("session_id"),
+    )
+    paths = (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("ts", "event_id", "event_type")
+                            )
+                        ),
+                        lambda st: st.event_type,
+                    ),
+                    1,
+                    4,
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum(
+                F.when(F.col("path").contains("purchase"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_with_purchase"),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
     )

@@ -46,6 +46,7 @@ ENTRIES = [
     "x184_dup_cluster_sizes",
     "x185_xyz_classes",
     "x186_growth_accounting",
+    "x187_session_paths",
 ]
 
 

@@ -571,3 +571,38 @@ def test_growth_accounting_identity(spark):
         ), r["period"]
     assert rows[0]["n_new"] == rows[0]["n_active"]
     assert rows[-1]["n_churned_next"] == rows[-1]["n_active"]
+
+
+def test_session_paths_bruteforce(spark):
+    """Top-20 paths match a literal Python sessionize + truncate
+    recount."""
+    sf = SFS[0]
+    events: dict[int, list[tuple]] = {}
+    for uid, eid, ts, et in duckdb.sql(
+        f"""SELECT user_id, event_id, ts, event_type
+            FROM '{sf}/events.parquet' ORDER BY user_id, ts, event_id"""
+    ).fetchall():
+        events.setdefault(uid, []).append((ts, eid, et))
+    from collections import Counter
+
+    paths: Counter = Counter()
+    for uid, evs in events.items():
+        cur: list[str] = []
+        prev = None
+        for ts, eid, et in evs:
+            if prev is None or (ts - prev).total_seconds() > 1800:
+                if cur:
+                    paths[">".join(cur[:4])] += 1
+                cur = []
+            cur.append(et)
+            prev = ts
+        if cur:
+            paths[">".join(cur[:4])] += 1
+    want = sorted(
+        ((n, p) for p, n in paths.items()), key=lambda t: (-t[0], t[1])
+    )[:20]
+    got = [
+        (r["n_sessions"], r["path"])
+        for r in STAGED["x187_session_paths"].spark(spark, sf).collect()
+    ]
+    assert got == want
