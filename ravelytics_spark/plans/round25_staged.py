@@ -97,6 +97,10 @@ surface — the reference is Airflow DAGs + ClickHouse SQL).
   ('view>click>purchase'), path strings made engine-identical by a
   total per-session event order; the path-mining staple pairwise
   transitions and fixed funnels both miss.
+* ``x188_embedding_audit`` — the vector-pipeline admission gate:
+  null / wrong-dim / zero-vector counts, modal dimension, and exact
+  rank-picked p50/p90 of the integer squared norm (mixed-model-
+  version detector); corruption-injection tested.
 
 Hash-parity conventions as plans/queries.py: exact cents/BIGINT
 arithmetic, nonnegative-operand floor divisions only, decimal-exact
@@ -2499,3 +2503,167 @@ def x187_session_paths(spark, sf_dir):
         .orderBy(F.desc("n_sessions"), "path")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# x188 — embedding table quality audit (the vector-pipeline gate)
+# ---------------------------------------------------------------------------
+
+_EMB_AUDIT_ORACLE = """
+WITH base AS (
+    SELECT vec_id, embedding,
+           CASE WHEN embedding IS NULL THEN 1 ELSE 0 END AS is_null,
+           COALESCE(len(embedding), 0) AS dim
+    FROM embeddings
+),
+md AS (
+    SELECT CAST(max(dim) AS BIGINT) AS mode_dim FROM base
+),
+n2 AS (
+    SELECT b.vec_id,
+           CAST(COALESCE(SUM(q * q), 0) AS BIGINT) AS norm2
+    FROM base b
+    LEFT JOIN (
+        SELECT vec_id,
+               CAST(CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(9,6))
+                    * 1000000 AS BIGINT) AS q
+        FROM embeddings WHERE embedding IS NOT NULL
+    ) e ON e.vec_id = b.vec_id
+    GROUP BY b.vec_id
+),
+flags AS (
+    SELECT b.vec_id, b.is_null, b.dim, n2.norm2, md.mode_dim,
+           CASE WHEN b.is_null = 0 AND b.dim <> md.mode_dim
+                THEN 1 ELSE 0 END AS is_wrong_dim,
+           CASE WHEN b.is_null = 0 AND n2.norm2 = 0 THEN 1 ELSE 0 END
+               AS is_zero
+    FROM base b JOIN n2 ON n2.vec_id = b.vec_id CROSS JOIN md
+),
+ranked AS (
+    SELECT norm2,
+           row_number() OVER (ORDER BY norm2, vec_id) AS rn,
+           count(*) OVER () AS n_ok
+    FROM flags
+    WHERE is_null = 0 AND is_wrong_dim = 0 AND is_zero = 0
+)
+SELECT CAST((SELECT count(*) FROM flags) AS BIGINT) AS n_vectors,
+       CAST((SELECT SUM(is_null) FROM flags) AS BIGINT) AS n_null,
+       CAST((SELECT SUM(is_wrong_dim) FROM flags) AS BIGINT)
+           AS n_wrong_dim,
+       CAST((SELECT SUM(is_zero) FROM flags) AS BIGINT) AS n_zero,
+       CAST((SELECT max(mode_dim) FROM flags) AS BIGINT) AS mode_dim,
+       CAST((SELECT min(norm2) FROM ranked
+              WHERE 2 * rn >= n_ok) AS BIGINT) AS p50_norm2,
+       CAST((SELECT min(norm2) FROM ranked
+              WHERE 10 * rn >= 9 * n_ok) AS BIGINT) AS p90_norm2
+"""
+
+
+@_staged(
+    "x188_embedding_audit",
+    "OP-X3/G5-ext",
+    "Embedding table quality audit — the admission gate a vector "
+    "pipeline runs BEFORE building indexes (null vectors, "
+    "wrong-dimension rows and zero vectors each silently corrupt "
+    "cosine math downstream; x102/x107's dims filter assumes this "
+    "gate ran): counts of null / wrong-dim / all-zero vectors, the "
+    "modal dimension, and exact rank-picked p50/p90 of the scale-6 "
+    "fixed-point squared norm over the clean subset (integer norm2, "
+    "so the quantiles are engine-exact — no float norm, no sqrt; the "
+    "exact rank window over per-vector norm2 is the certifiable "
+    "form, and the documented true-scale swap is approx_percentile "
+    "over the same column — the x111/x118 percentile-threshold "
+    "convention). "
+    "The healthy-corpus signature is p50 ~ p90 (normalized "
+    "embeddings); a wide gap flags mixed model versions, THE classic "
+    "silent vector-store corruption. Complements x181 (FK edges) "
+    "and x79 (scalar columns) as the third data-quality panel. One "
+    "posexplode agg + one bounded rank window over norm2 values.",
+    _EMB_AUDIT_ORACLE,
+)
+def x188_embedding_audit(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        F.when(F.col("embedding").isNull(), 1).otherwise(0).alias(
+            "is_null"
+        ),
+        F.coalesce(F.size("embedding"), F.lit(0)).alias("dim"),
+    )
+    md = base.agg(F.max("dim").cast("long").alias("mode_dim"))
+    q6 = (
+        emb.filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            F.posexplode("embedding").alias("i", "x"),
+        )
+        .select(
+            "vec_id",
+            (
+                F.col("x").cast("double").cast("decimal(9,6)")
+                * F.lit(1_000_000)
+            )
+            .cast("long")
+            .alias("q"),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("q") * F.col("q")).cast("long").alias("norm2"))
+    )
+    flags = (
+        base.join(q6, "vec_id", "left")
+        .crossJoin(F.broadcast(md))
+        .select(
+            "vec_id",
+            "is_null",
+            "dim",
+            F.coalesce(F.col("norm2"), F.lit(0)).alias("norm2"),
+            "mode_dim",
+            F.when(
+                (F.col("is_null") == 0)
+                & (F.col("dim") != F.col("mode_dim")),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_wrong_dim"),
+            F.when(
+                (F.col("is_null") == 0)
+                & (F.coalesce(F.col("norm2"), F.lit(0)) == 0),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_zero"),
+        )
+    )
+    ok = flags.filter(
+        (F.col("is_null") == 0)
+        & (F.col("is_wrong_dim") == 0)
+        & (F.col("is_zero") == 0)
+    )
+    wr = Window.orderBy("norm2", "vec_id")
+    wall = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = ok.select(
+        "norm2",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wall).alias("n_ok"),
+    )
+    stats = flags.agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.sum("is_null").cast("long").alias("n_null"),
+        F.sum("is_wrong_dim").cast("long").alias("n_wrong_dim"),
+        F.sum("is_zero").cast("long").alias("n_zero"),
+        F.max("mode_dim").cast("long").alias("mode_dim"),
+    )
+    quant = ranked.agg(
+        F.min(F.when(2 * F.col("rn") >= F.col("n_ok"), F.col("norm2")))
+        .cast("long")
+        .alias("p50_norm2"),
+        F.min(
+            F.when(10 * F.col("rn") >= 9 * F.col("n_ok"), F.col("norm2"))
+        )
+        .cast("long")
+        .alias("p90_norm2"),
+    )
+    return stats.crossJoin(F.broadcast(quant))

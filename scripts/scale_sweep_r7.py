@@ -47,6 +47,7 @@ ENTRIES = [
     "x185_xyz_classes",
     "x186_growth_accounting",
     "x187_session_paths",
+    "x188_embedding_audit",
 ]
 
 

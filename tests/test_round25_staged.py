@@ -606,3 +606,42 @@ def test_session_paths_bruteforce(spark):
         for r in STAGED["x187_session_paths"].spark(spark, sf).collect()
     ]
     assert got == want
+
+
+def test_embedding_audit_clean_corpus_and_corruption(spark, tmp_path):
+    """The generated embeddings are clean (0 null/wrong-dim/zero);
+    a corrupted copy (nulls + truncated + zero vectors injected) is
+    counted exactly."""
+    sf = SFS[1]
+    row = STAGED["x188_embedding_audit"].spark(spark, sf).collect()[0]
+    assert row["n_null"] == 0
+    assert row["n_wrong_dim"] == 0
+    assert row["n_zero"] == 0
+    assert row["mode_dim"] == 64
+    assert 0 < row["p50_norm2"] <= row["p90_norm2"]
+    bad = tmp_path / "bad_emb"
+    bad.mkdir()
+    duckdb.sql(
+        f"""
+        COPY (
+            SELECT vec_id,
+                   CASE WHEN vec_id % 100 = 0 THEN NULL
+                        WHEN vec_id % 100 = 1 THEN embedding[1:32]
+                        WHEN vec_id % 100 = 2
+                        THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+                        ELSE embedding END AS embedding,
+                   label
+            FROM '{sf}/embeddings.parquet'
+        ) TO '{bad}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
+    n_null, n_trunc, n_zero = duckdb.sql(
+        f"""SELECT SUM(CASE WHEN vec_id % 100 = 0 THEN 1 ELSE 0 END),
+                   SUM(CASE WHEN vec_id % 100 = 1 THEN 1 ELSE 0 END),
+                   SUM(CASE WHEN vec_id % 100 = 2 THEN 1 ELSE 0 END)
+            FROM '{sf}/embeddings.parquet'"""
+    ).fetchone()
+    got = STAGED["x188_embedding_audit"].spark(spark, str(bad)).collect()[0]
+    assert got["n_null"] == n_null
+    assert got["n_wrong_dim"] == n_trunc
+    assert got["n_zero"] == n_zero
