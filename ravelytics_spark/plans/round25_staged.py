@@ -101,6 +101,10 @@ surface — the reference is Airflow DAGs + ClickHouse SQL).
   null / wrong-dim / zero-vector counts, modal dimension, and exact
   rank-picked p50/p90 of the integer squared norm (mixed-model-
   version detector); corruption-injection tested.
+* ``x189_seasonal_decomp`` — additive classical decomposition:
+  centered MA-12 scaled x24 into exact integers, per-calendar-month
+  seasonal sums with one IEEE divide — completes the forecasting
+  toolkit (Holt, ACF, MASE, conformal, seasonality index).
 
 Hash-parity conventions as plans/queries.py: exact cents/BIGINT
 arithmetic, nonnegative-operand floor divisions only, decimal-exact
@@ -2667,3 +2671,117 @@ def x188_embedding_audit(spark, sf_dir):
         .alias("p90_norm2"),
     )
     return stats.crossJoin(F.broadcast(quant))
+
+
+# ---------------------------------------------------------------------------
+# x189 — additive seasonal decomposition (centered MA-12, exact integers)
+# ---------------------------------------------------------------------------
+
+_DECOMP_ORACLE = """
+WITH m AS (
+    SELECT c.c_nationkey AS nkey,
+           CAST(date_trunc('month', o.o_orderdate) AS DATE) AS mon,
+           CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS y
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey, CAST(date_trunc('month', o.o_orderdate) AS DATE)
+),
+w AS (
+    SELECT nkey, mon, y,
+           CAST(month(mon) AS BIGINT) AS cal_month,
+           count(*) OVER win13 AS n13,
+           SUM(y) OVER win11 AS s11,
+           first_value(y) OVER win13 AS y_m6,
+           last_value(y) OVER win13 AS y_p6
+    FROM m
+    WINDOW win13 AS (PARTITION BY nkey ORDER BY mon
+                     ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING),
+           win11 AS (PARTITION BY nkey ORDER BY mon
+                     ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+),
+d AS (
+    SELECT nkey, cal_month,
+           24 * y - (2 * s11 + y_m6 + y_p6) AS dev
+    FROM w WHERE n13 = 13
+)
+SELECT nkey, cal_month,
+       CAST(count(*) AS BIGINT) AS n_obs,
+       CAST(SUM(dev) AS BIGINT) AS s_num,
+       CAST(24 * count(*) AS BIGINT) AS s_den,
+       CAST(SUM(dev) AS DOUBLE) / CAST(24 * count(*) AS DOUBLE)
+           AS seasonal_cents
+FROM d
+GROUP BY nkey, cal_month
+ORDER BY nkey, cal_month
+"""
+
+
+@_staged(
+    "x189_seasonal_decomp",
+    "OP-W3/G6-ext",
+    "Additive seasonal decomposition of monthly revenue per nation — "
+    "the classical-decomposition seasonal component that tells a "
+    "forecaster WHICH months structurally over/under-index before "
+    "any model is fit (completes the toolkit: x148 Holt level/trend, "
+    "x171 ACF, x120 multiplicative index, x158 MASE, x157 conformal). "
+    "The centered 12-month moving average (half weights on the +-6 "
+    "endpoints) normally forces floats; scaling by 24 makes it the "
+    "exact integer M_t = 2*sum_{-5..+5} y + y_{t-6} + y_{t+6}, so "
+    "the detrended deviation dev = 24*y_t - M_t and the per-calendar-"
+    "month seasonal sums are exact BIGINTs (peak ~2e14 at 100x — "
+    "documented headroom), with one IEEE divide at the edge for the "
+    "cents value. Incomplete 13-month windows are excluded exactly "
+    "(n13 = 13) in both engines. Windows partition per nation over "
+    "calendar-bounded frames; the fact table sees one hash-agg.",
+    _DECOMP_ORACLE,
+)
+def x189_seasonal_decomp(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    m = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_nationkey").alias("nkey"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("mon"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("nkey", "mon")
+        .agg(F.sum("cents").cast("long").alias("y"))
+    )
+    win13 = (
+        Window.partitionBy("nkey").orderBy("mon").rowsBetween(-6, 6)
+    )
+    win11 = (
+        Window.partitionBy("nkey").orderBy("mon").rowsBetween(-5, 5)
+    )
+    w = m.select(
+        "nkey",
+        "mon",
+        "y",
+        F.month("mon").cast("long").alias("cal_month"),
+        F.count("*").over(win13).alias("n13"),
+        F.sum("y").over(win11).alias("s11"),
+        F.first("y").over(win13).alias("y_m6"),
+        F.last("y").over(win13).alias("y_p6"),
+    )
+    d = w.filter(F.col("n13") == 13).select(
+        "nkey",
+        "cal_month",
+        (
+            24 * F.col("y")
+            - (2 * F.col("s11") + F.col("y_m6") + F.col("y_p6"))
+        ).alias("dev"),
+    )
+    return (
+        d.groupBy("nkey", "cal_month")
+        .agg(
+            F.count("*").cast("long").alias("n_obs"),
+            F.sum("dev").cast("long").alias("s_num"),
+            (24 * F.count("*")).cast("long").alias("s_den"),
+        )
+        .withColumn(
+            "seasonal_cents",
+            F.col("s_num").cast("double") / F.col("s_den").cast("double"),
+        )
+        .orderBy("nkey", "cal_month")
+    )

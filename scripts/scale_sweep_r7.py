@@ -48,6 +48,7 @@ ENTRIES = [
     "x186_growth_accounting",
     "x187_session_paths",
     "x188_embedding_audit",
+    "x189_seasonal_decomp",
 ]
 
 

@@ -645,3 +645,36 @@ def test_embedding_audit_clean_corpus_and_corruption(spark, tmp_path):
     assert got["n_null"] == n_null
     assert got["n_wrong_dim"] == n_trunc
     assert got["n_zero"] == n_zero
+
+
+def test_seasonal_decomp_bruteforce(spark):
+    """dev sums per (nation, calendar month) match a literal Python
+    centered-MA recount; seasonal components roughly balance."""
+    sf = SFS[1]
+    series: dict[int, list[tuple[str, int]]] = {}
+    for nkey, mon, y in duckdb.sql(
+        f"""
+        SELECT c.c_nationkey, CAST(date_trunc('month', o.o_orderdate) AS DATE),
+               SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+        FROM '{sf}/orders.parquet' o
+        JOIN '{sf}/customer.parquet' c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall():
+        series.setdefault(nkey, []).append((mon, y))
+    want: dict[tuple[int, int], list[int]] = {}
+    for nkey, pts in series.items():
+        ys = [y for _, y in pts]
+        for t in range(6, len(ys) - 6):
+            m24 = 2 * sum(ys[t - 5 : t + 6]) + ys[t - 6] + ys[t + 6]
+            dev = 24 * ys[t] - m24
+            cal = pts[t][0].month
+            want.setdefault((nkey, cal), []).append(dev)
+    got = {
+        (r["nkey"], r["cal_month"]): r
+        for r in STAGED["x189_seasonal_decomp"].spark(spark, sf).collect()
+    }
+    assert set(got) == set(want)
+    for k, devs in want.items():
+        assert got[k]["s_num"] == sum(devs), k
+        assert got[k]["n_obs"] == len(devs), k
