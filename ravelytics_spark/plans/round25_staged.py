@@ -1188,6 +1188,14 @@ def x176_seq_brand_adoption(spark, sf_dir):
         .groupBy("cust", "brand")
         .agg(F.min("mon").alias("first_mon"))
     )
+    # Pair generation deliberately stays a cust-keyed self-equi-join:
+    # the in-row alternative (collect_list + nested transform/filter
+    # HOFs exploding pairs map-side) was measured WORSE — 9.5 s vs
+    # 2.7 s at 10x, 91 s vs 28 s at 100x — because nested HOF lambdas
+    # run interpreted (~625 evals per customer) while the join + agg
+    # stay inside whole-stage codegen and AQE coalesces the one extra
+    # exchange. The fuzzy.py in-bucket-explode lesson does NOT
+    # transfer when the per-key fan-out is this small.
     a = fm.select(
         "cust", F.col("brand").alias("brand_a"), F.col("first_mon").alias("ma")
     )
