@@ -105,6 +105,14 @@ surface — the reference is Airflow DAGs + ClickHouse SQL).
   centered MA-12 scaled x24 into exact integers, per-calendar-month
   seasonal sums with one IEEE divide — completes the forecasting
   toolkit (Holt, ACF, MASE, conformal, seasonality index).
+* ``x190_rolling_market_corr`` — rolling 12-month nation-vs-market
+  revenue correlation ('market beta'): fixed window length makes
+  every cleared-denominator ingredient exact BIGINT; decoupling
+  shows up before level trends move.
+* ``x189_seasonal_decomp`` — additive classical decomposition:
+  centered MA-12 scaled x24 into exact integers, per-calendar-month
+  seasonal sums with one IEEE divide — completes the forecasting
+  toolkit (Holt, ACF, MASE, conformal, seasonality index).
 
 Hash-parity conventions as plans/queries.py: exact cents/BIGINT
 arithmetic, nonnegative-operand floor divisions only, decimal-exact
@@ -2792,4 +2800,120 @@ def x189_seasonal_decomp(spark, sf_dir):
             F.col("s_num").cast("double") / F.col("s_den").cast("double"),
         )
         .orderBy("nkey", "cal_month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x190 — rolling 12-month nation-vs-market revenue correlation
+# ---------------------------------------------------------------------------
+
+_RCORR_ORACLE = """
+WITH m AS (
+    SELECT c.c_nationkey AS nkey,
+           CAST(date_trunc('month', o.o_orderdate) AS DATE) AS mon,
+           CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT) // 100000 AS x
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey, CAST(date_trunc('month', o.o_orderdate) AS DATE)
+),
+mkt AS (
+    SELECT mon, CAST(SUM(x) AS BIGINT) AS y FROM m GROUP BY mon
+),
+j AS (
+    SELECT m.nkey, m.mon, m.x, mkt.y
+    FROM m JOIN mkt ON mkt.mon = m.mon
+),
+w AS (
+    SELECT nkey, mon,
+           count(*) OVER win AS n,
+           SUM(x) OVER win AS sx,
+           SUM(y) OVER win AS sy,
+           SUM(x * x) OVER win AS sxx,
+           SUM(y * y) OVER win AS syy,
+           SUM(x * y) OVER win AS sxy
+    FROM j
+    WINDOW win AS (PARTITION BY nkey ORDER BY mon
+                   ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+)
+SELECT nkey, mon,
+       CAST(12 * sxy - sx * sy AS BIGINT) AS num,
+       CAST(12 * sxx - sx * sx AS BIGINT) AS denx,
+       CAST(12 * syy - sy * sy AS BIGINT) AS deny,
+       CASE WHEN 12 * sxx - sx * sx = 0 OR 12 * syy - sy * sy = 0
+            THEN CAST(0 AS DOUBLE)
+            ELSE CAST(12 * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(12 * sxx - sx * sx AS DOUBLE)
+                        * CAST(12 * syy - sy * sy AS DOUBLE)) END
+           AS corr
+FROM w
+WHERE n = 12
+ORDER BY nkey, mon
+"""
+
+
+@_staged(
+    "x190_rolling_market_corr",
+    "OP-W4/G6-ext",
+    "Rolling 12-month correlation between each nation's monthly "
+    "revenue and the all-nations market total — the 'market beta' "
+    "coupling monitor: a nation whose rolling corr decays is "
+    "decoupling from the portfolio (local shock, channel shift) long "
+    "before its level trends show it. Exactness: with the window "
+    "length FIXED at 12, every cleared-denominator ingredient "
+    "(12*Sxy - Sx*Sy etc.) is an exact BIGINT over kilodollar-floored "
+    "sums (peak ~1.4e18 at 100x, inside the 9.2e18 ceiling — the "
+    "x171 unit discipline); incomplete leading windows are excluded "
+    "exactly (n = 12). One IEEE sqrt+divide at the edge with exact "
+    "num/denx/deny riding along. Shape: fact hash-agg to nation x "
+    "month, a month-keyed market rollup joined back, then fixed "
+    "12-row frames per nation.",
+    _RCORR_ORACLE,
+)
+def x190_rolling_market_corr(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    m = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_nationkey").alias("nkey"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("mon"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("nkey", "mon")
+        .agg(F.expr("sum(cents) div 100000").cast("long").alias("x"))
+    )
+    mkt = m.groupBy("mon").agg(F.sum("x").cast("long").alias("y"))
+    j = m.join(F.broadcast(mkt), "mon")
+    win = (
+        Window.partitionBy("nkey").orderBy("mon").rowsBetween(-11, 0)
+    )
+    w = j.select(
+        "nkey",
+        "mon",
+        F.count("*").over(win).alias("n"),
+        F.sum("x").over(win).alias("sx"),
+        F.sum("y").over(win).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(win).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(win).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(win).alias("sxy"),
+    )
+    num = (12 * F.col("sxy") - F.col("sx") * F.col("sy")).cast("long")
+    denx = (12 * F.col("sxx") - F.col("sx") * F.col("sx")).cast("long")
+    deny = (12 * F.col("syy") - F.col("sy") * F.col("sy")).cast("long")
+    return (
+        w.filter(F.col("n") == 12)
+        .select(
+            "nkey",
+            "mon",
+            num.alias("num"),
+            denx.alias("denx"),
+            deny.alias("deny"),
+            F.when((denx == 0) | (deny == 0), F.lit(0.0))
+            .otherwise(
+                num.cast("double")
+                / F.sqrt(denx.cast("double") * deny.cast("double"))
+            )
+            .alias("corr"),
+        )
+        .orderBy("nkey", "mon")
     )

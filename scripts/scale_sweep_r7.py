@@ -49,6 +49,7 @@ ENTRIES = [
     "x187_session_paths",
     "x188_embedding_audit",
     "x189_seasonal_decomp",
+    "x190_rolling_market_corr",
 ]
 
 

@@ -678,3 +678,43 @@ def test_seasonal_decomp_bruteforce(spark):
     for k, devs in want.items():
         assert got[k]["s_num"] == sum(devs), k
         assert got[k]["n_obs"] == len(devs), k
+
+
+def test_rolling_market_corr_bruteforce(spark):
+    """Window ingredients match a literal Python recount, |corr| <= 1,
+    and only complete 12-month windows are emitted."""
+    sf = SFS[1]
+    series: dict[int, list[tuple[str, int]]] = {}
+    for nkey, mon, x in duckdb.sql(
+        f"""
+        SELECT c.c_nationkey,
+               CAST(date_trunc('month', o.o_orderdate) AS DATE),
+               SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) // 100000
+        FROM '{sf}/orders.parquet' o
+        JOIN '{sf}/customer.parquet' c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall():
+        series.setdefault(nkey, []).append((str(mon), x))
+    mkt: dict[str, int] = {}
+    for pts in series.values():
+        for mon, x in pts:
+            mkt[mon] = mkt.get(mon, 0) + x
+    got = {
+        (r["nkey"], str(r["mon"])): r
+        for r in STAGED["x190_rolling_market_corr"].spark(spark, sf).collect()
+    }
+    n_expected = 0
+    for nkey, pts in series.items():
+        for t in range(11, len(pts)):
+            wnd = pts[t - 11 : t + 1]
+            xs = [x for _, x in wnd]
+            ys = [mkt[mon] for mon, _ in wnd]
+            num = 12 * sum(a * b for a, b in zip(xs, ys)) - sum(xs) * sum(
+                ys
+            )
+            r = got[(nkey, pts[t][0])]
+            assert r["num"] == num, (nkey, pts[t][0])
+            assert abs(r["corr"]) <= 1.0 + 1e-12
+            n_expected += 1
+    assert len(got) == n_expected
