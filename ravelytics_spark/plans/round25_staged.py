@@ -109,10 +109,6 @@ surface — the reference is Airflow DAGs + ClickHouse SQL).
   revenue correlation ('market beta'): fixed window length makes
   every cleared-denominator ingredient exact BIGINT; decoupling
   shows up before level trends move.
-* ``x189_seasonal_decomp`` — additive classical decomposition:
-  centered MA-12 scaled x24 into exact integers, per-calendar-month
-  seasonal sums with one IEEE divide — completes the forecasting
-  toolkit (Holt, ACF, MASE, conformal, seasonality index).
 
 Hash-parity conventions as plans/queries.py: exact cents/BIGINT
 arithmetic, nonnegative-operand floor divisions only, decimal-exact
