@@ -83,6 +83,17 @@ HEADLINE = [
     "x129_cohort_ltv",
     "x141_penny_allocation",
     "x143_qhist_portable",
+    # staged round-24/25 entries, pre-wired: the runner skips names
+    # not yet in REGISTRY, so these activate automatically when the
+    # round-7 registration lands (prefix-scan balance, winnowing
+    # substring dedup, bucketed applyInPandas sessions, bounded BFS,
+    # certified ANN recall eval, dup-size audit)
+    "x144_clamped_balance",
+    "x150_winnow_dup_spans",
+    "x164_capped_sessions",
+    "x172_bfs_hops",
+    "x177_ann_recall_eval",
+    "x184_dup_cluster_sizes",
 ]
 
 
