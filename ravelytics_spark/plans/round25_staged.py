@@ -2913,3 +2913,13 @@ def x190_rolling_market_corr(spark, sf_dir):
         )
         .orderBy("nkey", "mon")
     )
+
+
+# Round-7 registration (UNCOMMENT the two lines below + add
+# `from ravelytics_spark.plans import round25_staged as _round25  # noqa`
+# at the bottom of plans/queries.py; then flip
+# tests/test_round25_staged.py::test_round25_not_registered_yet to
+# assert the inverse). The staging contract: see module docstring.
+#
+# from ravelytics_spark.plans.queries import REGISTRY as _REGISTRY  # noqa: E402
+# _REGISTRY.update(STAGED)
