@@ -109,6 +109,11 @@ surface — the reference is Airflow DAGs + ClickHouse SQL).
   revenue correlation ('market beta'): fixed window length makes
   every cleared-denominator ingredient exact BIGINT; decoupling
   shows up before level trends move.
+* ``x191_apriori_triples`` — Apriori frequent brand triples with
+  REAL downward-closure pruning (P2 join P2 candidate generation,
+  third sub-pair semi-checked before any triple is counted),
+  relative minsup so the query is meaningful at every SF; prune
+  losslessness pinned against an unpruned recount.
 
 Hash-parity conventions as plans/queries.py: exact cents/BIGINT
 arithmetic, nonnegative-operand floor divisions only, decimal-exact
@@ -2923,3 +2928,143 @@ def x190_rolling_market_corr(spark, sf_dir):
 #
 # from ravelytics_spark.plans.queries import REGISTRY as _REGISTRY  # noqa: E402
 # _REGISTRY.update(STAGED)
+
+
+# ---------------------------------------------------------------------------
+# x191 — Apriori frequent brand triples (level-wise candidate pruning)
+# ---------------------------------------------------------------------------
+
+_APRIORI_ORACLE = """
+WITH ob AS (
+    SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+ms AS (
+    SELECT greatest(3, count(DISTINCT ok) // 200) AS minsup FROM ob
+),
+l1 AS (
+    SELECT b FROM ob CROSS JOIN ms
+    GROUP BY b, ms.minsup HAVING count(*) >= ms.minsup
+),
+ob1 AS (
+    SELECT ob.ok, ob.b FROM ob WHERE ob.b IN (SELECT b FROM l1)
+),
+p2 AS (
+    SELECT a.b AS ba, c.b AS bb
+    FROM ob1 a JOIN ob1 c ON a.ok = c.ok AND a.b < c.b
+    CROSS JOIN ms
+    GROUP BY a.b, c.b, ms.minsup HAVING count(*) >= ms.minsup
+),
+cand AS (
+    SELECT x.ba AS a, x.bb AS b, y.bb AS c
+    FROM p2 x JOIN p2 y ON x.bb = y.ba
+    WHERE EXISTS (SELECT 1 FROM p2 z
+                  WHERE z.ba = x.ba AND z.bb = y.bb)
+),
+tri AS (
+    SELECT t1.b AS a, t2.b AS b, t3.b AS c,
+           CAST(count(*) AS BIGINT) AS support
+    FROM ob1 t1
+    JOIN ob1 t2 ON t1.ok = t2.ok AND t1.b < t2.b
+    JOIN ob1 t3 ON t2.ok = t3.ok AND t2.b < t3.b
+    JOIN cand ON cand.a = t1.b AND cand.b = t2.b AND cand.c = t3.b
+    GROUP BY t1.b, t2.b, t3.b
+)
+SELECT a AS brand_a, b AS brand_b, c AS brand_c, support
+FROM tri CROSS JOIN ms
+WHERE support >= ms.minsup
+ORDER BY support DESC, brand_a, brand_b, brand_c
+LIMIT 20
+"""
+
+
+@_staged(
+    "x191_apriori_triples",
+    "OP-G3/J3-ext",
+    "Apriori frequent-triple mining over order baskets (brand level) "
+    "with REAL level-wise pruning — the association-rule workhorse "
+    "beyond x113's flat pairs: L1 keeps brands above minsup, P2 "
+    "keeps frequent pairs from L1-filtered baskets, and triple "
+    "CANDIDATES are generated as P2 join P2 on the shared middle "
+    "item with the third sub-pair checked via EXISTS/semi-join (the "
+    "downward-closure property: a triple can only be frequent if all "
+    "three sub-pairs are) BEFORE any triple is counted — at scale "
+    "this prune is what keeps level 3 from touching the "
+    "C(|items|,3) lattice. minsup is relative "
+    "(greatest(3, baskets DIV 200), integer floor, engine-identical) "
+    "so the same query is meaningful at every SF. Basket fan-out is "
+    "bounded (<= ~7 lines/order => <= 35 triples/order), so the "
+    "3-way self-join is linear in orders. Exact BIGINT supports, "
+    "total tie-break, TakeOrdered(20).",
+    _APRIORI_ORACLE,
+)
+def x191_apriori_triples(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    ms = ob.agg(
+        F.greatest(
+            F.lit(3), F.expr("count(DISTINCT ok) div 200")
+        ).cast("long").alias("minsup")
+    )
+    l1 = (
+        ob.groupBy("b")
+        .agg(F.count("*").alias("sup"))
+        .crossJoin(F.broadcast(ms))
+        .filter(F.col("sup") >= F.col("minsup"))
+        .select("b")
+    )
+    ob1 = ob.join(F.broadcast(l1), "b", "semi")
+    a1 = ob1.select("ok", F.col("b").alias("ba"))
+    a2 = ob1.select("ok", F.col("b").alias("bb"))
+    p2 = (
+        a1.join(a2, "ok")
+        .filter(F.col("ba") < F.col("bb"))
+        .groupBy("ba", "bb")
+        .agg(F.count("*").alias("sup"))
+        .crossJoin(F.broadcast(ms))
+        .filter(F.col("sup") >= F.col("minsup"))
+        .select("ba", "bb")
+    )
+    x = p2.select(F.col("ba").alias("a"), F.col("bb").alias("mid"))
+    y = p2.select(F.col("ba").alias("mid"), F.col("bb").alias("c"))
+    z = p2.select(F.col("ba").alias("a"), F.col("bb").alias("c"))
+    cand = (
+        x.join(y, "mid")
+        .join(z, ["a", "c"], "semi")
+        .select("a", F.col("mid").alias("b"), "c")
+    )
+    t1 = ob1.select("ok", F.col("b").alias("ta"))
+    t2 = ob1.select("ok", F.col("b").alias("tb"))
+    t3 = ob1.select("ok", F.col("b").alias("tc"))
+    tri = (
+        t1.join(t2, "ok")
+        .filter(F.col("ta") < F.col("tb"))
+        .join(t3, "ok")
+        .filter(F.col("tb") < F.col("tc"))
+        .join(
+            F.broadcast(cand),
+            (F.col("ta") == F.col("a"))
+            & (F.col("tb") == F.col("b"))
+            & (F.col("tc") == F.col("c")),
+            "semi",
+        )
+        .groupBy("ta", "tb", "tc")
+        .agg(F.count("*").cast("long").alias("support"))
+    )
+    return (
+        tri.crossJoin(F.broadcast(ms))
+        .filter(F.col("support") >= F.col("minsup"))
+        .select(
+            F.col("ta").alias("brand_a"),
+            F.col("tb").alias("brand_b"),
+            F.col("tc").alias("brand_c"),
+            "support",
+        )
+        .orderBy(F.desc("support"), "brand_a", "brand_b", "brand_c")
+        .limit(20)
+    )

@@ -50,6 +50,7 @@ ENTRIES = [
     "x188_embedding_audit",
     "x189_seasonal_decomp",
     "x190_rolling_market_corr",
+    "x191_apriori_triples",
 ]
 
 

@@ -228,6 +228,7 @@ _SINGLE_PARTITION_OK = {
     "x183_join_key_skew": "rank-pick windows over the frequency-of-frequency frame (a few hundred rows at any corpus size) + three per-column report scalars",
     "x184_dup_cluster_sizes": "corpus-total scalar over the frequency-of-frequency frame: one partial row per partition, then broadcast into the ppm ratio",
     "x188_embedding_audit": "exact norm2 rank window (the certifiable form; docstring names the approx_percentile swap at true scale — the x111/x118 convention) + report scalars",
+    "x191_apriori_triples": "relative-minsup scalar (baskets DIV 200): one partial row per partition, then broadcast into every level filter",
 }
 
 

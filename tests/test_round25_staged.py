@@ -718,3 +718,34 @@ def test_rolling_market_corr_bruteforce(spark):
             assert abs(r["corr"]) <= 1.0 + 1e-12
             n_expected += 1
     assert len(got) == n_expected
+
+
+def test_apriori_triples_bruteforce_and_prune_soundness(spark):
+    """Top-20 triples match an unpruned Python recount (the prune
+    must be LOSSLESS: downward closure can never drop a frequent
+    triple)."""
+    sf = SFS[0]
+    baskets: dict[int, set] = {}
+    for ok, b in duckdb.sql(
+        f"""SELECT DISTINCT l.l_orderkey, p.p_brand
+            FROM '{sf}/lineitem.parquet' l
+            JOIN '{sf}/part.parquet' p ON p.p_partkey = l.l_partkey"""
+    ).fetchall():
+        baskets.setdefault(ok, set()).add(b)
+    minsup = max(3, len(baskets) // 200)
+    from collections import Counter
+    from itertools import combinations
+
+    tri: Counter = Counter()
+    for items in baskets.values():
+        for combo in combinations(sorted(items), 3):
+            tri[combo] += 1
+    want = sorted(
+        ((n,) + combo for combo, n in tri.items() if n >= minsup),
+        key=lambda t: (-t[0], t[1], t[2], t[3]),
+    )[:20]
+    got = [
+        (r["support"], r["brand_a"], r["brand_b"], r["brand_c"])
+        for r in STAGED["x191_apriori_triples"].spark(spark, sf).collect()
+    ]
+    assert got == want
