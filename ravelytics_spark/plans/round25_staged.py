@@ -114,6 +114,11 @@ surface — the reference is Airflow DAGs + ClickHouse SQL).
   third sub-pair semi-checked before any triple is counted),
   relative minsup so the query is meaningful at every SF; prune
   losslessness pinned against an unpruned recount.
+* ``x192_compression_quality`` — DEFLATE compression-ratio quality
+  proxy per source (the DataComp/RedPajama entropy-proxy filter):
+  one Arrow-batched mapInPandas zlib pass, exact byte totals, ppm
+  ratio, repetitiveness floor count; harness entry (no DEFLATE in
+  DuckDB) with pytest-pinned byte lengths.
 
 Hash-parity conventions as plans/queries.py: exact cents/BIGINT
 arithmetic, nonnegative-operand floor divisions only, decimal-exact
@@ -3067,4 +3072,79 @@ def x191_apriori_triples(spark, sf_dir):
         )
         .orderBy(F.desc("support"), "brand_a", "brand_b", "brand_c")
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# x192 — compression-ratio quality proxy (zlib, Arrow-batched)
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "x192_compression_quality",
+    "OP-X4/X5-ext",
+    "Compression-ratio quality scoring per source: each document is "
+    "DEFLATE-compressed (zlib level 6) in Arrow batches and the "
+    "per-source aggregate reports exact byte totals, the compressed/"
+    "raw ratio in ppm, and how many documents fall under the "
+    "300-permille repetitiveness floor — the DataComp/RedPajama-style "
+    "entropy-proxy filter (highly compressible text is template spam "
+    "or boilerplate; near-incompressible is binary junk or "
+    "high-entropy noise) that complements the char-entropy (x49) and "
+    "repetition-score (x4) lexical signals with a whole-document "
+    "Kolmogorov proxy. HARNESS entry: DuckDB has no DEFLATE, so the "
+    "oracle is pytest-pinned byte lengths (zlib output is fully "
+    "deterministic for a fixed level) plus rows-only driver checks. "
+    "Spark shape: ONE mapInPandas pass (the only Python is the zlib "
+    "C call over Arrow-delivered batches), then a map-side-combinable "
+    "hash-agg — the multimodal decode-batch pattern applied to text.",
+)
+def x192_compression_quality(spark, sf_dir):
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def batch(it):
+        import zlib
+
+        for pdf in it:
+            raw = [
+                (t if isinstance(t, str) else "").encode("utf-8")
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "source": pdf["source"],
+                    "raw_len": [len(b) for b in raw],
+                    "comp_len": [
+                        len(zlib.compress(b, 6)) for b in raw
+                    ],
+                }
+            )
+
+    per = docs.select("source", "text").mapInPandas(
+        batch, "source string, raw_len long, comp_len long"
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("raw_len").cast("long").alias("raw_bytes"),
+            F.sum("comp_len").cast("long").alias("comp_bytes"),
+            F.sum(
+                F.when(
+                    1000 * F.col("comp_len") < 300 * F.col("raw_len"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_repetitive"),
+        )
+        .withColumn(
+            "ratio_ppm",
+            F.expr(
+                "CAST(CASE WHEN raw_bytes = 0 THEN 0 "
+                "ELSE comp_bytes * 1000000 div raw_bytes END AS BIGINT)"
+            ),
+        )
+        .orderBy("source")
     )

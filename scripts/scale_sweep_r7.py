@@ -51,6 +51,7 @@ ENTRIES = [
     "x189_seasonal_decomp",
     "x190_rolling_market_corr",
     "x191_apriori_triples",
+    "x192_compression_quality",
 ]
 
 

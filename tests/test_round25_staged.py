@@ -749,3 +749,52 @@ def test_apriori_triples_bruteforce_and_prune_soundness(spark):
         for r in STAGED["x191_apriori_triples"].spark(spark, sf).collect()
     ]
     assert got == want
+
+
+def test_compression_quality_pinned_zlib(spark, tmp_path):
+    """Byte totals match Python zlib exactly on a pinned corpus, and
+    a template-spam document trips the repetitiveness floor."""
+    import zlib
+
+    import pandas as pd
+
+    corpus = [
+        (1, "the quick brown fox jumps over the lazy dog " * 3, "a"),
+        (2, "spam " * 400, "a"),  # highly compressible template
+        (3, "x9$k!q2@z7#w4&v1*", "b"),  # short, incompressible-ish
+    ]
+    pd.DataFrame(
+        corpus, columns=["doc_id", "text", "source"]
+    ).to_parquet(tmp_path / "documents.parquet")
+    rows = {
+        r["source"]: r
+        for r in STAGED["x192_compression_quality"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    for src in ("a", "b"):
+        want_raw = sum(
+            len(t.encode()) for _, t, s in corpus if s == src
+        )
+        want_comp = sum(
+            len(zlib.compress(t.encode(), 6))
+            for _, t, s in corpus
+            if s == src
+        )
+        assert rows[src]["raw_bytes"] == want_raw
+        assert rows[src]["comp_bytes"] == want_comp
+        assert rows[src]["ratio_ppm"] == want_comp * 10**6 // want_raw
+    assert rows["a"]["n_repetitive"] == 1  # the spam doc
+    assert rows["b"]["n_repetitive"] == 0
+
+
+def test_compression_quality_corpus_sane(spark):
+    """Real corpus: every source compresses (ratio < 1e6) but none is
+    template-spam-level compressible."""
+    rows = (
+        STAGED["x192_compression_quality"].spark(spark, SFS[1]).collect()
+    )
+    assert rows
+    for r in rows:
+        assert 0 < r["ratio_ppm"] < 1_000_000
+        assert r["n_repetitive"] <= r["n_docs"]
