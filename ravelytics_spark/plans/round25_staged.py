@@ -119,6 +119,11 @@ surface — the reference is Airflow DAGs + ClickHouse SQL).
   one Arrow-batched mapInPandas zlib pass, exact byte totals, ppm
   ratio, repetitiveness floor count; harness entry (no DEFLATE in
   DuckDB) with pytest-pinned byte lengths.
+* ``x193_vocab_growth`` — Heaps-law saturation curve: vocabulary
+  attributed to its first document, rolled to corpus deciles with
+  cumulative vocab and exact novelty ppm — the stop-scaling-this-
+  source curation signal; conservation pinned against the corpus
+  distinct-token count.
 
 Hash-parity conventions as plans/queries.py: exact cents/BIGINT
 arithmetic, nonnegative-operand floor divisions only, decimal-exact
@@ -3147,4 +3152,124 @@ def x192_compression_quality(spark, sf_dir):
             ),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x193 — vocabulary growth by corpus decile (Heaps-law saturation)
+# ---------------------------------------------------------------------------
+
+_VOCAB_ORACLE = """
+WITH tok AS (
+    SELECT d.doc_id, unnest(string_split_regex(lower(d.text), '\\s+')) AS w
+    FROM documents d
+),
+tok2 AS (
+    SELECT doc_id, w FROM tok WHERE w <> ''
+),
+first_seen AS (
+    SELECT w, min(doc_id) AS first_doc FROM tok2 GROUP BY w
+),
+per_doc AS (
+    SELECT d.doc_id,
+           COALESCE(t.n_tokens, 0) AS n_tokens,
+           COALESCE(f.new_tokens, 0) AS new_tokens
+    FROM documents d
+    LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+               FROM tok2 GROUP BY doc_id) t ON t.doc_id = d.doc_id
+    LEFT JOIN (SELECT first_doc, CAST(count(*) AS BIGINT) AS new_tokens
+               FROM first_seen GROUP BY first_doc) f
+      ON f.first_doc = d.doc_id
+),
+dec AS (
+    SELECT ntile(10) OVER (ORDER BY doc_id) AS decile,
+           n_tokens, new_tokens
+    FROM per_doc
+),
+g AS (
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(new_tokens) AS BIGINT) AS new_tokens
+    FROM dec GROUP BY decile
+)
+SELECT CAST(decile AS BIGINT) AS decile, n_docs, n_tokens, new_tokens,
+       CAST(SUM(new_tokens) OVER (ORDER BY decile
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_vocab,
+       CAST(new_tokens * 1000000 // n_tokens AS BIGINT) AS novelty_ppm
+FROM g
+ORDER BY decile
+"""
+
+
+@_staged(
+    "x193_vocab_growth",
+    "OP-X4/W4-ext",
+    "Vocabulary growth by corpus decile — the Heaps-law saturation "
+    "curve that answers 'is more of this source still teaching the "
+    "model new words?': tokens are attributed to the FIRST document "
+    "(by doc_id) that contains them, documents are cut into ntile(10) "
+    "deciles of the doc_id order, and each decile reports docs, "
+    "token volume, newly-introduced vocabulary, the cumulative "
+    "vocabulary, and novelty in exact ppm (new/total tokens). A "
+    "flattening cum_vocab across deciles is the data-curation signal "
+    "to stop scaling this source and diversify (x60's n-gram novelty "
+    "at document grain, lifted to the corpus-curve view). Exactness: "
+    "min-doc attribution and all counts are integers; the ntile runs "
+    "over the DOC-level frame (one row per document — the "
+    "certifiable form; the documented true-scale swap is bucketing "
+    "by precomputed doc-count quantile boundaries, x111's "
+    "convention). Shape: one explode + token-min agg (map-side "
+    "combinable, tokens hashed across the shuffle), two doc-level "
+    "joins, a 10-row rollup.",
+    _VOCAB_ORACLE,
+)
+def x193_vocab_growth(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    first_seen = tok.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    n_tok = tok.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens")
+    )
+    new_tok = first_seen.groupBy("first_doc").agg(
+        F.count("*").cast("long").alias("new_tokens")
+    )
+    per_doc = (
+        docs.select("doc_id")
+        .join(n_tok, "doc_id", "left")
+        .join(new_tok, docs.doc_id == new_tok.first_doc, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.col("new_tokens"), F.lit(0)).alias("new_tokens"),
+        )
+    )
+    wd = Window.orderBy("doc_id")
+    dec = per_doc.select(
+        F.ntile(10).over(wd).alias("decile"), "n_tokens", "new_tokens"
+    )
+    g = dec.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("new_tokens").cast("long").alias("new_tokens"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        g.select(
+            "decile",
+            "n_docs",
+            "n_tokens",
+            "new_tokens",
+            F.sum("new_tokens").over(wc).cast("long").alias("cum_vocab"),
+            F.expr(
+                "CAST(new_tokens * 1000000 div n_tokens AS BIGINT)"
+            ).alias("novelty_ppm"),
+        )
+        .orderBy("decile")
     )

@@ -52,6 +52,7 @@ ENTRIES = [
     "x190_rolling_market_corr",
     "x191_apriori_triples",
     "x192_compression_quality",
+    "x193_vocab_growth",
 ]
 
 

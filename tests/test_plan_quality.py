@@ -229,6 +229,7 @@ _SINGLE_PARTITION_OK = {
     "x184_dup_cluster_sizes": "corpus-total scalar over the frequency-of-frequency frame: one partial row per partition, then broadcast into the ppm ratio",
     "x188_embedding_audit": "exact norm2 rank window (the certifiable form; docstring names the approx_percentile swap at true scale — the x111/x118 convention) + report scalars",
     "x191_apriori_triples": "relative-minsup scalar (baskets DIV 200): one partial row per partition, then broadcast into every level filter",
+    "x193_vocab_growth": "ntile over the one-row-per-document frame (the certifiable form; docstring names the quantile-boundary bucketing swap at true scale — x111 convention) + the 10-row cumulative rollup",
 }
 
 

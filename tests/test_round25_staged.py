@@ -798,3 +798,29 @@ def test_compression_quality_corpus_sane(spark):
     for r in rows:
         assert 0 < r["ratio_ppm"] < 1_000_000
         assert r["n_repetitive"] <= r["n_docs"]
+
+
+def test_vocab_growth_conservation_and_monotone(spark):
+    """cum_vocab is monotone, its final value equals the distinct
+    token count of the corpus, and token totals conserve."""
+    sf = SFS[1]
+    rows = sorted(
+        STAGED["x193_vocab_growth"].spark(spark, sf).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    n_vocab, n_tok = duckdb.sql(
+        f"""
+        SELECT count(DISTINCT w), count(*) FROM (
+            SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+            FROM '{sf}/documents.parquet'
+        ) WHERE w <> ''
+        """
+    ).fetchone()
+    cums = [r["cum_vocab"] for r in rows]
+    assert cums == sorted(cums)
+    assert cums[-1] == n_vocab
+    assert sum(r["new_tokens"] for r in rows) == n_vocab
+    assert sum(r["n_tokens"] for r in rows) == n_tok
+    # novelty must decay from the first to the last decile
+    assert rows[0]["novelty_ppm"] > rows[-1]["novelty_ppm"]
