@@ -824,3 +824,48 @@ def test_vocab_growth_conservation_and_monotone(spark):
     assert sum(r["n_tokens"] for r in rows) == n_tok
     # novelty must decay from the first to the last decile
     assert rows[0]["novelty_ppm"] > rows[-1]["novelty_ppm"]
+
+
+def test_mann_whitney_counting_identity_property():
+    """Pure-math property behind x168's plan: the value-level counting
+    form of 2U equals the rank-sum definition for arbitrary small
+    two-group multisets (hypothesis; no Spark)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(1, 8), st.booleans()),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def check(vals):
+        # counting form: 2U_A = sum_v a(v) * (2*cumB(<v) + b(v))
+        from collections import Counter
+
+        a_cnt = Counter(v for v, g in vals if g)
+        b_cnt = Counter(v for v, g in vals if not g)
+        u2_counting = 0
+        for v, a in a_cnt.items():
+            cumb_less = sum(b for w, b in b_cnt.items() if w < v)
+            u2_counting += a * (2 * cumb_less + b_cnt.get(v, 0))
+        # rank-sum form: 2U_A = 2R_A - n_a(n_a+1) with doubled avg ranks
+        qs = sorted(v for v, _ in vals)
+        first = {}
+        for i, q in enumerate(qs, start=1):
+            first.setdefault(q, i)
+        cnt = Counter(qs)
+        d = {q: 2 * first[q] + cnt[q] - 1 for q in cnt}
+        n_a = sum(1 for _, g in vals if g)
+        r2_a = sum(d[v] for v, g in vals if g)
+        u2_rank = r2_a - n_a * (n_a + 1)
+        assert u2_counting == u2_rank
+        # and the complement identity
+        n_b = len(vals) - n_a
+        u2_b = 2 * n_a * n_b - u2_counting
+        assert 0 <= u2_counting <= 2 * n_a * n_b or n_b == 0
+        assert u2_b >= 0 or n_b == 0
+
+    check()
