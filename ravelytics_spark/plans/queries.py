@@ -838,3 +838,10 @@ from ravelytics_spark.plans import round20 as _round20  # noqa: E402,F401
 from ravelytics_spark.plans import round21 as _round21  # noqa: E402,F401
 from ravelytics_spark.plans import round22 as _round22  # noqa: E402,F401
 from ravelytics_spark.plans import round23_staged as _round23  # noqa: E402,F401
+
+# Round-24/25 entries were STAGED in round 6 (the round-6 driver window
+# was fully booked certifying the round-4/5 backlog — same freeze
+# discipline as round18/round23); round 7 registers them. Each module
+# self-registers its STAGED dict into REGISTRY at import.
+from ravelytics_spark.plans import round24_staged as _round24  # noqa: E402,F401
+from ravelytics_spark.plans import round25_staged as _round25  # noqa: E402,F401

@@ -2899,11 +2899,9 @@ def x167_cdc_apply(spark, sf_dir):
     )
 
 
-# Round-7 registration (UNCOMMENT the two lines below + add
-# `from ravelytics_spark.plans import round24_staged as _round24  # noqa`
-# at the bottom of plans/queries.py, next to the round23 import; then
-# flip tests/test_round24_staged.py::test_round24_not_registered_yet
-# to assert the inverse). The staging contract: see module docstring.
-#
-# from ravelytics_spark.plans.queries import REGISTRY as _REGISTRY  # noqa: E402
-# _REGISTRY.update(STAGED)
+# Registered in round 7 (the round-6 certification window was
+# oversubscribed; CORRECTNESS_r06 cleared the backlog). The staging
+# contract: see module docstring.
+from ravelytics_spark.plans.queries import REGISTRY as _REGISTRY  # noqa: E402
+
+_REGISTRY.update(STAGED)

@@ -2930,14 +2930,9 @@ def x190_rolling_market_corr(spark, sf_dir):
     )
 
 
-# Round-7 registration (UNCOMMENT the two lines below + add
-# `from ravelytics_spark.plans import round25_staged as _round25  # noqa`
-# at the bottom of plans/queries.py; then flip
-# tests/test_round25_staged.py::test_round25_not_registered_yet to
-# assert the inverse). The staging contract: see module docstring.
-#
-# from ravelytics_spark.plans.queries import REGISTRY as _REGISTRY  # noqa: E402
-# _REGISTRY.update(STAGED)
+# Round-7 registration lives at the BOTTOM of this module (after the
+# last @_staged entry — x191-x193 are defined below this point, and a
+# mid-file REGISTRY.update would silently drop them).
 
 
 # ---------------------------------------------------------------------------
@@ -3273,3 +3268,12 @@ def x193_vocab_growth(spark, sf_dir):
         )
         .orderBy("decile")
     )
+
+
+# Registered in round 7 (the round-6 certification window was
+# oversubscribed; CORRECTNESS_r06 cleared the backlog). Placed after
+# the final @_staged entry so every x168-x193 definition above is in
+# STAGED before the update. The staging contract: see module docstring.
+from ravelytics_spark.plans.queries import REGISTRY as _REGISTRY  # noqa: E402
+
+_REGISTRY.update(STAGED)

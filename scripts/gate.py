@@ -3,6 +3,12 @@ contract (__spark_entry__) with DuckDB oracle comparison, in a fresh
 non-UTC session (the hostile-driver simulation).
 
     python scripts/gate.py [sf_dir]        # default /root/testdata/sf0.01
+    python scripts/gate.py --window 50     # only the first 50 entries of
+                                           # the driver's certification-
+                                           # priority order — predicts
+                                           # exactly which entries the
+                                           # next CORRECTNESS window will
+                                           # cover
 
 GATE_CORES / GATE_PARTITIONS env vars override the session's core and
 shuffle-partition counts (defaults 16/16). Running the gate a second
@@ -30,7 +36,13 @@ sys.path.insert(0, REPO)
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = sys.argv[1:]
+    window = None
+    if "--window" in argv:
+        i = argv.index("--window")
+        window = int(argv[i + 1])
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
 
     from pyspark.sql import SparkSession
 
@@ -62,6 +74,13 @@ def main() -> int:
 
     con = duckdb_connection(sf_dir)
     qs, osql = mod.queries(), mod.oracle_sql()
+    if window is not None:
+        kept = list(qs)[:window]
+        qs = {n: qs[n] for n in kept}
+        osql = {n: osql[n] for n in kept if n in osql}
+        print(f"window mode: first {len(qs)} of the driver order")
+        for n in kept:
+            print(f"  {n}" + ("" if n in osql else "  (harness, rows-only)"))
     print(f"entry rows: {mod.entry(spark).count()}; {len(qs)} queries, {len(osql)} oracles")
 
     strict = os.environ.get("GATE_STRICT_ORDER", "") == "1"

@@ -80,3 +80,49 @@ def test_new_certifications_rotate_out_of_the_window(tmp_path, monkeypatch):
             if REGISTRY[n].oracle is not None:
                 assert names_after.index(n) > last_uncertified, n
     sys.modules.pop("_entry_under_test", None)
+
+
+def test_round7_window_contents_pinned():
+    """Pin exactly which entries the round-7 driver CORRECTNESS window
+    (first 50 of the priority order) will cover, so certification-queue
+    arithmetic is a test, not hope: all 14 live-but-never-windowed
+    oracle entries (x130-x143) land first, then the staged batch in
+    registration order; no already-certified entry shadows an
+    uncertified one."""
+    mod = _load_entry()
+    from ravelytics_spark.plans.queries import REGISTRY
+
+    names = mod._ordered_names()
+    cert = mod._certified_names()
+    window = names[:50]
+
+    live_backlog = [
+        "x130_lorenz_deciles", "x131_funnel_latency",
+        "x132_segment_migration", "x133_shipmode_latency",
+        "x134_hhi_revenue", "x135_weekday_index", "x136_discount_bands",
+        "x137_share_of_total", "x138_volatility_bands",
+        "x139_new_vs_returning", "x140_char_trigram_profile",
+        "x141_penny_allocation", "x142_last_touch_attribution",
+        "x143_qhist_portable",
+    ]
+    assert window[:14] == live_backlog
+
+    # every window slot is an uncertified oracle entry — no certified
+    # or harness entry wastes a slot while oracle backlog remains
+    uncertified_oracle = [
+        n for n in names if REGISTRY[n].oracle is not None and n not in cert
+    ]
+    assert window == uncertified_oracle[:50]
+    # the remainder queued for round 8 is small enough for one window
+    leftover = [n for n in uncertified_oracle if n not in window]
+    never_windowed_harness = [
+        n
+        for n in names
+        if REGISTRY[n].oracle is None
+        and n in ("x151_stream_interval_join", "x161_late_data_watermark",
+                  "x192_compression_quality")
+    ]
+    assert len(leftover) + len(never_windowed_harness) <= 50, (
+        f"{len(leftover)} oracle + {len(never_windowed_harness)} harness "
+        "entries would overflow the round-8 window"
+    )

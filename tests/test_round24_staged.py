@@ -27,13 +27,14 @@ def test_round24_staged_matches_oracle(spark, name, sf_dir):
     assert not problems, problems
 
 
-def test_round24_not_registered_yet(spark):
-    """The round-6 driver window is oversubscribed (64 uncertified
-    entries); these must stay out of REGISTRY until round 7 registers
-    them."""
+def test_round24_registered_in_round7(spark):
+    """Round 7 registered the staged entries (round24_staged.py
+    footer); every STAGED entry must be live in REGISTRY and be the
+    identical Query object (no shadowing by a same-named entry)."""
     from ravelytics_spark.plans.queries import REGISTRY
 
-    assert not (set(STAGED) & set(REGISTRY))
+    for name, entry in STAGED.items():
+        assert REGISTRY.get(name) is entry, name
 
 
 def test_clamped_balance_matches_sequential_simulation(spark):

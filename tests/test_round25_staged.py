@@ -31,10 +31,14 @@ def test_round25_staged_matches_oracle(spark, name, sf_dir):
     assert not problems, problems
 
 
-def test_round25_not_registered_yet(spark):
+def test_round25_registered_in_round7(spark):
+    """Round 7 registered the staged entries (round25_staged.py
+    footer, placed after the final @_staged definition); every STAGED
+    entry must be live in REGISTRY as the identical Query object."""
     from ravelytics_spark.plans.queries import REGISTRY
 
-    assert not (set(STAGED) & set(REGISTRY))
+    for name, entry in STAGED.items():
+        assert REGISTRY.get(name) is entry, name
 
 
 def test_mann_whitney_matches_bruteforce_ranks(spark):
