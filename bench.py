@@ -165,12 +165,17 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "n": samples,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if regressions:
         out["regressions"] = regressions
-    print(json.dumps(out))
+    # The driver keeps only the last ~2000 chars of stdout and parses the
+    # JSON line out of that tail — round 6's line (52 queries + a samples
+    # dict, default separators) overflowed it and the driver recorded
+    # "parsed": null. Compact separators + samples-to-stderr keep the
+    # line well under the window; the guard test pins the budget.
+    print(json.dumps(out, separators=(",", ":")))
+    print(f"samples per query: {json.dumps(samples)}", file=sys.stderr)
     if regressions:
         sys.exit(2)
 

@@ -54,3 +54,26 @@ def test_persist_best_single_write_keeps_minima(tmp_path, monkeypatch):
     before = best_path.stat().st_mtime_ns
     bench._persist_best("0.1", bench._load_best("0.1"), {"q1": 9.0})
     assert best_path.stat().st_mtime_ns == before
+
+
+def test_bench_json_line_fits_driver_tail_window():
+    """The driver keeps only the last ~2000 chars of stdout and parses
+    the JSON line from that tail. Round 6's line overflowed it
+    (BENCH_r06.json: "parsed": null) — pin the worst-case line length
+    (every headline query at 999.999s, a regressions block present)
+    under the window with slack for progress-bar residue."""
+    bench = _load_bench()
+    worst = {name: 999.999 for name in bench.HEADLINE}
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(worst.values()), 3),
+        "unit": "sec",
+        "queries": worst,
+        "sf": 0.1,
+        "regressions": {"x127_kcore_peel": "999.99s vs best 4.21s"},
+    }
+    line = json.dumps(out, separators=(",", ":"))
+    assert len(line) < 1800, (
+        f"bench JSON line would be {len(line)} chars; the driver tail "
+        "window is ~2000 — trim the headline set or the encoding"
+    )
