@@ -77,6 +77,10 @@ from pyspark.sql import functions as F
 
 from ravelytics_spark.plans.queries import q
 from ravelytics_spark.sources.tables import load_table
+from ravelytics_spark.operators.ranks import (  # noqa: F401
+    global_ntile,
+    global_row_number,
+)
 
 _MOD61 = 2305843009213693952  # 2^61, the x86 fingerprint modulus
 
@@ -400,12 +404,14 @@ FROM scored GROUP BY r_q, f_q, m_q ORDER BY r_q, f_q, m_q
     "across engines. Segment counts + exact cents per (r,f,m) cell. "
     "Scale: the per-customer agg shuffles once with map-side combine; "
     "the three ntiles run over the customer aggregate (|customers| "
-    "rows), and at true 100 TB scale the same segmentation is "
-    "expressible with percentile thresholds instead of global ntile — "
-    "documented tradeoff, same output contract.",
+    "rows) under the default rank_method='window' (the certifiable "
+    "small-frame form); rank_method='bucketed' switches to "
+    "operators.ranks.global_ntile — the distributed exact form "
+    "(quantile-bucketed rank, no single-partition exchange), "
+    "property-tested bit-identical in tests/test_ranks.py.",
     _RFM_ORACLE,
 )
-def x111_rfm_segmentation(spark, sf_dir):
+def x111_rfm_segmentation(spark, sf_dir, rank_method: str = "window"):
     o = load_table(spark, sf_dir, "orders")
     anchor = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("anchor"))
     cust = (
@@ -425,17 +431,16 @@ def x111_rfm_segmentation(spark, sf_dir):
             "monetary",
         )
     )
-    scored = cust.select(
-        "o_custkey",
-        "monetary",
-        F.ntile(4).over(Window.orderBy("recency", "o_custkey")).alias("r_q"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("frequency"), "o_custkey"))
-        .alias("f_q"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("monetary"), "o_custkey"))
-        .alias("m_q"),
-    )
+    scored = cust
+    for cname, order in (
+        ("r_q", [("recency", "asc"), ("o_custkey", "asc")]),
+        ("f_q", [("frequency", "desc"), ("o_custkey", "asc")]),
+        ("m_q", [("monetary", "desc"), ("o_custkey", "asc")]),
+    ):
+        scored = global_ntile(
+            scored, 4, order, method=rank_method, col_name=cname
+        )
+    scored = scored.select("o_custkey", "monetary", "r_q", "f_q", "m_q")
     return (
         scored.groupBy(
             F.col("r_q").cast("long").alias("r_q"),
@@ -1014,26 +1019,28 @@ FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority
     "twice by two separate CASE sums — then one exact DECIMAL(38,1)/2. "
     "Rank ties on equal values can't change the answer: the VALUE at "
     "a rank is order-invariant under any tie permutation. Per-group "
-    "window partitions on the group key (parallel); at unbounded "
-    "group sizes the same contract is served by the x104 equi-depth "
-    "machinery.",
+    "window partitions on the group key (parallel) under the default "
+    "rank_method='window'; rank_method='bucketed' switches to "
+    "operators.ranks.global_row_number so a single group larger than "
+    "one task's window splits across quantile buckets — exact same "
+    "output, property-tested in tests/test_ranks.py.",
     _MEDIAN_ORACLE,
 )
-def x118_exact_median(spark, sf_dir):
+def x118_exact_median(spark, sf_dir, rank_method: str = "window"):
     o = load_table(spark, sf_dir, "orders")
     c = o.select(
         "o_orderpriority",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
         "o_orderkey",
     )
-    wP = Window.partitionBy("o_orderpriority").orderBy("v", "o_orderkey")
-    wN = Window.partitionBy("o_orderpriority")
-    r = c.select(
-        "o_orderpriority",
-        "v",
-        F.row_number().over(wP).cast("long").alias("i"),
-        F.count("*").over(wN).cast("long").alias("n"),
-    )
+    r = global_row_number(
+        c,
+        [("v", "asc"), ("o_orderkey", "asc")],
+        partition_by=["o_orderpriority"],
+        method=rank_method,
+        col_name="i",
+        total_name="n",
+    ).select("o_orderpriority", "v", "i", "n")
     lo = F.expr("CAST((n + 1) AS BIGINT) DIV 2")
     hi = F.expr("CAST(n AS BIGINT) DIV 2 + 1")
     return (

@@ -138,6 +138,10 @@ from pyspark.sql import functions as F
 
 from ravelytics_spark.plans.queries import Query
 from ravelytics_spark.sources.tables import load_table
+from ravelytics_spark.operators.ranks import (
+    global_ntile,
+    global_row_number,
+)
 
 STAGED: dict[str, Query] = {}
 
@@ -2601,10 +2605,10 @@ SELECT CAST((SELECT count(*) FROM flags) AS BIGINT) AS n_vectors,
     "modal dimension, and exact rank-picked p50/p90 of the scale-6 "
     "fixed-point squared norm over the clean subset (integer norm2, "
     "so the quantiles are engine-exact — no float norm, no sqrt; the "
-    "exact rank window over per-vector norm2 is the certifiable "
-    "form, and the documented true-scale swap is approx_percentile "
-    "over the same column — the x111/x118 percentile-threshold "
-    "convention). "
+    "exact rank window over per-vector norm2 is the default "
+    "rank_method='window' form, and rank_method='bucketed' switches "
+    "to operators.ranks.global_row_number — the distributed exact "
+    "rank, same output, property-tested in tests/test_ranks.py). "
     "The healthy-corpus signature is p50 ~ p90 (normalized "
     "embeddings); a wide gap flags mixed model versions, THE classic "
     "silent vector-store corruption. Complements x181 (FK edges) "
@@ -2612,7 +2616,7 @@ SELECT CAST((SELECT count(*) FROM flags) AS BIGINT) AS n_vectors,
     "posexplode agg + one bounded rank window over norm2 values.",
     _EMB_AUDIT_ORACLE,
 )
-def x188_embedding_audit(spark, sf_dir):
+def x188_embedding_audit(spark, sf_dir, rank_method: str = "window"):
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select(
         "vec_id",
@@ -2671,15 +2675,13 @@ def x188_embedding_audit(spark, sf_dir):
         & (F.col("is_wrong_dim") == 0)
         & (F.col("is_zero") == 0)
     )
-    wr = Window.orderBy("norm2", "vec_id")
-    wall = Window.orderBy(F.lit(1)).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    ranked = ok.select(
-        "norm2",
-        F.row_number().over(wr).alias("rn"),
-        F.count("*").over(wall).alias("n_ok"),
-    )
+    ranked = global_row_number(
+        ok,
+        [("norm2", "asc"), ("vec_id", "asc")],
+        method=rank_method,
+        col_name="rn",
+        total_name="n_ok",
+    ).select("norm2", "rn", "n_ok")
     stats = flags.agg(
         F.count("*").cast("long").alias("n_vectors"),
         F.sum("is_null").cast("long").alias("n_null"),
@@ -3212,15 +3214,16 @@ ORDER BY decile
     "to stop scaling this source and diversify (x60's n-gram novelty "
     "at document grain, lifted to the corpus-curve view). Exactness: "
     "min-doc attribution and all counts are integers; the ntile runs "
-    "over the DOC-level frame (one row per document — the "
-    "certifiable form; the documented true-scale swap is bucketing "
-    "by precomputed doc-count quantile boundaries, x111's "
-    "convention). Shape: one explode + token-min agg (map-side "
+    "over the DOC-level frame (one row per document) under the "
+    "default rank_method='window', and rank_method='bucketed' "
+    "switches to operators.ranks.global_ntile — the distributed "
+    "exact decile cut, same output, property-tested in "
+    "tests/test_ranks.py. Shape: one explode + token-min agg (map-side "
     "combinable, tokens hashed across the shuffle), two doc-level "
     "joins, a 10-row rollup.",
     _VOCAB_ORACLE,
 )
-def x193_vocab_growth(spark, sf_dir):
+def x193_vocab_growth(spark, sf_dir, rank_method: str = "window"):
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
@@ -3243,10 +3246,13 @@ def x193_vocab_growth(spark, sf_dir):
             F.coalesce(F.col("new_tokens"), F.lit(0)).alias("new_tokens"),
         )
     )
-    wd = Window.orderBy("doc_id")
-    dec = per_doc.select(
-        F.ntile(10).over(wd).alias("decile"), "n_tokens", "new_tokens"
-    )
+    dec = global_ntile(
+        per_doc,
+        10,
+        [("doc_id", "asc")],
+        method=rank_method,
+        col_name="decile",
+    ).select("decile", "n_tokens", "new_tokens")
     g = dec.groupBy("decile").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),

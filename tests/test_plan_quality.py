@@ -199,7 +199,7 @@ _SINGLE_PARTITION_OK = {
     "x103_triangle_count": "four scalar counters (nodes/edges/wedges/triangles): each agg combines to ONE row before the crossJoin assembles the report row",
     "x104_equidepth_histogram": "cumulative window over the FINE-BIN frame (~120 rows at any SF): the x74/x77 aggregate-first idiom — the corpus-sized step is the hash-agg onto bins",
     # round-21/22 registrations (round 5 batch 2): same idioms.
-    "x111_rfm_segmentation": "three global ntiles over the CUSTOMER-level aggregate — docstring names the percentile-threshold swap at true scale",
+    "x111_rfm_segmentation": "three global ntiles over the CUSTOMER-level aggregate — the certifiable form; rank_method='bucketed' selects operators/ranks.py global_ntile (distributed exact, test_ranks.py proves bit-equality)",
     "x112_pareto_abc": "cumulative window over the PART-level aggregate + revenue-total scalar broadcast",
     "x113_basket_lift": "basket-count scalar N: one partial row per partition, then broadcast into the lift expression",
     "x114_trend_slope": "month-origin scalar (global min month): one partial row per partition, then broadcast",
@@ -220,6 +220,7 @@ _SINGLE_PARTITION_OK = {
     "x156_knee_point": "cumulative + endpoint/argmax scalars over the MONTH-level aggregate (x74/x77 aggregate-first idiom)",
     "x159_ks_drift": "grand-count scalar + broadcast value lattice (the x116 idiom); cumulative windows run over the sources x distinct-length grid",
     # round-25 staged (registration lands round 7; inert until then).
+    "x166_bitmap_retention": "lead window over the DISTINCT-MONTH frame (~84 rows at any corpus size, the x74/x77 aggregate-first idiom); the bitmap words themselves aggregate distributed via bit_or",
     "x172_bfs_hops": "three per-hop count/checksum scalars: each global agg combines one partial row per partition; frontier sets themselves stay distributed through the broadcast semi-joins",
     "x174_u_attribution": "unattributed-bucket scalar (count over the anti-joined purchases): one partial row per partition, then a 1-row union with the per-type aggregate",
     "x177_ann_recall_eval": "rank windows over two TakeOrdered(10) frames + candidate-count scalar — every SinglePartition input is <=10 rows or one partial row per partition",
@@ -227,9 +228,9 @@ _SINGLE_PARTITION_OK = {
     "x181_fk_integrity": "six per-edge count scalars (rows + anti-join orphans): each global agg combines one partial row per partition into the 6-row report",
     "x183_join_key_skew": "rank-pick windows over the frequency-of-frequency frame (a few hundred rows at any corpus size) + three per-column report scalars",
     "x184_dup_cluster_sizes": "corpus-total scalar over the frequency-of-frequency frame: one partial row per partition, then broadcast into the ppm ratio",
-    "x188_embedding_audit": "exact norm2 rank window (the certifiable form; docstring names the approx_percentile swap at true scale — the x111/x118 convention) + report scalars",
+    "x188_embedding_audit": "exact norm2 rank window (the certifiable form; rank_method='bucketed' selects operators/ranks.py global_row_number — distributed exact, test_ranks.py) + report scalars",
     "x191_apriori_triples": "relative-minsup scalar (baskets DIV 200): one partial row per partition, then broadcast into every level filter",
-    "x193_vocab_growth": "ntile over the one-row-per-document frame (the certifiable form; docstring names the quantile-boundary bucketing swap at true scale — x111 convention) + the 10-row cumulative rollup",
+    "x193_vocab_growth": "ntile over the one-row-per-document frame (the certifiable form; rank_method='bucketed' selects operators/ranks.py global_ntile — distributed exact, test_ranks.py) + the 10-row cumulative rollup",
 }
 
 

@@ -873,3 +873,36 @@ def test_mann_whitney_counting_identity_property():
         assert u2_b >= 0 or n_b == 0
 
     check()
+
+
+def test_compression_quality_exact_on_real_corpus(spark):
+    """Oracle-strength golden on REAL data: recompute every per-source
+    column with Python zlib over the actual sf0.001 documents and
+    assert exact equality — the harness entry's equivalent of a DuckDB
+    hash row (DuckDB just can't run DEFLATE)."""
+    import zlib
+
+    sf = SFS[0]
+    want: dict[str, list[int]] = {}
+    for text, source in duckdb.sql(
+        f"SELECT text, source FROM '{sf}/documents.parquet'"
+    ).fetchall():
+        raw = (text if isinstance(text, str) else "").encode("utf-8")
+        comp = zlib.compress(raw, 6)
+        acc = want.setdefault(source, [0, 0, 0, 0])  # docs raw comp rep
+        acc[0] += 1
+        acc[1] += len(raw)
+        acc[2] += len(comp)
+        acc[3] += 1 if 1000 * len(comp) < 300 * len(raw) else 0
+    got = {
+        r["source"]: r
+        for r in STAGED["x192_compression_quality"].spark(spark, sf).collect()
+    }
+    assert set(got) == set(want)
+    for src, (n, raw, comp, rep) in want.items():
+        r = got[src]
+        assert r["n_docs"] == n, src
+        assert r["raw_bytes"] == raw, src
+        assert r["comp_bytes"] == comp, src
+        assert r["n_repetitive"] == rep, src
+        assert r["ratio_ppm"] == (0 if raw == 0 else comp * 10**6 // raw), src
