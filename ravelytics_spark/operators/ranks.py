@@ -66,7 +66,13 @@ def _sort_cols(order_by: Sequence[tuple[str, str]]) -> list[Column]:
 
 def _leading_sort_key(order_by: Sequence[tuple[str, str]]) -> Column:
     """Numeric leading key oriented ascending (desc keys negated) so
-    bucket ids increase along the total order in both directions."""
+    bucket ids increase along the total order in both directions.
+
+    The double cast is monotone (non-strictly): BIGINTs beyond 2^53
+    may collapse to equal doubles, which only merges their buckets —
+    within-bucket ordering uses the ORIGINAL columns, so the rank
+    stays exact; precision loss can shift load balance, never the
+    answer."""
     name, direction = order_by[0]
     key = F.col(name).cast("double")
     return key if direction == "asc" else -key
