@@ -231,6 +231,12 @@ _SINGLE_PARTITION_OK = {
     "x188_embedding_audit": "exact norm2 rank window (the certifiable form; rank_method='bucketed' selects operators/ranks.py global_row_number — distributed exact, test_ranks.py) + report scalars",
     "x191_apriori_triples": "relative-minsup scalar (baskets DIV 200): one partial row per partition, then broadcast into every level filter",
     "x193_vocab_growth": "ntile over the one-row-per-document frame (the certifiable form; rank_method='bucketed' selects operators/ranks.py global_ntile — distributed exact, test_ranks.py) + the 10-row cumulative rollup",
+    # round-26 staged (registration lands round 8; swept while staged
+    # so anti-patterns can't hide until registration — the x166 lesson).
+    "x194_k_anonymity": "global governance rollup over the ~125-row QI equivalence-class aggregate: one partial row per partition",
+    "x197_negative_sampling": "brand-dim rank window over the ~25-row distinct-brand frame + n_brands scalar broadcast; the 3-row audit rollup combines one partial row per partition",
+    "x199_entity_holdout": "global audit rollup over the per-customer aggregate: one partial row per partition",
+    "x200_discrete_hazard": "suffix-sum window over the <=13-row gap-bucket aggregate (the x74/x77 aggregate-first idiom)",
 }
 
 
@@ -239,8 +245,13 @@ def test_no_catalog_plan_single_partitions_or_goes_cartesian(spark, sf_dir):
     whitelist may funnel through Exchange SinglePartition, and none may
     plan a CartesianProduct. This is the blanket guard that a future
     entry doesn't reintroduce the global-window anti-pattern."""
+    from ravelytics_spark.plans.round26_staged import STAGED as _STAGED26
+
     bad = {}
-    for name, qy in REGISTRY.items():
+    # Sweep staged-but-unregistered entries too: an anti-pattern must
+    # fail HERE, in the round that authors it, not in the round that
+    # flips the registration footer.
+    for name, qy in {**REGISTRY, **_STAGED26}.items():
         plan = qy.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         if "CartesianProduct" in plan:
             bad[name] = "CartesianProduct"
