@@ -57,6 +57,34 @@ operational layer around the curation/dedup/similarity stack.
   char volumes per cell — the policy table a curation run reads to
   decide what to drop first (big dup clusters of short docs).
 
+Second wave (same round, same staging): privacy + feature-engineering
+audits.
+
+* ``x202_contribution_capping`` — DP-prep per-user contribution
+  bounding: per-nation revenue recomputed with each customer clamped
+  at a fixed cents cap; clipped counts + exact clipping bias ppm.
+* ``x203_l_diversity`` — x194's companion: distinct sensitive values
+  (segment) per QI class (nation), classes below l=3 flagged.
+* ``x204_class_reweighting`` — inverse-frequency (lang x source)
+  weights in capped milli units + the effective sample size
+  ESS = (sum n*w)^2 / sum n*w^2, all integer.
+* ``x205_judge_agreement`` — Cohen's kappa between two deterministic
+  quality judges in exact ppm, with the portable signed-division
+  CASE (kappa can be negative; floor vs truncate diverges on
+  negative operands across engines).
+* ``x206_gdpr_erasure`` — right-to-be-forgotten blast radius:
+  deletion cohort cascades customer -> orders -> lineitem via SEMI
+  joins; per-table deleted counts + ppm.
+* ``x207_near_zero_variance`` — caret's nearZeroVar screen: top1/top2
+  frequency ratio + percent-unique per categorical feature, ppm.
+* ``x208_loo_target_encoding`` — leave-one-out target encoding
+  collapsed to its exact two-values-per-group form, with the
+  leak gap 1e6/(n-1) that proves naive LOO leaks the own label.
+* ``x209_temporal_split_audit`` — the temporal sibling of x199:
+  cold-start eval customers + future-feature contamination counts.
+* ``x210_readability`` — per-source Flesch reading ease in exact
+  milli units (vowel-group syllable proxy), native regexp counting.
+
 Hash-parity conventions as plans/queries.py: exact cents/BIGINT
 arithmetic, md5-derived portable hashes (CAST('0x'||substr(md5 ..)
 in DuckDB == conv(substr(md5 ..),16,10) in Spark, both unsigned
@@ -198,13 +226,23 @@ ORDER BY r.brand
     "outlier-impact read. Integer-exact end to end; means scale by "
     "1000 (milli-cents), not 1e6 — a brand's cents sum reaches "
     "~2.4e13 at 100x and ppm scaling would overflow BIGINT (the x160 "
-    "lesson, bounded BEFORE writing). Scale shape: the rank window "
-    "partitions on brand (parallel across ~25 brands; a single "
-    "outsized group would switch to operators/ranks.py bucketed "
-    "form, the x118 convention), thresholds broadcast back.",
+    "lesson, bounded BEFORE writing). Scale shape: the default "
+    "rank_method='window' partitions the rank on brand — ~25 "
+    "parallel frames, measured SUBLINEAR over the 1x/10x/100x sweep "
+    "(2.4 -> 38 s for 100x rows) because group cardinality ~ "
+    "executor-slot count; rank_method='bucketed' "
+    "(operators/ranks.py grouped global_row_number, bit-equal by "
+    "test) measured 2.7x SLOWER here — its three extra passes only "
+    "pay off when groups are FEW relative to slots (x118's 5) or "
+    "one group outgrows a task's memory, which 25 brands on a wide "
+    "cluster would hit only at petabyte-per-brand volumes. Honest "
+    "negative result recorded in SCALING.md; the path stays "
+    "selectable code for the regime that needs it.",
     _WINS_ORACLE,
 )
-def x195_winsorized_stats(spark, sf_dir):
+def x195_winsorized_stats(spark, sf_dir, rank_method: str = "window"):
+    from ravelytics_spark.operators.ranks import global_row_number
+
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     v = li.join(p, li.l_partkey == p.p_partkey).select(
@@ -213,16 +251,14 @@ def x195_winsorized_stats(spark, sf_dir):
         "l_orderkey",
         "l_linenumber",
     )
-    wP = Window.partitionBy("brand").orderBy(
-        "cents", "l_orderkey", "l_linenumber"
-    )
-    wN = Window.partitionBy("brand")
-    r = v.select(
-        "brand",
-        "cents",
-        F.row_number().over(wP).cast("long").alias("i"),
-        F.count("*").over(wN).cast("long").alias("n"),
-    )
+    r = global_row_number(
+        v,
+        [("cents", "asc"), ("l_orderkey", "asc"), ("l_linenumber", "asc")],
+        partition_by=["brand"],
+        method=rank_method,
+        col_name="i",
+        total_name="n",
+    ).select("brand", "cents", "i", "n")
     lo_rank = F.expr("n * 5 DIV 100 + 1")
     hi_rank = F.expr("GREATEST(n * 95 DIV 100, n * 5 DIV 100 + 1)")
     thr = r.groupBy("brand").agg(
@@ -896,3 +932,822 @@ def x201_curation_matrix(spark, sf_dir):
         )
         .orderBy("len_band", "dup_band")
     )
+
+
+# ---------------------------------------------------------------------------
+# x202 — DP-prep contribution capping bias audit
+# ---------------------------------------------------------------------------
+
+_CAP_CENTS = 20_000_000  # 200k$ per-customer cap inside each nation
+
+_CAP_ORACLE = f"""
+WITH per_cust AS (
+    SELECT c.c_nationkey, o.o_custkey,
+           CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cust_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey, o.o_custkey
+)
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(SUM(cust_cents) AS BIGINT) AS true_cents,
+       CAST(SUM(LEAST(cust_cents, {_CAP_CENTS})) AS BIGINT) AS capped_cents,
+       CAST(SUM(CASE WHEN cust_cents > {_CAP_CENTS} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clipped,
+       CAST(((SUM(cust_cents) - SUM(LEAST(cust_cents, {_CAP_CENTS})))
+             * 1000 // SUM(cust_cents)) * 1000
+            + (((SUM(cust_cents) - SUM(LEAST(cust_cents, {_CAP_CENTS})))
+                * 1000 % SUM(cust_cents)) * 1000 // SUM(cust_cents))
+            AS BIGINT) AS bias_ppm
+FROM per_cust
+GROUP BY c_nationkey
+ORDER BY nationkey
+"""
+
+
+@_staged(
+    "x202_contribution_capping",
+    "OP-G3/X-ext",
+    "Differential-privacy preparation: per-user contribution bounding. "
+    "Each customer's cents contribution to their nation's revenue is "
+    f"clamped at {_CAP_CENTS} cents (the fixed sensitivity bound a DP "
+    "mechanism needs BEFORE noise is calibrated), and the audit "
+    "reports, per nation, the clipped-customer count and the exact "
+    "clipping bias in ppm — the utility-vs-sensitivity trade a privacy "
+    "review reads. Everything integer-exact: the bias ppm uses the "
+    "two-stage division decomposition floor(d*1e6/t) = "
+    "(d*1000 DIV t)*1000 + ((d*1000 % t)*1000 DIV t) — all operands "
+    "nonnegative, every intermediate <= t*1000 (~9e15 at 1000x). "
+    "The naive d*1e6 product overflowed BIGINT at the 100x replica "
+    "sweep (per-nation cents ~9e12 there): caught by "
+    "scripts/scale_sweep_r8.py before certification, the x160 "
+    "lesson holding. Scale shape: two hash-aggs (custkey then "
+    "nationkey), both map-side combinable; no window, no collect.",
+    _CAP_ORACLE,
+)
+def x202_contribution_capping(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_nationkey",
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum("cents").cast("long").alias("cust_cents"))
+    )
+    capped = F.least(F.col("cust_cents"), F.lit(_CAP_CENTS).cast("long"))
+    return (
+        per_cust.groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("cust_cents").cast("long").alias("true_cents"),
+            F.sum(capped).cast("long").alias("capped_cents"),
+            F.sum(F.when(F.col("cust_cents") > _CAP_CENTS, 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped"),
+        )
+        .select(
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            "n_customers",
+            "true_cents",
+            "capped_cents",
+            "n_clipped",
+            # Exact ppm via the two-stage division decomposition:
+            # floor(d*1e6/t) = (d*1000 DIV t)*1000
+            #                + ((d*1000 % t)*1000 DIV t)
+            # — the direct d*1e6 product overflowed BIGINT at the
+            # 100x sweep (per-nation true_cents ~9e12 there), while
+            # every intermediate here stays <= t*1000 ~ 9e15 even at
+            # 1000x. Caught by scripts/scale_sweep_r8.py, not by any
+            # certification SF (the x160 lesson again).
+            F.expr(
+                "CAST(((true_cents - capped_cents) * 1000 "
+                "DIV true_cents) * 1000 "
+                "+ (((true_cents - capped_cents) * 1000 % true_cents) "
+                "* 1000 DIV true_cents) AS BIGINT)"
+            ).alias("bias_ppm"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x203 — l-diversity audit (distinct-l over QI classes)
+# ---------------------------------------------------------------------------
+
+_LDIV_L = 3
+
+_LDIV_ORACLE = f"""
+WITH cls AS (
+    SELECT c_nationkey,
+           count(*) AS n,
+           count(DISTINCT c_mktsegment) AS l
+    FROM customer GROUP BY c_nationkey
+)
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(l AS BIGINT) AS l_distinct,
+       CAST(CASE WHEN l < {_LDIV_L} THEN 1 ELSE 0 END AS BIGINT)
+           AS below_l
+FROM cls
+ORDER BY nationkey
+"""
+
+
+@_staged(
+    "x203_l_diversity",
+    "OP-G5/X-ext",
+    "l-diversity audit — x194's k-anonymity companion: a QI class "
+    "can be large (k-anonymous) yet still leak if everyone in it "
+    "shares the sensitive value, so per QI class (nation) the audit "
+    "reports the count of DISTINCT sensitive values (market segment) "
+    f"and flags classes below l={_LDIV_L} — distinct-l, the "
+    "integer-exact variant (entropy-l needs ln and is the documented "
+    "float extension). Scale shape: one two-level hash-agg "
+    "(nation, segment) -> nation; the class table is bounded by "
+    "|nations| regardless of corpus size.",
+    _LDIV_ORACLE,
+)
+def x203_l_diversity(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    cls = c.groupBy("c_nationkey").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("c_mktsegment").alias("l"),
+    )
+    return cls.select(
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("l").cast("long").alias("l_distinct"),
+        F.when(F.col("l") < _LDIV_L, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("below_l"),
+    ).orderBy("nationkey")
+
+
+# ---------------------------------------------------------------------------
+# x204 — inverse-frequency class reweighting + effective sample size
+# ---------------------------------------------------------------------------
+
+_RW_CAP_MILLI = 100_000  # cap at 100x the uniform weight (milli units)
+
+_RW_ORACLE = f"""
+WITH cells AS (
+    SELECT lang, source, count(*) AS n
+    FROM documents GROUP BY lang, source
+),
+tot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+           CAST(count(*) AS BIGINT) AS n_cells
+    FROM cells
+),
+w AS (
+    SELECT c.lang, c.source, CAST(c.n AS BIGINT) AS n,
+           CAST(LEAST(t.n_total * 1000 // (t.n_cells * c.n),
+                      {_RW_CAP_MILLI}) AS BIGINT) AS w_milli,
+           t.n_total, t.n_cells
+    FROM cells c, tot t
+),
+ess AS (
+    SELECT CAST(SUM(n * w_milli) * SUM(n * w_milli)
+                // SUM(n * w_milli * w_milli) AS BIGINT) AS ess_rows
+    FROM w
+)
+SELECT w.lang, w.source, w.n, w.w_milli,
+       w.n_total, w.n_cells, ess.ess_rows
+FROM w, ess
+ORDER BY w.lang, w.source
+"""
+
+
+@_staged(
+    "x204_class_reweighting",
+    "OP-G3/X9-ext",
+    "Class-imbalance reweighting for the (lang x source) training "
+    "mix: each cell gets the inverse-frequency 'balanced' weight "
+    "w = N / (k * n_c) in exact milli units, capped at "
+    f"{_RW_CAP_MILLI} milli (100x uniform — the standard clip that "
+    "stops a 3-row cell dominating the loss), plus the effective "
+    "sample size ESS = (sum n*w)^2 / sum n*w^2 that tells the "
+    "trainer how many 'real' rows the weighted corpus is worth. "
+    "Milli (not ppm) weights are the 100x BIGINT bound: "
+    "sum(n*w) <= N*1000 ~ 5e8, squared 2.5e17 < BIGINT; per-cell "
+    "n*w^2 <= (N*1000/k)*cap = 5e13 (the x160 rule). Scale shape: "
+    "one hash-agg onto the bounded cell table; every later step "
+    "runs on <= |langs x sources| rows.",
+    _RW_ORACLE,
+)
+def x204_class_reweighting(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("n_cells"),
+    )
+    w = cells.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "n",
+        F.least(
+            F.expr("n_total * 1000 DIV (n_cells * n)"),
+            F.lit(_RW_CAP_MILLI).cast("long"),
+        )
+        .cast("long")
+        .alias("w_milli"),
+        "n_total",
+        "n_cells",
+    )
+    ess = w.agg(
+        F.expr(
+            "CAST(SUM(n * w_milli) * SUM(n * w_milli) "
+            "DIV SUM(n * w_milli * w_milli) AS BIGINT)"
+        ).alias("ess_rows")
+    )
+    return (
+        w.crossJoin(F.broadcast(ess))
+        .select("lang", "source", "n", "w_milli", "n_total", "n_cells",
+                "ess_rows")
+        .orderBy("lang", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x205 — inter-judge agreement (Cohen's kappa, exact ppm)
+# ---------------------------------------------------------------------------
+
+# Two deterministic document "judges" — stand-ins for the quality
+# classifiers an LLM-data pipeline runs in parallel before arbitration:
+#   judge A: document length in a sane band (chars)
+#   judge B: token count in a sane band (whitespace words)
+_KAPPA_ORACLE = """
+WITH judged AS (
+    SELECT CASE WHEN n_chars BETWEEN 200 AND 5000 THEN 1 ELSE 0 END AS a,
+           CASE WHEN length(text) - length(replace(text, ' ', '')) + 1
+                     BETWEEN 40 AND 1000 THEN 1 ELSE 0 END AS b
+    FROM documents
+),
+counts AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(a * b) AS BIGINT) AS n11,
+           CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00,
+           CAST(SUM(a) AS BIGINT) AS a1,
+           CAST(SUM(b) AS BIGINT) AS b1
+    FROM judged
+)
+SELECT n, n11, n00, a1, b1,
+       CAST((n11 + n00) * 1000000 // n AS BIGINT) AS po_ppm,
+       CAST((a1 * b1 + (n - a1) * (n - b1)) * 1000000 // (n * n)
+            AS BIGINT) AS pe_ppm,
+       CAST(CASE WHEN n * (n11 + n00) >= a1 * b1 + (n - a1) * (n - b1)
+                 THEN (n * (n11 + n00) - (a1 * b1 + (n - a1) * (n - b1)))
+                      * 1000000
+                      // (n * n - (a1 * b1 + (n - a1) * (n - b1)))
+                 ELSE -(((a1 * b1 + (n - a1) * (n - b1)) - n * (n11 + n00))
+                        * 1000000
+                        // (n * n - (a1 * b1 + (n - a1) * (n - b1))))
+            END AS BIGINT) AS kappa_ppm
+FROM counts
+"""
+
+
+@_staged(
+    "x205_judge_agreement",
+    "OP-G5/X4-ext",
+    "Inter-judge agreement (Cohen's kappa) between two deterministic "
+    "quality judges — the agreement gate a pipeline runs before "
+    "trusting parallel LLM/heuristic labelers: observed agreement "
+    "po, chance agreement pe from the marginals, and kappa = "
+    "(po-pe)/(1-pe), all in exact ppm. Kappa can be negative, and "
+    "floor division diverges across engines on negative operands — "
+    "so the signed division is spelled as CASE on the numerator "
+    "sign with both branches nonnegative (truncation toward zero, "
+    "identical in Spark and DuckDB). Bounds at 100x sf0.1 (500k "
+    "docs): n*n = 2.5e11, x1e6 = 2.5e17 < BIGINT (the x160 rule). "
+    "Scale shape: one map-side-combinable global agg over documents "
+    "(one partial row per partition), then pure scalar arithmetic "
+    "on the 1-row count frame.",
+    _KAPPA_ORACLE,
+)
+def x205_judge_agreement(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    a = (
+        F.when(F.col("n_chars").between(200, 5000), 1).otherwise(0)
+    ).alias("a")
+    words = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    )
+    b = F.when(words.between(40, 1000), 1).otherwise(0).alias("b")
+    judged = d.select(a, b)
+    counts = judged.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("n11"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b")))
+        .cast("long")
+        .alias("n00"),
+        F.sum("a").cast("long").alias("a1"),
+        F.sum("b").cast("long").alias("b1"),
+    )
+    return counts.select(
+        "n",
+        "n11",
+        "n00",
+        "a1",
+        "b1",
+        F.expr("CAST((n11 + n00) * 1000000 DIV n AS BIGINT)").alias(
+            "po_ppm"
+        ),
+        F.expr(
+            "CAST((a1 * b1 + (n - a1) * (n - b1)) * 1000000 "
+            "DIV (n * n) AS BIGINT)"
+        ).alias("pe_ppm"),
+        F.expr(
+            "CAST(CASE WHEN n * (n11 + n00) >= a1 * b1 + (n - a1) * (n - b1) "
+            "THEN (n * (n11 + n00) - (a1 * b1 + (n - a1) * (n - b1))) "
+            "     * 1000000 "
+            "     DIV (n * n - (a1 * b1 + (n - a1) * (n - b1))) "
+            "ELSE -(((a1 * b1 + (n - a1) * (n - b1)) - n * (n11 + n00)) "
+            "       * 1000000 "
+            "       DIV (n * n - (a1 * b1 + (n - a1) * (n - b1)))) "
+            "END AS BIGINT)"
+        ).alias("kappa_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x206 — GDPR erasure cascade audit
+# ---------------------------------------------------------------------------
+
+_GDPR_PPT = 5  # erase customers with hash % 1000 < 5 (~0.5%)
+
+_GDPR_ORACLE = f"""
+WITH del_cust AS (
+    SELECT c_custkey FROM customer
+    WHERE CAST('0x' || substr(md5('gdpr:' || c_custkey), 1, 8) AS BIGINT)
+          % 1000 < {_GDPR_PPT}
+),
+del_orders AS (
+    SELECT o_orderkey FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM del_cust)
+)
+SELECT 'customer' AS tbl,
+       CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_total,
+       CAST((SELECT count(*) FROM del_cust) AS BIGINT) AS n_deleted,
+       CAST((SELECT count(*) FROM del_cust) * 1000000
+            // (SELECT count(*) FROM customer) AS BIGINT) AS deleted_ppm
+UNION ALL
+SELECT 'lineitem',
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem
+             WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders))
+            AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem
+             WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders))
+            * 1000000 // (SELECT count(*) FROM lineitem) AS BIGINT)
+UNION ALL
+SELECT 'orders',
+       CAST((SELECT count(*) FROM orders) AS BIGINT),
+       CAST((SELECT count(*) FROM del_orders) AS BIGINT),
+       CAST((SELECT count(*) FROM del_orders) * 1000000
+            // (SELECT count(*) FROM orders) AS BIGINT)
+ORDER BY tbl
+"""
+
+
+@_staged(
+    "x206_gdpr_erasure",
+    "OP-J3/X-ext",
+    "Right-to-be-forgotten cascade audit: a deterministic deletion "
+    f"cohort (md5 32-bit prefix of custkey mod 1000 < {_GDPR_PPT}, "
+    "~0.5%) cascades customer -> orders -> lineitem, and the audit "
+    "reports per table the total, the rows the erasure would delete, "
+    "and the deleted fraction in exact ppm — the blast-radius "
+    "estimate a data-protection officer signs off BEFORE the "
+    "destructive job runs. Scale shape: the cohort is a pure map "
+    "filter; each cascade level is a broadcast-friendly SEMI join "
+    "on the parent key (custkey, then orderkey); three global "
+    "count rollups combine one partial row per partition.",
+    _GDPR_ORACLE,
+)
+def x206_gdpr_erasure(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    del_cust = c.filter(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("gdpr:"), F.col("c_custkey").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+        < _GDPR_PPT
+    ).select("c_custkey")
+    del_orders = o.join(
+        del_cust, o.o_custkey == del_cust.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    del_lines = li.join(
+        del_orders, li.l_orderkey == del_orders.o_orderkey, "left_semi"
+    )
+
+    def report(tbl, total_df, deleted_df):
+        t = total_df.agg(F.count("*").cast("long").alias("n_total"))
+        dd = deleted_df.agg(F.count("*").cast("long").alias("n_deleted"))
+        return (
+            t.crossJoin(dd)
+            .select(
+                F.lit(tbl).alias("tbl"),
+                "n_total",
+                "n_deleted",
+                F.expr(
+                    "CAST(n_deleted * 1000000 DIV n_total AS BIGINT)"
+                ).alias("deleted_ppm"),
+            )
+        )
+
+    return (
+        report("customer", c, del_cust)
+        .unionAll(report("lineitem", li, del_lines))
+        .unionAll(report("orders", o, del_orders))
+        .orderBy("tbl")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x207 — near-zero-variance feature screen
+# ---------------------------------------------------------------------------
+
+_NZV_RATIO_PPM = 19_000_000  # caret default 95/5
+_NZV_UNIQUE_PPM = 100_000    # <10% unique
+
+_NZV_ORACLE = f"""
+WITH vals AS (
+    SELECT 'c_mktsegment' AS feature, c_mktsegment AS val FROM customer
+    UNION ALL
+    SELECT 'c_nationkey', CAST(c_nationkey AS VARCHAR) FROM customer
+    UNION ALL
+    SELECT 'o_orderpriority', o_orderpriority FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', o_orderstatus FROM orders
+),
+vc AS (
+    SELECT feature, val, count(*) AS cnt
+    FROM vals GROUP BY feature, val
+),
+ranked AS (
+    SELECT feature, cnt,
+           row_number() OVER (PARTITION BY feature
+                              ORDER BY cnt DESC, val) AS rk
+    FROM vc
+),
+prof AS (
+    SELECT feature,
+           CAST(SUM(cnt) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(MIN(CASE WHEN rk = 1 THEN cnt END) AS BIGINT) AS top1,
+           CAST(coalesce(MIN(CASE WHEN rk = 2 THEN cnt END), 0) AS BIGINT)
+               AS top2
+    FROM ranked GROUP BY feature
+)
+SELECT feature, n, n_distinct, top1, top2,
+       CAST(top1 * 1000000 // GREATEST(top2, 1) AS BIGINT)
+           AS freq_ratio_ppm,
+       CAST(n_distinct * 1000000 // n AS BIGINT) AS unique_ppm,
+       CAST(CASE WHEN top1 * 1000000 // GREATEST(top2, 1)
+                      > {_NZV_RATIO_PPM}
+                  AND n_distinct * 1000000 // n < {_NZV_UNIQUE_PPM}
+                 THEN 1 ELSE 0 END AS BIGINT) AS near_zero_var
+FROM prof
+ORDER BY feature
+"""
+
+
+@_staged(
+    "x207_near_zero_variance",
+    "OP-G5/X-ext",
+    "Near-zero-variance feature screen (the caret nearZeroVar rule): "
+    "for each candidate categorical feature, the top-value/second-"
+    "value frequency ratio and the percent-unique, both in exact ppm; "
+    "a feature is flagged when ratio > 19 AND unique < 10% — the "
+    "screen a feature pipeline runs before wasting model capacity on "
+    "near-constant columns. Ties in the top-2 pick break on "
+    "(count DESC, value) — a total order, engine-portable. Scale "
+    "shape: the corpus-sized step is one hash-agg per feature onto "
+    "its value domain (<= 25 values here); the rank window runs on "
+    "the bounded value-count frame.",
+    _NZV_ORACLE,
+)
+def x207_near_zero_variance(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    vals = (
+        c.select(
+            F.lit("c_mktsegment").alias("feature"),
+            F.col("c_mktsegment").alias("val"),
+        )
+        .unionAll(
+            c.select(
+                F.lit("c_nationkey"),
+                F.col("c_nationkey").cast("string"),
+            )
+        )
+        .unionAll(o.select(F.lit("o_orderpriority"), "o_orderpriority"))
+        .unionAll(o.select(F.lit("o_orderstatus"), "o_orderstatus"))
+    )
+    vc = vals.groupBy("feature", "val").agg(F.count("*").alias("cnt"))
+    wR = Window.partitionBy("feature").orderBy(
+        F.col("cnt").desc(), F.col("val")
+    )
+    ranked = vc.select("feature", "cnt", F.row_number().over(wR).alias("rk"))
+    prof = ranked.groupBy("feature").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.min(F.when(F.col("rk") == 1, F.col("cnt")))
+        .cast("long")
+        .alias("top1"),
+        F.coalesce(
+            F.min(F.when(F.col("rk") == 2, F.col("cnt"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("top2"),
+    )
+    return prof.select(
+        "feature",
+        "n",
+        "n_distinct",
+        "top1",
+        "top2",
+        F.expr(
+            "CAST(top1 * 1000000 DIV GREATEST(top2, 1) AS BIGINT)"
+        ).alias("freq_ratio_ppm"),
+        F.expr("CAST(n_distinct * 1000000 DIV n AS BIGINT)").alias(
+            "unique_ppm"
+        ),
+        F.expr(
+            f"CAST(CASE WHEN top1 * 1000000 DIV GREATEST(top2, 1) "
+            f"> {_NZV_RATIO_PPM} "
+            f"AND n_distinct * 1000000 DIV n < {_NZV_UNIQUE_PPM} "
+            "THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("near_zero_var"),
+    ).orderBy("feature")
+
+
+# ---------------------------------------------------------------------------
+# x208 — leave-one-out target encoding (leakage-exact form)
+# ---------------------------------------------------------------------------
+
+_LOO_ORACLE = """
+WITH rows_y AS (
+    SELECT c.c_nationkey,
+           CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+grp AS (
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS pos
+    FROM rows_y GROUP BY c_nationkey
+)
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey, n, pos,
+       CAST(pos * 1000000 // GREATEST(n - 1, 1) AS BIGINT) AS enc0_ppm,
+       CAST((pos - 1) * 1000000 // GREATEST(n - 1, 1) AS BIGINT)
+           AS enc1_ppm,
+       CAST(1000000 // GREATEST(n - 1, 1) AS BIGINT) AS leak_gap_ppm
+FROM grp
+ORDER BY nationkey
+"""
+
+
+@_staged(
+    "x208_loo_target_encoding",
+    "OP-G3/X-ext",
+    "Leave-one-out target encoding of nation against the urgent-"
+    "priority target: LOO enc(row) = (group positives - own y) / "
+    "(group n - 1), which collapses to exactly TWO values per group "
+    "(one per target class) — so the certified output is the "
+    "per-nation (enc | y=0, enc | y=1) pair in exact ppm plus their "
+    "gap, the quantity that proves LOO leaks the row's own label "
+    "(gap = 1e6/(n-1) > 0: a model can read y back off the encoding "
+    "— why naive LOO needs noise/regularization before training). "
+    "pos - 1 >= 0 whenever the y=1 branch is real (pos counts that "
+    "row), so operands stay nonnegative. Scale shape: one hash-agg "
+    "onto nations; everything after runs on the 25-row group table.",
+    _LOO_ORACLE,
+)
+def x208_loo_target_encoding(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    rows_y = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_nationkey",
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    grp = rows_y.groupBy("c_nationkey").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    return grp.select(
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        "n",
+        "pos",
+        F.expr(
+            "CAST(pos * 1000000 DIV GREATEST(n - 1, 1) AS BIGINT)"
+        ).alias("enc0_ppm"),
+        F.expr(
+            "CAST((pos - 1) * 1000000 DIV GREATEST(n - 1, 1) AS BIGINT)"
+        ).alias("enc1_ppm"),
+        F.expr("CAST(1000000 DIV GREATEST(n - 1, 1) AS BIGINT)").alias(
+            "leak_gap_ppm"
+        ),
+    ).orderBy("nationkey")
+
+
+# ---------------------------------------------------------------------------
+# x209 — temporal split audit (cold-start + future-feature leakage)
+# ---------------------------------------------------------------------------
+
+_TSPLIT = "2000-01-01"
+
+_TSPLIT_ORACLE = f"""
+WITH tagged AS (
+    SELECT o_custkey,
+           CASE WHEN o_orderdate < TIMESTAMP '{_TSPLIT}' THEN 1 ELSE 0 END
+               AS is_train
+    FROM orders
+),
+per_cust AS (
+    SELECT o_custkey,
+           SUM(is_train) AS n_train,
+           SUM(1 - is_train) AS n_eval
+    FROM tagged GROUP BY o_custkey
+)
+SELECT CAST(SUM(n_train) AS BIGINT) AS n_train_rows,
+       CAST(SUM(n_eval) AS BIGINT) AS n_eval_rows,
+       CAST(SUM(CASE WHEN n_eval > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS eval_customers,
+       CAST(SUM(CASE WHEN n_eval > 0 AND n_train = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS cold_start_customers,
+       CAST(SUM(CASE WHEN n_eval > 0 AND n_train = 0 THEN 1 ELSE 0 END)
+            * 1000000
+            // SUM(CASE WHEN n_eval > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS cold_start_ppm,
+       CAST(SUM(CASE WHEN n_eval > 0 THEN n_train ELSE 0 END) AS BIGINT)
+           AS contaminated_train_rows,
+       CAST(SUM(CASE WHEN n_eval > 0 THEN n_train ELSE 0 END) * 1000000
+            // SUM(n_train) AS BIGINT) AS contaminated_ppm
+FROM per_cust
+"""
+
+
+@_staged(
+    "x209_temporal_split_audit",
+    "OP-X9/D-ext",
+    "Temporal train/eval split audit (split at "
+    f"{_TSPLIT}): cold-start eval customers (no train history — the "
+    "rows a recommender can only answer with priors) and the "
+    "future-feature contamination count: train rows whose customer "
+    "ALSO orders in eval, i.e. exactly the rows a "
+    "'customer-lifetime-aggregate' feature computed over the full "
+    "corpus would leak eval signal into. x199 audits the entity "
+    "split; this is its temporal sibling — the two leakage modes a "
+    "training pipeline must check before any fit. Scale shape: one "
+    "map-side flag, one hash-agg on custkey, one global rollup (one "
+    "partial row per partition).",
+    _TSPLIT_ORACLE,
+)
+def x209_temporal_split_audit(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    tagged = o.select(
+        "o_custkey",
+        F.when(F.col("o_orderdate") < F.lit(_TSPLIT), 1)
+        .otherwise(0)
+        .alias("is_train"),
+    )
+    per_cust = tagged.groupBy("o_custkey").agg(
+        F.sum("is_train").alias("n_train"),
+        F.sum(1 - F.col("is_train")).alias("n_eval"),
+    )
+    has_eval = F.col("n_eval") > 0
+    return per_cust.agg(
+        F.sum("n_train").cast("long").alias("n_train_rows"),
+        F.sum("n_eval").cast("long").alias("n_eval_rows"),
+        F.sum(F.when(has_eval, 1).otherwise(0))
+        .cast("long")
+        .alias("eval_customers"),
+        F.sum(F.when(has_eval & (F.col("n_train") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("cold_start_customers"),
+        F.expr(
+            "CAST(SUM(CASE WHEN n_eval > 0 AND n_train = 0 THEN 1 ELSE 0 "
+            "END) * 1000000 DIV SUM(CASE WHEN n_eval > 0 THEN 1 ELSE 0 "
+            "END) AS BIGINT)"
+        ).alias("cold_start_ppm"),
+        F.sum(F.when(has_eval, F.col("n_train")).otherwise(0))
+        .cast("long")
+        .alias("contaminated_train_rows"),
+        F.expr(
+            "CAST(SUM(CASE WHEN n_eval > 0 THEN n_train ELSE 0 END) "
+            "* 1000000 DIV SUM(n_train) AS BIGINT)"
+        ).alias("contaminated_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x210 — readability scores (Flesch reading ease, fixed-point)
+# ---------------------------------------------------------------------------
+
+_READ_ORACLE = """
+WITH per_doc AS (
+    SELECT source,
+           CAST(length(regexp_extract_all(lower(text), '[a-z]+'))
+                AS BIGINT) AS words,
+           CAST(GREATEST(length(regexp_extract_all(text, '[.!?]+')), 1)
+                AS BIGINT) AS sentences,
+           CAST(length(regexp_extract_all(lower(text), '[aeiouy]+'))
+                AS BIGINT) AS syllables
+    FROM documents
+),
+agg AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(words) AS BIGINT) AS words,
+           CAST(SUM(sentences) AS BIGINT) AS sentences,
+           CAST(SUM(syllables) AS BIGINT) AS syllables
+    FROM per_doc GROUP BY source
+)
+SELECT source, n_docs, words, sentences, syllables,
+       CAST(words * 1000 // sentences AS BIGINT) AS wps_milli,
+       CAST(syllables * 1000 // GREATEST(words, 1) AS BIGINT) AS spw_milli,
+       CAST(206835 - 1015 * words // sentences
+            - 84600 * syllables // GREATEST(words, 1) AS BIGINT)
+           AS flesch_milli
+FROM agg
+ORDER BY source
+"""
+
+
+@_staged(
+    "x210_readability",
+    "OP-X4/G6-ext",
+    "Per-source Flesch reading ease in exact milli-units: words = "
+    "[a-z]+ runs, sentences = [.!?]+ runs floored at 1, syllables = "
+    "the vowel-group proxy [aeiouy]+ (the standard dictionary-free "
+    "approximation) — FRE = 206.835 - 1.015*(W/S) - 84.6*(Y/W), each "
+    "ratio term floor-divided once from integer corpus totals "
+    "(nonnegative operands; the final subtraction may go negative "
+    "but divides nothing). The readability band feeds curation "
+    "policy beside x27's Gopher rules: very high FRE = fragment "
+    "soup, very low = boilerplate/code. Bounds at 100x (500k docs x "
+    "~200 words): words ~ 1e8, x84600 = 8.5e12 < BIGINT. Scale "
+    "shape: regexp counting is a pure map (native codegen, no UDF); "
+    "one hash-agg onto sources.",
+    _READ_ORACLE,
+)
+def x210_readability(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source",
+        F.size(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+        .cast("long")
+        .alias("words"),
+        F.greatest(
+            F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")),
+            F.lit(1),
+        )
+        .cast("long")
+        .alias("sentences"),
+        F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+        .cast("long")
+        .alias("syllables"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("words").cast("long").alias("words"),
+        F.sum("sentences").cast("long").alias("sentences"),
+        F.sum("syllables").cast("long").alias("syllables"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "words",
+        "sentences",
+        "syllables",
+        F.expr("CAST(words * 1000 DIV sentences AS BIGINT)").alias(
+            "wps_milli"
+        ),
+        F.expr(
+            "CAST(syllables * 1000 DIV GREATEST(words, 1) AS BIGINT)"
+        ).alias("spw_milli"),
+        F.expr(
+            "CAST(206835 - 1015 * words DIV sentences "
+            "- 84600 * syllables DIV GREATEST(words, 1) AS BIGINT)"
+        ).alias("flesch_milli"),
+    ).orderBy("source")

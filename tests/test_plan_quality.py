@@ -237,6 +237,10 @@ _SINGLE_PARTITION_OK = {
     "x197_negative_sampling": "brand-dim rank window over the ~25-row distinct-brand frame + n_brands scalar broadcast; the 3-row audit rollup combines one partial row per partition",
     "x199_entity_holdout": "global audit rollup over the per-customer aggregate: one partial row per partition",
     "x200_discrete_hazard": "suffix-sum window over the <=13-row gap-bucket aggregate (the x74/x77 aggregate-first idiom)",
+    "x204_class_reweighting": "corpus-total + ESS scalars over the <=|langs x sources| cell table: one partial row per partition, then broadcast",
+    "x205_judge_agreement": "global judge-count agg: one partial row per partition combines to the 1-row count frame",
+    "x206_gdpr_erasure": "three per-table count rollups: each global agg combines one partial row per partition into the 3-row blast-radius report",
+    "x209_temporal_split_audit": "global audit rollup over the per-customer aggregate: one partial row per partition",
 }
 
 

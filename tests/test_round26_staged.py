@@ -164,3 +164,158 @@ def test_curation_matrix_conserves_corpus(spark):
     assert sum(r["total_chars"] for r in rows) == n_chars
     assert all(1 <= r["dup_band"] <= 3 for r in rows)
     assert all(0 <= r["len_band"] <= 7 for r in rows)
+
+
+def test_winsorized_bucketed_rank_method_matches_window(spark):
+    """The selectable scale path (operators/ranks.py grouped bucketed
+    row_number) must be bit-equal to the certified window form."""
+    sf = SFS[1]
+    fn = STAGED["x195_winsorized_stats"].spark
+    a = sorted(map(tuple, fn(spark, sf).collect()))
+    b = sorted(map(tuple, fn(spark, sf, rank_method="bucketed").collect()))
+    assert a == b
+
+
+def test_contribution_capping_bias_identity(spark):
+    """capped <= true, bias_ppm reproduces from the emitted sums, and
+    with zero clipped customers the bias is zero."""
+    sf = SFS[1]
+    rows = STAGED["x202_contribution_capping"].spark(spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert r["capped_cents"] <= r["true_cents"]
+        assert (
+            r["bias_ppm"]
+            == (r["true_cents"] - r["capped_cents"])
+            * 1_000_000
+            // r["true_cents"]
+        )
+        if r["n_clipped"] == 0:
+            assert r["bias_ppm"] == 0 and r["capped_cents"] == r["true_cents"]
+
+
+def test_l_diversity_bounded_by_class_size_and_domain(spark):
+    """1 <= l <= min(n, |segments|) per class."""
+    sf = SFS[1]
+    n_seg = duckdb.sql(
+        f"SELECT count(DISTINCT c_mktsegment) FROM '{sf}/customer.parquet'"
+    ).fetchone()[0]
+    for r in STAGED["x203_l_diversity"].spark(spark, sf).collect():
+        assert 1 <= r["l_distinct"] <= min(r["n_rows"], n_seg)
+        assert r["below_l"] == (1 if r["l_distinct"] < 3 else 0)
+
+
+def test_class_reweighting_ess_bounds(spark):
+    """1 <= ESS <= N (Cauchy-Schwarz), and uncapped cells satisfy the
+    exact inverse-frequency formula."""
+    sf = SFS[1]
+    rows = STAGED["x204_class_reweighting"].spark(spark, sf).collect()
+    n_total = rows[0]["n_total"]
+    k = rows[0]["n_cells"]
+    assert len(rows) == k
+    assert sum(r["n"] for r in rows) == n_total
+    assert 1 <= rows[0]["ess_rows"] <= n_total
+    for r in rows:
+        expect = min(n_total * 1000 // (k * r["n"]), 100_000)
+        assert r["w_milli"] == expect
+
+
+def test_judge_agreement_kappa_identity(spark):
+    """kappa_ppm reproduces from the emitted marginals via exact
+    integer arithmetic (including the signed-division convention)."""
+    sf = SFS[1]
+    r = STAGED["x205_judge_agreement"].spark(spark, sf).collect()[0]
+    n, n11, n00, a1, b1 = r["n"], r["n11"], r["n00"], r["a1"], r["b1"]
+    pe_num = a1 * b1 + (n - a1) * (n - b1)
+    num = n * (n11 + n00) - pe_num
+    den = n * n - pe_num
+    expect = num * 1_000_000 // den if num >= 0 else -((-num) * 1_000_000 // den)
+    assert r["kappa_ppm"] == expect
+    assert r["po_ppm"] == (n11 + n00) * 1_000_000 // n
+
+
+def test_gdpr_cascade_is_consistent(spark):
+    """Orders delete iff their customer deletes; lineitems delete iff
+    their order deletes — cross-checked against DuckDB directly."""
+    sf = SFS[0]
+    rows = {
+        r["tbl"]: r
+        for r in STAGED["x206_gdpr_erasure"].spark(spark, sf).collect()
+    }
+    want = duckdb.sql(
+        f"""
+        WITH dc AS (
+            SELECT c_custkey FROM '{sf}/customer.parquet'
+            WHERE CAST('0x' || substr(md5('gdpr:' || c_custkey), 1, 8)
+                       AS BIGINT) % 1000 < 5
+        ),
+        do_ AS (
+            SELECT o_orderkey FROM '{sf}/orders.parquet'
+            WHERE o_custkey IN (SELECT c_custkey FROM dc)
+        )
+        SELECT (SELECT count(*) FROM dc),
+               (SELECT count(*) FROM do_),
+               (SELECT count(*) FROM '{sf}/lineitem.parquet'
+                WHERE l_orderkey IN (SELECT o_orderkey FROM do_))
+        """
+    ).fetchone()
+    assert rows["customer"]["n_deleted"] == want[0]
+    assert rows["orders"]["n_deleted"] == want[1]
+    assert rows["lineitem"]["n_deleted"] == want[2]
+
+
+def test_loo_encoding_leak_gap_identity(spark):
+    """enc0 - enc1 == leak_gap for every nation, and the gap is
+    strictly positive — the own-label leak the entry demonstrates."""
+    sf = SFS[1]
+    for r in STAGED["x208_loo_target_encoding"].spark(spark, sf).collect():
+        n1 = max(r["n"] - 1, 1)
+        assert r["enc0_ppm"] == r["pos"] * 1_000_000 // n1
+        assert r["enc1_ppm"] == (r["pos"] - 1) * 1_000_000 // n1
+        assert r["leak_gap_ppm"] == 1_000_000 // n1 > 0
+
+
+def test_temporal_split_contamination_bounds(spark):
+    """Cold-start <= eval customers; contaminated train rows <= train
+    rows; both ppm fields reproduce from the counts."""
+    sf = SFS[1]
+    r = STAGED["x209_temporal_split_audit"].spark(spark, sf).collect()[0]
+    assert r["cold_start_customers"] <= r["eval_customers"]
+    assert r["contaminated_train_rows"] <= r["n_train_rows"]
+    assert (
+        r["cold_start_ppm"]
+        == r["cold_start_customers"] * 1_000_000 // r["eval_customers"]
+    )
+    assert (
+        r["contaminated_ppm"]
+        == r["contaminated_train_rows"] * 1_000_000 // r["n_train_rows"]
+    )
+
+
+def test_readability_brute_force_one_source(spark):
+    """One source recomputed in Python (regex token counting) matches
+    the emitted integer totals and the Flesch milli value."""
+    import re
+
+    sf = SFS[0]
+    rows = STAGED["x210_readability"].spark(spark, sf).collect()
+    src = rows[0]["source"]
+    texts = [
+        t[0]
+        for t in duckdb.sql(
+            f"SELECT text FROM '{sf}/documents.parquet' "
+            f"WHERE source = '{src}'"
+        ).fetchall()
+    ]
+    words = sum(len(re.findall(r"[a-z]+", t.lower())) for t in texts)
+    sents = sum(max(len(re.findall(r"[.!?]+", t)), 1) for t in texts)
+    syll = sum(len(re.findall(r"[aeiouy]+", t.lower())) for t in texts)
+    r = rows[0]
+    assert (r["words"], r["sentences"], r["syllables"]) == (
+        words,
+        sents,
+        syll,
+    )
+    assert r["flesch_milli"] == (
+        206835 - 1015 * words // sents - 84600 * syll // max(words, 1)
+    )
