@@ -85,6 +85,24 @@ audits.
 * ``x210_readability`` — per-source Flesch reading ease in exact
   milli units (vowel-group syllable proxy), native regexp counting.
 
+Third wave: evaluation + experiment-design audits.
+
+* ``x211_stratified_kfold`` — deterministic entity-keyed k-fold
+  assignment with the per-stratum fold-balance audit (share ppm,
+  deviation from 1/k).
+* ``x212_simpson_reversal`` — Simpson's-paradox detector: per-nation
+  vs pooled monthly trend slope SIGN via x114's exact integer
+  numerator (the denominator is always positive, so no division).
+* ``x213_churn_label_sensitivity`` — churn under 60d vs 90d label
+  windows side by side; the flip count is the definition artifact a
+  model would otherwise learn as signal.
+* ``x214_mrr_eval`` — Mean Reciprocal Rank for the retrieval stack:
+  rank by query-term tf, relevance needs the intent term too; RR in
+  exact ppm, MRR the integer mean (x123's NDCG sibling).
+* ``x215_calibration_ece`` — reliability diagram + ECE for the
+  customer-history urgency predictor, strictly-prior windows (no
+  label leakage), all milli-exact.
+
 Hash-parity conventions as plans/queries.py: exact cents/BIGINT
 arithmetic, md5-derived portable hashes (CAST('0x'||substr(md5 ..)
 in DuckDB == conv(substr(md5 ..),16,10) in Spark, both unsigned
@@ -1751,3 +1769,545 @@ def x210_readability(spark, sf_dir):
             "- 84600 * syllables DIV GREATEST(words, 1) AS BIGINT)"
         ).alias("flesch_milli"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# x211 — stratified k-fold assignment + fold-balance audit
+# ---------------------------------------------------------------------------
+
+_KFOLD_K = 5
+
+_KFOLD_ORACLE = f"""
+WITH assigned AS (
+    SELECT c_mktsegment,
+           CAST('0x' || substr(md5('kf:' || c_custkey), 1, 8) AS BIGINT)
+               % {_KFOLD_K} AS fold
+    FROM customer
+),
+cell AS (
+    SELECT c_mktsegment, fold, count(*) AS n
+    FROM assigned GROUP BY c_mktsegment, fold
+),
+seg AS (
+    SELECT c_mktsegment, CAST(SUM(n) AS BIGINT) AS seg_total FROM cell
+    GROUP BY c_mktsegment
+)
+SELECT cell.c_mktsegment AS segment,
+       CAST(cell.fold AS BIGINT) AS fold,
+       CAST(cell.n AS BIGINT) AS n,
+       seg.seg_total,
+       CAST(cell.n * 1000000 // seg.seg_total AS BIGINT) AS share_ppm,
+       CAST(abs(cell.n * 1000000 // seg.seg_total
+                - 1000000 // {_KFOLD_K}) AS BIGINT) AS dev_ppm
+FROM cell JOIN seg USING (c_mktsegment)
+ORDER BY segment, fold
+"""
+
+
+@_staged(
+    "x211_stratified_kfold",
+    "OP-X9-ext",
+    f"Deterministic {_KFOLD_K}-fold cross-validation assignment at "
+    "the customer entity (md5 32-bit prefix mod k — reproducible "
+    "across partitionings, and entity-keyed so folds never split a "
+    "customer, the x199 leakage rule) with the stratification audit: "
+    "per (segment, fold) cell counts, the cell's share of its "
+    "stratum in exact ppm, and the deviation from the ideal 1/k — "
+    "the table a CV harness checks before trusting fold variance. "
+    "Scale shape: fold assignment is a pure map; one hash-agg onto "
+    "the <= |segments| x k cell table; the stratum-total join "
+    "broadcasts.",
+    _KFOLD_ORACLE,
+)
+def x211_stratified_kfold(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    assigned = c.select(
+        "c_mktsegment",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("kf:"), F.col("c_custkey").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _KFOLD_K
+        ).alias("fold"),
+    )
+    cell = assigned.groupBy("c_mktsegment", "fold").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    seg = cell.groupBy("c_mktsegment").agg(
+        F.sum("n").cast("long").alias("seg_total")
+    )
+    ideal = 1_000_000 // _KFOLD_K
+    return (
+        cell.join(F.broadcast(seg), "c_mktsegment")
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("fold").cast("long").alias("fold"),
+            "n",
+            "seg_total",
+            F.expr("CAST(n * 1000000 DIV seg_total AS BIGINT)").alias(
+                "share_ppm"
+            ),
+            F.expr(
+                f"CAST(abs(n * 1000000 DIV seg_total - {ideal}) AS BIGINT)"
+            ).alias("dev_ppm"),
+        )
+        .orderBy("segment", "fold")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x212 — Simpson's-paradox detector (per-nation vs pooled trend sign)
+# ---------------------------------------------------------------------------
+
+_SIMPSON_ORACLE = """
+WITH m AS (
+    SELECT c_nationkey,
+           (year(o_orderdate) * 12 + month(o_orderdate))
+             - (SELECT min(year(o_orderdate) * 12 + month(o_orderdate))
+                FROM orders) AS t,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT) // 100)
+                AS BIGINT) AS y
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey, t
+),
+grp AS (
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) * SUM(t * y) - SUM(t) * SUM(y) AS BIGINT)
+               AS slope_num
+    FROM m GROUP BY c_nationkey
+),
+pooled_m AS (
+    SELECT t, CAST(SUM(y) AS BIGINT) AS y FROM m GROUP BY t
+),
+pooled AS (
+    SELECT CAST(CASE
+                WHEN count(*) * SUM(t * y) - SUM(t) * SUM(y) > 0 THEN 1
+                WHEN count(*) * SUM(t * y) - SUM(t) * SUM(y) < 0 THEN -1
+                ELSE 0 END AS BIGINT) AS pooled_sign
+    FROM pooled_m
+)
+SELECT CAST(g.c_nationkey AS BIGINT) AS nationkey,
+       g.n AS n_months,
+       CAST(CASE WHEN g.slope_num > 0 THEN 1
+                 WHEN g.slope_num < 0 THEN -1 ELSE 0 END AS BIGINT)
+           AS group_sign,
+       p.pooled_sign,
+       CAST(CASE WHEN g.slope_num > 0 AND p.pooled_sign < 0 THEN 1
+                 WHEN g.slope_num < 0 AND p.pooled_sign > 0 THEN 1
+                 ELSE 0 END AS BIGINT) AS reversed
+FROM grp g, pooled p
+ORDER BY nationkey
+"""
+
+
+@_staged(
+    "x212_simpson_reversal",
+    "OP-G6/X-ext",
+    "Simpson's-paradox detector over the monthly revenue trend: the "
+    "OLS slope SIGN per nation vs the pooled slope sign, flagging "
+    "nations whose within-group trend contradicts the aggregate — "
+    "the aggregation-bias audit that must run before anyone reads a "
+    "pooled trend as 'every market is growing'. Only the slope "
+    "NUMERATOR n*Sty - St*Sy is needed (the denominator n*Stt - "
+    "St^2 is positive for n>=2 distinct months), so the sign is "
+    "exact integer arithmetic — x114's portable-regr_slope trick "
+    "reduced to its sign. Monthly y uses floor-DOLLARS (cents DIV "
+    "100): positive scaling never changes a sign, and it keeps the "
+    "pooled n*Sty under ~1.6e16 even at 1000x (the x160 bound, done "
+    "BEFORE writing). Scale shape: one (nation, month) hash-agg, "
+    "then sums over the bounded |nations| x |months| frame; the "
+    "pooled scalar broadcasts.",
+    _SIMPSON_ORACLE,
+)
+def x212_simpson_reversal(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    mon = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    t0 = o.agg(F.min(mon).alias("t0"))
+    m = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .crossJoin(F.broadcast(t0))
+        .select(
+            "c_nationkey",
+            (mon - F.col("t0")).cast("long").alias("t"),
+            F.expr(
+                "CAST(round(o_totalprice * 100) AS BIGINT) DIV 100"
+            ).alias("dollars"),
+        )
+        .groupBy("c_nationkey", "t")
+        .agg(F.sum("dollars").cast("long").alias("y"))
+    )
+    slope_num = (
+        F.count("*").cast("long") * F.sum(F.col("t") * F.col("y"))
+        - F.sum("t") * F.sum("y")
+    ).cast("long")
+    grp = m.groupBy("c_nationkey").agg(
+        F.count("*").cast("long").alias("n"),
+        slope_num.alias("slope_num"),
+    )
+    pooled = (
+        m.groupBy("t")
+        .agg(F.sum("y").cast("long").alias("y"))
+        .agg(slope_num.alias("pnum"))
+        .select(F.signum("pnum").cast("long").alias("pooled_sign"))
+    )
+    gs = F.signum("slope_num").cast("long")
+    return (
+        grp.crossJoin(F.broadcast(pooled))
+        .select(
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            F.col("n").alias("n_months"),
+            gs.alias("group_sign"),
+            "pooled_sign",
+            F.when(
+                (gs * F.col("pooled_sign")) < 0, 1
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("reversed"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x213 — churn label-definition sensitivity (60d vs 90d windows)
+# ---------------------------------------------------------------------------
+
+_CHURN_W1, _CHURN_W2 = 60, 90
+
+_CHURN_ORACLE = f"""
+WITH seq AS (
+    SELECT o_custkey, o_orderdate, o_orderkey,
+           lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey)
+               AS next_d
+    FROM orders
+),
+labeled AS (
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CASE WHEN next_d IS NULL
+                  OR date_diff('day', CAST(o_orderdate AS DATE),
+                               CAST(next_d AS DATE)) > {_CHURN_W1}
+                THEN 1 ELSE 0 END AS churn_a,
+           CASE WHEN next_d IS NULL
+                  OR date_diff('day', CAST(o_orderdate AS DATE),
+                               CAST(next_d AS DATE)) > {_CHURN_W2}
+                THEN 1 ELSE 0 END AS churn_b
+    FROM seq
+)
+SELECT yr,
+       CAST(count(*) AS BIGINT) AS n_anchors,
+       CAST(SUM(churn_a) AS BIGINT) AS churn_{_CHURN_W1}d,
+       CAST(SUM(churn_b) AS BIGINT) AS churn_{_CHURN_W2}d,
+       CAST(SUM(churn_a - churn_b) AS BIGINT) AS flips,
+       CAST(SUM(churn_a - churn_b) * 1000000 // count(*) AS BIGINT)
+           AS flip_ppm
+FROM labeled
+GROUP BY yr
+ORDER BY yr
+"""
+
+
+@_staged(
+    "x213_churn_label_sensitivity",
+    "OP-W3/D-ext",
+    "Label-engineering sensitivity audit: every order is an anchor, "
+    f"churn = no next order within W days, and the W={_CHURN_W1} vs "
+    f"W={_CHURN_W2} definitions are computed side by side — the flip "
+    "count (churn under the tight window, retained under the loose "
+    "one: exactly the gap-in-(60,90] anchors, so churn_a >= churn_b "
+    "and flips is their nonnegative difference) quantifies how much "
+    "of the 'churn' a model would learn is really a DEFINITION "
+    "artifact. Next-order gaps use lead over the (custkey; "
+    "orderdate, orderkey) window and the x135 date-cast day diff "
+    "(certified under the non-UTC hostile gate). Scale shape: the "
+    "lead window partitions on custkey; one hash-agg onto years.",
+    _CHURN_ORACLE,
+)
+def x213_churn_label_sensitivity(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        "o_orderdate",
+        F.lead("o_orderdate").over(w).alias("next_d"),
+    )
+    gap = F.datediff(
+        F.col("next_d").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    labeled = seq.select(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.when(F.col("next_d").isNull() | (gap > _CHURN_W1), 1)
+        .otherwise(0)
+        .alias("churn_a"),
+        F.when(F.col("next_d").isNull() | (gap > _CHURN_W2), 1)
+        .otherwise(0)
+        .alias("churn_b"),
+    )
+    return (
+        labeled.groupBy("yr")
+        .agg(
+            F.count("*").cast("long").alias("n_anchors"),
+            F.sum("churn_a").cast("long").alias(f"churn_{_CHURN_W1}d"),
+            F.sum("churn_b").cast("long").alias(f"churn_{_CHURN_W2}d"),
+            F.sum(F.col("churn_a") - F.col("churn_b"))
+            .cast("long")
+            .alias("flips"),
+            F.expr(
+                "CAST(SUM(churn_a - churn_b) * 1000000 DIV count(*) "
+                "AS BIGINT)"
+            ).alias("flip_ppm"),
+        )
+        .orderBy("yr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x214 — MRR retrieval eval (first-relevant reciprocal rank)
+# ---------------------------------------------------------------------------
+
+_MRR_AT = 100
+# (query term, intent term): ranking scores only the query term;
+# relevance requires BOTH — so the first relevant hit is usually not
+# rank 1 and the reciprocal rank is informative.
+_MRR_QUERIES = (
+    ("join", "hash"),
+    ("sort", "merge"),
+    ("query", "slow"),
+    ("stream", "batch"),
+)
+
+
+def _mrr_query_sql(q: str, intent: str) -> str:
+    return f"""
+SELECT '{q}' AS query,
+       CAST(coalesce(MIN(CASE WHEN rel = 1 THEN rn END), 0) AS BIGINT)
+           AS first_rel_rank,
+       CAST(coalesce(1000000 // MIN(CASE WHEN rel = 1 THEN rn END), 0)
+            AS BIGINT) AS rr_ppm
+FROM (
+    SELECT row_number() OVER (ORDER BY tf DESC, doc_id) AS rn, rel
+    FROM (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), x -> x = '{q}'))
+                   AS tf,
+               CASE WHEN len(list_filter(string_split(text, ' '),
+                                          x -> x = '{intent}')) > 0
+                    THEN 1 ELSE 0 END AS rel
+        FROM documents
+    ) WHERE tf > 0
+) WHERE rn <= {_MRR_AT}
+"""
+
+
+_MRR_ORACLE = (
+    "WITH per_q AS ("
+    + " UNION ALL ".join(
+        f"({_mrr_query_sql(q, i)})" for q, i in _MRR_QUERIES
+    )
+    + f"""
+)
+SELECT query, first_rel_rank, rr_ppm,
+       (SELECT CAST(SUM(rr_ppm) // {len(_MRR_QUERIES)} AS BIGINT)
+        FROM per_q) AS mrr_ppm
+FROM per_q
+ORDER BY query
+"""
+)
+
+
+@_staged(
+    "x214_mrr_eval",
+    "OP-X4/O1-ext",
+    "Mean Reciprocal Rank eval for the retrieval stack (x123's NDCG "
+    "sibling): four (query, intent) pairs rank documents by exact "
+    "query-term frequency (ties broken by doc_id — a total order, "
+    f"engine-portable) cut at top-{_MRR_AT}; a hit is relevant when "
+    "it also contains the intent term, and RR = 1e6 DIV "
+    "first-relevant rank (0 when the cut has no relevant hit). "
+    "MRR = integer mean over queries. Scale shape: per query the "
+    "corpus-sized step compiles to TakeOrderedAndProject (top-100 "
+    "by (tf, doc_id)); the rank window runs over the <= 100-row "
+    "cut — bounded by construction, the x122/x147/x177 idiom.",
+    _MRR_ORACLE,
+)
+def x214_mrr_eval(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    per_q = None
+    for q, intent in _MRR_QUERIES:
+        scored = d.select(
+            "doc_id",
+            F.size(
+                F.expr(f"filter(split(text, ' '), x -> x = '{q}')")
+            ).alias("tf"),
+            F.when(
+                F.size(
+                    F.expr(f"filter(split(text, ' '), x -> x = '{intent}')")
+                )
+                > 0,
+                1,
+            )
+            .otherwise(0)
+            .alias("rel"),
+        ).filter(F.col("tf") > 0)
+        cut = scored.orderBy(F.desc("tf"), "doc_id").limit(_MRR_AT)
+        ranked = cut.select(
+            "rel",
+            F.row_number()
+            .over(Window.orderBy(F.desc("tf"), "doc_id"))
+            .alias("rn"),
+        )
+        one = ranked.agg(
+            F.lit(q).alias("query"),
+            F.coalesce(
+                F.min(F.when(F.col("rel") == 1, F.col("rn"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("first_rel_rank"),
+        ).select(
+            "query",
+            "first_rel_rank",
+            F.when(
+                F.col("first_rel_rank") > 0,
+                F.expr("CAST(1000000 DIV first_rel_rank AS BIGINT)"),
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("rr_ppm"),
+        )
+        per_q = one if per_q is None else per_q.unionAll(one)
+    mrr = per_q.agg(
+        F.expr(
+            f"CAST(SUM(rr_ppm) DIV {len(_MRR_QUERIES)} AS BIGINT)"
+        ).alias("mrr_ppm")
+    )
+    return (
+        per_q.crossJoin(F.broadcast(mrr))
+        .select("query", "first_rel_rank", "rr_ppm", "mrr_ppm")
+        .orderBy("query")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x215 — calibration bins + expected calibration error (ECE)
+# ---------------------------------------------------------------------------
+
+_ECE_ORACLE = """
+WITH hist AS (
+    SELECT o_custkey, o_orderdate, o_orderkey,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y,
+           count(*) OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prior_n,
+           coalesce(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                             THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS prior_pos
+    FROM orders
+),
+scored AS (
+    SELECT y, prior_pos * 1000 // prior_n AS conf_milli,
+           LEAST(prior_pos * 1000 // prior_n // 100, 9) AS bin
+    FROM hist WHERE prior_n >= 1
+),
+bins AS (
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(conf_milli) // count(*) AS BIGINT) AS conf_milli,
+           CAST(SUM(y) * 1000 // count(*) AS BIGINT) AS acc_milli
+    FROM scored GROUP BY bin
+),
+ece AS (
+    SELECT CAST(SUM(n * abs(conf_milli - acc_milli)) // SUM(n) AS BIGINT)
+        AS ece_milli
+    FROM bins
+)
+SELECT CAST(bins.bin AS BIGINT) AS bin, bins.n, bins.conf_milli,
+       bins.acc_milli,
+       CAST(abs(bins.conf_milli - bins.acc_milli) AS BIGINT) AS gap_milli,
+       ece.ece_milli
+FROM bins, ece
+ORDER BY bin
+"""
+
+
+@_staged(
+    "x215_calibration_ece",
+    "OP-W4/G5-ext",
+    "Reliability diagram + expected calibration error for the "
+    "naive history predictor 'this customer's past urgent rate "
+    "predicts the next order's urgency': per order, the prior rate "
+    "over STRICTLY EARLIER orders (cumulative window, 1 PRECEDING — "
+    "no label leakage, the x208 lesson applied) in exact milli, "
+    "binned into deciles; per bin the mean confidence vs observed "
+    "accuracy, and ECE = the n-weighted mean absolute gap — all "
+    "integer (the abs difference of two floor divisions divides "
+    "nothing afterward). First orders (no history) are excluded. "
+    "Scale shape: the cumulative window partitions on custkey; one "
+    "hash-agg onto <= 10 bins; the ECE scalar broadcasts back.",
+    _ECE_ORACLE,
+)
+def x215_calibration_ece(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    y = F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hist = o.select(
+        y.alias("y"),
+        F.count("*").over(w).alias("prior_n"),
+        F.coalesce(F.sum(y).over(w), F.lit(0)).alias("prior_pos"),
+    )
+    scored = hist.filter(F.col("prior_n") >= 1).select(
+        "y",
+        F.expr("prior_pos * 1000 DIV prior_n").alias("conf_milli"),
+        F.expr(
+            "LEAST(prior_pos * 1000 DIV prior_n DIV 100, 9)"
+        ).alias("bin"),
+    )
+    bins = scored.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("CAST(SUM(conf_milli) DIV count(*) AS BIGINT)").alias(
+            "conf_milli"
+        ),
+        F.expr("CAST(SUM(y) * 1000 DIV count(*) AS BIGINT)").alias(
+            "acc_milli"
+        ),
+    )
+    ece = bins.agg(
+        F.expr(
+            "CAST(SUM(n * abs(conf_milli - acc_milli)) DIV SUM(n) "
+            "AS BIGINT)"
+        ).alias("ece_milli")
+    )
+    return (
+        bins.crossJoin(F.broadcast(ece))
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            "n",
+            "conf_milli",
+            "acc_milli",
+            F.expr("CAST(abs(conf_milli - acc_milli) AS BIGINT)").alias(
+                "gap_milli"
+            ),
+            "ece_milli",
+        )
+        .orderBy("bin")
+    )

@@ -53,6 +53,11 @@ ENTRIES = [
     "x208_loo_target_encoding",
     "x209_temporal_split_audit",
     "x210_readability",
+    "x211_stratified_kfold",
+    "x212_simpson_reversal",
+    "x213_churn_label_sensitivity",
+    "x214_mrr_eval",
+    "x215_calibration_ece",
 ]
 
 

@@ -241,6 +241,8 @@ _SINGLE_PARTITION_OK = {
     "x205_judge_agreement": "global judge-count agg: one partial row per partition combines to the 1-row count frame",
     "x206_gdpr_erasure": "three per-table count rollups: each global agg combines one partial row per partition into the 3-row blast-radius report",
     "x209_temporal_split_audit": "global audit rollup over the per-customer aggregate: one partial row per partition",
+    "x212_simpson_reversal": "month-origin scalar (global min month, the x114 idiom) + pooled slope-sign scalar over the <=|months| frame, both broadcast",
+    "x215_calibration_ece": "ECE scalar over the <=10-row bin aggregate: one partial row per partition, then broadcast back",
 }
 
 

@@ -319,3 +319,90 @@ def test_readability_brute_force_one_source(spark):
     assert r["flesch_milli"] == (
         206835 - 1015 * words // sents - 84600 * syll // max(words, 1)
     )
+
+
+def test_kfold_partitions_strata(spark):
+    """Fold cells partition each stratum: per-segment cell sums equal
+    the stratum totals, and shares sum to ~1e6 per stratum."""
+    sf = SFS[1]
+    rows = STAGED["x211_stratified_kfold"].spark(spark, sf).collect()
+    by_seg = {}
+    for r in rows:
+        by_seg.setdefault(r["segment"], []).append(r)
+    for seg, cells in by_seg.items():
+        total = cells[0]["seg_total"]
+        assert sum(c["n"] for c in cells) == total, seg
+        assert all(c["seg_total"] == total for c in cells)
+        # floor-ppm shares under-count by < k
+        assert 1_000_000 - 5 < sum(c["share_ppm"] for c in cells) <= 1_000_000
+
+
+def test_simpson_signs_consistent(spark):
+    """group_sign in {-1,0,1}; reversed iff the product with the
+    pooled sign is negative; pooled sign identical on every row."""
+    sf = SFS[1]
+    rows = STAGED["x212_simpson_reversal"].spark(spark, sf).collect()
+    pooled = {r["pooled_sign"] for r in rows}
+    assert len(pooled) == 1
+    for r in rows:
+        assert r["group_sign"] in (-1, 0, 1)
+        assert r["reversed"] == (
+            1 if r["group_sign"] * r["pooled_sign"] < 0 else 0
+        )
+
+
+def test_churn_flips_are_window_monotone(spark):
+    """A 60d churner set contains the 90d churner set, so flips =
+    churn_60d - churn_90d >= 0 and flip_ppm reproduces."""
+    sf = SFS[1]
+    for r in STAGED["x213_churn_label_sensitivity"].spark(spark, sf).collect():
+        assert r["churn_60d"] >= r["churn_90d"]
+        assert r["flips"] == r["churn_60d"] - r["churn_90d"]
+        assert r["flip_ppm"] == r["flips"] * 1_000_000 // r["n_anchors"]
+
+
+def test_mrr_brute_force(spark):
+    """Recompute every query's first-relevant rank with plain Python
+    over the raw corpus and match RR/MRR exactly."""
+    sf = SFS[0]
+    from ravelytics_spark.plans.round26_staged import _MRR_AT, _MRR_QUERIES
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf}/documents.parquet'"
+    ).fetchall()
+    got = {
+        r["query"]: r
+        for r in STAGED["x214_mrr_eval"].spark(spark, sf).collect()
+    }
+    rrs = []
+    for q, intent in _MRR_QUERIES:
+        scored = []
+        for doc_id, text in docs:
+            toks = [t for t in text.split(" ") if t]
+            tf = sum(1 for t in toks if t == q)
+            if tf > 0:
+                scored.append((-tf, doc_id, intent in toks))
+        scored.sort()
+        first = next(
+            (i + 1 for i, s in enumerate(scored[:_MRR_AT]) if s[2]), 0
+        )
+        rr = 1_000_000 // first if first else 0
+        rrs.append(rr)
+        assert got[q]["first_rel_rank"] == first, q
+        assert got[q]["rr_ppm"] == rr, q
+    assert got[_MRR_QUERIES[0][0]]["mrr_ppm"] == sum(rrs) // len(rrs)
+
+
+def test_ece_is_weighted_mean_gap(spark):
+    """ECE reproduces from the emitted bins; bins cover deciles; no
+    label leakage: confidences are valid milli-probabilities."""
+    sf = SFS[1]
+    rows = STAGED["x215_calibration_ece"].spark(spark, sf).collect()
+    n_tot = sum(r["n"] for r in rows)
+    want = sum(r["n"] * abs(r["conf_milli"] - r["acc_milli"]) for r in rows)
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        assert 0 <= r["conf_milli"] <= 1000
+        assert 0 <= r["acc_milli"] <= 1000
+        assert r["gap_milli"] == abs(r["conf_milli"] - r["acc_milli"])
+        assert r["ece_milli"] == want // n_tot
