@@ -103,6 +103,20 @@ Third wave: evaluation + experiment-design audits.
   customer-history urgency predictor, strictly-prior windows (no
   label leakage), all milli-exact.
 
+Fourth wave: corpus-hygiene governance.
+
+* ``x216_boilerplate_score`` — CCNet-style cross-doc boilerplate:
+  share of a doc's 6-token lines that >= 3 docs contain, rolled up
+  per source with the heavy-doc rate (the within-doc
+  x4_repetition_score's corpus-level complement).
+* ``x217_contamination_width_curve`` — eval-contamination rate at
+  n-gram widths 4/6/8 over an entity-keyed doc split: the
+  sensitivity curve that justifies the width x19 ships with.
+* ``x218_dedup_spillover_matrix`` — under keep-min survivorship,
+  (keeper source, dropped source) counts: who actually loses
+  documents in cross-source dedup (x110 measures similarity; this
+  measures the casualties).
+
 Hash-parity conventions as plans/queries.py: exact cents/BIGINT
 arithmetic, md5-derived portable hashes (CAST('0x'||substr(md5 ..)
 in DuckDB == conv(substr(md5 ..),16,10) in Spark, both unsigned
@@ -2310,4 +2324,344 @@ def x215_calibration_ece(spark, sf_dir):
             "ece_milli",
         )
         .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x216 — per-source boilerplate score (corpus-common line share)
+# ---------------------------------------------------------------------------
+
+_BOIL_LINE_TOKS = 6
+_BOIL_DF = 3        # a line is boilerplate when >= 3 docs contain it
+_BOIL_HEAVY = 500   # a doc is boilerplate-heavy at >= 50% common lines
+
+_BOIL_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, source,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                        ' ') AS ws
+    FROM documents
+    WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0
+),
+lines AS (
+    SELECT DISTINCT doc_id, source,
+           array_to_string(
+               ws[k * {_BOIL_LINE_TOKS} + 1 : (k + 1) * {_BOIL_LINE_TOKS}],
+               ' ') AS line
+    FROM tok, unnest(range(CAST(ceil(len(ws) / {_BOIL_LINE_TOKS}.0)
+                                AS BIGINT))) AS t(k)
+),
+df AS (
+    SELECT line, count(*) AS n_docs FROM lines GROUP BY line
+),
+per_doc AS (
+    SELECT l.doc_id, l.source,
+           count(*) AS n_lines,
+           SUM(CASE WHEN df.n_docs >= {_BOIL_DF} THEN 1 ELSE 0 END)
+               AS n_common,
+           SUM(CASE WHEN df.n_docs >= {_BOIL_DF} THEN 1 ELSE 0 END)
+               * 1000 // count(*) AS boiler_milli
+    FROM lines l JOIN df ON l.line = df.line
+    GROUP BY l.doc_id, l.source
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+       CAST(SUM(n_common) AS BIGINT) AS n_common_lines,
+       CAST(SUM(boiler_milli) // count(*) AS BIGINT) AS mean_boiler_milli,
+       CAST(SUM(CASE WHEN boiler_milli >= {_BOIL_HEAVY} THEN 1 ELSE 0 END)
+            AS BIGINT) AS heavy_docs,
+       CAST(SUM(CASE WHEN boiler_milli >= {_BOIL_HEAVY} THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS heavy_ppm
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+@_staged(
+    "x216_boilerplate_score",
+    "OP-X4/X2-ext",
+    "CCNet-style boilerplate scoring: documents chunk into "
+    f"{_BOIL_LINE_TOKS}-token lines (x24's line framing), a line is "
+    f"boilerplate when >= {_BOIL_DF} distinct docs contain it "
+    "(corpus document-frequency — cross-doc repetition, the signal "
+    "x4_repetition_score's WITHIN-doc n-grams cannot see), and each "
+    "doc's boilerplate share in exact milli rolls up per source with "
+    f"the >= {_BOIL_HEAVY / 10:.0f}% heavy-doc rate in ppm — the "
+    "navigation-chrome/footer detector a web-corpus curation pass "
+    "runs before quality scoring. Scale shape: line doc-frequency "
+    "is one hash-agg on the line key (docs never move — lines do, "
+    "the x24b shape); the join back is line-keyed; final rollup is "
+    "per-source.",
+    _BOIL_ORACLE,
+)
+def x216_boilerplate_score(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    tok = d.filter(
+        F.length(F.trim(F.regexp_replace("text", r"\s+", " "))) > 0
+    ).select("doc_id", "source", F.split(norm, " ").alias("ws"))
+    n_lines = F.expr(
+        f"CAST(ceil(size(ws) / {_BOIL_LINE_TOKS}.0) AS BIGINT)"
+    )
+    lines = (
+        tok.select(
+            "doc_id",
+            "source",
+            "ws",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_lines - 1)).alias(
+                "k"
+            ),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.expr(
+                f"array_join(slice(ws, CAST(k * {_BOIL_LINE_TOKS} + 1 AS "
+                f"INT), {_BOIL_LINE_TOKS}), ' ')"
+            ).alias("line"),
+        )
+        .distinct()
+    )
+    df = lines.groupBy("line").agg(F.count("*").alias("n_docs"))
+    per_doc = (
+        lines.join(df, "line")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(
+                F.when(F.col("n_docs") >= _BOIL_DF, 1).otherwise(0)
+            ).alias("n_common"),
+            F.expr(
+                f"SUM(CASE WHEN n_docs >= {_BOIL_DF} THEN 1 ELSE 0 END) "
+                "* 1000 DIV count(*)"
+            ).alias("boiler_milli"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_lines").cast("long").alias("n_lines"),
+            F.sum("n_common").cast("long").alias("n_common_lines"),
+            F.expr(
+                "CAST(SUM(boiler_milli) DIV count(*) AS BIGINT)"
+            ).alias("mean_boiler_milli"),
+            F.sum(
+                F.when(F.col("boiler_milli") >= _BOIL_HEAVY, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("heavy_docs"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN boiler_milli >= {_BOIL_HEAVY} THEN 1 "
+                "ELSE 0 END) * 1000000 DIV count(*) AS BIGINT)"
+            ).alias("heavy_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x217 — decontamination width-sensitivity curve
+# ---------------------------------------------------------------------------
+
+_CONTAM_WIDTHS = (4, 6, 8)
+_CONTAM_EVAL_PCT = 10  # md5(doc_id) % 100 < 10 -> eval split
+
+
+def _contam_width_sql(n: int) -> str:
+    return f"""
+SELECT CAST({n} AS BIGINT) AS width,
+       (SELECT CAST(count(*) AS BIGINT) FROM split WHERE is_eval = 1)
+           AS n_eval_docs,
+       CAST(count(DISTINCT g.doc_id) AS BIGINT) AS n_contaminated,
+       CAST(count(DISTINCT g.doc_id) * 1000000
+            // (SELECT count(*) FROM split WHERE is_eval = 1) AS BIGINT)
+           AS contam_ppm
+FROM (
+    SELECT s.doc_id,
+           array_to_string(s.ws[k + 1 : k + {n}], ' ') AS gram
+    FROM split s, unnest(range(greatest(len(s.ws) - {n} + 1, 0))) AS t(k)
+    WHERE s.is_eval = 1
+) g
+WHERE g.gram IN (
+    SELECT DISTINCT array_to_string(s.ws[k + 1 : k + {n}], ' ')
+    FROM split s, unnest(range(greatest(len(s.ws) - {n} + 1, 0))) AS t(k)
+    WHERE s.is_eval = 0
+)
+"""
+
+
+_CONTAM_ORACLE = (
+    f"""
+WITH split AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                            'g')), ' ') AS ws,
+           CASE WHEN CAST('0x' || substr(md5('ct:' || doc_id), 1, 8)
+                     AS BIGINT) % 100 < {_CONTAM_EVAL_PCT}
+                THEN 1 ELSE 0 END AS is_eval
+    FROM documents
+    WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0
+)
+"""
+    + " UNION ALL ".join(f"({_contam_width_sql(n)})" for n in _CONTAM_WIDTHS)
+    + "\nORDER BY width"
+)
+
+
+@_staged(
+    "x217_contamination_width_curve",
+    "OP-X2/X4-ext",
+    "Decontamination width-sensitivity curve — x213's "
+    "definition-sensitivity idea applied to eval contamination: the "
+    "corpus splits eval/train at the document entity (md5, "
+    f"{_CONTAM_EVAL_PCT}%), and for each n-gram width in "
+    f"{_CONTAM_WIDTHS} the audit counts eval docs sharing ANY "
+    "n-gram with the train side, in exact ppm. Short widths "
+    "over-flag (common phrases), long widths under-flag (miss "
+    "paraphrase overlap) — the curve is what justifies the width a "
+    "decontamination pass (x19) actually ships with. Scale shape: "
+    "grams form map-side (sequence + slice, the x19 idiom), the "
+    "train gram set DISTINCTs before the semi-join per width, and "
+    "the per-width rollups are global count scalars (one partial "
+    "row per partition).",
+    _CONTAM_ORACLE,
+)
+def x217_contamination_width_curve(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    split_df = d.filter(
+        F.length(F.trim(F.regexp_replace("text", r"\s+", " "))) > 0
+    ).select(
+        "doc_id",
+        F.split(norm, " ").alias("ws"),
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit("ct:"), F.col("doc_id").cast("string"))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+            < _CONTAM_EVAL_PCT,
+            1,
+        )
+        .otherwise(0)
+        .alias("is_eval"),
+    )
+    n_eval = split_df.filter(F.col("is_eval") == 1).agg(
+        F.count("*").cast("long").alias("n_eval_docs")
+    )
+
+    def grams(df, n):
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.greatest(
+                        F.size("ws").cast("long") - n, F.lit(-1).cast("long")
+                    ),
+                )
+            ).alias("k"),
+            "ws",
+        ).select(
+            "doc_id",
+            F.expr(
+                f"array_join(slice(ws, CAST(k + 1 AS INT), {n}), ' ')"
+            ).alias("gram"),
+        )
+
+    out = None
+    for n in _CONTAM_WIDTHS:
+        ev = grams(split_df.filter(F.col("is_eval") == 1), n)
+        tr = grams(split_df.filter(F.col("is_eval") == 0), n).select(
+            "gram"
+        ).distinct()
+        hit = (
+            ev.join(tr, "gram", "left_semi")
+            .agg(F.countDistinct("doc_id").cast("long").alias("n_contaminated"))
+        )
+        one = hit.crossJoin(F.broadcast(n_eval)).select(
+            F.lit(n).cast("long").alias("width"),
+            "n_eval_docs",
+            "n_contaminated",
+            F.expr(
+                "CAST(n_contaminated * 1000000 DIV n_eval_docs AS BIGINT)"
+            ).alias("contam_ppm"),
+        )
+        out = one if out is None else out.unionAll(one)
+    return out.orderBy("width")
+
+
+# ---------------------------------------------------------------------------
+# x218 — dedup spillover matrix (who loses docs to whom)
+# ---------------------------------------------------------------------------
+
+_SPILL_ORACLE = """
+WITH n AS (
+    SELECT doc_id, source,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+),
+keeper AS (
+    SELECT fp, min(doc_id) AS keep_id FROM n GROUP BY fp
+),
+ks AS (
+    SELECT k.fp, k.keep_id, n.source AS keeper_source
+    FROM keeper k JOIN n ON k.keep_id = n.doc_id
+)
+SELECT ks.keeper_source, n.source AS dropped_source,
+       CAST(count(*) AS BIGINT) AS n_dropped
+FROM n JOIN ks ON n.fp = ks.fp
+WHERE n.doc_id <> ks.keep_id
+GROUP BY ks.keeper_source, n.source
+ORDER BY keeper_source, dropped_source
+"""
+
+
+@_staged(
+    "x218_dedup_spillover_matrix",
+    "OP-X1/G3-ext",
+    "Dedup spillover matrix: under the keep-min-id survivorship "
+    "policy (x1's), every dropped duplicate is attributed to the "
+    "(keeper source, dropped source) pair — the governance table "
+    "that shows WHICH source's documents survive cross-source "
+    "dedup and which source silently shrinks (x110 measures how "
+    "similar two sources are; this measures who actually loses). "
+    "Normalization and fingerprint are x1c's, so the matrix is "
+    "consistent with the dedup pass it audits. Scale shape: one "
+    "fingerprint hash-agg (keep-min), keeper-source lookup joins on "
+    "the 8-byte-ish keep_id, the member join is fingerprint-keyed; "
+    "documents themselves never shuffle; output <= |sources|^2.",
+    _SPILL_ORACLE,
+)
+def x218_dedup_spillover_matrix(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "), r"\s+", " "
+        )
+    )
+    n = d.select("doc_id", "source", F.md5(norm).alias("fp"))
+    keeper = n.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    ks = keeper.join(
+        n.select(F.col("doc_id").alias("keep_id"),
+                 F.col("source").alias("keeper_source")),
+        "keep_id",
+    )
+    return (
+        n.join(ks, "fp")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .groupBy("keeper_source", F.col("source").alias("dropped_source"))
+        .agg(F.count("*").cast("long").alias("n_dropped"))
+        .orderBy("keeper_source", "dropped_source")
     )

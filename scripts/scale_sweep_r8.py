@@ -58,6 +58,9 @@ ENTRIES = [
     "x213_churn_label_sensitivity",
     "x214_mrr_eval",
     "x215_calibration_ece",
+    "x216_boilerplate_score",
+    "x217_contamination_width_curve",
+    "x218_dedup_spillover_matrix",
 ]
 
 

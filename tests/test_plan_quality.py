@@ -243,6 +243,7 @@ _SINGLE_PARTITION_OK = {
     "x209_temporal_split_audit": "global audit rollup over the per-customer aggregate: one partial row per partition",
     "x212_simpson_reversal": "month-origin scalar (global min month, the x114 idiom) + pooled slope-sign scalar over the <=|months| frame, both broadcast",
     "x215_calibration_ece": "ECE scalar over the <=10-row bin aggregate: one partial row per partition, then broadcast back",
+    "x217_contamination_width_curve": "per-width contaminated-doc count + eval-doc count scalars: each global agg combines one partial row per partition into the 3-row curve",
 }
 
 

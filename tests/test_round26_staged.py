@@ -406,3 +406,53 @@ def test_ece_is_weighted_mean_gap(spark):
         assert 0 <= r["acc_milli"] <= 1000
         assert r["gap_milli"] == abs(r["conf_milli"] - r["acc_milli"])
         assert r["ece_milli"] == want // n_tot
+
+
+def test_boilerplate_share_bounds_and_totals(spark):
+    """Common lines never exceed total lines; per-source doc counts
+    sum to the nonempty-doc corpus count."""
+    sf = SFS[1]
+    rows = STAGED["x216_boilerplate_score"].spark(spark, sf).collect()
+    n_docs = duckdb.sql(
+        f"""SELECT count(*) FROM '{sf}/documents.parquet'
+            WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0"""
+    ).fetchone()[0]
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert 0 <= r["n_common_lines"] <= r["n_lines"]
+        assert 0 <= r["mean_boiler_milli"] <= 1000
+        assert r["heavy_ppm"] == r["heavy_docs"] * 1_000_000 // r["n_docs"]
+
+
+def test_contamination_monotone_in_width(spark):
+    """A shared n-gram contains shared (n-1)-grams, so contamination
+    can only fall (or hold) as the width grows."""
+    sf = SFS[1]
+    rows = STAGED["x217_contamination_width_curve"].spark(spark, sf).collect()
+    assert [r["width"] for r in rows] == [4, 6, 8]
+    n_eval = {r["n_eval_docs"] for r in rows}
+    assert len(n_eval) == 1
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_contaminated"] >= b["n_contaminated"]
+    for r in rows:
+        assert (
+            r["contam_ppm"]
+            == r["n_contaminated"] * 1_000_000 // r["n_eval_docs"]
+        )
+
+
+def test_spillover_matrix_accounts_all_dropped_docs(spark):
+    """Matrix cell counts sum to exactly (corpus docs - distinct
+    fingerprints) — every dropped duplicate is attributed once."""
+    sf = SFS[1]
+    rows = STAGED["x218_dedup_spillover_matrix"].spark(spark, sf).collect()
+    n_docs, n_fps = duckdb.sql(
+        f"""
+        SELECT count(*), count(DISTINCT md5(trim(regexp_replace(
+            regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+            '\\s+', ' ', 'g'))))
+        FROM '{sf}/documents.parquet'
+        """
+    ).fetchone()
+    assert sum(r["n_dropped"] for r in rows) == n_docs - n_fps
+    assert all(r["n_dropped"] > 0 for r in rows)
