@@ -35,6 +35,16 @@ Grouped form (``partition_by``): boundaries come from ONE grouped
 ``approx_percentile`` (boundary table is |groups|×buckets rows,
 guarded), and offsets accumulate per (group, bucket). Used by x118's
 per-priority median when a single group outgrows one task's window.
+
+When to pick ``bucketed`` — measured, not guessed (SCALING.md round
+7): it wins when |groups| ≪ executor slots (x118's 5 priority groups
+crossed over at 100×: 14.9 s vs the window's 16.3 s) or when one
+group outgrows a task's memory; it LOSES when group cardinality
+already matches the machine (x195's 25 brands: 2.7× slower at every
+scale — the three extra corpus passes buy parallelism the plain
+window already has). The plain partitioned window is not an
+anti-pattern at moderate group counts; bucketing exists for the
+few-giant-groups regime.
 """
 
 from __future__ import annotations

@@ -117,6 +117,17 @@ Fourth wave: corpus-hygiene governance.
   documents in cross-source dedup (x110 measures similarity; this
   measures the casualties).
 
+Fifth wave: experiment-platform + feature-prep primitives.
+
+* ``x219_quantile_normalization`` — per-brand price distributions
+  mapped onto the pooled reference by exact rank (the batch-effect
+  correction); pooled rank is the whitelisted certifiable window
+  with the ranks.py bucketed scale path selectable.
+* ``x220_srm_check`` — sample-ratio-mismatch chi-square for the
+  x199 entity split in exact ppm (x202's two-stage division
+  decomposition keeps the worst-case square in BIGINT), flagged at
+  the 95% critical value.
+
 Hash-parity conventions as plans/queries.py: exact cents/BIGINT
 arithmetic, md5-derived portable hashes (CAST('0x'||substr(md5 ..)
 in DuckDB == conv(substr(md5 ..),16,10) in Spark, both unsigned
@@ -2664,4 +2675,227 @@ def x218_dedup_spillover_matrix(spark, sf_dir):
         .groupBy("keeper_source", F.col("source").alias("dropped_source"))
         .agg(F.count("*").cast("long").alias("n_dropped"))
         .orderBy("keeper_source", "dropped_source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x219 — quantile normalization onto the pooled reference
+# ---------------------------------------------------------------------------
+
+_QN_ORACLE = """
+WITH v AS (
+    SELECT p.p_brand AS brand,
+           CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents,
+           l.l_orderkey, l.l_linenumber
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+pooled AS (
+    SELECT cents AS ref_cents,
+           row_number() OVER (ORDER BY cents, l_orderkey, l_linenumber)
+               AS j
+    FROM v
+),
+npool AS (SELECT CAST(count(*) AS BIGINT) AS n_pool FROM v),
+ranked AS (
+    SELECT brand, cents,
+           row_number() OVER (PARTITION BY brand
+                              ORDER BY cents, l_orderkey, l_linenumber)
+               AS i,
+           count(*) OVER (PARTITION BY brand) AS n_b
+    FROM v
+),
+mapped AS (
+    SELECT r.brand, r.cents,
+           GREATEST(r.i * np.n_pool // r.n_b, 1) AS j
+    FROM ranked r, npool np
+)
+SELECT m.brand,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(m.cents) AS BIGINT) AS raw_sum_cents,
+       CAST(SUM(p.ref_cents) AS BIGINT) AS qn_sum_cents,
+       CAST(MIN(p.ref_cents) AS BIGINT) AS qn_min_cents,
+       CAST(MAX(p.ref_cents) AS BIGINT) AS qn_max_cents
+FROM mapped m JOIN pooled p ON m.j = p.j
+GROUP BY m.brand
+ORDER BY m.brand
+"""
+
+
+@_staged(
+    "x219_quantile_normalization",
+    "OP-W-ext/OP-X-ext",
+    "Quantile normalization of per-brand price distributions onto "
+    "the pooled reference (the bioinformatics batch-effect "
+    "correction, here as the feature-prep primitive): within each "
+    "brand, the rank-i value maps to the pooled value at rank "
+    "max(1, i*N DIV n_b), so every brand's normalized distribution "
+    "is an exact subsample of the pooled one — certified via "
+    "per-brand count/sum/min/max of the normalized cents (the full "
+    "mapped frame is the reusable intermediate). Rank picks are "
+    "tie-permutation-invariant (the x118/x195 argument); i*N "
+    "bounded ~1.4e14 at 100x (the x160 rule). Scale shape: the "
+    "per-brand window partitions on brand (25-way, the measured-"
+    "fine x195 regime); the POOLED rank is the deliberate "
+    "whitelisted global window in the certifiable form, with "
+    "rank_method='bucketed' selecting operators/ranks.py "
+    "global_row_number as the distributed exact scale path (the "
+    "x111/x118 convention); the rank-lookup join shuffles on the "
+    "8-byte rank key, never on documents.",
+    _QN_ORACLE,
+)
+def x219_quantile_normalization(spark, sf_dir, rank_method: str = "window"):
+    from ravelytics_spark.operators.ranks import global_row_number
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    v = li.join(p, li.l_partkey == p.p_partkey).select(
+        F.col("p_brand").alias("brand"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    order = [
+        ("cents", "asc"),
+        ("l_orderkey", "asc"),
+        ("l_linenumber", "asc"),
+    ]
+    pooled = global_row_number(
+        v, order, method=rank_method, col_name="j"
+    ).select(F.col("cents").alias("ref_cents"), "j")
+    n_pool = v.agg(F.count("*").cast("long").alias("n_pool"))
+    ranked = global_row_number(
+        v,
+        order,
+        partition_by=["brand"],
+        method=rank_method,
+        col_name="i",
+        total_name="n_b",
+    ).select("brand", "cents", "i", "n_b")
+    mapped = ranked.crossJoin(F.broadcast(n_pool)).select(
+        "brand",
+        "cents",
+        F.expr("GREATEST(i * n_pool DIV n_b, 1)").alias("j"),
+    )
+    return (
+        mapped.join(pooled, "j")
+        .groupBy("brand")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("raw_sum_cents"),
+            F.sum("ref_cents").cast("long").alias("qn_sum_cents"),
+            F.min("ref_cents").cast("long").alias("qn_min_cents"),
+            F.max("ref_cents").cast("long").alias("qn_max_cents"),
+        )
+        .orderBy("brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x220 — sample-ratio-mismatch (SRM) check for the entity split
+# ---------------------------------------------------------------------------
+
+_SRM_PCT = 10
+_SRM_CRIT_PPM = 3_841_459  # chi2(1) 95% critical value in ppm
+
+_SRM_ORACLE = f"""
+WITH assigned AS (
+    SELECT CASE WHEN CAST('0x' || substr(md5('eh:' || o_custkey), 1, 8)
+                     AS BIGINT) % 100 < {_SRM_PCT} THEN 1 ELSE 0 END
+               AS in_test
+    FROM orders
+),
+counts AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(in_test) AS BIGINT) AS n_test
+    FROM assigned
+),
+d2 AS (
+    SELECT n, n_test,
+           (100 * n_test - {_SRM_PCT} * n)
+           * (100 * n_test - {_SRM_PCT} * n) AS dev2,
+           n * {_SRM_PCT} * (100 - {_SRM_PCT}) AS den
+    FROM counts
+)
+SELECT n, n_test,
+       CAST(n * {_SRM_PCT} // 100 AS BIGINT) AS expected_test,
+       CAST((dev2 // den) * 100 + (dev2 % den) * 100 // den AS BIGINT)
+           AS chi2_ppm,
+       CAST(CASE WHEN (dev2 // den) * 100 + (dev2 % den) * 100 // den
+                      > {_SRM_CRIT_PPM}
+                 THEN 1 ELSE 0 END AS BIGINT) AS srm_suspected
+FROM d2
+"""
+
+
+@_staged(
+    "x220_srm_check",
+    "OP-G5/X-ext",
+    "Sample-ratio-mismatch check — the first data-quality gate every "
+    "experimentation platform runs: the x199 entity split is "
+    f"audited against its designed {_SRM_PCT}% allocation with the "
+    "one-df chi-square statistic in exact ppm, "
+    "chi2 = (O - Np)^2 / (Np(1-p)) spelled over integers as "
+    "(100*O - p*N)^2 over N*p*(100-p), squared deviation so the "
+    "operands are nonnegative, flagged against the 95% critical "
+    "value 3.841459. A buggy hash, a lossy join or a filter applied "
+    "to one arm shows up HERE before anyone reads the experiment. "
+    "Bounds (the x160 rule): the deviation can reach 90*N when the "
+    "split is maximally broken, so dev^2 <= 8100*N^2 ~ 1.8e18 at "
+    "100x — inside BIGINT, but *100 on top is NOT, so the ppm "
+    "scaling uses x202's two-stage decomposition "
+    "(dev2 DIV den)*100 + (dev2 % den)*100 DIV den: exact floor "
+    "ppm, every intermediate <= dev2. Scale shape: one map-side-"
+    "combinable global count (one partial row per partition), then "
+    "scalar arithmetic.",
+    _SRM_ORACLE,
+)
+def x220_srm_check(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    assigned = o.select(
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("eh:"), F.col("o_custkey").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+            < _SRM_PCT,
+            1,
+        )
+        .otherwise(0)
+        .alias("in_test")
+    )
+    counts = assigned.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("in_test").cast("long").alias("n_test"),
+    )
+    d2 = counts.select(
+        "n",
+        "n_test",
+        F.expr(
+            f"(100 * n_test - {_SRM_PCT} * n) "
+            f"* (100 * n_test - {_SRM_PCT} * n)"
+        ).alias("dev2"),
+        F.expr(f"n * {_SRM_PCT} * (100 - {_SRM_PCT})").alias("den"),
+    )
+    chi2 = "(dev2 DIV den) * 100 + (dev2 % den) * 100 DIV den"
+    return d2.select(
+        "n",
+        "n_test",
+        F.expr(f"CAST(n * {_SRM_PCT} DIV 100 AS BIGINT)").alias(
+            "expected_test"
+        ),
+        F.expr(f"CAST({chi2} AS BIGINT)").alias("chi2_ppm"),
+        F.expr(
+            f"CAST(CASE WHEN {chi2} > {_SRM_CRIT_PPM} THEN 1 ELSE 0 END "
+            "AS BIGINT)"
+        ).alias("srm_suspected"),
     )

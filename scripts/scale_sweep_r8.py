@@ -61,6 +61,9 @@ ENTRIES = [
     "x216_boilerplate_score",
     "x217_contamination_width_curve",
     "x218_dedup_spillover_matrix",
+    "x219_quantile_normalization",
+    "x219_quantile_normalization@bucketed",
+    "x220_srm_check",
 ]
 
 

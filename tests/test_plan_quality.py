@@ -244,6 +244,8 @@ _SINGLE_PARTITION_OK = {
     "x212_simpson_reversal": "month-origin scalar (global min month, the x114 idiom) + pooled slope-sign scalar over the <=|months| frame, both broadcast",
     "x215_calibration_ece": "ECE scalar over the <=10-row bin aggregate: one partial row per partition, then broadcast back",
     "x217_contamination_width_curve": "per-width contaminated-doc count + eval-doc count scalars: each global agg combines one partial row per partition into the 3-row curve",
+    "x219_quantile_normalization": "pooled reference rank — the certifiable form; rank_method='bucketed' selects operators/ranks.py global_row_number (distributed exact, test proves oracle parity); plus the n_pool scalar broadcast",
+    "x220_srm_check": "global allocation count: one partial row per partition combines to the 1-row chi-square frame",
 }
 
 

@@ -456,3 +456,54 @@ def test_spillover_matrix_accounts_all_dropped_docs(spark):
     ).fetchone()
     assert sum(r["n_dropped"] for r in rows) == n_docs - n_fps
     assert all(r["n_dropped"] > 0 for r in rows)
+
+
+def test_quantile_normalization_preserves_counts_and_support(spark):
+    """Per-brand counts survive the mapping; normalized values come
+    from the pooled support (min/max inside the corpus range); the
+    full mapping (window method) equals the bucketed scale path."""
+    sf = SFS[0]
+    fn = STAGED["x219_quantile_normalization"].spark
+    rows = fn(spark, sf).collect()
+    lo, hi, n_rows = duckdb.sql(
+        f"""
+        SELECT min(CAST(round(l.l_extendedprice * 100) AS BIGINT)),
+               max(CAST(round(l.l_extendedprice * 100) AS BIGINT)),
+               count(*)
+        FROM '{sf}/lineitem.parquet' l
+        JOIN '{sf}/part.parquet' p ON l.l_partkey = p.p_partkey
+        """
+    ).fetchone()
+    assert sum(r["n"] for r in rows) == n_rows
+    for r in rows:
+        assert lo <= r["qn_min_cents"] <= r["qn_max_cents"] <= hi
+    b = sorted(
+        map(tuple, fn(spark, sf, rank_method="bucketed").collect())
+    )
+    assert sorted(map(tuple, rows)) == b
+
+
+def test_srm_chi2_exact_and_unflagged_on_designed_split(spark):
+    """chi2 reproduces from (n, n_test) with exact bigint arithmetic,
+    and the md5 split at sf0.01 is NOT flagged (it is a fair split)."""
+    sf = SFS[1]
+    r = STAGED["x220_srm_check"].spark(spark, sf).collect()[0]
+    dev2 = (100 * r["n_test"] - 10 * r["n"]) ** 2
+    den = r["n"] * 10 * 90
+    assert r["chi2_ppm"] == dev2 * 100 // den
+    assert r["expected_test"] == r["n"] * 10 // 100
+    assert r["srm_suspected"] == (1 if r["chi2_ppm"] > 3_841_459 else 0)
+    assert r["srm_suspected"] == 0
+
+
+def test_srm_flags_a_planted_broken_split():
+    """The chi-square decomposition flags a maximally broken split
+    without overflowing — pure-arithmetic worst-case pin."""
+    n = 15_000_000  # 100x sf0.1 orders
+    n_test = n  # everything landed in test: maximally broken
+    dev2 = (100 * n_test - 10 * n) ** 2
+    den = n * 10 * 90
+    assert dev2 <= 2**63 - 1  # the square itself stays in BIGINT
+    chi2 = (dev2 // den) * 100 + (dev2 % den) * 100 // den
+    assert chi2 == dev2 * 100 // den  # decomposition is exact
+    assert chi2 > 3_841_459
