@@ -128,6 +128,15 @@ Fifth wave: experiment-platform + feature-prep primitives.
   decomposition keeps the worst-case square in BIGINT), flagged at
   the 95% critical value.
 
+Sixth wave (closing the batch): finance + mix planning.
+
+* ``x221_pvm_bridge`` — exact price-volume decomposition between two
+  years on the q0-scaled axis (q0*dR = volume_term + price_term, no
+  rational average price), floor-dollar units for the 100x bound.
+* ``x222_mixture_feasibility`` — downsample-only mix planner: per
+  source the min(1, target/n) rate in ppm, achieved counts, and the
+  infeasibility flag that routes small sources to x50's epochs.
+
 Hash-parity conventions as plans/queries.py: exact cents/BIGINT
 arithmetic, md5-derived portable hashes (CAST('0x'||substr(md5 ..)
 in DuckDB == conv(substr(md5 ..),16,10) in Spark, both unsigned
@@ -2899,3 +2908,184 @@ def x220_srm_check(spark, sf_dir):
             "AS BIGINT)"
         ).alias("srm_suspected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x221 — price-volume bridge (exact PVM decomposition, 1996 -> 1997)
+# ---------------------------------------------------------------------------
+
+_PVM_Y0, _PVM_Y1 = 1996, 1997
+
+_PVM_ORACLE = f"""
+WITH yr AS (
+    SELECT p.p_brand AS brand,
+           CAST(year(l.l_shipdate) AS BIGINT) AS y,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT) // 100)
+                AS BIGINT) AS rev
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE year(l.l_shipdate) IN ({_PVM_Y0}, {_PVM_Y1})
+    GROUP BY brand, y
+),
+wide AS (
+    SELECT brand,
+           MIN(CASE WHEN y = {_PVM_Y0} THEN qty END) AS q0,
+           MIN(CASE WHEN y = {_PVM_Y0} THEN rev END) AS r0,
+           MIN(CASE WHEN y = {_PVM_Y1} THEN qty END) AS q1,
+           MIN(CASE WHEN y = {_PVM_Y1} THEN rev END) AS r1
+    FROM yr GROUP BY brand
+    HAVING MIN(CASE WHEN y = {_PVM_Y0} THEN qty END) IS NOT NULL
+       AND MIN(CASE WHEN y = {_PVM_Y1} THEN qty END) IS NOT NULL
+)
+SELECT brand, q0, r0, q1, r1,
+       CAST(r1 - r0 AS BIGINT) AS delta_rev,
+       CAST((q1 - q0) * r0 AS BIGINT) AS volume_term,
+       CAST(q0 * r1 - q1 * r0 AS BIGINT) AS price_term
+FROM wide
+ORDER BY brand
+"""
+
+
+@_staged(
+    "x221_pvm_bridge",
+    "OP-G3/G6-ext",
+    "Price-volume bridge (the finance PVM decomposition) between "
+    f"{_PVM_Y0} and {_PVM_Y1} per brand, EXACT: on the q0-scaled "
+    "axis the identity q0*(r1-r0) = volume_term + price_term holds "
+    "with volume_term = (q1-q0)*r0 (growth at old price) and "
+    "price_term = q0*r1 - q1*r0 (price change at new volume) — no "
+    "rational average price ever materializes, so the decomposition "
+    "is hash-stable (the property test pins the identity row by "
+    "row). Revenue is floor-DOLLARS: q*r products reach ~1.1e16 at "
+    "100x (cents would be 1.1e18 — the x160 bound drove the unit). "
+    "Scale shape: one (brand, year) hash-agg with map-side combine "
+    "behind a pushed year filter; the pivot runs on the <= |brands| "
+    "frame.",
+    _PVM_ORACLE,
+)
+def x221_pvm_bridge(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    yr = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(F.year("l_shipdate").isin(_PVM_Y0, _PVM_Y1))
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.year("l_shipdate").cast("long").alias("y"),
+            F.col("l_quantity").cast("long").alias("q"),
+            F.expr(
+                "CAST(round(l_extendedprice * 100) AS BIGINT) DIV 100"
+            ).alias("d"),
+        )
+        .groupBy("brand", "y")
+        .agg(
+            F.sum("q").cast("long").alias("qty"),
+            F.sum("d").cast("long").alias("rev"),
+        )
+    )
+    wide = (
+        yr.groupBy("brand")
+        .agg(
+            F.min(F.when(F.col("y") == _PVM_Y0, F.col("qty"))).alias("q0"),
+            F.min(F.when(F.col("y") == _PVM_Y0, F.col("rev"))).alias("r0"),
+            F.min(F.when(F.col("y") == _PVM_Y1, F.col("qty"))).alias("q1"),
+            F.min(F.when(F.col("y") == _PVM_Y1, F.col("rev"))).alias("r1"),
+        )
+        .filter(F.col("q0").isNotNull() & F.col("q1").isNotNull())
+    )
+    return wide.select(
+        "brand",
+        F.col("q0").cast("long").alias("q0"),
+        F.col("r0").cast("long").alias("r0"),
+        F.col("q1").cast("long").alias("q1"),
+        F.col("r1").cast("long").alias("r1"),
+        (F.col("r1") - F.col("r0")).cast("long").alias("delta_rev"),
+        ((F.col("q1") - F.col("q0")) * F.col("r0"))
+        .cast("long")
+        .alias("volume_term"),
+        (F.col("q0") * F.col("r1") - F.col("q1") * F.col("r0"))
+        .cast("long")
+        .alias("price_term"),
+    ).orderBy("brand")
+
+
+# ---------------------------------------------------------------------------
+# x222 — training-mix feasibility (downsample-only planner)
+# ---------------------------------------------------------------------------
+
+_MIX_ORACLE = """
+WITH src AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n
+    FROM documents GROUP BY source
+),
+tot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+           CAST(count(*) AS BIGINT) AS k
+    FROM src
+),
+plan AS (
+    SELECT s.source, s.n, t.n_total, t.k,
+           t.n_total // t.k AS target_n,
+           LEAST((t.n_total // t.k) * 1000000 // s.n, 1000000) AS rate_ppm
+    FROM src s, tot t
+)
+SELECT source, n, target_n,
+       CAST(rate_ppm AS BIGINT) AS rate_ppm,
+       CAST(n * rate_ppm // 1000000 AS BIGINT) AS achieved_n,
+       CAST(CASE WHEN rate_ppm = 1000000 AND n < target_n
+                 THEN 1 ELSE 0 END AS BIGINT) AS infeasible
+FROM plan
+ORDER BY source
+"""
+
+
+@_staged(
+    "x222_mixture_feasibility",
+    "OP-X9/X4-ext",
+    "Training-mix feasibility planner under a downsample-only "
+    "policy: for the uniform target (n_total/k docs per source), "
+    "each source gets the sampling rate min(1, target/n) in exact "
+    "ppm, the achieved count under that rate, and an infeasibility "
+    "flag — a source SMALLER than its target cannot be upsampled "
+    "without repetition, which is precisely the signal that routes "
+    "to x50's epoch machinery instead. The report is what a mix "
+    "designer reads before committing sampling rates (x44/x50 "
+    "execute a mix; this one says whether the target is reachable). "
+    "Scale shape: one hash-agg onto sources; everything after runs "
+    "on the <= |sources| frame.",
+    _MIX_ORACLE,
+)
+def x222_mixture_feasibility(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    tot = src.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("k"),
+    )
+    plan = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        F.expr("n_total DIV k").alias("target_n"),
+        F.least(
+            F.expr("(n_total DIV k) * 1000000 DIV n"),
+            F.lit(1_000_000).cast("long"),
+        )
+        .cast("long")
+        .alias("rate_ppm"),
+    )
+    return plan.select(
+        "source",
+        "n",
+        F.col("target_n").cast("long").alias("target_n"),
+        "rate_ppm",
+        F.expr("CAST(n * rate_ppm DIV 1000000 AS BIGINT)").alias(
+            "achieved_n"
+        ),
+        F.when(
+            (F.col("rate_ppm") == 1_000_000) & (F.col("n") < F.col("target_n")),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("infeasible"),
+    ).orderBy("source")

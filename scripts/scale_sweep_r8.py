@@ -64,6 +64,8 @@ ENTRIES = [
     "x219_quantile_normalization",
     "x219_quantile_normalization@bucketed",
     "x220_srm_check",
+    "x221_pvm_bridge",
+    "x222_mixture_feasibility",
 ]
 
 

@@ -246,6 +246,7 @@ _SINGLE_PARTITION_OK = {
     "x217_contamination_width_curve": "per-width contaminated-doc count + eval-doc count scalars: each global agg combines one partial row per partition into the 3-row curve",
     "x219_quantile_normalization": "pooled reference rank — the certifiable form; rank_method='bucketed' selects operators/ranks.py global_row_number (distributed exact, test proves oracle parity); plus the n_pool scalar broadcast",
     "x220_srm_check": "global allocation count: one partial row per partition combines to the 1-row chi-square frame",
+    "x222_mixture_feasibility": "corpus-total scalar over the <=|sources| frame: one partial row per partition, then broadcast into the rate plan",
 }
 
 

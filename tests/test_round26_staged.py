@@ -507,3 +507,30 @@ def test_srm_flags_a_planted_broken_split():
     chi2 = (dev2 // den) * 100 + (dev2 % den) * 100 // den
     assert chi2 == dev2 * 100 // den  # decomposition is exact
     assert chi2 > 3_841_459
+
+
+def test_pvm_identity_holds_row_by_row(spark):
+    """q0*(r1-r0) == volume_term + price_term exactly, per brand."""
+    sf = SFS[1]
+    rows = STAGED["x221_pvm_bridge"].spark(spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r["q0"] * r["delta_rev"]
+            == r["volume_term"] + r["price_term"]
+        ), r["brand"]
+        assert r["volume_term"] == (r["q1"] - r["q0"]) * r["r0"]
+
+
+def test_mixture_rates_valid_and_feasibility_consistent(spark):
+    """Rates are valid ppm; achieved <= min(n, target); a source is
+    infeasible iff it is smaller than its target."""
+    sf = SFS[1]
+    rows = STAGED["x222_mixture_feasibility"].spark(spark, sf).collect()
+    for r in rows:
+        assert 0 < r["rate_ppm"] <= 1_000_000
+        assert r["achieved_n"] == r["n"] * r["rate_ppm"] // 1_000_000
+        assert r["achieved_n"] <= min(r["n"], r["target_n"])
+        assert r["infeasible"] == (
+            1 if r["n"] < r["target_n"] else 0
+        )
