@@ -136,6 +136,10 @@ Sixth wave (closing the batch): finance + mix planning.
 * ``x222_mixture_feasibility`` — downsample-only mix planner: per
   source the min(1, target/n) rate in ppm, achieved counts, and the
   infeasibility flag that routes small sources to x50's epochs.
+* ``x223_context_length_curve`` — the context-length decision table:
+  exact offset-packing tail waste (ppm of capacity) and no-split
+  truncation costs at budgets 256/512/1024/2048 — the
+  sensitivity-curve family applied to training-infra planning.
 
 Hash-parity conventions as plans/queries.py: exact cents/BIGINT
 arithmetic, md5-derived portable hashes (CAST('0x'||substr(md5 ..)
@@ -3089,3 +3093,112 @@ def x222_mixture_feasibility(spark, sf_dir):
         .cast("long")
         .alias("infeasible"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# x223 — context-length planning curve (packing waste + truncation)
+# ---------------------------------------------------------------------------
+
+_CTX_BUCKETS = 32
+_CTX_LENGTHS = (256, 512, 1024, 2048)
+
+
+def _ctx_len_sql(length: int) -> str:
+    return f"""
+SELECT CAST({length} AS BIGINT) AS ctx_len,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(SUM((total + {length} - 1) // {length}) AS BIGINT) AS n_packs,
+       CAST(SUM(((total + {length} - 1) // {length}) * {length})
+            AS BIGINT) AS capacity,
+       CAST(SUM(total) AS BIGINT) AS used_tokens,
+       CAST(SUM(((total + {length} - 1) // {length}) * {length} - total)
+            AS BIGINT) AS tail_waste,
+       CAST(SUM(((total + {length} - 1) // {length}) * {length} - total)
+            * 1000000
+            // SUM(((total + {length} - 1) // {length}) * {length})
+            AS BIGINT) AS tail_waste_ppm,
+       CAST(SUM(n_over) AS BIGINT) AS oversize_docs,
+       CAST(SUM(trunc_toks) AS BIGINT) AS truncated_tokens
+FROM (
+    SELECT bucket,
+           SUM(n_tok) AS total,
+           SUM(CASE WHEN n_tok > {length} THEN 1 ELSE 0 END) AS n_over,
+           SUM(GREATEST(n_tok - {length}, 0)) AS trunc_toks
+    FROM tok GROUP BY bucket
+)
+"""
+
+
+_CTX_ORACLE = (
+    f"""
+WITH tok AS (
+    SELECT doc_id % {_CTX_BUCKETS} AS bucket,
+           CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ',
+                'g')), ' ')) AS BIGINT) AS n_tok
+    FROM documents
+    WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0
+)
+"""
+    + " UNION ALL ".join(f"({_ctx_len_sql(n)})" for n in _CTX_LENGTHS)
+    + "\nORDER BY ctx_len"
+)
+
+
+@_staged(
+    "x223_context_length_curve",
+    "OP-X4/X1-ext",
+    "Context-length planning curve for x18's offset packing: for "
+    f"each candidate budget in {_CTX_LENGTHS}, the exact tail waste "
+    "of the concat-and-pack stream (each of the "
+    f"{_CTX_BUCKETS} bucket streams fills packs fully except its "
+    "last — waste is per-bucket ceil-remainder arithmetic on token "
+    "TOTALS, no window at all) in ppm of capacity, PLUS the no-split "
+    "regime's costs at the same budget: docs longer than the context "
+    "and the tokens truncation would discard. Short contexts waste "
+    "little tail but truncate much; long contexts the reverse — the "
+    "x213/x217 sensitivity-curve family applied to the "
+    "training-infra context-length decision. Scale shape: one "
+    "hash-agg onto the 32-bucket frame carrying three sums; the "
+    "per-length arithmetic runs on 32 rows regardless of corpus "
+    "size.",
+    _CTX_ORACLE,
+)
+def x223_context_length_curve(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    tok = d.filter(F.length(norm) > 0).select(
+        (F.col("doc_id") % _CTX_BUCKETS).alias("bucket"),
+        F.size(F.split(norm, " ")).cast("long").alias("n_tok"),
+    )
+    out = None
+    for L in _CTX_LENGTHS:
+        per_bucket = tok.groupBy("bucket").agg(
+            F.sum("n_tok").alias("total"),
+            F.sum(F.when(F.col("n_tok") > L, 1).otherwise(0)).alias(
+                "n_over"
+            ),
+            F.sum(F.greatest(F.col("n_tok") - L, F.lit(0))).alias(
+                "trunc_toks"
+            ),
+        )
+        packs = f"(total + {L} - 1) DIV {L}"
+        one = per_bucket.agg(
+            F.lit(L).cast("long").alias("ctx_len"),
+            F.count("*").cast("long").alias("n_buckets"),
+            F.expr(f"CAST(SUM({packs}) AS BIGINT)").alias("n_packs"),
+            F.expr(f"CAST(SUM(({packs}) * {L}) AS BIGINT)").alias(
+                "capacity"
+            ),
+            F.sum("total").cast("long").alias("used_tokens"),
+            F.expr(
+                f"CAST(SUM(({packs}) * {L} - total) AS BIGINT)"
+            ).alias("tail_waste"),
+            F.expr(
+                f"CAST(SUM(({packs}) * {L} - total) * 1000000 "
+                f"DIV SUM(({packs}) * {L}) AS BIGINT)"
+            ).alias("tail_waste_ppm"),
+            F.sum("n_over").cast("long").alias("oversize_docs"),
+            F.sum("trunc_toks").cast("long").alias("truncated_tokens"),
+        )
+        out = one if out is None else out.unionAll(one)
+    return out.orderBy("ctx_len")

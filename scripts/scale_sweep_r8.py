@@ -66,6 +66,7 @@ ENTRIES = [
     "x220_srm_check",
     "x221_pvm_bridge",
     "x222_mixture_feasibility",
+    "x223_context_length_curve",
 ]
 
 

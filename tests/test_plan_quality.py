@@ -247,6 +247,7 @@ _SINGLE_PARTITION_OK = {
     "x219_quantile_normalization": "pooled reference rank — the certifiable form; rank_method='bucketed' selects operators/ranks.py global_row_number (distributed exact, test proves oracle parity); plus the n_pool scalar broadcast",
     "x220_srm_check": "global allocation count: one partial row per partition combines to the 1-row chi-square frame",
     "x222_mixture_feasibility": "corpus-total scalar over the <=|sources| frame: one partial row per partition, then broadcast into the rate plan",
+    "x223_context_length_curve": "four per-length rollups over the 32-bucket token-total frame: each global agg combines one partial row per partition into the 4-row curve",
 }
 
 

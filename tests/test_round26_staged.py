@@ -534,3 +534,26 @@ def test_mixture_rates_valid_and_feasibility_consistent(spark):
         assert r["infeasible"] == (
             1 if r["n"] < r["target_n"] else 0
         )
+
+
+def test_context_curve_accounting_identities(spark):
+    """capacity = used + tail_waste per length; tail waste shrinks as
+    the budget shrinks (fewer leftover slots per pack tail is false
+    in general, but capacity utilisation is monotone in the ceil
+    remainder bound: waste < n_buckets * ctx_len); truncation is
+    monotone nonincreasing in the budget."""
+    sf = SFS[1]
+    rows = STAGED["x223_context_length_curve"].spark(spark, sf).collect()
+    assert [r["ctx_len"] for r in rows] == [256, 512, 1024, 2048]
+    used = {r["used_tokens"] for r in rows}
+    assert len(used) == 1  # same corpus at every budget
+    for r in rows:
+        assert r["capacity"] == r["used_tokens"] + r["tail_waste"]
+        assert r["tail_waste"] < r["n_buckets"] * r["ctx_len"]
+        assert (
+            r["tail_waste_ppm"]
+            == r["tail_waste"] * 1_000_000 // r["capacity"]
+        )
+    for a, b in zip(rows, rows[1:]):
+        assert a["truncated_tokens"] >= b["truncated_tokens"]
+        assert a["oversize_docs"] >= b["oversize_docs"]
