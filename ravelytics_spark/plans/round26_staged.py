@@ -2585,22 +2585,28 @@ def x217_contamination_width_curve(spark, sf_dir):
     )
 
     def grams(df, n):
-        return df.select(
-            "doc_id",
-            F.explode(
-                F.sequence(
-                    F.lit(0).cast("long"),
-                    F.greatest(
-                        F.size("ws").cast("long") - n, F.lit(-1).cast("long")
-                    ),
-                )
-            ).alias("k"),
-            "ws",
-        ).select(
-            "doc_id",
-            F.expr(
-                f"array_join(slice(ws, CAST(k + 1 AS INT), {n}), ' ')"
-            ).alias("gram"),
+        # Guard + filter, the x19 pattern: Spark's sequence(0, -1)
+        # DESCENDS (it would emit k=0 and k=-1 for docs shorter than
+        # the width and fabricate partial grams the oracle never
+        # sees), so clamp the end at 0 and filter the real bound.
+        return (
+            df.select(
+                "doc_id",
+                F.explode(
+                    F.sequence(
+                        F.lit(0),
+                        F.greatest(F.size("ws") - n, F.lit(0)),
+                    )
+                ).alias("k"),
+                "ws",
+            )
+            .filter(F.col("k") <= F.size("ws") - n)
+            .select(
+                "doc_id",
+                F.expr(
+                    f"array_join(slice(ws, CAST(k + 1 AS INT), {n}), ' ')"
+                ).alias("gram"),
+            )
         )
 
     out = None

@@ -557,3 +557,60 @@ def test_context_curve_accounting_identities(spark):
     for a, b in zip(rows, rows[1:]):
         assert a["truncated_tokens"] >= b["truncated_tokens"]
         assert a["oversize_docs"] >= b["oversize_docs"]
+
+
+def test_contamination_short_docs_produce_no_grams(spark, tmp_path):
+    """Regression: Spark's sequence(0, -1) DESCENDS, so a doc shorter
+    than the gram width used to fabricate partial grams (x19's guard,
+    re-learned). Planted corpus: one 3-token doc + long docs with an
+    engineered shared 8-gram; brute-forced in Python."""
+    import hashlib
+
+    import pandas as pd
+
+    base = "one two three four five six seven eight nine ten"
+    docs = []
+    for i in range(40):
+        text = f"{base} tail{i} " + " ".join(f"w{i}_{j}" for j in range(10))
+        docs.append((i, text))
+    docs.append((40, "a b c"))  # shorter than every width
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [d[0] for d in docs],
+            "text": [d[1] for d in docs],
+            "lang": "en",
+            "source": "synthetic",
+            "n_chars": [len(d[1]) for d in docs],
+        }
+    )
+    pdf.to_parquet(str(tmp_path / "documents.parquet"))
+
+    def is_eval(doc_id):
+        h = hashlib.md5(f"ct:{doc_id}".encode()).hexdigest()[:8]
+        return int(h, 16) % 100 < 10
+
+    def gram_set(text, n):
+        ws = [t for t in " ".join(text.lower().split()).split(" ") if t]
+        return {
+            " ".join(ws[k : k + n]) for k in range(max(len(ws) - n + 1, 0))
+        }
+
+    rows = (
+        STAGED["x217_contamination_width_curve"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    )
+    for r in rows:
+        n = r["width"]
+        train = set()
+        for doc_id, text in docs:
+            if not is_eval(doc_id):
+                train |= gram_set(text, n)
+        contaminated = sum(
+            1
+            for doc_id, text in docs
+            if is_eval(doc_id) and gram_set(text, n) & train
+        )
+        n_eval = sum(1 for doc_id, _ in docs if is_eval(doc_id))
+        assert r["n_eval_docs"] == n_eval
+        assert r["n_contaminated"] == contaminated, n
