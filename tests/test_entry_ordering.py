@@ -122,7 +122,20 @@ def test_round7_window_contents_pinned():
         and n in ("x151_stream_interval_join", "x161_late_data_watermark",
                   "x192_compression_quality")
     ]
-    assert len(leftover) + len(never_windowed_harness) <= 50, (
-        f"{len(leftover)} oracle + {len(never_windowed_harness)} harness "
-        "entries would overflow the round-8 window"
+    # the round-8 window must absorb the leftover backlog PLUS the
+    # round-26 staged batch that registers then (x194-x223) — count
+    # the staged module too, or staging could silently oversubscribe
+    # the next window (the round-6 lesson: 59 uncertified > 50 slots
+    # took two rounds to drain)
+    from ravelytics_spark.plans.round26_staged import STAGED as _S26
+
+    staged_oracle = [n for n, q in _S26.items() if q.oracle is not None]
+    total_round8 = (
+        len(leftover) + len(never_windowed_harness) + len(staged_oracle)
+    )
+    assert total_round8 <= 50, (
+        f"{len(leftover)} leftover oracle + "
+        f"{len(never_windowed_harness)} harness + "
+        f"{len(staged_oracle)} round-26 staged entries would overflow "
+        "the round-8 window — stop staging or accept a round-9 drain"
     )
