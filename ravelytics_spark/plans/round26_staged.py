@@ -140,6 +140,11 @@ Sixth wave (closing the batch): finance + mix planning.
   exact offset-packing tail waste (ppm of capacity) and no-split
   truncation costs at budgets 256/512/1024/2048 — the
   sensitivity-curve family applied to training-infra planning.
+* ``x224_effective_token_mass`` — dedup-weighted token accounting:
+  tokens count 1/cluster-size, so raw vs EFFECTIVE token mass per
+  source plus the retention ratio — the number a pretraining mix
+  planner budgets with (x218 says who loses docs; this says how
+  many unique tokens each source really brings).
 
 Hash-parity conventions as plans/queries.py: exact cents/BIGINT
 arithmetic, md5-derived portable hashes (CAST('0x'||substr(md5 ..)
@@ -3208,3 +3213,94 @@ def x223_context_length_curve(spark, sf_dir):
         )
         out = one if out is None else out.unionAll(one)
     return out.orderBy("ctx_len")
+
+
+# ---------------------------------------------------------------------------
+# x224 — dedup-weighted effective token mass per source
+# ---------------------------------------------------------------------------
+
+_ETM_ORACLE = """
+WITH n AS (
+    SELECT doc_id, source,
+           CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+',
+                ' ', 'g')), ' ')) AS BIGINT) AS n_tok,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0
+),
+cl AS (
+    SELECT fp, count(*) AS sz FROM n GROUP BY fp
+)
+SELECT n.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n.n_tok) AS BIGINT) AS raw_tokens,
+       CAST(SUM(n.n_tok * 1000 // cl.sz) AS BIGINT)
+           AS effective_millitokens,
+       CAST(SUM(n.n_tok * 1000 // cl.sz) // SUM(n.n_tok) AS BIGINT)
+           AS retention_milli,
+       CAST(SUM(CASE WHEN cl.sz > 1 THEN n.n_tok ELSE 0 END) AS BIGINT)
+           AS duplicated_tokens
+FROM n JOIN cl ON n.fp = cl.fp
+GROUP BY n.source
+ORDER BY n.source
+"""
+
+
+@_staged(
+    "x224_effective_token_mass",
+    "OP-X1/X4-ext",
+    "Dedup-weighted token accounting: each document's tokens count "
+    "1/cluster-size (exact milli-tokens, x1c's normalized "
+    "fingerprint), so a doc duplicated k times contributes its mass "
+    "once, split fairly across the copies — per source the raw vs "
+    "EFFECTIVE token mass, the retention ratio in milli, and the "
+    "token volume sitting in any duplicate cluster. This is the "
+    "number a pretraining mix planner budgets with (raw token "
+    "counts over-credit duplicate-heavy sources; x218 says who "
+    "loses DOCS, this says how many unique TOKENS each source "
+    "really brings). Bounds: tokens*1000 at 100x ~ 1e11 per doc "
+    "group, summed ~ 1e14 (the x160 rule). Scale shape: cluster "
+    "sizes are one fingerprint hash-agg, the weight join is "
+    "fingerprint-keyed (documents never shuffle), final rollup per "
+    "source.",
+    _ETM_ORACLE,
+)
+def x224_effective_token_mass(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    clean = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    raw = F.trim(F.regexp_replace("text", r"\s+", " "))
+    fp = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "),
+                r"\s+",
+                " ",
+            )
+        )
+    )
+    n = d.filter(F.length(raw) > 0).select(
+        "doc_id",
+        "source",
+        F.size(F.split(clean, " ")).cast("long").alias("n_tok"),
+        fp.alias("fp"),
+    )
+    cl = n.groupBy("fp").agg(F.count("*").alias("sz"))
+    return (
+        n.join(cl, "fp")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("raw_tokens"),
+            F.expr("CAST(SUM(n_tok * 1000 DIV sz) AS BIGINT)").alias(
+                "effective_millitokens"
+            ),
+            F.expr(
+                "CAST(SUM(n_tok * 1000 DIV sz) DIV SUM(n_tok) AS BIGINT)"
+            ).alias("retention_milli"),
+            F.sum(F.when(F.col("sz") > 1, F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("duplicated_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -67,6 +67,7 @@ ENTRIES = [
     "x221_pvm_bridge",
     "x222_mixture_feasibility",
     "x223_context_length_curve",
+    "x224_effective_token_mass",
 ]
 
 

@@ -614,3 +614,27 @@ def test_contamination_short_docs_produce_no_grams(spark, tmp_path):
         n_eval = sum(1 for doc_id, _ in docs if is_eval(doc_id))
         assert r["n_eval_docs"] == n_eval
         assert r["n_contaminated"] == contaminated, n
+
+
+def test_effective_token_mass_conservation(spark):
+    """Effective milli-tokens never exceed raw*1000; unique docs
+    (sz=1) contribute exactly raw*1000; cross-source effective mass
+    equals the sum over clusters of (cluster tokens weighted once,
+    up to the per-doc floor loss < 1 millitoken per doc)."""
+    sf = SFS[1]
+    rows = STAGED["x224_effective_token_mass"].spark(spark, sf).collect()
+    n_docs, raw = duckdb.sql(
+        f"""SELECT count(*),
+               SUM(len(string_split(trim(regexp_replace(lower(text),
+                   '\\s+', ' ', 'g')), ' ')))
+            FROM '{sf}/documents.parquet'
+            WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0"""
+    ).fetchone()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert sum(r["raw_tokens"] for r in rows) == raw
+    for r in rows:
+        assert r["effective_millitokens"] <= r["raw_tokens"] * 1000
+        assert 0 < r["retention_milli"] <= 1000
+        assert r["duplicated_tokens"] <= r["raw_tokens"]
+        if r["duplicated_tokens"] == 0:
+            assert r["effective_millitokens"] == r["raw_tokens"] * 1000
