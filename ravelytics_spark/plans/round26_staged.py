@@ -145,6 +145,10 @@ Sixth wave (closing the batch): finance + mix planning.
   source plus the retention ratio — the number a pretraining mix
   planner budgets with (x218 says who loses docs; this says how
   many unique tokens each source really brings).
+* ``x225_diff_in_diff`` — exact difference-in-differences point
+  estimate: entity-keyed treatment parity × before/after split,
+  milli-cent cell means, DiD by subtraction only — the
+  parallel-trends causal estimator for coarse-entity rollouts.
 
 Hash-parity conventions as plans/queries.py: exact cents/BIGINT
 arithmetic, md5-derived portable hashes (CAST('0x'||substr(md5 ..)
@@ -3303,4 +3307,131 @@ def x224_effective_token_mass(spark, sf_dir):
             .alias("duplicated_tokens"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x225 — difference-in-differences (exact cell means)
+# ---------------------------------------------------------------------------
+
+_DID_SPLIT = "1998-05-01"
+
+_DID_ORACLE = f"""
+WITH cells AS (
+    SELECT CASE WHEN CAST('0x' || substr(md5('did:' || c.c_nationkey),
+                           1, 8) AS BIGINT) % 2 = 1
+                THEN 1 ELSE 0 END AS treated,
+           CASE WHEN o.o_orderdate < TIMESTAMP '{_DID_SPLIT}'
+                THEN 0 ELSE 1 END AS after,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+m AS (
+    SELECT treated, after,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(cents) * 1000 // count(*) AS BIGINT)
+               AS mean_millicents
+    FROM cells GROUP BY treated, after
+)
+SELECT t0.n AS n_t_before, t1.n AS n_t_after,
+       c0.n AS n_c_before, c1.n AS n_c_after,
+       t0.mean_millicents AS t_before, t1.mean_millicents AS t_after,
+       c0.mean_millicents AS c_before, c1.mean_millicents AS c_after,
+       CAST((t1.mean_millicents - t0.mean_millicents)
+            - (c1.mean_millicents - c0.mean_millicents) AS BIGINT)
+           AS did_millicents
+FROM (SELECT * FROM m WHERE treated = 1 AND after = 0) t0,
+     (SELECT * FROM m WHERE treated = 1 AND after = 1) t1,
+     (SELECT * FROM m WHERE treated = 0 AND after = 0) c0,
+     (SELECT * FROM m WHERE treated = 0 AND after = 1) c1
+"""
+
+
+@_staged(
+    "x225_diff_in_diff",
+    "OP-G3/X-ext",
+    "Difference-in-differences point estimate, exact: a deterministic "
+    "nation-level treatment assignment (md5 parity — entity-keyed, "
+    "the x199 rule) crossed with the before/after split at "
+    f"{_DID_SPLIT}, cell means in exact milli-cents, and DiD = "
+    "(t_after - t_before) - (c_after - c_before) — the "
+    "parallel-trends causal estimator an experimentation platform "
+    "computes when randomization happens at a coarse entity. Pure "
+    "integer arithmetic: each mean is one floor division of exact "
+    "sums; the DiD is subtraction only (may be negative, divides "
+    "nothing — the x205 rule). Scale shape: one hash-agg onto 4 "
+    "cells (map-side combinable); the 4-way assembly joins 1-row "
+    "frames.",
+    _DID_ORACLE,
+)
+def x225_diff_in_diff(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cells = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("did:"),
+                            F.col("c_nationkey").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+            == 1,
+            1,
+        )
+        .otherwise(0)
+        .alias("treated"),
+        F.when(F.col("o_orderdate") < F.lit(_DID_SPLIT), 0)
+        .otherwise(1)
+        .alias("after"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    m = cells.groupBy("treated", "after").agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("CAST(SUM(cents) * 1000 DIV count(*) AS BIGINT)").alias(
+            "mean_millicents"
+        ),
+    )
+
+    def cell(t, a, prefix):
+        return (
+            m.filter((F.col("treated") == t) & (F.col("after") == a))
+            .select(
+                F.col("n").alias(f"n_{prefix}"),
+                F.col("mean_millicents").alias(prefix),
+            )
+        )
+
+    t0, t1 = cell(1, 0, "t_before"), cell(1, 1, "t_after")
+    c0, c1 = cell(0, 0, "c_before"), cell(0, 1, "c_after")
+    # broadcast the 1-row cells so the assembly plans as
+    # BroadcastNestedLoopJoin, never CartesianProduct
+    return (
+        t0.crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(c0))
+        .crossJoin(F.broadcast(c1))
+        .select(
+            "n_t_before",
+            "n_t_after",
+            "n_c_before",
+            "n_c_after",
+            "t_before",
+            "t_after",
+            "c_before",
+            "c_after",
+            (
+                (F.col("t_after") - F.col("t_before"))
+                - (F.col("c_after") - F.col("c_before"))
+            )
+            .cast("long")
+            .alias("did_millicents"),
+        )
     )

@@ -68,6 +68,7 @@ ENTRIES = [
     "x222_mixture_feasibility",
     "x223_context_length_curve",
     "x224_effective_token_mass",
+    "x225_diff_in_diff",
 ]
 
 

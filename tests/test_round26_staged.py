@@ -638,3 +638,23 @@ def test_effective_token_mass_conservation(spark):
         assert r["duplicated_tokens"] <= r["raw_tokens"]
         if r["duplicated_tokens"] == 0:
             assert r["effective_millitokens"] == r["raw_tokens"] * 1000
+
+
+def test_did_reproduces_from_cell_means(spark):
+    """DiD equals the subtraction of the emitted cell means, and the
+    four cells partition the joined order rows."""
+    sf = SFS[1]
+    r = STAGED["x225_diff_in_diff"].spark(spark, sf).collect()[0]
+    assert r["did_millicents"] == (r["t_after"] - r["t_before"]) - (
+        r["c_after"] - r["c_before"]
+    )
+    n_orders = duckdb.sql(
+        f"""SELECT count(*) FROM '{sf}/orders.parquet' o
+            JOIN '{sf}/customer.parquet' c ON o.o_custkey = c.c_custkey"""
+    ).fetchone()[0]
+    assert (
+        r["n_t_before"] + r["n_t_after"] + r["n_c_before"] + r["n_c_after"]
+        == n_orders
+    )
+    for k in ("t_before", "t_after", "c_before", "c_after"):
+        assert r[k] > 0
