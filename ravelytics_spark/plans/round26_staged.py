@@ -149,6 +149,11 @@ Sixth wave (closing the batch): finance + mix planning.
   estimate: entity-keyed treatment parity × before/after split,
   milli-cent cell means, DiD by subtraction only — the
   parallel-trends causal estimator for coarse-entity rollouts.
+* ``x226_cuped_audit`` — CUPED variance-reduction audit: per nation,
+  exact integer covariance/variance numerators of pre-split vs
+  post-split customer spend, signed theta in milli, and the variance
+  reduction rho^2 in ppm (double-derived from exact integers with an
+  identical expression tree, the x114 precedent).
 
 Hash-parity conventions as plans/queries.py: exact cents/BIGINT
 arithmetic, md5-derived portable hashes (CAST('0x'||substr(md5 ..)
@@ -3434,4 +3439,148 @@ def x225_diff_in_diff(spark, sf_dir):
             .cast("long")
             .alias("did_millicents"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x226 — CUPED variance-reduction audit (pre-period covariate)
+# ---------------------------------------------------------------------------
+
+_CUPED_SPLIT = "1998-05-01"
+
+_CUPED_ORACLE = f"""
+WITH per_cust AS (
+    SELECT c.c_nationkey,
+           CAST(SUM(CASE WHEN o.o_orderdate < TIMESTAMP '{_CUPED_SPLIT}'
+                THEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                ELSE 0 END) // 100000 AS BIGINT) AS x,
+           CAST(SUM(CASE WHEN o.o_orderdate >= TIMESTAMP '{_CUPED_SPLIT}'
+                THEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                ELSE 0 END) // 100000 AS BIGINT) AS y
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey, o.o_custkey
+),
+sums AS (
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(y * y) AS BIGINT) AS syy
+    FROM per_cust GROUP BY c_nationkey
+),
+nums AS (
+    SELECT c_nationkey, n,
+           n * sxy - sx * sy AS cov_num,
+           n * sxx - sx * sx AS varx_num,
+           n * syy - sy * sy AS vary_num
+    FROM sums
+)
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey, n,
+       CAST(cov_num AS BIGINT) AS cov_num,
+       CAST(varx_num AS BIGINT) AS varx_num,
+       CAST(vary_num AS BIGINT) AS vary_num,
+       CAST(CASE WHEN cov_num >= 0
+                 THEN cov_num * 1000 // varx_num
+                 ELSE -((-cov_num) * 1000 // varx_num) END AS BIGINT)
+           AS theta_milli,
+       CAST(floor(1000000.0 * CAST(cov_num AS DOUBLE)
+                  * CAST(cov_num AS DOUBLE)
+                  / (CAST(varx_num AS DOUBLE) * CAST(vary_num AS DOUBLE)))
+            AS BIGINT) AS rho2_ppm
+FROM nums
+WHERE varx_num > 0 AND vary_num > 0
+ORDER BY nationkey
+"""
+
+
+@_staged(
+    "x226_cuped_audit",
+    "OP-G6/X-ext",
+    "CUPED variance-reduction audit — the standard experimentation "
+    "trick of regressing the experiment metric on a PRE-period "
+    "covariate: per nation, per-customer pre-split spend X vs "
+    "post-split spend Y (exact kilo-dollar integers: per-customer "
+    "products stay ~2e6, per-nation n*Sxy ~ 8e15 at 100x — the x160 "
+    "bound drove the unit), the exact integer covariance/variance "
+    "numerators (x114's normal-equation machinery), theta = cov/varX "
+    "in signed milli (the x205 signed-division CASE), and the "
+    "variance reduction rho^2 = cov^2/(varX*varY) in ppm — CUPED "
+    "removes exactly rho^2 of metric variance, so this table says "
+    "how much experiment sensitivity the pre-period buys per "
+    "segment. rho^2 divides two exact-integer-derived doubles with "
+    "an identical expression tree on both engines (the x114 "
+    "precedent: IEEE ops on identical inputs are bit-identical). "
+    "Scale shape: one custkey hash-agg, one nation 6-sum agg — both "
+    "map-side combinable; no window, no collect.",
+    _CUPED_ORACLE,
+)
+def x226_cuped_audit(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    pre = F.when(F.col("o_orderdate") < F.lit(_CUPED_SPLIT), cents).otherwise(
+        F.lit(0).cast("long")
+    )
+    post = F.when(
+        F.col("o_orderdate") >= F.lit(_CUPED_SPLIT), cents
+    ).otherwise(F.lit(0).cast("long"))
+    per_cust = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.expr(
+                f"CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP "
+                f"'{_CUPED_SPLIT}' THEN CAST(round(o_totalprice * 100) AS "
+                "BIGINT) ELSE 0 END) DIV 100000 AS BIGINT)"
+            ).alias("x"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP "
+                f"'{_CUPED_SPLIT}' THEN CAST(round(o_totalprice * 100) AS "
+                "BIGINT) ELSE 0 END) DIV 100000 AS BIGINT)"
+            ).alias("y"),
+        )
+    )
+    sums = per_cust.groupBy("c_nationkey").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    nums = sums.select(
+        "c_nationkey",
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
+            "cov_num"
+        ),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
+            "varx_num"
+        ),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias(
+            "vary_num"
+        ),
+    )
+    return (
+        nums.filter((F.col("varx_num") > 0) & (F.col("vary_num") > 0))
+        .select(
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            "n",
+            F.col("cov_num").cast("long").alias("cov_num"),
+            F.col("varx_num").cast("long").alias("varx_num"),
+            F.col("vary_num").cast("long").alias("vary_num"),
+            F.expr(
+                "CAST(CASE WHEN cov_num >= 0 "
+                "THEN cov_num * 1000 DIV varx_num "
+                "ELSE -((-cov_num) * 1000 DIV varx_num) END AS BIGINT)"
+            ).alias("theta_milli"),
+            F.expr(
+                "CAST(floor(1000000.0 * CAST(cov_num AS DOUBLE) "
+                "* CAST(cov_num AS DOUBLE) "
+                "/ (CAST(varx_num AS DOUBLE) * CAST(vary_num AS DOUBLE))) "
+                "AS BIGINT)"
+            ).alias("rho2_ppm"),
+        )
+        .orderBy("nationkey")
     )

@@ -69,6 +69,7 @@ ENTRIES = [
     "x223_context_length_curve",
     "x224_effective_token_mass",
     "x225_diff_in_diff",
+    "x226_cuped_audit",
 ]
 
 

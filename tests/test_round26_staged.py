@@ -658,3 +658,28 @@ def test_did_reproduces_from_cell_means(spark):
     )
     for k in ("t_before", "t_after", "c_before", "c_after"):
         assert r[k] > 0
+
+
+def test_cuped_rho2_and_theta_identities(spark):
+    """rho^2 in [0, 1e6] (Cauchy-Schwarz), reproduced from the exact
+    integer numerators in Python floats; theta matches the signed
+    integer division convention."""
+    sf = SFS[1]
+    import math
+
+    rows = STAGED["x226_cuped_audit"].spark(spark, sf).collect()
+    assert rows
+    for r in rows:
+        cov, vx, vy = r["cov_num"], r["varx_num"], r["vary_num"]
+        assert vx > 0 and vy > 0
+        want = math.floor(
+            1_000_000.0 * float(cov) * float(cov) / (float(vx) * float(vy))
+        )
+        assert r["rho2_ppm"] == want
+        assert 0 <= r["rho2_ppm"] <= 1_000_000
+        t = (
+            cov * 1000 // vx
+            if cov >= 0
+            else -((-cov) * 1000 // vx)
+        )
+        assert r["theta_milli"] == t
