@@ -100,7 +100,12 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark(app_name="ravelytics_bench")
+    # No console progress bar: its \r-rewritten [Stage ...] lines are
+    # stderr noise in the driver's merged stdout+stderr tail window.
+    spark = get_spark(
+        app_name="ravelytics_bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM/codegen/file-listing paths so the first measured query
@@ -169,19 +174,81 @@ def main() -> None:
     }
     if regressions:
         out["regressions"] = regressions
-    # The driver keeps only the last ~2000 chars of stdout and parses the
-    # JSON line out of that tail — round 6's line (52 queries + a samples
-    # dict, default separators) overflowed it and the driver recorded
-    # "parsed": null. Compact separators + samples-to-stderr keep the
-    # line well under the window; the guard test pins the budget.
-    print(json.dumps(out, separators=(",", ":")))
-    print(f"samples per query: {json.dumps(samples)}", file=sys.stderr)
+    # Full-precision timings, sample counts, and regressions go to a
+    # FILE — never to stdout/stderr. The driver MERGES both streams and
+    # keeps only the last ~2000 chars; rounds 6 AND 7 both recorded
+    # "parsed": null because extra output (r6: a fat JSON line; r7: the
+    # samples line printed to stderr AFTER the JSON) pushed the JSON's
+    # head out of the tail window.
+    _write_detail(sf, timings, samples, regressions)
+    # Stop Spark BEFORE the final print so no JVM/log4j shutdown chatter
+    # on stderr can land after the JSON line in the merged stream.
+    spark.stop()
+    print(_emit_line(out))
     if regressions:
         sys.exit(2)
 
 
 REGRESSION_FACTOR = 1.5
-_BEST_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BEST.json")
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_BEST_PATH = os.path.join(_HERE, "BENCH_BEST.json")
+_DETAIL_PATH = os.path.join(_HERE, "BENCH_DETAIL.json")
+
+# Hard budget for the single stdout line. The driver keeps the last
+# ~2000 chars of the MERGED stdout+stderr and parses the JSON out of
+# that tail; 1700 leaves slack for shell/progress residue ahead of it.
+_LINE_BUDGET = 1700
+
+
+def _emit_line(out: dict) -> str:
+    """Serialize the driver-facing JSON line under _LINE_BUDGET chars.
+
+    Values are rounded to 2 decimals (full precision lives in
+    BENCH_DETAIL.json). If the line still overflows — e.g. a future
+    headline-set growth or a mass-regression run — the FASTEST queries
+    are dropped first (the slow ones are the signal) and regressions
+    are capped at 3 examples + a count, so the line can never push its
+    own head out of the driver's tail window again."""
+    out = dict(out)
+    out["queries"] = {k: round(v, 2) for k, v in out["queries"].items()}
+    if "regressions" in out and len(out["regressions"]) > 3:
+        out["regressions_total"] = len(out["regressions"])
+        worst = sorted(out["regressions"])[:3]
+        out["regressions"] = {k: out["regressions"][k] for k in worst}
+
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) <= _LINE_BUDGET:
+        return line
+    by_time = sorted(out["queries"], key=out["queries"].__getitem__)
+    dropped = 0
+    while len(line) > _LINE_BUDGET and by_time:
+        out["queries"].pop(by_time.pop(0))
+        dropped += 1
+        out["queries_dropped"] = dropped
+        line = json.dumps(out, separators=(",", ":"))
+    return line
+
+
+def _write_detail(
+    sf: str,
+    timings: dict[str, float],
+    samples: dict[str, int],
+    regressions: dict[str, str],
+) -> None:
+    """Full-precision per-query record (3-decimal timings, sample
+    counts, regression strings) — the file the stdout line can't carry."""
+    detail = {
+        "sf": sf,
+        "total_sec": round(sum(timings.values()), 3),
+        "timings": timings,
+        "samples": samples,
+        "regressions": regressions,
+    }
+    try:
+        with open(_DETAIL_PATH, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: the stdout line still carries the result
 
 
 def _load_best(sf: str) -> dict[str, float]:

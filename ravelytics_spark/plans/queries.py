@@ -845,3 +845,8 @@ from ravelytics_spark.plans import round23_staged as _round23  # noqa: E402,F401
 # self-registers its STAGED dict into REGISTRY at import.
 from ravelytics_spark.plans import round24_staged as _round24  # noqa: E402,F401
 from ravelytics_spark.plans import round25_staged as _round25  # noqa: E402,F401
+
+# Round-26 entries were STAGED in round 7 (the round-7 window certified
+# the x130-x183 backlog — same freeze discipline); round 8 registers
+# them. The module self-registers its STAGED dict at import.
+from ravelytics_spark.plans import round26_staged as _round26  # noqa: E402,F401

@@ -3586,14 +3586,10 @@ def x226_cuped_audit(spark, sf_dir):
     )
 
 
-# --- round-8 registration footer (UNCOMMENT in round 8, keep LAST) ---
-# The two lines below flip the whole batch into the live catalog; they
+# --- round-8 registration footer (flipped live in round 8) ---
+# These two lines register the whole batch into the live catalog; they
 # must stay below the final @_staged definition so every entry is in
 # STAGED before the update (the round-25 footer-placement lesson).
-# Also: add `from ravelytics_spark.plans import round26_staged  # noqa`
-# at the bottom of plans/queries.py (next to the round24/25 imports)
-# and flip tests/test_round26_staged.py::test_round26_not_registered_yet
-# to assert `REGISTRY.get(name) is entry`.
-#
-# from ravelytics_spark.plans.queries import REGISTRY as _REGISTRY
-# _REGISTRY.update(STAGED)
+from ravelytics_spark.plans.queries import REGISTRY as _REGISTRY
+
+_REGISTRY.update(STAGED)

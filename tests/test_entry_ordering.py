@@ -82,60 +82,56 @@ def test_new_certifications_rotate_out_of_the_window(tmp_path, monkeypatch):
     sys.modules.pop("_entry_under_test", None)
 
 
-def test_round7_window_contents_pinned():
-    """Pin exactly which entries the round-7 driver CORRECTNESS window
+def test_round8_window_contents_pinned():
+    """Pin exactly which entries the round-8 driver CORRECTNESS window
     (first 50 of the priority order) will cover, so certification-queue
-    arithmetic is a test, not hope: all 14 live-but-never-windowed
-    oracle entries (x130-x143) land first, then the staged batch in
-    registration order; no already-certified entry shadows an
-    uncertified one."""
+    arithmetic is a test, not hope. Round-scoped pins are retired when
+    their round closes (the round-7 pin went stale the moment
+    CORRECTNESS_r07.json landed and certified its own window — a pin
+    must describe the UPCOMING window, not a past one).
+
+    Round-8 state: 9 oracle entries registered late in round 7
+    (x184-x193 tail, minus harness-only x192) lead, then the 33
+    round-26 staged entries in registration order = 42 uncertified
+    oracle entries, all fitting one 50-slot window with 8 slots left
+    for harness rows-only checks."""
     mod = _load_entry()
     from ravelytics_spark.plans.queries import REGISTRY
+    from ravelytics_spark.plans.round26_staged import STAGED as _S26
 
     names = mod._ordered_names()
     cert = mod._certified_names()
     window = names[:50]
 
-    live_backlog = [
-        "x130_lorenz_deciles", "x131_funnel_latency",
-        "x132_segment_migration", "x133_shipmode_latency",
-        "x134_hhi_revenue", "x135_weekday_index", "x136_discount_bands",
-        "x137_share_of_total", "x138_volatility_bands",
-        "x139_new_vs_returning", "x140_char_trigram_profile",
-        "x141_penny_allocation", "x142_last_touch_attribution",
-        "x143_qhist_portable",
+    r7_leftover = [
+        "x184_dup_cluster_sizes", "x185_xyz_classes",
+        "x186_growth_accounting", "x187_session_paths",
+        "x188_embedding_audit", "x189_seasonal_decomp",
+        "x190_rolling_market_corr", "x191_apriori_triples",
+        "x193_vocab_growth",
     ]
-    assert window[:14] == live_backlog
+    staged_oracle = [n for n, q in _S26.items() if q.oracle is not None]
+    expected_uncertified = r7_leftover + staged_oracle
 
-    # every window slot is an uncertified oracle entry — no certified
-    # or harness entry wastes a slot while oracle backlog remains
     uncertified_oracle = [
         n for n in names if REGISTRY[n].oracle is not None and n not in cert
     ]
-    assert window == uncertified_oracle[:50]
-    # the remainder queued for round 8 is small enough for one window
-    leftover = [n for n in uncertified_oracle if n not in window]
-    never_windowed_harness = [
-        n
-        for n in names
-        if REGISTRY[n].oracle is None
-        and n in ("x151_stream_interval_join", "x161_late_data_watermark",
-                  "x192_compression_quality")
-    ]
-    # the round-8 window must absorb the leftover backlog PLUS the
-    # round-26 staged batch that registers then (x194-x223) — count
-    # the staged module too, or staging could silently oversubscribe
-    # the next window (the round-6 lesson: 59 uncertified > 50 slots
-    # took two rounds to drain)
-    from ravelytics_spark.plans.round26_staged import STAGED as _S26
-
-    staged_oracle = [n for n, q in _S26.items() if q.oracle is not None]
-    total_round8 = (
-        len(leftover) + len(never_windowed_harness) + len(staged_oracle)
+    assert uncertified_oracle == expected_uncertified, (
+        "the round-8 uncertified-oracle backlog drifted — if new entries "
+        "were registered this round, extend the pin; if a CORRECTNESS "
+        "file landed, retire this pin and write the round-9 one"
     )
-    assert total_round8 <= 50, (
-        f"{len(leftover)} leftover oracle + "
-        f"{len(never_windowed_harness)} harness + "
-        f"{len(staged_oracle)} round-26 staged entries would overflow "
-        "the round-8 window — stop staging or accept a round-9 drain"
+    assert len(expected_uncertified) <= 50, (
+        f"{len(expected_uncertified)} uncertified oracle entries "
+        "oversubscribe the 50-slot window — stop registering or accept "
+        "a round-9 drain"
     )
+    # every uncertified oracle entry leads the window, then harness
+    # entries fill the remaining slots (rows-only checks are still
+    # new signal; certified entries never shadow either)
+    k = len(expected_uncertified)
+    assert window[:k] == expected_uncertified
+    for n in window[k:]:
+        assert REGISTRY[n].oracle is None, (
+            f"certified entry {n} shadows a harness slot"
+        )

@@ -32,16 +32,14 @@ def test_round26_staged_matches_oracle(spark, name, sf_dir):
     assert not problems, problems
 
 
-def test_round26_not_registered_yet():
-    """The round-7 driver window is booked with x130-x193; the
-    round-26 batch stays OUT of REGISTRY until round 8 flips the
-    registration footer (the freeze discipline the round-3/6 verdicts
-    demanded). This test flips to `REGISTRY.get(name) is entry` at
-    registration time."""
+def test_round26_registered():
+    """Round 8 flipped the registration footer: every staged entry is
+    live in REGISTRY, and REGISTRY holds the SAME object (not a
+    shadowing copy)."""
     from ravelytics_spark.plans.queries import REGISTRY
 
-    for name in STAGED:
-        assert name not in REGISTRY, name
+    for name, entry in STAGED.items():
+        assert REGISTRY.get(name) is entry, name
 
 
 def test_k_anonymity_partitions_customers(spark):
