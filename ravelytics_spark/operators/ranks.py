@@ -74,6 +74,29 @@ def _sort_cols(order_by: Sequence[tuple[str, str]]) -> list[Column]:
     return cols
 
 
+def _join_nullsafe(
+    left: DataFrame, right: DataFrame, keys: Sequence[str], how: str
+) -> DataFrame:
+    """Equi-join that MATCHES null keys (eqNullSafe), keeping exactly
+    left's key columns. A plain `.join(right, keys)` silently drops —
+    or, on a left join, fails to enrich — every row whose partition_by
+    key is null, while the window method ranks null groups normally;
+    the bucketed method must honor the same contract (ADVICE r7).
+
+    Broadcast hints on `right` survive: the hint attaches to the plan
+    node, not the join syntax."""
+    rnames = [f"__rnk_rk{i}" for i in range(len(keys))]
+    renamed = right.select(
+        *[F.col(k).alias(r) for k, r in zip(keys, rnames)],
+        *[c for c in right.columns if c not in keys],
+    )
+    cond = None
+    for k, r in zip(keys, rnames):
+        term = left[k].eqNullSafe(renamed[r])
+        cond = term if cond is None else cond & term
+    return left.join(renamed, cond, how).drop(*rnames)
+
+
 def _leading_sort_key(order_by: Sequence[tuple[str, str]]) -> Column:
     """Numeric leading key oriented ascending (desc keys negated) so
     bucket ids increase along the total order in both directions.
@@ -127,12 +150,17 @@ def global_row_number(
     # 1. quantile boundaries of the leading key (per group if grouped)
     qs = [i / buckets for i in range(1, buckets)]
     if parts:
+        # persist: the count below and the broadcast join both consume
+        # this tiny (guarded ≤ _MAX_BOUNDARY_ROWS) frame — without it
+        # the grouped percentile scan over the FULL input runs twice
         bounds = (
             keyed.groupBy(*parts)
             .agg(F.percentile_approx("__rnk_key", qs).alias("__bnds"))
+            .persist()
         )
         n_groups = bounds.count()
         if n_groups * buckets > _MAX_BOUNDARY_ROWS:
+            bounds.unpersist()
             raise RuntimeError(
                 f"grouped bucketed rank: {n_groups} groups x {buckets} "
                 f"buckets exceeds the {_MAX_BOUNDARY_ROWS}-row boundary "
@@ -140,12 +168,17 @@ def global_row_number(
                 "(a high-cardinality partition_by doesn't need bucketing: "
                 "the plain window already parallelizes across groups)"
             )
-        withb = keyed.join(F.broadcast(bounds), parts, "left")
+        withb = _join_nullsafe(keyed, F.broadcast(bounds), parts, "left")
     else:
         row = keyed.agg(
             F.percentile_approx("__rnk_key", qs).alias("__bnds")
         ).first()
-        bnds = sorted({b for b in (row["__bnds"] or []) if b is not None})
+        # b == b filters NaN (percentile_approx can surface NaN
+        # boundaries from NaN inputs; NaN rows get their own end
+        # bucket below, so boundaries must stay finite-ordered)
+        bnds = sorted(
+            {b for b in (row["__bnds"] or []) if b is not None and b == b}
+        )
         withb = keyed.withColumn(
             "__bnds",
             F.array(*[F.lit(float(b)) for b in bnds])
@@ -156,15 +189,26 @@ def global_row_number(
     # 2. bucket = #boundaries strictly below the key (equal keys share
     #    a bucket -> bucket id monotone in the total order). Null keys
     #    sort FIRST under asc (asc_nulls_first is Spark's default) and
-    #    LAST under desc (desc_nulls_last) — route them to the matching
-    #    end bucket.
-    null_bucket = -1 if order_by[0][1] == "asc" else buckets
+    #    LAST under desc (desc_nulls_last); NaN keys sort LAST under
+    #    asc and FIRST under desc (Spark orders NaN above every other
+    #    double, and negation — the desc orientation — keeps NaN NaN).
+    #    Route both to their orientation-correct end buckets: the four
+    #    sentinels (-1, buckets for null; buckets + 1, -2 for NaN) are
+    #    outside the 0..buckets-1 range and distinct from each other.
+    asc = order_by[0][1] == "asc"
+    null_bucket = -1 if asc else buckets
+    nan_bucket = buckets + 1 if asc else -2
     bucketed = withb.withColumn(
         _B,
-        F.when(F.col("__rnk_key").isNull(), F.lit(null_bucket)).otherwise(
+        F.when(F.col("__rnk_key").isNull(), F.lit(null_bucket))
+        .when(F.isnan("__rnk_key"), F.lit(nan_bucket))
+        .otherwise(
             F.size(
                 F.filter(
-                    "__bnds", lambda b: b.isNotNull() & (b < F.col("__rnk_key"))
+                    "__bnds",
+                    lambda b: b.isNotNull()
+                    & ~F.isnan(b)
+                    & (b < F.col("__rnk_key")),
                 )
             )
         ),
@@ -188,7 +232,7 @@ def global_row_number(
     # 4. local row_number within (group, bucket) + offset = global rank
     wloc = Window.partitionBy(*parts, _B).orderBy(*_sort_cols(order_by))
     out = (
-        bucketed.join(F.broadcast(offsets), parts + [_B])
+        _join_nullsafe(bucketed, F.broadcast(offsets), parts + [_B], "inner")
         .withColumn(
             col_name,
             (F.col(_OFF) + F.row_number().over(wloc)).cast("long"),

@@ -114,6 +114,61 @@ def test_bucketed_grouped_rank_and_total(messy):
     assert not _mismatches(got, want)
 
 
+def test_bucketed_grouped_rank_null_group_keys(messy):
+    """Rows whose partition_by key is NULL must be ranked in their own
+    null group, exactly as the window method does — the old equi-joins
+    silently dropped them (ADVICE r7: a 4-row frame with a null group
+    returned 2 rows)."""
+    withnull = messy.withColumn(
+        "grp", F.when(F.col("id") % 5 != 0, F.col("grp"))  # ~200 null rows
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("v"), "id")
+    want = withnull.select(
+        "id",
+        F.concat_ws(
+            ":",
+            F.row_number().over(w),
+            F.count("*").over(Window.partitionBy("grp")),
+        ).alias("x"),
+    )
+    ranked = global_row_number(
+        withnull,
+        [("v", "desc"), ("id", "asc")],
+        partition_by=["grp"],
+        method="bucketed",
+        buckets=8,
+        total_name="n",
+    )
+    got = ranked.select("id", F.concat_ws(":", "rn", "n").alias("x"))
+    # row-count parity first: the old bug DROPPED null-group rows
+    assert got.count() == withnull.count()
+    assert not _mismatches(got, want)
+
+
+@pytest.mark.parametrize("direction", ["asc", "desc"])
+def test_bucketed_nan_leading_key(messy, direction):
+    """NaN leading keys sort LAST under asc and FIRST under desc
+    (Spark orders NaN above every other double); the bucketed method
+    must route them to the orientation-correct end bucket — negating a
+    NaN (the desc orientation) leaves it NaN, which compares above
+    every boundary and used to land in the wrong end (ADVICE r7)."""
+    withnan = messy.withColumn(
+        "v",
+        F.when(F.col("id") % 7 == 0, F.lit(float("nan"))).otherwise(
+            F.col("v").cast("double")
+        ),
+    )
+    key = F.col("v") if direction == "asc" else F.desc("v")
+    want = withnan.select(
+        "id",
+        F.row_number().over(Window.orderBy(key, "id")).cast("long").alias("x"),
+    )
+    got = global_row_number(
+        withnan, [("v", direction), ("id", "asc")], method="bucketed", buckets=8
+    ).select("id", F.col("rn").alias("x"))
+    assert not _mismatches(got, want)
+
+
 def test_grouped_boundary_budget_guard(messy):
     """A high-cardinality partition_by must refuse, loudly, instead of
     collecting an unbounded boundary table to the driver."""
