@@ -162,10 +162,17 @@ ORDER BY part
     "SF, where the cascade needs 10). Scale: each round is two "
     "node-keyed semi-joins + one degree agg over the CHECKPOINTED "
     "edge list (the expensive co-order self-join runs once); per-node "
-    "state is one degree.",
+    "state is one degree. Early fixed-point exit: the alive set "
+    "shrinks monotonically (round r's survivors are a subset of round "
+    "r-1's), so an unchanged COUNT between consecutive rounds proves "
+    "the set itself is unchanged and every remaining round would "
+    "recompute the identical degree table — the loop stops there, "
+    "bit-identical to the full 12-round unroll (pytest-proved), and "
+    "the count action is free because the alive set is already "
+    "eagerly checkpointed.",
     _KCORE_ORACLE,
 )
-def x127_kcore_peel(spark, sf_dir):
+def x127_kcore_peel(spark, sf_dir, early_exit: bool = True):
     li = load_table(spark, sf_dir, "lineitem")
     pk = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
@@ -183,11 +190,20 @@ def x127_kcore_peel(spark, sf_dir):
     ).localCheckpoint(eager=True)  # referenced 2x per round x 12 rounds
     alive = und.select(F.col("u").alias("n")).distinct()
     deg = None
+    prev_n = None
     for _ in range(_KCORE_ROUNDS):
         # checkpoint the (tiny) alive set: it feeds two semi-joins per
         # round — without the cut the lineage doubles every round
         # (the x101 lesson).
         alive = alive.localCheckpoint(eager=True)
+        if early_exit:
+            n = alive.count()
+            if prev_n is not None and n == prev_n:
+                # alive_r == alive_{r-1} (monotone shrink + equal
+                # count), so deg is already the fixed point every
+                # remaining round would reproduce.
+                break
+            prev_n = n
         deg = (
             und.join(alive, und.u == alive.n, "left_semi")
             .join(

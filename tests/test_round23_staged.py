@@ -77,6 +77,27 @@ def test_kcore_matches_pure_python_peel_and_reaches_fixed_point(spark):
     assert all(d >= _KCORE_K for _, d in got)
 
 
+def test_kcore_early_exit_matches_full_unroll(spark):
+    # The early fixed-point break must be invisible in the result: the
+    # alive set shrinks monotonically, so equal consecutive counts
+    # prove set equality and the remaining rounds are no-ops. Compare
+    # against the full 12-round unroll at both certification SFs
+    # (sf0.001 hits the fixed point immediately — nothing peels;
+    # sf0.01 needs a 10-round cascade, so the exit saves 2 rounds).
+    from ravelytics_spark.plans.round23_staged import x127_kcore_peel
+
+    for sf in (SFS[0], SFS[1]):
+        fast = {
+            (r.part, r.core_degree)
+            for r in x127_kcore_peel(spark, sf, early_exit=True).collect()
+        }
+        full = {
+            (r.part, r.core_degree)
+            for r in x127_kcore_peel(spark, sf, early_exit=False).collect()
+        }
+        assert fast == full, sf
+
+
 def test_mutual_information_total_matches_python(spark):
     import math
 
