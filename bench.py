@@ -94,6 +94,9 @@ HEADLINE = [
     "x172_bfs_hops",
     "x177_ann_recall_eval",
     "x184_dup_cluster_sizes",
+    # round 8: the production (hot-bucket-capped) winnowing form —
+    # tracked next to x150 so the cap's cost/benefit stays measured
+    "x227_winnow_capped",
 ]
 
 

@@ -850,3 +850,4 @@ from ravelytics_spark.plans import round25_staged as _round25  # noqa: E402,F401
 # the x130-x183 backlog — same freeze discipline); round 8 registers
 # them. The module self-registers its STAGED dict at import.
 from ravelytics_spark.plans import round26_staged as _round26  # noqa: E402,F401
+from ravelytics_spark.plans import round27 as _round27  # noqa: E402,F401

@@ -779,6 +779,10 @@ def x150_winnow_dup_spans(spark, sf_dir):
     fps = (
         kh.select("doc_id", F.min("h").over(wWin).alias("fp"))
         .distinct()
+        # eager lineage cut (the x91 lesson): both sides of the pair
+        # self-join consume this frame — without it the per-char
+        # explode+md5+window pipeline executes twice.
+        .localCheckpoint(eager=True)
     )
     a, b = fps.alias("a"), fps.alias("b")
     pairs = (

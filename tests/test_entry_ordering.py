@@ -92,9 +92,10 @@ def test_round8_window_contents_pinned():
 
     Round-8 state: 9 oracle entries registered late in round 7
     (x184-x193 tail, minus harness-only x192) lead, then the 33
-    round-26 staged entries in registration order = 42 uncertified
-    oracle entries, all fitting one 50-slot window with 8 slots left
-    for harness rows-only checks."""
+    round-26 staged entries in registration order, then the 8
+    round-27 live registrations (x227-x234) = exactly 50 uncertified
+    oracle entries — the window is fully subscribed, harness entries
+    rotate behind it this round."""
     mod = _load_entry()
     from ravelytics_spark.plans.queries import REGISTRY
     from ravelytics_spark.plans.round26_staged import STAGED as _S26
@@ -111,7 +112,13 @@ def test_round8_window_contents_pinned():
         "x193_vocab_growth",
     ]
     staged_oracle = [n for n, q in _S26.items() if q.oracle is not None]
-    expected_uncertified = r7_leftover + staged_oracle
+    round27 = [
+        "x227_winnow_capped", "x228_stockout_projection",
+        "x229_price_index", "x230_hubness_audit", "x231_runs_test",
+        "x232_linear_interpolation", "x233_lsh_bucket_balance",
+        "x234_oov_rate",
+    ]
+    expected_uncertified = r7_leftover + staged_oracle + round27
 
     uncertified_oracle = [
         n for n in names if REGISTRY[n].oracle is not None and n not in cert

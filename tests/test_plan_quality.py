@@ -323,3 +323,100 @@ def test_x30_rp_projection_has_no_agg_shuffle(spark, sf_dir):
     assert "HashAggregate" not in plan
     assert plan.count("Exchange") == 1
     assert "rangepartitioning" in plan
+
+
+# ---------------------------------------------------------------------------
+# x13x-x23x generation shape pins (round 8): the newer heavy entries get
+# the same shuffle-count discipline as the original 22 sections.
+# ---------------------------------------------------------------------------
+
+
+def test_x141_penny_windows_share_one_exchange(spark, sf_dir):
+    """Largest-remainder rounding runs three order-keyed windows
+    (order-total running sum, remainder rank, floor-allocation running
+    sum) and the reconciliation agg — all on l_orderkey, so Catalyst
+    must plan them over ONE hashpartitioning exchange; a second would
+    mean the window specs drifted apart."""
+    plan = _final_plan(REGISTRY["x141_penny_allocation"].spark(spark, sf_dir))
+    assert plan.count("Window") == 3
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_x150_winnow_fingerprints_computed_once(spark, sf_dir):
+    """The winnowing fingerprint pipeline (per-char explode + md5 +
+    window-min) must run exactly once — at the eager checkpoint — so
+    the final plan shows NO Generate/Window, and candidate pairs come
+    from the single fingerprint equi-join (never all-pairs)."""
+    plan = _final_plan(REGISTRY["x150_winnow_dup_spans"].spark(spark, sf_dir))
+    assert "Generate" not in plan
+    assert "Window" not in plan
+    assert "Scan ExistingRDD" in plan  # the checkpointed fingerprints
+    assert plan.count("Join") == 1
+
+
+def test_x227_capped_winnow_anti_probe_shape(spark, sf_dir):
+    """The production winnowing form adds only a broadcast LeftAnti
+    hot-fingerprint probe on top of x150's shape: still zero
+    Generate/Window in the final plan (one checkpoint feeds the cap
+    agg and both self-join sides), and no new shuffle of the
+    fingerprint stream (the hot list is bucket-size-agg output)."""
+    plan = _final_plan(REGISTRY["x227_winnow_capped"].spark(spark, sf_dir))
+    assert "Generate" not in plan
+    assert "Window" not in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_x164_capped_sessions_is_one_bucketed_arrow_stage(spark, sf_dir):
+    """The capped sessionizer is the sanctioned Arrow path: exactly one
+    bucket-keyed exchange into FlatMapGroupsInPandas (bounded groups by
+    construction); the only other exchange is the output sort."""
+    plan = _final_plan(REGISTRY["x164_capped_sessions"].spark(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_x172_bfs_frontier_is_semi_anti_joined(spark, sf_dir):
+    """Bounded BFS keeps the frontier/visited sets flowing through
+    semi/anti joins against the (checkpointed) edge list — no windows,
+    no cartesian anywhere, and the seed is a TakeOrdered top-k, not a
+    global sort."""
+    plan = _final_plan(REGISTRY["x172_bfs_hops"].spark(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_x177_ann_recall_scores_checkpointed_once(spark, sf_dir):
+    """The decimal-exact scored frame feeds the exact top-k, the SRP
+    top-k and the candidate count — the eager checkpoint must make all
+    three read Scan ExistingRDD instead of re-running the unrolled
+    per-dim codegen; ranking stays TakeOrdered + bounded windows."""
+    plan = _final_plan(REGISTRY["x177_ann_recall_eval"].spark(spark, sf_dir))
+    assert "Scan ExistingRDD" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_x230_hubness_topk_heaps_before_shuffle(spark, sf_dir):
+    """The all-pairs NN scoring must be a replicated EQUI-join (never
+    CartesianProduct), and the per-query top-k must run its PARTIAL
+    WindowGroupLimit heap pass before the qa shuffle — the row_number
+    window itself then ranks only surviving candidates."""
+    plan = _final_plan(REGISTRY["x230_hubness_audit"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Generate") == 1  # the replication explode only
+
+
+def test_x233_bucket_balance_partial_mins_no_joins(spark, sf_dir):
+    """The banding audit is pure aggregation: signature mins partial-
+    aggregate map-side before the doc shuffle, the band posexplode
+    feeds two stacked hash-aggs, and there is no join anywhere."""
+    plan = _final_plan(REGISTRY["x233_lsh_bucket_balance"].spark(spark, sf_dir))
+    assert "Join" not in plan
+    assert "partial_min" in plan
+    assert plan.count("Generate") == 2  # shingle explode + band posexplode
