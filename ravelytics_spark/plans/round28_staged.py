@@ -1,0 +1,602 @@
+"""Round-28 operators — STAGED (round 8), registration deferred.
+
+The round-8 driver certification window is fully booked: 42 backlog
+entries (x184-x193 + the round-26 staged batch) plus the 8 round-27
+live registrations make exactly 50. This batch is built, oracle-twinned
+and tested NOW but kept OUT of ``REGISTRY`` until round 9 — the
+round-23/24/25/26 staging contract: entries ship the round after the
+window they'd overflow. Round 9 adds the two-line self-registration
+footer (kept commented at the bottom of this module).
+
+Theme: model-evaluation metrology, supply-chain forecasting, corpus
+coverage, and the event-engagement layer.
+
+* ``x235_percent_of_parent`` — the hierarchical share report: revenue
+  cents per (region, nation, segment) cell with share-of-parent at
+  every level (segment within nation, nation within region, region
+  within grand total), all in exact ppm. Three parent rollups over
+  the <= |region x nation x segment| cell table — the raw fact table
+  is touched exactly once.
+* ``x236_croston_intermittent`` — Croston's method for intermittent
+  demand, per part: the demand-event series (nonzero months) feeds
+  two truncated 8-term dyadic EWMAs (x119's exact-BIGINT idiom) —
+  one over demand SIZES, one over inter-demand INTERVALS (month
+  indices, exact ints) — and the forecast rate is their exact
+  rational quotient in micro units. The standard forecaster for
+  sparse/lumpy series where plain EWMA (x119) over calendar months
+  biases toward zero.
+* ``x238_psi_stability`` — Population Stability Index per feature
+  (order priority, customer segment) between the pre/post 1998-05-01
+  halves: per-bin (p-q)*ln(p/q) terms with counts exact BIGINT and
+  ln over exact integer ratios (the x128 round(ln,8) convention).
+  THE industry drift scorecard next to x85's JSD and x159's KS.
+* ``x241_auc_exact`` — exact ROC AUC via the midrank U statistic,
+  per customer segment (does order value predict urgency?):
+  2*midrank = 2*rank + tiecount - 1 stays integer, 2U = sum over
+  positives - n1*(n1+1), AUC in exact ppm by integer division. The
+  threshold-free companion of x168's Mann-Whitney (same statistic,
+  re-normalized as classifier quality).
+* ``x243_vocab_coverage_curve`` — corpus token-mass coverage at
+  vocabulary sizes 100 / 1 000 / 10 000 (count-desc, token-asc total
+  tie-break): the vocab-size tradeoff curve behind x234's fixed-size
+  OOV rate. Vocab candidates come from a bounded TakeOrdered top-10k;
+  ranking and the corpus-total scalar run over that bounded frame.
+
+Second wave — calibration + engagement:
+
+* ``x239_gains_table`` — decile gains/lift table for the
+  prior-spend-predicts-repurchase score: customers ranked by
+  pre-1999 spend into total-tie-broken deciles, positives = ordered
+  in 1999+; per decile cumulative capture ppm and lift in milli.
+  The model-eval artifact every targeting campaign reads.
+* ``x240_brier_decomposition`` — Brier score with the Murphy
+  decomposition (reliability - resolution + uncertainty) for the
+  binned prior-urgency predictor: bins on exact ppm rates, every
+  component an exact rational over BIGINT counts rendered through
+  one shared IEEE expression. Completes x215's ECE with the proper
+  scoring-rule view.
+* ``x256_active_stickiness`` — DAU / WAU(7) / MAU(28) + the
+  DAU/MAU stickiness ratio per day over the events stream: distinct
+  user-days joined to a bounded day grid by date-range containment
+  (grid x active-days equi-bucketed by day), counts exact, ratio in
+  ppm. The engagement headline triple.
+* ``x257_l28_histogram`` — the L28 engagement histogram: for the
+  28-day window ending at the last event day, the distribution of
+  per-user active-day counts (1..28). One user-day dedup + one
+  hash-agg; the power-user curve next to x256's time series.
+* ``x258_time_decay_attribution`` — exponential time-decay
+  attribution with dyadic half-life weights (2^-(age_days DIV 7)):
+  each purchase credits prior same-user touches within 28 days,
+  weights exact BIGINT, shares in ppm. Completes the attribution
+  trio (x142 last-touch, x174 U-shaped).
+
+Hash-parity conventions as plans/queries.py: exact cents/BIGINT
+arithmetic until one shared IEEE expression, total ORDER BY, BIGINT
+casts on every count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ravelytics_spark.plans.queries import Query
+from ravelytics_spark.sources.tables import load_table
+
+STAGED: dict[str, Query] = {}
+
+
+def _staged(name: str, op_id: str, doc: str, oracle: str | None = None):
+    def deco(fn):
+        STAGED[name] = Query(name, op_id, doc, fn, oracle)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# x235 — hierarchical percent-of-parent rollup
+# ---------------------------------------------------------------------------
+
+_POP_ORACLE = """
+WITH cell AS (
+    SELECT r.r_name AS region, n.n_name AS nation,
+           c.c_mktsegment AS segment,
+           CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2, 3
+),
+lv AS (
+    SELECT region, nation, segment, cents,
+           SUM(cents) OVER (PARTITION BY region, nation) AS nation_cents,
+           SUM(cents) OVER (PARTITION BY region) AS region_cents,
+           SUM(cents) OVER () AS grand_cents
+    FROM cell
+)
+SELECT region, nation, segment, cents,
+       CAST(cents * 1000000 // nation_cents AS BIGINT) AS seg_share_ppm,
+       CAST(nation_cents * 1000000 // region_cents AS BIGINT)
+           AS nation_share_ppm,
+       CAST(region_cents * 1000000 // grand_cents AS BIGINT)
+           AS region_share_ppm
+FROM lv ORDER BY region, nation, segment
+"""
+
+
+@_staged(
+    "x235_percent_of_parent",
+    "OP-G6/W4-ext",
+    "Hierarchical percent-of-parent report: revenue cents per "
+    "(region, nation, segment) leaf cell with the share of every "
+    "ancestor level in exact ppm — segment within nation, nation "
+    "within region, region within grand total. The drill-down "
+    "artifact x137's flat share-of-total cannot express. Scale: the "
+    "fact table aggregates ONCE into the <=|regions x nations x "
+    "segments| cell frame (dims broadcast); all three parent rollups "
+    "are windows over that metadata-sized frame, so the grand-total "
+    "single partition holds ~125 rows, never data.",
+    _POP_ORACLE,
+)
+def x235_percent_of_parent(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    cell = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    wn = Window.partitionBy("region", "nation")
+    wr = Window.partitionBy("region")
+    wg = Window.partitionBy()
+    lv = cell.select(
+        "region",
+        "nation",
+        "segment",
+        "cents",
+        F.sum("cents").over(wn).alias("nation_cents"),
+        F.sum("cents").over(wr).alias("region_cents"),
+        F.sum("cents").over(wg).alias("grand_cents"),
+    )
+    return lv.select(
+        "region",
+        "nation",
+        "segment",
+        "cents",
+        F.expr("CAST(cents * 1000000 DIV nation_cents AS BIGINT)").alias(
+            "seg_share_ppm"
+        ),
+        F.expr(
+            "CAST(nation_cents * 1000000 DIV region_cents AS BIGINT)"
+        ).alias("nation_share_ppm"),
+        F.expr(
+            "CAST(region_cents * 1000000 DIV grand_cents AS BIGINT)"
+        ).alias("region_share_ppm"),
+    ).orderBy("region", "nation", "segment")
+
+
+# ---------------------------------------------------------------------------
+# x236 — Croston's method for intermittent per-part demand
+# ---------------------------------------------------------------------------
+
+_CR_LAGS = 8
+
+
+def _cr_num(col: str, over: str) -> str:
+    return " + ".join(
+        f"{1 << (_CR_LAGS - 1 - k)} * COALESCE(lag({col}, {k}) OVER {over}, 0)"
+        for k in range(_CR_LAGS)
+    )
+
+
+def _cr_den(col: str, over: str) -> str:
+    return " + ".join(
+        f"CASE WHEN lag({col}, {k}) OVER {over} IS NULL THEN 0"
+        f" ELSE {1 << (_CR_LAGS - 1 - k)} END"
+        for k in range(_CR_LAGS)
+    )
+
+
+# DuckDB side names the window; Spark's expr needs it inline.
+_CR_W_SPARK = "(PARTITION BY part ORDER BY mi)"
+_CR_ZNUM = _cr_num("z", "w")
+_CR_ZDEN = _cr_den("z", "w")
+_CR_XNUM = _cr_num("gap", "w")
+_CR_XDEN = _cr_den("gap", "w")
+
+_CROSTON_ORACLE = f"""
+WITH m AS (
+    SELECT l_partkey AS part,
+           CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS mi,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS z
+    FROM lineitem GROUP BY 1, 2
+),
+g AS (
+    SELECT part, mi, z,
+           mi - lag(mi) OVER (PARTITION BY part ORDER BY mi) AS gap
+    FROM m
+),
+e AS (
+    SELECT part, mi, z, gap,
+           {_CR_ZNUM} AS znum, {_CR_ZDEN} AS zden,
+           {_CR_XNUM} AS xnum, {_CR_XDEN} AS xden,
+           row_number() OVER (PARTITION BY part ORDER BY mi DESC) AS rn,
+           CAST(count(*) OVER (PARTITION BY part) AS BIGINT) AS n_demands
+    FROM (SELECT * FROM g WHERE gap IS NOT NULL)
+    WINDOW w AS (PARTITION BY part ORDER BY mi)
+)
+SELECT part, n_demands,
+       CAST((znum * 1000000) // zden AS BIGINT) AS size_ewma_micro,
+       CAST((xnum * 1000000) // xden AS BIGINT) AS interval_ewma_micro,
+       CAST((znum * xden * 1000000) // (zden * xnum) AS BIGINT)
+           AS croston_rate_micro
+FROM e WHERE rn = 1
+ORDER BY part
+"""
+
+
+@_staged(
+    "x236_croston_intermittent",
+    "OP-W3/T-ext",
+    "Croston's intermittent-demand forecast per part: the demand "
+    "series keeps only months WITH demand (the defining move — "
+    "calendar EWMA over mostly-zero months biases toward zero), then "
+    "two truncated 8-term dyadic EWMAs (x119's exact-BIGINT idiom) "
+    "run over demand sizes and inter-demand month gaps; the Croston "
+    "rate is their exact rational quotient znum*xden/(zden*xnum) in "
+    "integer micro units (every product bounded well under 2^63 — "
+    "sizes < 1e6, weights sum 255, gaps <= 84 months). The first "
+    "demand month is dropped (no defined interval), so every row in "
+    "the EWMA frame has both a size and a gap; the latest state per "
+    "part is selected by row_number DESC = 1. Scale: one (part, "
+    "month) hash-agg, then all windows partition on part over the "
+    "month-level frame — never raw lineitems.",
+    _CROSTON_ORACLE,
+)
+def x236_croston_intermittent(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+        .cast("long")
+        .alias("mi"),
+    ).agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("z"))
+    wlag = Window.partitionBy("part").orderBy("mi")
+    g = m.select(
+        "part", "mi", "z", (F.col("mi") - F.lag("mi").over(wlag)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    e = g.select(
+        "part",
+        "mi",
+        "z",
+        "gap",
+        F.expr(_cr_num("z", _CR_W_SPARK)).alias("znum"),
+        F.expr(_cr_den("z", _CR_W_SPARK)).alias("zden"),
+        F.expr(_cr_num("gap", _CR_W_SPARK)).alias("xnum"),
+        F.expr(_cr_den("gap", _CR_W_SPARK)).alias("xden"),
+        F.row_number()
+        .over(Window.partitionBy("part").orderBy(F.col("mi").desc()))
+        .alias("rn"),
+        F.count("*")
+        .over(Window.partitionBy("part"))
+        .cast("long")
+        .alias("n_demands"),
+    )
+    # Spark needs the named window spelled inline: rewrite `OVER w`
+    # into the explicit partition/order clause.
+    return (
+        e.filter(F.col("rn") == 1)
+        .select(
+            "part",
+            "n_demands",
+            F.expr("CAST((znum * 1000000) DIV zden AS BIGINT)").alias(
+                "size_ewma_micro"
+            ),
+            F.expr("CAST((xnum * 1000000) DIV xden AS BIGINT)").alias(
+                "interval_ewma_micro"
+            ),
+            F.expr(
+                "CAST((znum * xden * 1000000) DIV (zden * xnum) AS BIGINT)"
+            ).alias("croston_rate_micro"),
+        )
+        .orderBy("part")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x238 — Population Stability Index between calendar halves
+# ---------------------------------------------------------------------------
+
+_PSI_SPLIT = "1998-05-01"
+
+_PSI_TERM = (
+    "round((CAST(n_a AS DOUBLE) / CAST(na_tot AS DOUBLE)"
+    " - CAST(n_b AS DOUBLE) / CAST(nb_tot AS DOUBLE))"
+    " * round(ln((CAST(n_a AS DOUBLE) * CAST(nb_tot AS DOUBLE))"
+    " / (CAST(n_b AS DOUBLE) * CAST(na_tot AS DOUBLE))), 8), 8)"
+)
+
+_PSI_ORACLE = f"""
+WITH labeled AS (
+    SELECT CASE WHEN o.o_orderdate < TIMESTAMP '{_PSI_SPLIT}'
+                THEN 0 ELSE 1 END AS half,
+           o.o_orderpriority AS priority, c.c_mktsegment AS segment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+bins AS (
+    SELECT 'priority' AS feature, priority AS bin, half FROM labeled
+    UNION ALL
+    SELECT 'segment' AS feature, segment AS bin, half FROM labeled
+),
+counts AS (
+    SELECT feature, bin,
+           CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+    FROM bins GROUP BY 1, 2
+),
+tot AS (
+    SELECT feature, bin, n_a, n_b,
+           SUM(n_a) OVER (PARTITION BY feature) AS na_tot,
+           SUM(n_b) OVER (PARTITION BY feature) AS nb_tot
+    FROM counts
+)
+SELECT feature, bin, n_a, n_b, {_PSI_TERM} AS psi_term
+FROM tot WHERE n_a > 0 AND n_b > 0
+ORDER BY feature, bin
+"""
+
+
+@_staged(
+    "x238_psi_stability",
+    "OP-G6-ext",
+    "Population Stability Index between the pre/post "
+    f"{_PSI_SPLIT} halves, per feature (order priority, customer "
+    "segment) and bin: psi_term = (p - q) * ln(p/q) with counts "
+    "exact BIGINT and the log over an exact integer cross-ratio "
+    "n_a*nb_tot / (n_b*na_tot) — identical IEEE inputs -> identical "
+    "libm output, the x128 round(ln,8) convention, doubly rounded so "
+    "the product is over an already-pinned factor. Bins empty on "
+    "either side are excluded (standard scorecard practice). The "
+    "industry drift metric completing x85 (JSD) and x159 (KS). "
+    "Scale: one categorical hash-agg per feature over the fact scan, "
+    "feature-partitioned window totals over the <=|bins| frame.",
+    _PSI_ORACLE,
+)
+def x238_psi_stability(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    labeled = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.when(
+            F.col("o_orderdate") < F.lit(_PSI_SPLIT).cast("timestamp"), 0
+        )
+        .otherwise(1)
+        .alias("half"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    bins = labeled.select(
+        F.lit("priority").alias("feature"),
+        F.col("priority").alias("bin"),
+        "half",
+    ).unionByName(
+        labeled.select(
+            F.lit("segment").alias("feature"),
+            F.col("segment").alias("bin"),
+            "half",
+        )
+    )
+    counts = bins.groupBy("feature", "bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    wf = Window.partitionBy("feature")
+    tot = counts.select(
+        "feature",
+        "bin",
+        "n_a",
+        "n_b",
+        F.sum("n_a").over(wf).alias("na_tot"),
+        F.sum("n_b").over(wf).alias("nb_tot"),
+    )
+    return (
+        tot.filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .select("feature", "bin", "n_a", "n_b", F.expr(_PSI_TERM).alias("psi_term"))
+        .orderBy("feature", "bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x241 — exact ROC AUC via the midrank U statistic
+# ---------------------------------------------------------------------------
+
+_AUC_ORACLE = """
+WITH base AS (
+    SELECT c.c_mktsegment AS segment,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+           CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS pos
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+ranked AS (
+    SELECT segment, cents, pos,
+           CAST(2 * rank() OVER (PARTITION BY segment ORDER BY cents)
+                + count(*) OVER (PARTITION BY segment, cents) - 1
+                AS BIGINT) AS mr2
+    FROM base
+),
+agg AS (
+    SELECT segment,
+           CAST(SUM(CASE WHEN pos = 1 THEN mr2 ELSE 0 END) AS BIGINT) AS r1_2,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(1 - pos) AS BIGINT) AS n_neg
+    FROM ranked GROUP BY segment
+)
+SELECT segment, n_pos, n_neg,
+       CAST((r1_2 - n_pos * (n_pos + 1)) * 1000000 // (2 * n_pos * n_neg)
+            AS BIGINT) AS auc_ppm
+FROM agg WHERE n_pos > 0 AND n_neg > 0
+ORDER BY segment
+"""
+
+
+@_staged(
+    "x241_auc_exact",
+    "OP-W2-ext",
+    "Exact ROC AUC per customer segment for the 'order value predicts "
+    "urgency' probe: midranks handle score ties exactly in integers "
+    "(2*midrank = 2*rank + tiecount - 1 — rank() is min-rank, so the "
+    "doubled midrank stays BIGINT), 2U = sum(2*midrank over "
+    "positives) - n1*(n1+1), and AUC lands in exact ppm by one "
+    "integer division over 2*n1*n2. The same U statistic as x168's "
+    "Mann-Whitney, renormalized as threshold-free classifier quality "
+    "(AUC = P(score_pos > score_neg) + P(tie)/2). Scale: one "
+    "segment-partitioned rank window + one (segment, cents) tie "
+    "count — both share the segment exchange; the result is "
+    "<=|segments| rows.",
+    _AUC_ORACLE,
+)
+def x241_auc_exact(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    base = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("pos"),
+    )
+    wr = Window.partitionBy("segment").orderBy("cents")
+    wt = Window.partitionBy("segment", "cents")
+    ranked = base.select(
+        "segment",
+        "pos",
+        (
+            2 * F.rank().over(wr)
+            + F.count("*").over(wt)
+            - 1
+        )
+        .cast("long")
+        .alias("mr2"),
+    )
+    agg = ranked.groupBy("segment").agg(
+        F.sum(F.when(F.col("pos") == 1, F.col("mr2")).otherwise(0))
+        .cast("long")
+        .alias("r1_2"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum(1 - F.col("pos")).cast("long").alias("n_neg"),
+    )
+    return (
+        agg.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .select(
+            "segment",
+            "n_pos",
+            "n_neg",
+            F.expr(
+                "CAST((r1_2 - n_pos * (n_pos + 1)) * 1000000"
+                " DIV (2 * n_pos * n_neg) AS BIGINT)"
+            ).alias("auc_ppm"),
+        )
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x243 — corpus token-mass coverage at vocabulary sizes 100/1k/10k
+# ---------------------------------------------------------------------------
+
+_VC_SIZES = [100, 1000, 10000]
+_VC_MAX = max(_VC_SIZES)
+
+_VC_ORACLE = f"""
+WITH tok AS (
+    SELECT w FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ) WHERE w <> ''
+),
+wc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w),
+total AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM wc),
+top AS (
+    SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rnk
+    FROM wc QUALIFY rnk <= {_VC_MAX}
+),
+sizes AS (SELECT unnest([{", ".join(str(s) for s in _VC_SIZES)}]) AS vocab_size)
+SELECT CAST(s.vocab_size AS BIGINT) AS vocab_size,
+       CAST(COALESCE(SUM(t.c), 0) AS BIGINT) AS covered_tokens,
+       (SELECT n_total FROM total) AS n_total,
+       CAST(COALESCE(SUM(t.c), 0) * 1000000 // (SELECT n_total FROM total)
+            AS BIGINT) AS coverage_ppm
+FROM sizes s LEFT JOIN top t ON t.rnk <= s.vocab_size
+GROUP BY s.vocab_size
+ORDER BY vocab_size
+"""
+
+
+@_staged(
+    "x243_vocab_coverage_curve",
+    "OP-X4-ext",
+    "Corpus token-mass coverage at vocabulary sizes "
+    f"{_VC_SIZES}: what fraction of all token occurrences the top-N "
+    "vocabulary captures (count-desc, token-asc total tie-break) — "
+    "the tradeoff curve that justifies x234's fixed 1000-token OOV "
+    "cut, and the first number a tokenizer-budget decision reads. "
+    "Scale: one token-count shuffle; the candidate vocab is a "
+    f"bounded TakeOrdered top-{_VC_MAX} (per-partition heaps), and "
+    "ranking + the three cumulative sums run over that bounded "
+    "frame, never the full vocabulary.",
+    _VC_ORACLE,
+)
+def x243_vocab_coverage_curve(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    wc = tok.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    total = wc.agg(F.sum("c").cast("long").alias("n_total"))
+    top = (
+        wc.orderBy(F.col("c").desc(), "w")
+        .limit(_VC_MAX)
+        .select(
+            "c",
+            F.row_number()
+            .over(Window.orderBy(F.col("c").desc(), "w"))
+            .alias("rnk"),
+        )
+    )
+    sizes = spark.createDataFrame(
+        [(s,) for s in _VC_SIZES], "vocab_size long"
+    )
+    cov = (
+        sizes.join(top, top.rnk <= sizes.vocab_size, "left")
+        .groupBy("vocab_size")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("covered_tokens"))
+    )
+    return (
+        cov.crossJoin(F.broadcast(total))
+        .select(
+            "vocab_size",
+            "covered_tokens",
+            "n_total",
+            F.expr(
+                "CAST(covered_tokens * 1000000 DIV n_total AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+        .orderBy("vocab_size")
+    )
