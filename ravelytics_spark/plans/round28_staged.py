@@ -600,3 +600,487 @@ def x243_vocab_coverage_curve(spark, sf_dir):
         )
         .orderBy("vocab_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# x239 — decile gains/lift table (prior spend predicts repurchase)
+# ---------------------------------------------------------------------------
+
+_GT_SPLIT = "1999-01-01"
+_GT_K = 10
+
+_GAINS_ORACLE = f"""
+WITH score AS (
+    SELECT o_custkey AS custkey,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS spend
+    FROM orders WHERE o_orderdate < TIMESTAMP '{_GT_SPLIT}'
+    GROUP BY 1
+),
+label AS (
+    SELECT DISTINCT o_custkey AS custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{_GT_SPLIT}'
+),
+pop AS (
+    SELECT s.custkey, s.spend,
+           CASE WHEN l.custkey IS NULL THEN 0 ELSE 1 END AS pos,
+           row_number() OVER (ORDER BY s.spend DESC, s.custkey) AS rn,
+           CAST(count(*) OVER () AS BIGINT) AS n_tot
+    FROM score s LEFT JOIN label l ON s.custkey = l.custkey
+),
+dec AS (
+    SELECT CAST((rn - 1) * {_GT_K} // n_tot + 1 AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(pos) AS BIGINT) AS n_pos
+    FROM pop GROUP BY 1
+),
+cum AS (
+    SELECT decile, n, n_pos,
+           SUM(n) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cum_n,
+           SUM(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+               AS cum_pos,
+           SUM(n) OVER () AS tot_n, SUM(n_pos) OVER () AS tot_pos
+    FROM dec
+)
+SELECT decile, n, n_pos,
+       CAST(cum_pos * 1000000 // tot_pos AS BIGINT) AS capture_ppm,
+       CAST((cum_pos * tot_n * 1000) // (cum_n * tot_pos) AS BIGINT)
+           AS lift_milli
+FROM cum ORDER BY decile
+"""
+
+
+@_staged(
+    "x239_gains_table",
+    "OP-W2-ext",
+    "Decile gains/lift table for the prior-spend-predicts-repurchase "
+    f"score: customers with pre-{_GT_SPLIT} spend are ranked by "
+    "(spend DESC, custkey) — a total order, so the decile boundary "
+    "is engine-reproducible — into ntile-equivalent deciles via the "
+    "closed form (rn-1)*k DIV n + 1 (identical to SQL NTILE's "
+    "remainder-to-leading-groups rule, but computable from any exact "
+    "rank source); per decile the cumulative positive capture (ppm) "
+    "and lift vs the base rate (milli). The campaign-targeting "
+    "artifact next to x123's NDCG and x241's AUC. Scale: scoring is "
+    "one customer hash-agg; the global rank runs over the CUSTOMER "
+    "aggregate (not orders), and all cumulative math lives on the "
+    "10-row decile frame.",
+    _GAINS_ORACLE,
+)
+def x239_gains_table(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    score = (
+        o.filter(F.col("o_orderdate") < F.lit(_GT_SPLIT).cast("timestamp"))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("spend")
+        )
+    )
+    label = (
+        o.filter(F.col("o_orderdate") >= F.lit(_GT_SPLIT).cast("timestamp"))
+        .select(F.col("o_custkey").alias("lcust"))
+        .distinct()
+    )
+    pop = score.join(
+        label, score.custkey == F.col("lcust"), "left"
+    ).select(
+        "custkey",
+        "spend",
+        F.when(F.col("lcust").isNull(), 0).otherwise(1).alias("pos"),
+    )
+    wr = Window.orderBy(F.col("spend").desc(), "custkey")
+    wall = Window.partitionBy()
+    ranked = pop.select(
+        "pos",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wall).cast("long").alias("n_tot"),
+    )
+    dec = ranked.groupBy(
+        F.expr(f"CAST((rn - 1) * {_GT_K} DIV n_tot + 1 AS BIGINT)").alias(
+            "decile"
+        )
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = dec.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.sum("n").over(wcum).alias("cum_n"),
+        F.sum("n_pos").over(wcum).alias("cum_pos"),
+        F.sum("n").over(wall).alias("tot_n"),
+        F.sum("n_pos").over(wall).alias("tot_pos"),
+    )
+    return cum.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.expr("CAST(cum_pos * 1000000 DIV tot_pos AS BIGINT)").alias(
+            "capture_ppm"
+        ),
+        F.expr(
+            "CAST((cum_pos * tot_n * 1000) DIV (cum_n * tot_pos) AS BIGINT)"
+        ).alias("lift_milli"),
+    ).orderBy("decile")
+
+
+# ---------------------------------------------------------------------------
+# x240 — Brier / Murphy decomposition terms per calibration bin
+# ---------------------------------------------------------------------------
+
+_BRIER_REL = (
+    "round(((CAST(sum_p_ppm AS DOUBLE) - 1000000.0 * CAST(n_pos AS DOUBLE))"
+    " * (CAST(sum_p_ppm AS DOUBLE) - 1000000.0 * CAST(n_pos AS DOUBLE)))"
+    " / (CAST(n_b AS DOUBLE) * 1000000000000.0), 6)"
+)
+_BRIER_RES = (
+    "round(CAST(n_b AS DOUBLE)"
+    " * ((CAST(n_pos AS DOUBLE) / CAST(n_b AS DOUBLE)"
+    "     - CAST(pos_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))"
+    "    * (CAST(n_pos AS DOUBLE) / CAST(n_b AS DOUBLE)"
+    "       - CAST(pos_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))), 6)"
+)
+
+_BRIER_ORACLE = f"""
+WITH seq AS (
+    SELECT o_custkey AS custkey, o_orderdate, o_orderkey,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS rn,
+           count(*) OVER (PARTITION BY o_custkey) AS n_orders,
+           SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS urg_prior
+    FROM orders
+),
+pred AS (
+    SELECT custkey, y,
+           CAST((COALESCE(urg_prior, 0) + 1) * 1000000 // (rn - 1 + 2)
+                AS BIGINT) AS p_ppm
+    FROM seq WHERE rn = n_orders AND n_orders >= 2
+),
+binned AS (
+    SELECT least(p_ppm // 100000, 9) AS bin, p_ppm, y FROM pred
+),
+cell AS (
+    SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_b,
+           CAST(SUM(p_ppm) AS BIGINT) AS sum_p_ppm,
+           CAST(SUM(y) AS BIGINT) AS n_pos
+    FROM binned GROUP BY 1
+),
+tot AS (
+    SELECT bin, n_b, sum_p_ppm, n_pos,
+           SUM(n_b) OVER () AS n_tot, SUM(n_pos) OVER () AS pos_tot
+    FROM cell
+)
+SELECT bin, n_b, sum_p_ppm, n_pos,
+       {_BRIER_REL} AS rel_term,
+       {_BRIER_RES} AS res_term
+FROM tot ORDER BY bin
+"""
+
+
+@_staged(
+    "x240_brier_decomposition",
+    "OP-G6-ext",
+    "Murphy decomposition terms of the Brier score per calibration "
+    "bin, for the Laplace-smoothed prior-urgency predictor of each "
+    "customer's LAST order (strictly-prior running window — no label "
+    "leakage, the x215 discipline): p = (urgent_prior+1)/(n_prior+2) "
+    "in exact ppm, 10 probability bins, and per bin the reliability "
+    "term (sum_p - 1e6*n_pos)^2 / (n_b*1e12) and resolution term "
+    "n_b*(ybar_b - ybar)^2 — every operand an exact BIGINT rendered "
+    "through ONE shared IEEE expression per term (no cross-bin float "
+    "sum: the per-bin grain is the certified contract, the 3-line "
+    "decomposition total is reader arithmetic). Completes x215's ECE "
+    "with the proper-scoring-rule view. Scale: one customer-keyed "
+    "window pass over orders, then a 10-row bin frame.",
+    _BRIER_ORACLE,
+)
+def x240_brier_decomposition(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    y = F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+    wseq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wprior = wseq.rowsBetween(Window.unboundedPreceding, -1)
+    wcnt = Window.partitionBy("o_custkey")
+    seq = o.select(
+        F.col("o_custkey").alias("custkey"),
+        y.alias("y"),
+        F.row_number().over(wseq).alias("rn"),
+        F.count("*").over(wcnt).alias("n_orders"),
+        F.sum(y).over(wprior).alias("urg_prior"),
+    )
+    pred = seq.filter(
+        (F.col("rn") == F.col("n_orders")) & (F.col("n_orders") >= 2)
+    ).select(
+        "y",
+        F.expr(
+            "CAST((COALESCE(urg_prior, 0) + 1) * 1000000 DIV (rn - 1 + 2)"
+            " AS BIGINT)"
+        ).alias("p_ppm"),
+    )
+    binned = pred.select(
+        F.expr("least(p_ppm DIV 100000, 9)").alias("bin"), "p_ppm", "y"
+    )
+    cell = binned.groupBy(F.col("bin").cast("long").alias("bin")).agg(
+        F.count("*").cast("long").alias("n_b"),
+        F.sum("p_ppm").cast("long").alias("sum_p_ppm"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    wall = Window.partitionBy()
+    tot = cell.select(
+        "bin",
+        "n_b",
+        "sum_p_ppm",
+        "n_pos",
+        F.sum("n_b").over(wall).alias("n_tot"),
+        F.sum("n_pos").over(wall).alias("pos_tot"),
+    )
+    return tot.select(
+        "bin",
+        "n_b",
+        "sum_p_ppm",
+        "n_pos",
+        F.expr(_BRIER_REL).alias("rel_term"),
+        F.expr(_BRIER_RES).alias("res_term"),
+    ).orderBy("bin")
+
+
+# ---------------------------------------------------------------------------
+# x256 — DAU / WAU / MAU + stickiness over the events stream
+# ---------------------------------------------------------------------------
+
+_STICKY_ORACLE = """
+WITH ud AS (
+    SELECT DISTINCT user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_id
+    FROM events
+),
+grid AS (SELECT DISTINCT day_id FROM ud),
+j AS (
+    SELECT g.day_id AS d, u.user_id, u.day_id AS ud_day
+    FROM grid g JOIN ud u
+      ON u.day_id BETWEEN g.day_id - 27 AND g.day_id
+),
+agg AS (
+    SELECT d,
+           CAST(count(DISTINCT CASE WHEN ud_day = d THEN user_id END)
+                AS BIGINT) AS dau,
+           CAST(count(DISTINCT CASE WHEN ud_day >= d - 6 THEN user_id END)
+                AS BIGINT) AS wau,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+    FROM j GROUP BY d
+)
+SELECT d AS day_id, dau, wau, mau,
+       CAST(dau * 1000000 // mau AS BIGINT) AS stickiness_ppm
+FROM agg ORDER BY day_id
+"""
+
+
+@_staged(
+    "x256_active_stickiness",
+    "OP-T/G7-ext",
+    "DAU / WAU(7) / MAU(28) and the DAU/MAU stickiness ratio per "
+    "observed day over the events stream: user-days dedup once "
+    "(epoch floor-division day ids — the x180 convention, immune to "
+    "session-timezone date casts), then each grid day counts "
+    "distinct users in its trailing 1/7/28-day windows via one "
+    "range-bucketed join against the bounded day grid. The "
+    "engagement headline triple every product dashboard opens with. "
+    "Scale: the grid is |calendar days| (metadata-sized, broadcast); "
+    "the fan-out is <=28x the user-DAY table (already deduped, far "
+    "smaller than raw events), grouped immediately — and at 100 TB "
+    "the same shape runs per-shard with the sketch rollup (x63 HLL) "
+    "replacing exact distinct.",
+    _STICKY_ORACLE,
+)
+def x256_active_stickiness(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.expr("unix_timestamp(ts) div 86400").alias("day_id"),
+    ).distinct()
+    grid = ud.select("day_id").distinct().withColumnRenamed("day_id", "d")
+    j = F.broadcast(grid).join(
+        ud,
+        (F.col("day_id") >= F.col("d") - 27) & (F.col("day_id") <= F.col("d")),
+    )
+    agg = j.groupBy("d").agg(
+        F.countDistinct(
+            F.when(F.col("day_id") == F.col("d"), F.col("user_id"))
+        )
+        .cast("long")
+        .alias("dau"),
+        F.countDistinct(
+            F.when(F.col("day_id") >= F.col("d") - 6, F.col("user_id"))
+        )
+        .cast("long")
+        .alias("wau"),
+        F.countDistinct("user_id").cast("long").alias("mau"),
+    )
+    return agg.select(
+        F.col("d").alias("day_id"),
+        "dau",
+        "wau",
+        "mau",
+        F.expr("CAST(dau * 1000000 DIV mau AS BIGINT)").alias(
+            "stickiness_ppm"
+        ),
+    ).orderBy("day_id")
+
+
+# ---------------------------------------------------------------------------
+# x257 — L28 engagement histogram (days active in the last 28)
+# ---------------------------------------------------------------------------
+
+_L28_ORACLE = """
+WITH ud AS (
+    SELECT DISTINCT user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_id
+    FROM events
+),
+anchor AS (SELECT max(day_id) AS a FROM ud),
+l28 AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS days_active
+    FROM ud, anchor
+    WHERE day_id BETWEEN a - 27 AND a
+    GROUP BY user_id
+)
+SELECT days_active, CAST(count(*) AS BIGINT) AS n_users
+FROM l28 GROUP BY days_active
+ORDER BY days_active
+"""
+
+
+@_staged(
+    "x257_l28_histogram",
+    "OP-G5-ext",
+    "The L28 engagement histogram: for the 28-day window ending at "
+    "the last observed event day, how many users were active on "
+    "exactly k distinct days (k = 1..28) — the power-user curve "
+    "behind x256's DAU/MAU time series (Facebook's classic L28 "
+    "metric). Window anchor is an in-plan scalar over the deduped "
+    "user-day table (bounded broadcast); epoch-day arithmetic per "
+    "the x180 convention. Scale: one user-day dedup + two hash-aggs; "
+    "the histogram is <=28 rows.",
+    _L28_ORACLE,
+)
+def x257_l28_histogram(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.expr("unix_timestamp(ts) div 86400").alias("day_id"),
+    ).distinct()
+    anchor = ud.agg(F.max("day_id").alias("a"))
+    l28 = (
+        ud.crossJoin(F.broadcast(anchor))
+        .filter(
+            (F.col("day_id") >= F.col("a") - 27)
+            & (F.col("day_id") <= F.col("a"))
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("days_active"))
+    )
+    return (
+        l28.groupBy("days_active")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .orderBy("days_active")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x258 — exponential time-decay attribution with dyadic weights
+# ---------------------------------------------------------------------------
+
+_TDA_ORACLE = """
+WITH p AS (
+    SELECT event_id AS pid, user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS pts
+    FROM events WHERE event_type = 'purchase'
+),
+t AS (
+    SELECT user_id, event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) AS tts
+    FROM events WHERE event_type IN ('view', 'click')
+),
+pair AS (
+    SELECT p.pid, t.event_type,
+           CAST(1 << CAST(3 - ((p.pts - t.tts) // 86400) // 7 AS INT)
+                AS BIGINT) AS w
+    FROM p JOIN t ON p.user_id = t.user_id
+    WHERE t.tts < p.pts AND (p.pts - t.tts) // 86400 <= 27
+),
+shared AS (
+    SELECT pid, event_type, w,
+           SUM(w) OVER (PARTITION BY pid) AS sw
+    FROM pair
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(SUM(w * 1000000 // sw) AS BIGINT) AS credit_ppm_sum
+FROM shared GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@_staged(
+    "x258_time_decay_attribution",
+    "OP-W4-ext",
+    "Exponential time-decay attribution completing the trio (x142 "
+    "last-touch, x174 U-shaped): each purchase credits the same "
+    "user's prior view/click touches within 28 days, weighted "
+    "2^(3 - age_weeks) — dyadic weights 8/4/2/1 stay exact BIGINT, "
+    "per-purchase shares are w*1e6 DIV sum(w) (integer), and channel "
+    "credit is the exact sum of those integer shares. Epoch-second "
+    "arithmetic end to end (the x180 convention). Scale: the "
+    "purchase x touch pair join is USER-keyed (bucketed, never "
+    "cross), the share window partitions on purchase id, and the "
+    "result is <=|channels| rows.",
+    _TDA_ORACLE,
+)
+def x258_time_decay_attribution(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.expr("unix_timestamp(ts)")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("puser"),
+        epoch.alias("pts"),
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", "event_type", epoch.alias("tts")
+    )
+    pair = (
+        p.join(t, p.puser == t.user_id)
+        .filter(
+            (F.col("tts") < F.col("pts"))
+            & (F.expr("(pts - tts) div 86400") <= 27)
+        )
+        .select(
+            "pid",
+            "event_type",
+            F.expr(
+                "CAST(shiftleft(1, CAST(3 - ((pts - tts) div 86400) div 7"
+                " AS INT)) AS BIGINT)"
+            ).alias("w"),
+        )
+    )
+    wp = Window.partitionBy("pid")
+    shared = pair.select(
+        "pid", "event_type", "w", F.sum("w").over(wp).alias("sw")
+    )
+    return (
+        shared.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            F.sum(F.expr("w * 1000000 DIV sw")).cast("long").alias(
+                "credit_ppm_sum"
+            ),
+        )
+        .orderBy("event_type")
+    )
