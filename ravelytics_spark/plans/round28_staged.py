@@ -70,6 +70,28 @@ Second wave — calibration + engagement:
   weights exact BIGINT, shares in ppm. Completes the attribution
   trio (x142 last-touch, x174 U-shaped).
 
+Third wave — stylometry, compression planning, manifold + graph
+structure:
+
+* ``x242_burrows_delta`` — Burrows' Delta stylometric distance
+  between source pairs over the top-30 function words: the z-score
+  difference reduces to n*|f_a-f_b|/sqrt(n*Sf2-Sf^2) per word, so
+  one integer-floored sqrt per word keeps every pair term and the
+  pair sum exact BIGINT.
+* ``x244_phrase_dictionary_gain`` — top repeated 4-gram phrases
+  ranked by dictionary savings (n_occ-1)*bytes: the LZ78-style
+  shared-dictionary planning cut.
+* ``x245_twonn_intrinsic_dim`` — the TwoNN intrinsic-dimension
+  estimator over exact fixed-point squared distances; per-point
+  ln(d2^2/d1^2)/2 floored to integer nanos so the corpus sum is
+  order-immune.
+* ``x246_label_propagation`` — 2-round synchronous MODE-label
+  propagation communities on the co-order graph (ties -> smallest
+  label; x127's fixed-round unrolled-CTE certification).
+* ``x247_link_prediction`` — common-neighbor/Jaccard link scores
+  for non-adjacent part pairs, candidates only through shared
+  neighbors, top-50 by total order.
+
 Hash-parity conventions as plans/queries.py: exact cents/BIGINT
 arithmetic until one shared IEEE expression, total ORDER BY, BIGINT
 casts on every count.
@@ -1084,3 +1106,570 @@ def x258_time_decay_attribution(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# x242 — Burrows' Delta stylometric distance between sources
+# ---------------------------------------------------------------------------
+
+_BD_TOPW = 30
+
+_BD_ORACLE = f"""
+WITH tok AS (
+    SELECT source, w FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ) WHERE w <> ''
+),
+topw AS (
+    SELECT w FROM (SELECT w, count(*) AS c FROM tok GROUP BY w)
+    QUALIFY row_number() OVER (ORDER BY c DESC, w) <= {_BD_TOPW}
+),
+srctot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tok FROM tok GROUP BY source),
+cnt AS (
+    SELECT t.source, t.w, CAST(count(*) AS BIGINT) AS c
+    FROM tok t JOIN topw v ON t.w = v.w GROUP BY 1, 2
+),
+dense AS (
+    SELECT s.source, v.w,
+           CAST(COALESCE(c.c, 0) * 1000000 // s.n_tok AS BIGINT) AS f
+    FROM srctot s CROSS JOIN topw v
+    LEFT JOIN cnt c ON c.source = s.source AND c.w = v.w
+),
+stats AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(f) AS BIGINT) AS sf,
+           CAST(SUM(f * f) AS BIGINT) AS sf2
+    FROM dense GROUP BY w
+),
+sd AS (
+    SELECT w, n,
+           CAST(floor(sqrt(CAST(n * sf2 - sf * sf AS DOUBLE))) AS BIGINT)
+               AS isv
+    FROM stats WHERE n * sf2 - sf * sf > 0
+),
+terms AS (
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST((s.n * abs(a.f - b.f) * 1000000) // s.isv AS BIGINT) AS term
+    FROM dense a
+    JOIN dense b ON a.w = b.w AND a.source < b.source
+    JOIN sd s ON s.w = a.w
+)
+SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(SUM(term) // count(*) AS BIGINT) AS delta_micro
+FROM terms GROUP BY src_a, src_b
+ORDER BY src_a, src_b
+"""
+
+
+@_staged(
+    "x242_burrows_delta",
+    "OP-X4-ext",
+    "Burrows' Delta stylometric distance between every source pair "
+    f"over the corpus top-{_BD_TOPW} function words: per-source "
+    "relative frequencies in exact ppm on a DENSE source x word grid "
+    "(absent words are exact zeros), z-differences reduced to the "
+    "exact identity n*|f_a - f_b| / sqrt(n*Sf2 - Sf^2) — the "
+    "cross-source mean/sd CANCEL, so the only irrational is one "
+    "integer-floored sqrt per word (identical double in, identical "
+    "floor out), every pair term stays BIGINT and the per-pair sum "
+    "is exact. The authorship/contamination signal that flags a "
+    "source whose function-word profile was machine-copied from "
+    "another. Scale: one token-count shuffle, a bounded top-30 "
+    "vocabulary broadcast, and all pair math on the |sources|^2 x 30 "
+    "frame.",
+    _BD_ORACLE,
+)
+def x242_burrows_delta(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    topw = (
+        tok.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(_BD_TOPW)
+        .select("w")
+    )
+    srctot = tok.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_tok")
+    )
+    cnt = (
+        tok.join(F.broadcast(topw), "w")
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    dense = (
+        srctot.crossJoin(F.broadcast(topw))
+        .join(cnt, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            F.expr(
+                "CAST(COALESCE(c, 0) * 1000000 DIV n_tok AS BIGINT)"
+            ).alias("f"),
+        )
+    )
+    stats = dense.groupBy("w").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("f").cast("long").alias("sf"),
+        F.sum(F.col("f") * F.col("f")).cast("long").alias("sf2"),
+    )
+    sd = stats.filter(
+        F.col("n") * F.col("sf2") - F.col("sf") * F.col("sf") > 0
+    ).select(
+        "w",
+        "n",
+        F.expr(
+            "CAST(floor(sqrt(CAST(n * sf2 - sf * sf AS DOUBLE))) AS BIGINT)"
+        ).alias("isv"),
+    )
+    a = dense.select(
+        F.col("source").alias("src_a"), "w", F.col("f").alias("fa")
+    )
+    b = dense.select(
+        F.col("source").alias("src_b"), "w", F.col("f").alias("fb")
+    )
+    terms = (
+        a.join(b, "w")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .join(F.broadcast(sd), "w")
+        .select(
+            "src_a",
+            "src_b",
+            F.expr(
+                "CAST((n * abs(fa - fb) * 1000000) DIV isv AS BIGINT)"
+            ).alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("src_a", "src_b")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.expr("CAST(SUM(term) DIV count(*) AS BIGINT)").alias(
+                "delta_micro"
+            ),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x244 — phrase-dictionary compression gain (top repeated 4-grams)
+# ---------------------------------------------------------------------------
+
+_PD_N = 4
+_PD_TOPK = 20
+
+_PD_ORACLE = f"""
+WITH d AS (
+    SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w
+    FROM documents
+),
+grams AS (
+    SELECT array_to_string(w[i:i+{_PD_N - 1}], ' ') AS phrase
+    FROM (
+        SELECT w, unnest(range(1, len(w) - {_PD_N - 2})) AS i
+        FROM d WHERE len(w) >= {_PD_N}
+    )
+),
+cnt AS (
+    SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ,
+           CAST(length(phrase) AS BIGINT) AS bytes
+    FROM grams GROUP BY phrase HAVING count(*) >= 2
+)
+SELECT phrase, n_occ, bytes,
+       CAST((n_occ - 1) * bytes AS BIGINT) AS savings
+FROM cnt
+ORDER BY savings DESC, phrase
+LIMIT {_PD_TOPK}
+"""
+
+
+@_staged(
+    "x244_phrase_dictionary_gain",
+    "OP-X4-ext",
+    f"Phrase-dictionary compression planning: every {_PD_N}-gram "
+    "token phrase occurring >= 2 times corpus-wide, ranked by the "
+    "dictionary savings estimate (n_occ - 1) * bytes — the greedy "
+    "first cut of an LZ78-style shared-dictionary build, and a "
+    "boilerplate detector at the PHRASE grain between x16's bigram "
+    "counts and x216's line-level boilerplate. Total (savings DESC, "
+    f"phrase ASC) order makes the top-{_PD_TOPK} engine-"
+    "reproducible. Scale: the gram explode is map-side (~|tokens| "
+    "rows), one hash-agg with map-side partials, and the ranking is "
+    "TakeOrdered per-partition heaps — no global sort.",
+    _PD_ORACLE,
+)
+def x244_phrase_dictionary_gain(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.filter(F.split("text", " "), lambda x: x != "")
+    d = docs.select(w.alias("w")).filter(F.size("w") >= _PD_N)
+    grams = d.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {_PD_N - 1}),"
+                f" i -> array_join(slice(w, i, {_PD_N}), ' '))"
+            )
+        ).alias("phrase")
+    )
+    cnt = (
+        grams.groupBy("phrase")
+        .agg(F.count("*").cast("long").alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+        .select(
+            "phrase",
+            "n_occ",
+            F.length("phrase").cast("long").alias("bytes"),
+        )
+    )
+    return (
+        cnt.select(
+            "phrase",
+            "n_occ",
+            "bytes",
+            ((F.col("n_occ") - 1) * F.col("bytes")).cast("long").alias(
+                "savings"
+            ),
+        )
+        .orderBy(F.col("savings").desc(), "phrase")
+        .limit(_PD_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# x245 — TwoNN intrinsic-dimension estimate of the embedding space
+# ---------------------------------------------------------------------------
+
+_ID_G = 8  # replication factor of the all-pairs equi-join (the x230 idiom)
+
+_ID_FX_SQL = (
+    "list_transform(embedding, x -> CAST(CAST(CAST(x AS DOUBLE) "
+    "AS DECIMAL(9,6)) * 1000000 AS BIGINT))"
+)
+
+_TWONN_ORACLE = f"""
+WITH fx AS (
+    SELECT vec_id, {_ID_FX_SQL} AS f FROM embeddings
+    WHERE len(embedding) = (SELECT max(len(embedding)) FROM embeddings)
+),
+d2 AS (
+    SELECT a.vec_id AS qa, b.vec_id AS nb,
+           CAST(list_sum(list_transform(list_zip(a.f, b.f),
+                p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dsq
+    FROM fx a JOIN fx b ON a.vec_id <> b.vec_id
+),
+nn AS (
+    SELECT qa, dsq,
+           row_number() OVER (PARTITION BY qa ORDER BY dsq, nb) AS rn
+    FROM d2
+),
+mu AS (
+    SELECT a.qa,
+           CAST(floor(500000000.0
+                * ln(CAST(b.dsq AS DOUBLE) / CAST(a.dsq AS DOUBLE)))
+                AS BIGINT) AS lnmu_nano
+    FROM (SELECT qa, dsq FROM nn WHERE rn = 1) a
+    JOIN (SELECT qa, dsq FROM nn WHERE rn = 2) b USING (qa)
+    WHERE a.dsq > 0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_points,
+       CAST(SUM(lnmu_nano) AS BIGINT) AS sum_lnmu_nano,
+       CAST(count(*) * 1000000000000 // SUM(lnmu_nano) AS BIGINT)
+           AS intrinsic_dim_milli
+FROM mu
+"""
+
+
+@_staged(
+    "x245_twonn_intrinsic_dim",
+    "OP-X3-ext",
+    "TwoNN intrinsic-dimension estimate (Facco et al. 2017) of the "
+    "embedding space: per point the ratio mu = d2/d1 of its two "
+    "nearest-neighbor distances, ID = N / sum(ln mu) — the estimator "
+    "that says whether 64 ambient dimensions hide a ~10-dimensional "
+    "manifold (IVF/SRP geometry should be tuned to the INTRINSIC "
+    "dim). Exactness: squared distances are exact BIGINTs over the "
+    "x107 fixed-point longs, ln runs on one exact integer ratio, and "
+    "each point's ln(mu) is floored to integer NANOS before the sum "
+    "— so the corpus aggregate is an exact BIGINT sum, immune to "
+    "float accumulation order. Points with d1 = 0 (exact duplicates) "
+    "are excluded per the estimator's definition. Scale: the pair "
+    "join is the x230 replicated EQUI-join with PARTIAL top-2 "
+    "window-group-limit heaps before the shuffle; at 100 TB the same "
+    "plan runs on an SRP-bucketed candidate set.",
+    _TWONN_ORACLE,
+)
+def x245_twonn_intrinsic_dim(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    row = e.agg(F.max(F.size("embedding")).alias("d")).first()
+    dims = row["d"]
+    if dims is None:
+        return (
+            e.select(
+                F.lit(0).cast("long").alias("n_points"),
+                F.lit(0).cast("long").alias("sum_lnmu_nano"),
+                F.lit(0).cast("long").alias("intrinsic_dim_milli"),
+            )
+            .filter(F.lit(False))
+        )
+    vec = F.col("embedding").cast("array<double>")
+    felems = [
+        (F.element_at(vec, i + 1).cast("decimal(9,6)") * F.lit(1_000_000))
+        .cast("long")
+        for i in range(dims)
+    ]
+    fx = (
+        e.filter(F.size("embedding") == dims)
+        .select("vec_id", F.array(*felems).alias("f"))
+        .localCheckpoint(eager=True)
+    )
+    qa = fx.withColumn(
+        "g", F.explode(F.sequence(F.lit(0), F.lit(_ID_G - 1)))
+    ).select("g", F.col("vec_id").alias("qa"), F.col("f").alias("fa"))
+    nb = fx.select(
+        F.pmod(F.col("vec_id"), F.lit(_ID_G)).cast("int").alias("g"),
+        F.col("vec_id").alias("nb"),
+        F.col("f").alias("fb"),
+    )
+    dsq = (
+        "aggregate(zip_with(fa, fb, (x, y) -> (x - y) * (x - y)),"
+        " 0L, (a, v) -> a + v)"
+    )
+    d2 = (
+        qa.join(nb, "g")
+        .filter(F.col("qa") != F.col("nb"))
+        .select("qa", "nb", F.expr(dsq).cast("long").alias("dsq"))
+    )
+    wk = Window.partitionBy("qa").orderBy("dsq", "nb")
+    nn = d2.withColumn("rn", F.row_number().over(wk)).filter(
+        F.col("rn") <= 2
+    )
+    n1 = nn.filter(F.col("rn") == 1).select("qa", F.col("dsq").alias("d1sq"))
+    n2 = nn.filter(F.col("rn") == 2).select("qa", F.col("dsq").alias("d2sq"))
+    mu = (
+        n1.join(n2, "qa")
+        .filter(F.col("d1sq") > 0)
+        .select(
+            F.expr(
+                "CAST(floor(500000000.0"
+                " * ln(CAST(d2sq AS DOUBLE) / CAST(d1sq AS DOUBLE)))"
+                " AS BIGINT)"
+            ).alias("lnmu_nano")
+        )
+    )
+    return mu.agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.sum("lnmu_nano").cast("long").alias("sum_lnmu_nano"),
+        F.expr(
+            "CAST(count(*) * 1000000000000 DIV SUM(lnmu_nano) AS BIGINT)"
+        ).alias("intrinsic_dim_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x246 — 2-round mode-label propagation communities (co-order graph)
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 2
+
+
+def _lpa_round_ctes() -> str:
+    parts = []
+    prev = "l0"
+    for r in range(1, _LPA_ROUNDS + 1):
+        parts.append(
+            f"c{r} AS MATERIALIZED (\n"
+            f"    SELECT e.u AS n, p.lab AS lab, count(*) AS cnt\n"
+            f"    FROM und e JOIN {prev} p ON e.v = p.n GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"l{r} AS MATERIALIZED (\n"
+            f"    SELECT n, lab FROM c{r}\n"
+            f"    QUALIFY row_number() OVER (PARTITION BY n\n"
+            f"        ORDER BY cnt DESC, lab) = 1)"
+        )
+        prev = f"l{r}"
+    return ",\n".join(parts)
+
+
+_LPA_ORACLE = f"""
+WITH pk AS MATERIALIZED (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+e AS MATERIALIZED (
+    SELECT a.p AS u, b.p AS v
+    FROM pk a JOIN pk b ON a.o = b.o AND a.p < b.p
+    GROUP BY a.p, b.p HAVING count(*) >= 2
+),
+und AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+l0 AS MATERIALIZED (SELECT DISTINCT u AS n, u AS lab FROM und),
+{_lpa_round_ctes()}
+SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_members
+FROM l{_LPA_ROUNDS} GROUP BY lab
+ORDER BY community
+"""
+
+
+@_staged(
+    "x246_label_propagation",
+    "OP-X2-ext",
+    f"{_LPA_ROUNDS}-round synchronous mode-label propagation over the "
+    "weight>=2 co-order part graph: labels start as node ids, each "
+    "round every node adopts its neighbors' MOST FREQUENT label "
+    "(ties -> smallest label, so every round is a deterministic "
+    "function of the previous state — the fixed-round contract of "
+    "x127/x101, certified against literally-unrolled MATERIALIZED "
+    "CTE rounds). Unlike x58's min-label connected components, mode "
+    "propagation finds DENSE communities inside one component — the "
+    "product-affinity clusters a recommender seeds from. Scale: each "
+    "round is one edge-keyed join + one (node, label) count + one "
+    "per-node argmax (min-struct, no sort); per-node state is one "
+    "label.",
+    _LPA_ORACLE,
+)
+def x246_label_propagation(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    pk = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = pk.alias("a"), pk.alias("b")
+    e = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count("*").alias("wt"))
+        .filter(F.col("wt") >= 2)
+        .select("u", "v")
+    )
+    und = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    lab = und.select(F.col("u").alias("n"), F.col("u").alias("lab")).distinct()
+    for _ in range(_LPA_ROUNDS):
+        lab = lab.localCheckpoint(eager=True)
+        cnt = (
+            und.join(lab, und.v == lab.n)
+            .groupBy(und.u.alias("node"), "lab")
+            .agg(F.count("*").alias("cnt"))
+        )
+        lab = (
+            cnt.groupBy("node")
+            .agg(F.min(F.struct(-F.col("cnt"), F.col("lab"))).alias("best"))
+            .select(
+                F.col("node").alias("n"), F.col("best.lab").alias("lab")
+            )
+        )
+    return (
+        lab.groupBy(F.col("lab").alias("community"))
+        .agg(F.count("*").cast("long").alias("n_members"))
+        .orderBy("community")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x247 — common-neighbor / Jaccard link prediction on the co-order graph
+# ---------------------------------------------------------------------------
+
+_LP_TOPK = 50
+
+_LINKPRED_ORACLE = f"""
+WITH pk AS MATERIALIZED (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+e AS MATERIALIZED (
+    SELECT a.p AS u, b.p AS v
+    FROM pk a JOIN pk b ON a.o = b.o AND a.p < b.p
+    GROUP BY a.p, b.p HAVING count(*) >= 2
+),
+und AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+deg AS MATERIALIZED (
+    SELECT u AS n, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY u
+),
+cand AS (
+    SELECT a.u AS u, b.u AS v, CAST(count(*) AS BIGINT) AS common
+    FROM und a JOIN und b ON a.v = b.v AND a.u < b.u
+    GROUP BY a.u, b.u
+),
+nonedge AS (
+    SELECT c.u, c.v, c.common FROM cand c
+    LEFT JOIN e ON e.u = c.u AND e.v = c.v
+    WHERE e.u IS NULL
+),
+scored AS (
+    SELECT n.u, n.v, n.common,
+           CAST(n.common * 1000000 // (du.d + dv.d - n.common) AS BIGINT)
+               AS jaccard_ppm
+    FROM nonedge n
+    JOIN deg du ON du.n = n.u
+    JOIN deg dv ON dv.n = n.v
+)
+SELECT u, v, common, jaccard_ppm
+FROM scored
+ORDER BY common DESC, u, v
+LIMIT {_LP_TOPK}
+"""
+
+
+@_staged(
+    "x247_link_prediction",
+    "OP-X2-ext",
+    "Common-neighbor / Jaccard link prediction on the weight>=2 "
+    "co-order part graph: candidate pairs are generated ONLY through "
+    "shared neighbors (one neighbor-keyed self-join of the adjacency "
+    "list — two parts with no common neighbor are never paired), "
+    "existing edges are removed by anti join, and the Jaccard score "
+    "common/(deg_u + deg_v - common) lands in exact ppm. Top-"
+    f"{_LP_TOPK} by the total (common DESC, u, v) order. The 'next "
+    "products bought together' recommender primitive next to x154's "
+    "item-CF and x113's basket lift. Scale: the neighbor join is "
+    "keyed on the shared node (hub-bounded, the same shape as x103's "
+    "triangle count); degrees broadcast from a node-sized aggregate.",
+    _LINKPRED_ORACLE,
+)
+def x247_link_prediction(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    pk = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = pk.alias("a"), pk.alias("b")
+    e = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count("*").alias("wt"))
+        .filter(F.col("wt") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy(F.col("u").alias("n")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    x, y = und.alias("x"), und.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.v") == F.col("y.v")) & (F.col("x.u") < F.col("y.u")),
+        )
+        .groupBy(F.col("x.u").alias("cu"), F.col("y.u").alias("cv"))
+        .agg(F.count("*").cast("long").alias("common"))
+    )
+    nonedge = cand.join(
+        e,
+        (cand.cu == e.u) & (cand.cv == e.v),
+        "left_anti",
+    )
+    du = deg.select(F.col("n").alias("cu"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("cv"), F.col("d").alias("dv"))
+    scored = (
+        nonedge.join(F.broadcast(du), "cu")
+        .join(F.broadcast(dv), "cv")
+        .select(
+            F.col("cu").alias("u"),
+            F.col("cv").alias("v"),
+            "common",
+            F.expr(
+                "CAST(common * 1000000 DIV (du + dv - common) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+    return scored.orderBy(F.col("common").desc(), "u", "v").limit(_LP_TOPK)
