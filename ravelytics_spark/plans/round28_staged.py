@@ -1673,3 +1673,471 @@ def x247_link_prediction(spark, sf_dir):
         )
     )
     return scored.orderBy(F.col("common").desc(), "u", "v").limit(_LP_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# x248 — orderkey keyspace-density audit (CDC/backfill completeness)
+# ---------------------------------------------------------------------------
+
+_KD_BUCKET = 4096
+
+_KEYDENSITY_ORACLE = f"""
+WITH b AS (
+    SELECT o_orderkey // {_KD_BUCKET} AS bucket,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM orders GROUP BY 1
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, n_keys, min_key, max_key,
+       CAST(max_key - min_key + 1 AS BIGINT) AS span,
+       CAST(n_keys * 1000000 // (max_key - min_key + 1) AS BIGINT)
+           AS density_ppm
+FROM b ORDER BY bucket
+"""
+
+
+@_staged(
+    "x248_keyspace_density",
+    "OP-G5-ext",
+    f"Surrogate-keyspace density audit over {_KD_BUCKET}-wide "
+    "orderkey buckets: keys present, observed span and density in "
+    "ppm per bucket — the completeness check a CDC/backfill pipeline "
+    "runs to spot swallowed key ranges (a bucket whose density "
+    "suddenly halves lost a partition; TPC-H's deliberately sparse "
+    "orderkeys give a stable expected density to diff against). "
+    "Scale: one hash-agg keyed on the bucket id with map-side "
+    "partials; no window, no join, result is |keyspace|/bucket rows.",
+    _KEYDENSITY_ORACLE,
+)
+def x248_keyspace_density(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    b = o.groupBy(
+        F.expr(f"o_orderkey DIV {_KD_BUCKET}").cast("long").alias("bucket")
+    ).agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+    )
+    return b.select(
+        "bucket",
+        "n_keys",
+        "min_key",
+        "max_key",
+        (F.col("max_key") - F.col("min_key") + 1).cast("long").alias("span"),
+        F.expr(
+            "CAST(n_keys * 1000000 DIV (max_key - min_key + 1) AS BIGINT)"
+        ).alias("density_ppm"),
+    ).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# x249 — round-number pricing bias per segment
+# ---------------------------------------------------------------------------
+
+_ROUND_ORACLE = """
+WITH base AS (
+    SELECT c.c_mktsegment AS segment,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+agg AS (
+    SELECT segment, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN cents % 100 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_whole_dollar,
+           CAST(SUM(CASE WHEN cents % 1000 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ten_dollar
+    FROM base GROUP BY segment
+)
+SELECT segment, n, n_whole_dollar, n_ten_dollar,
+       CAST(n_whole_dollar * 1000000 // n AS BIGINT) AS whole_dollar_ppm,
+       CAST(n_ten_dollar * 1000000 // n AS BIGINT) AS ten_dollar_ppm
+FROM agg ORDER BY segment
+"""
+
+
+@_staged(
+    "x249_round_number_bias",
+    "OP-G5-ext",
+    "Round-number pricing bias per customer segment: the share of "
+    "order totals landing on whole-dollar and ten-dollar boundaries, "
+    "in exact ppm. Organic prices hit cents % 100 = 0 at ~1% base "
+    "rate; a segment whose rate spikes is showing hand-keyed or "
+    "synthetic amounts — the lightweight fraud/data-entry screen "
+    "beside x90's Benford digit audit (leading-digit law vs "
+    "trailing-digit bias: different forgeries trip different "
+    "alarms). Scale: one segment-keyed hash-agg over the fact scan, "
+    "everything else is arithmetic on the <=|segments| frame.",
+    _ROUND_ORACLE,
+)
+def x249_round_number_bias(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    base = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    agg = base.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("cents") % 100 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_whole_dollar"),
+        F.sum(F.when(F.col("cents") % 1000 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_ten_dollar"),
+    )
+    return agg.select(
+        "segment",
+        "n",
+        "n_whole_dollar",
+        "n_ten_dollar",
+        F.expr("CAST(n_whole_dollar * 1000000 DIV n AS BIGINT)").alias(
+            "whole_dollar_ppm"
+        ),
+        F.expr("CAST(n_ten_dollar * 1000000 DIV n AS BIGINT)").alias(
+            "ten_dollar_ppm"
+        ),
+    ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# x250 — quota sampling with shortfall accounting
+# ---------------------------------------------------------------------------
+
+_QS_QUOTA = 3
+_QS_BAND_DIV = 1024
+_QS_BAND_CAP = 3
+
+_QUOTA_ORACLE = f"""
+WITH banded AS (
+    SELECT doc_id, lang,
+           least(n_chars // {_QS_BAND_DIV}, {_QS_BAND_CAP}) AS band,
+           md5(CAST(doc_id AS VARCHAR)) AS h
+    FROM documents
+),
+ranked AS (
+    SELECT lang, band, doc_id,
+           row_number() OVER (PARTITION BY lang, band ORDER BY h, doc_id)
+               AS rn,
+           CAST(count(*) OVER (PARTITION BY lang, band) AS BIGINT)
+               AS available
+    FROM banded
+)
+SELECT lang, CAST(band AS BIGINT) AS band,
+       CAST({_QS_QUOTA} AS BIGINT) AS quota,
+       any_value(available) AS available,
+       CAST(SUM(CASE WHEN rn <= {_QS_QUOTA} THEN 1 ELSE 0 END) AS BIGINT)
+           AS sampled,
+       CAST(greatest({_QS_QUOTA} - any_value(available), 0) AS BIGINT)
+           AS shortfall
+FROM ranked
+GROUP BY lang, band
+ORDER BY lang, band
+"""
+
+
+@_staged(
+    "x250_quota_sample_shortfall",
+    "OP-X9-ext",
+    f"Quota sampling with shortfall accounting: {_QS_QUOTA} documents "
+    "per (lang, length-band) cell, picked by md5(doc_id) rank — a "
+    "pure function of content ids, so the SAMPLE ITSELF is engine- "
+    "and partitioning-reproducible (the x109/x197 determinism "
+    "discipline) — plus the per-cell availability and shortfall the "
+    "curation report needs when a cell cannot fill its quota (the "
+    "failure mode plain stratified sampling x9 silently hides). "
+    "Scale: one (lang, band)-keyed rank window; cells are metadata-"
+    "sized.",
+    _QUOTA_ORACLE,
+)
+def x250_quota_sample_shortfall(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    banded = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            f"least(n_chars DIV {_QS_BAND_DIV}, {_QS_BAND_CAP})"
+        ).alias("band"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    wcell = Window.partitionBy("lang", "band")
+    ranked = banded.select(
+        "lang",
+        "band",
+        F.row_number().over(wcell.orderBy("h", "doc_id")).alias("rn"),
+        F.count("*").over(wcell).cast("long").alias("available"),
+    )
+    return (
+        ranked.groupBy("lang", F.col("band").cast("long").alias("band"))
+        .agg(
+            F.lit(_QS_QUOTA).cast("long").alias("quota"),
+            F.first("available").alias("available"),
+            F.sum(F.when(F.col("rn") <= _QS_QUOTA, 1).otherwise(0))
+            .cast("long")
+            .alias("sampled"),
+            F.greatest(
+                F.lit(_QS_QUOTA) - F.first("available"), F.lit(0)
+            )
+            .cast("long")
+            .alias("shortfall"),
+        )
+        .orderBy("lang", "band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x252 — McNemar's test on the two quality judges, per language
+# ---------------------------------------------------------------------------
+
+_MCNEMAR_ORACLE = """
+WITH judged AS (
+    SELECT lang,
+           CASE WHEN n_chars BETWEEN 200 AND 5000 THEN 1 ELSE 0 END AS a,
+           CASE WHEN length(text) - length(replace(text, ' ', '')) + 1
+                     BETWEEN 40 AND 1000 THEN 1 ELSE 0 END AS b
+    FROM documents
+),
+counts AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+           CAST(SUM((1 - a) * b) AS BIGINT) AS n01
+    FROM judged GROUP BY lang
+)
+SELECT lang, n, n10, n01,
+       CAST((n10 - n01) * (n10 - n01) * 1000 // (n10 + n01) AS BIGINT)
+           AS chi2_milli
+FROM counts WHERE n10 + n01 > 0
+ORDER BY lang
+"""
+
+
+@_staged(
+    "x252_mcnemar_judges",
+    "OP-G6-ext",
+    "McNemar's test per language on x205's two deterministic quality "
+    "judges (length-band vs word-count-band): the discordant counts "
+    "n10/n01 and chi-square (n10-n01)^2/(n10+n01) in exact milli "
+    "units — kappa (x205) says whether judges AGREE, McNemar says "
+    "whether their DISAGREEMENT is biased toward one judge, which is "
+    "what you fix first when calibrating a new quality filter "
+    "against an incumbent. All integer; languages with no "
+    "discordance are excluded (the statistic is undefined). Scale: "
+    "one lang-keyed hash-agg over the document scan.",
+    _MCNEMAR_ORACLE,
+)
+def x252_mcnemar_judges(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = F.when(F.col("n_chars").between(200, 5000), 1).otherwise(0)
+    wc = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", " ", ""))
+        + 1
+    )
+    b = F.when(wc.between(40, 1000), 1).otherwise(0)
+    judged = docs.select("lang", a.alias("a"), b.alias("b"))
+    counts = judged.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("long").alias("n01"),
+    )
+    return (
+        counts.filter(F.col("n10") + F.col("n01") > 0)
+        .select(
+            "lang",
+            "n",
+            "n10",
+            "n01",
+            F.expr(
+                "CAST((n10 - n01) * (n10 - n01) * 1000 DIV (n10 + n01)"
+                " AS BIGINT)"
+            ).alias("chi2_milli"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x253 — exact higher-moment profile (skewness / kurtosis) per brand
+# ---------------------------------------------------------------------------
+
+_SKEW_EXPR = (
+    "round(((CAST(s3 AS DOUBLE) - 3.0 * CAST(s1 AS DOUBLE) * CAST(s2 AS"
+    " DOUBLE) / CAST(n AS DOUBLE) + 2.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS"
+    " DOUBLE) * CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS"
+    " DOUBLE))) / CAST(n AS DOUBLE))"
+    " / pow((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+    " / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE), 1.5), 6)"
+)
+_KURT_EXPR = (
+    "round(((CAST(s4 AS DOUBLE) - 4.0 * CAST(s1 AS DOUBLE) * CAST(s3 AS"
+    " DOUBLE) / CAST(n AS DOUBLE) + 6.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS"
+    " DOUBLE) * CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS"
+    " DOUBLE)) - 3.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1"
+    " AS DOUBLE) * CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS"
+    " DOUBLE) * CAST(n AS DOUBLE))) / CAST(n AS DOUBLE))"
+    " / pow((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+    " / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE), 2.0) - 3.0, 6)"
+)
+
+_MOMENTS_ORACLE = f"""
+WITH k AS (
+    SELECT p.p_brand AS brand,
+           CAST(round(l.l_extendedprice * 100) AS BIGINT) // 100000 AS x
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+s AS (
+    SELECT brand, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS s1,
+           CAST(SUM(x * x) AS BIGINT) AS s2,
+           CAST(SUM(x * x * x) AS BIGINT) AS s3,
+           CAST(SUM(x * x * x * x) AS BIGINT) AS s4
+    FROM k GROUP BY brand
+)
+SELECT brand, n, s1, s2, s3, s4,
+       {_SKEW_EXPR} AS skewness,
+       {_KURT_EXPR} AS excess_kurtosis
+FROM s WHERE n >= 2 AND n * s2 > s1 * s1
+ORDER BY brand
+"""
+
+
+@_staged(
+    "x253_moment_profile",
+    "OP-G6-ext",
+    "Exact higher-moment profile per brand: raw power sums S1..S4 of "
+    "line price in KILODOLLAR units (x = cents DIV 100000 keeps "
+    "x^4 * rows far under 2^63 — the documented granularity/overflow "
+    "trade), skewness and excess kurtosis from the raw-moment "
+    "expansions rendered through ONE shared IEEE expression over the "
+    "exact BIGINTs. Completes g6/x67's mean/stddev/corr tier with "
+    "the tail-shape moments a distribution-drift monitor needs "
+    "(x159's KS says distributions differ; these say HOW — lean or "
+    "tail). Scale: a single brand-keyed hash-agg with map-side "
+    "partials; the moment algebra runs on the <=|brands| frame.",
+    _MOMENTS_ORACLE,
+)
+def x253_moment_profile(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    k = li.join(p, li.l_partkey == p.p_partkey).select(
+        F.col("p_brand").alias("brand"),
+        F.expr(
+            "CAST(round(l_extendedprice * 100) AS BIGINT) DIV 100000"
+        ).alias("x"),
+    )
+    s = k.groupBy("brand").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.expr("x * x")).cast("long").alias("s2"),
+        F.sum(F.expr("x * x * x")).cast("long").alias("s3"),
+        F.sum(F.expr("x * x * x * x")).cast("long").alias("s4"),
+    )
+    return (
+        s.filter(
+            (F.col("n") >= 2)
+            & (F.col("n") * F.col("s2") > F.col("s1") * F.col("s1"))
+        )
+        .select(
+            "brand",
+            "n",
+            "s1",
+            "s2",
+            "s3",
+            "s4",
+            F.expr(_SKEW_EXPR).alias("skewness"),
+            F.expr(_KURT_EXPR).alias("excess_kurtosis"),
+        )
+        .orderBy("brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x254 — Hill tail-index estimator of order values, per segment
+# ---------------------------------------------------------------------------
+
+_HILL_K = 100
+
+_HILL_ORACLE = f"""
+WITH base AS (
+    SELECT c.c_mktsegment AS segment,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+           o.o_orderkey AS ok
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+ranked AS (
+    SELECT segment, cents,
+           row_number() OVER (PARTITION BY segment
+                              ORDER BY cents DESC, ok) AS rn
+    FROM base
+),
+thr AS (
+    SELECT segment, cents AS thr_cents FROM ranked WHERE rn = {_HILL_K + 1}
+),
+terms AS (
+    SELECT r.segment,
+           CAST(floor(1000000000.0 * ln(CAST(r.cents AS DOUBLE)
+                / CAST(t.thr_cents AS DOUBLE))) AS BIGINT) AS ln_nano
+    FROM ranked r JOIN thr t ON r.segment = t.segment
+    WHERE r.rn <= {_HILL_K}
+)
+SELECT segment, CAST(count(*) AS BIGINT) AS k,
+       CAST(SUM(ln_nano) AS BIGINT) AS sum_ln_nano,
+       CAST(count(*) * 1000000000000 // SUM(ln_nano) AS BIGINT)
+           AS hill_alpha_milli
+FROM terms GROUP BY segment
+ORDER BY segment
+"""
+
+
+@_staged(
+    "x254_hill_tail_index",
+    "OP-G6-ext",
+    f"Hill tail-index estimator per segment over the top-{_HILL_K} "
+    "order values: alpha = k / sum ln(x_i / x_(k+1)) — the standard "
+    "heavy-tail exponent (alpha < 2 means infinite variance: every "
+    "mean-based KPI on that segment is unstable). Each ln runs on an "
+    "exact integer cents ratio and is floored to integer NANOS "
+    "before the sum, so the aggregate is an exact BIGINT sum immune "
+    "to accumulation order; alpha lands in milli by one integer "
+    "division. The transaction-value sibling of x84's text Zipf "
+    "slope. Scale: per-segment top-(k+1) via rank window sharing one "
+    "segment exchange; the estimator runs on k rows per segment.",
+    _HILL_ORACLE,
+)
+def x254_hill_tail_index(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    base = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderkey").alias("ok"),
+    )
+    wr = Window.partitionBy("segment").orderBy(F.col("cents").desc(), "ok")
+    ranked = base.select(
+        "segment", "cents", F.row_number().over(wr).alias("rn")
+    )
+    thr = ranked.filter(F.col("rn") == _HILL_K + 1).select(
+        "segment", F.col("cents").alias("thr_cents")
+    )
+    terms = (
+        ranked.filter(F.col("rn") <= _HILL_K)
+        .join(F.broadcast(thr), "segment")
+        .select(
+            "segment",
+            F.expr(
+                "CAST(floor(1000000000.0 * ln(CAST(cents AS DOUBLE)"
+                " / CAST(thr_cents AS DOUBLE))) AS BIGINT)"
+            ).alias("ln_nano"),
+        )
+    )
+    return (
+        terms.groupBy("segment")
+        .agg(
+            F.count("*").cast("long").alias("k"),
+            F.sum("ln_nano").cast("long").alias("sum_ln_nano"),
+            F.expr(
+                "CAST(count(*) * 1000000000000 DIV SUM(ln_nano) AS BIGINT)"
+            ).alias("hill_alpha_milli"),
+        )
+        .orderBy("segment")
+    )
