@@ -92,6 +92,31 @@ structure:
   for non-adjacent part pairs, candidates only through shared
   neighbors, top-50 by total order.
 
+Fourth wave — data-quality screens, robust stats, and the two
+showcase structural ops:
+
+* ``x248_keyspace_density`` — surrogate-keyspace density per orderkey
+  bucket (the CDC completeness screen).
+* ``x249_round_number_bias`` — trailing-digit pricing bias per
+  segment (Benford's x90 audits leading digits; forgeries trip both).
+* ``x250_quota_sample_shortfall`` — md5-deterministic quota sampling
+  with per-cell shortfall accounting.
+* ``x252_mcnemar_judges`` — McNemar's test on x205's judge pair:
+  disagreement DIRECTION, the calibration complement of kappa.
+* ``x253_moment_profile`` — exact S1..S4 power sums in overflow-safe
+  kilodollar units; skewness/kurtosis through one shared expression.
+* ``x254_hill_tail_index`` — Hill estimator per segment over the
+  top-100 order values, per-term logs nano-floored before the sum.
+* ``x237_hurst_rs`` — rescaled-range Hurst exponent of daily revenue
+  at dyadic scales; R*s kept integer by the scaled-cumsum identity,
+  the log-log slope regressed on integer k = log2(scale).
+* ``x251_fifo_cost_basis`` — FIFO lot matching as cumulative-interval
+  overlap: the interval algebra IS the queue; realized cost exact
+  milli-cents, no per-row state anywhere.
+* ``x255_diag_mahalanobis`` — multi-feature z-outliers via the
+  (n*x - S)^2 / (n*S2 - S^2) identity, per-feature integer milli
+  terms that add exactly.
+
 Hash-parity conventions as plans/queries.py: exact cents/BIGINT
 arithmetic until one shared IEEE expression, total ORDER BY, BIGINT
 casts on every count.
@@ -2141,3 +2166,437 @@ def x254_hill_tail_index(spark, sf_dir):
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# x237 — Hurst exponent of daily revenue via rescaled-range analysis
+# ---------------------------------------------------------------------------
+
+_RS_SCALES = [8, 16, 32, 64]  # k = log2(s) in {3,4,5,6}
+
+_HURST_EXPR = (
+    "CAST(round(1000.0 * CAST(num AS DOUBLE)"
+    " / (CAST(den_k AS DOUBLE) * ln(2.0) * 1000000000.0)) AS BIGINT)"
+)
+
+_HURST_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS d,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               // 100 AS x
+    FROM orders GROUP BY 1
+),
+rn AS (
+    SELECT d, x, row_number() OVER (ORDER BY d) AS rn FROM daily
+),
+ex AS (
+    SELECT s.s, (rn.rn - 1) // s.s AS blk, (rn.rn - 1) % s.s + 1 AS t, rn.x
+    FROM rn CROSS JOIN (SELECT unnest([{", ".join(str(s) for s in _RS_SCALES)}]) AS s) s
+),
+wb AS (
+    SELECT s, blk, t, x,
+           CAST(SUM(x) OVER (PARTITION BY s, blk) AS BIGINT) AS sx,
+           CAST(SUM(x * x) OVER (PARTITION BY s, blk) AS BIGINT) AS sx2,
+           CAST(count(*) OVER (PARTITION BY s, blk) AS BIGINT) AS cnt,
+           CAST(SUM(x) OVER (PARTITION BY s, blk ORDER BY t
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+    FROM ex
+),
+ws AS (
+    SELECT s, blk,
+           CAST(MAX(s * cum - t * sx) - MIN(s * cum - t * sx) AS BIGINT)
+               AS r_scaled,
+           CAST(any_value(s * sx2 - sx * sx) AS BIGINT) AS v
+    FROM wb WHERE cnt = s
+    GROUP BY s, blk
+),
+rs AS (
+    SELECT s, blk,
+           CAST(floor(1000000.0 * CAST(r_scaled AS DOUBLE)
+                / sqrt(CAST(v AS DOUBLE))) AS BIGINT) AS rs_micro
+    FROM ws WHERE v > 0
+),
+per_scale AS (
+    SELECT CAST(s AS BIGINT) AS scale, CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(rs_micro) // count(*) AS BIGINT) AS mean_rs_micro
+    FROM rs GROUP BY s
+),
+pts AS (
+    SELECT scale, n_blocks, mean_rs_micro,
+           CAST(CASE scale WHEN 8 THEN 3 WHEN 16 THEN 4
+                           WHEN 32 THEN 5 ELSE 6 END AS BIGINT) AS k,
+           CAST(floor(1000000000.0 * ln(CAST(mean_rs_micro AS DOUBLE)))
+                AS BIGINT) AS y_nano
+    FROM per_scale
+),
+ols AS (
+    SELECT scale, n_blocks, mean_rs_micro,
+           CAST(count(*) OVER () * SUM(k * y_nano) OVER ()
+                - SUM(k) OVER () * SUM(y_nano) OVER () AS BIGINT) AS num,
+           CAST(count(*) OVER () * SUM(k * k) OVER ()
+                - SUM(k) OVER () * SUM(k) OVER () AS BIGINT) AS den_k
+    FROM pts
+)
+SELECT scale, n_blocks, mean_rs_micro, {_HURST_EXPR} AS hurst_milli
+FROM ols ORDER BY scale
+"""
+
+
+@_staged(
+    "x237_hurst_rs",
+    "OP-W4/T-ext",
+    "Hurst exponent of the daily-revenue series by classical "
+    f"rescaled-range analysis at dyadic scales {_RS_SCALES}: the "
+    "series splits into complete s-day blocks, the cumulative-"
+    "deviation range is computed in the SCALED identity R*s = "
+    "max(s*cum_t - t*sumx) - min(...) (exact BIGINT — no per-block "
+    "float mean), the block sd enters once as sqrt(s*sx2 - sx^2), "
+    "and each block's R/S is floored to micro before the per-scale "
+    "integer mean. The log-log slope collapses to a regression of "
+    "nano-floored ln(mean R/S) on k = log2(scale) — integer "
+    "abscissae, so the OLS sums are exact and ln(2) divides once at "
+    "the end. H ~ 0.5 random walk, > 0.5 trending, < 0.5 mean-"
+    "reverting — the memory audit x171's ACF hints at, reduced to "
+    "one number. Scale: the global day rank is a window over the "
+    "bounded daily frame (|days| rows); everything after is keyed on "
+    "(scale, block).",
+    _HURST_ORACLE,
+)
+def x237_hurst_rs(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr("unix_timestamp(o_orderdate) div 86400").alias("d")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+            " DIV 100"
+        ).alias("x")
+    )
+    rn = daily.select(
+        "d", "x", F.row_number().over(Window.orderBy("d")).alias("rn")
+    )
+    scales = spark.createDataFrame([(s,) for s in _RS_SCALES], "s int")
+    ex = rn.crossJoin(F.broadcast(scales)).select(
+        "s",
+        F.expr("(rn - 1) DIV s").alias("blk"),
+        F.expr("(rn - 1) % s + 1").alias("t"),
+        "x",
+    )
+    wblk = Window.partitionBy("s", "blk")
+    wcum = wblk.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wb = ex.select(
+        "s",
+        "blk",
+        "t",
+        "x",
+        F.sum("x").over(wblk).cast("long").alias("sx"),
+        F.sum(F.expr("x * x")).over(wblk).cast("long").alias("sx2"),
+        F.count("*").over(wblk).cast("long").alias("cnt"),
+        F.sum("x").over(wcum).cast("long").alias("cum"),
+    )
+    ws = (
+        wb.filter(F.col("cnt") == F.col("s"))
+        .groupBy("s", "blk")
+        .agg(
+            (
+                F.max(F.expr("s * cum - t * sx"))
+                - F.min(F.expr("s * cum - t * sx"))
+            )
+            .cast("long")
+            .alias("r_scaled"),
+            F.first(F.expr("s * sx2 - sx * sx")).cast("long").alias("v"),
+        )
+    )
+    rs = ws.filter(F.col("v") > 0).select(
+        "s",
+        F.expr(
+            "CAST(floor(1000000.0 * CAST(r_scaled AS DOUBLE)"
+            " / sqrt(CAST(v AS DOUBLE))) AS BIGINT)"
+        ).alias("rs_micro"),
+    )
+    per_scale = rs.groupBy(F.col("s").cast("long").alias("scale")).agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.expr("CAST(SUM(rs_micro) DIV count(*) AS BIGINT)").alias(
+            "mean_rs_micro"
+        ),
+    )
+    pts = per_scale.select(
+        "scale",
+        "n_blocks",
+        "mean_rs_micro",
+        F.expr(
+            "CAST(CASE scale WHEN 8 THEN 3 WHEN 16 THEN 4"
+            " WHEN 32 THEN 5 ELSE 6 END AS BIGINT)"
+        ).alias("k"),
+        F.expr(
+            "CAST(floor(1000000000.0 * ln(CAST(mean_rs_micro AS DOUBLE)))"
+            " AS BIGINT)"
+        ).alias("y_nano"),
+    )
+    wall = Window.partitionBy()
+    ols = pts.select(
+        "scale",
+        "n_blocks",
+        "mean_rs_micro",
+        (
+            F.count("*").over(wall) * F.sum(F.expr("k * y_nano")).over(wall)
+            - F.sum("k").over(wall) * F.sum("y_nano").over(wall)
+        )
+        .cast("long")
+        .alias("num"),
+        (
+            F.count("*").over(wall) * F.sum(F.expr("k * k")).over(wall)
+            - F.sum("k").over(wall) * F.sum("k").over(wall)
+        )
+        .cast("long")
+        .alias("den_k"),
+    )
+    return ols.select(
+        "scale", "n_blocks", "mean_rs_micro", F.expr(_HURST_EXPR).alias("hurst_milli")
+    ).orderBy("scale")
+
+
+# ---------------------------------------------------------------------------
+# x251 — FIFO cost-basis matching (buy lots consumed by later sales)
+# ---------------------------------------------------------------------------
+
+_FIFO_SPLIT = "1997-01-01"
+
+_FIFO_ORACLE = f"""
+WITH buys AS (
+    SELECT l_partkey AS part,
+           CAST(l_quantity AS BIGINT) AS q,
+           CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+               * 1000 // CAST(l_quantity AS BIGINT) AS unit_milli,
+           SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING) AS hi
+    FROM lineitem WHERE l_shipdate < TIMESTAMP '{_FIFO_SPLIT}'
+),
+sells AS (
+    SELECT l_partkey AS part,
+           CAST(l_quantity AS BIGINT) AS q,
+           SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING) AS hi
+    FROM lineitem WHERE l_shipdate >= TIMESTAMP '{_FIFO_SPLIT}'
+),
+m AS (
+    SELECT b.part,
+           least(s.hi, b.hi) - greatest(s.hi - s.q, b.hi - b.q) AS matched,
+           b.unit_milli
+    FROM buys b JOIN sells s
+      ON b.part = s.part
+     AND b.hi - b.q < s.hi AND s.hi - s.q < b.hi
+),
+per_part AS (
+    SELECT part, CAST(SUM(matched) AS BIGINT) AS matched_qty,
+           CAST(SUM(matched * unit_milli) AS BIGINT) AS realized_cost_milli
+    FROM m GROUP BY part
+),
+tot AS (
+    SELECT part, CAST(SUM(q) AS BIGINT) AS sell_qty FROM sells GROUP BY part
+)
+SELECT t.part, t.sell_qty,
+       COALESCE(p.matched_qty, 0) AS matched_qty,
+       CAST(t.sell_qty - COALESCE(p.matched_qty, 0) AS BIGINT)
+           AS unmatched_qty,
+       COALESCE(p.realized_cost_milli, 0) AS realized_cost_milli
+FROM tot t LEFT JOIN per_part p ON t.part = p.part
+ORDER BY t.part
+"""
+
+
+@_staged(
+    "x251_fifo_cost_basis",
+    "OP-W4/J-ext",
+    "FIFO cost-basis matching per part: pre-"
+    f"{_FIFO_SPLIT} shipments are buy LOTS, later shipments consume "
+    "them first-in-first-out, and the realized cost of each sale is "
+    "the overlap of the two cumulative-quantity intervals — matched "
+    "= least(s_hi,b_hi) - greatest(s_lo,b_lo) over (lot x sale) "
+    "pairs whose intervals intersect, priced at the lot's exact "
+    "milli-cent unit price. The inventory/accounting primitive "
+    "(realized P&L, cost of goods sold) done fully set-based: no "
+    "per-row loop, no mutable queue — the interval algebra IS the "
+    "FIFO queue. Unmatched sale quantity (demand beyond all lots) "
+    "is reported per part. Scale: both cumsums and the interval "
+    "join are keyed on partkey (one exchange); per-part streams are "
+    "short and the join condition prunes to O(lots + sales) "
+    "overlapping pairs per part, not the cross product.",
+    _FIFO_ORACLE,
+)
+def x251_fifo_cost_basis(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    qn = F.col("l_quantity").cast("long")
+    wcum = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    split = F.lit(_FIFO_SPLIT).cast("timestamp")
+    buys = li.filter(F.col("l_shipdate") < split).select(
+        F.col("l_partkey").alias("part"),
+        qn.alias("bq"),
+        F.expr(
+            "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+            " * 1000 DIV CAST(l_quantity AS BIGINT)"
+        ).alias("unit_milli"),
+        F.sum(qn).over(wcum).alias("bhi"),
+    )
+    sells = li.filter(F.col("l_shipdate") >= split).select(
+        F.col("l_partkey").alias("part"),
+        qn.alias("sq"),
+        F.sum(qn).over(wcum).alias("shi"),
+    )
+    m = (
+        buys.join(sells, "part")
+        .filter(
+            (F.col("bhi") - F.col("bq") < F.col("shi"))
+            & (F.col("shi") - F.col("sq") < F.col("bhi"))
+        )
+        .select(
+            "part",
+            (
+                F.least("shi", "bhi")
+                - F.greatest(
+                    F.col("shi") - F.col("sq"), F.col("bhi") - F.col("bq")
+                )
+            ).alias("matched"),
+            "unit_milli",
+        )
+    )
+    per_part = m.groupBy("part").agg(
+        F.sum("matched").cast("long").alias("matched_qty"),
+        F.sum(F.col("matched") * F.col("unit_milli"))
+        .cast("long")
+        .alias("realized_cost_milli"),
+    )
+    tot = sells.groupBy("part").agg(F.sum("sq").cast("long").alias("sell_qty"))
+    return (
+        tot.join(per_part, "part", "left")
+        .select(
+            "part",
+            "sell_qty",
+            F.coalesce("matched_qty", F.lit(0)).cast("long").alias(
+                "matched_qty"
+            ),
+            (F.col("sell_qty") - F.coalesce("matched_qty", F.lit(0)))
+            .cast("long")
+            .alias("unmatched_qty"),
+            F.coalesce("realized_cost_milli", F.lit(0))
+            .cast("long")
+            .alias("realized_cost_milli"),
+        )
+        .orderBy("part")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x255 — diagonal-Mahalanobis document outliers (per-language stats)
+# ---------------------------------------------------------------------------
+
+_DM_TOPK = 20
+
+_DM_TERM = (
+    "CAST(floor(1000.0"
+    " * (CAST(n AS DOUBLE) * CAST({x} AS DOUBLE) - CAST({s} AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST({x} AS DOUBLE) - CAST({s} AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST({s2} AS DOUBLE)"
+    "    - CAST({s} AS DOUBLE) * CAST({s} AS DOUBLE))) AS BIGINT)"
+)
+
+_DM_ORACLE = f"""
+WITH feat AS (
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS f1,
+           CAST(length(text) - length(replace(text, ' ', '')) + 1
+                AS BIGINT) AS f2
+    FROM documents
+),
+stats AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(f1) AS BIGINT) AS s1, CAST(SUM(f1 * f1) AS BIGINT) AS s1q,
+           CAST(SUM(f2) AS BIGINT) AS s2, CAST(SUM(f2 * f2) AS BIGINT) AS s2q
+    FROM feat GROUP BY lang
+),
+scored AS (
+    SELECT f.doc_id, f.lang,
+           {_DM_TERM.format(x="f.f1", s="s.s1", s2="s.s1q", n="s.n").replace("CAST(n AS DOUBLE)", "CAST(s.n AS DOUBLE)")}
+           + {_DM_TERM.format(x="f.f2", s="s.s2", s2="s.s2q", n="s.n").replace("CAST(n AS DOUBLE)", "CAST(s.n AS DOUBLE)")}
+               AS m2_milli
+    FROM feat f JOIN stats s ON f.lang = s.lang
+    WHERE s.n >= 3 AND s.n * s.s1q > s.s1 * s.s1
+      AND s.n * s.s2q > s.s2 * s.s2
+)
+SELECT doc_id, lang, m2_milli
+FROM scored
+ORDER BY m2_milli DESC, doc_id
+LIMIT {_DM_TOPK}
+"""
+
+
+@_staged(
+    "x255_diag_mahalanobis",
+    "OP-X4-ext",
+    "Diagonal-Mahalanobis document outliers: per language, each "
+    "document's squared z-distance over two features (chars, words) "
+    "using the exact identity (x-mu)^2/var = (n*x - S)^2 / "
+    "(n*S2 - S^2) — population moments stay BIGINT, each "
+    "feature term is floored to milli from one shared IEEE division, "
+    "and the two integer terms ADD exactly (no float accumulation). "
+    f"Top-{_DM_TOPK} by (distance DESC, doc_id). The multi-feature "
+    "outlier screen between x57's single-feature MAD and a full "
+    "covariance Mahalanobis (which needs a matrix inverse no SQL "
+    "engine should hand-roll). Scale: one lang-keyed stats agg "
+    "broadcast back over the scan + TakeOrdered heaps.",
+    _DM_ORACLE,
+)
+def x255_diag_mahalanobis(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", " ", ""))
+        + 1
+    )
+    feat = docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("f1"),
+        wc.cast("long").alias("f2"),
+    )
+    stats = feat.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("f1").cast("long").alias("s1"),
+        F.sum(F.expr("f1 * f1")).cast("long").alias("s1q"),
+        F.sum("f2").cast("long").alias("s2"),
+        F.sum(F.expr("f2 * f2")).cast("long").alias("s2q"),
+    )
+    term1 = _DM_TERM.format(x="f1", s="s1", s2="s1q")
+    term2 = _DM_TERM.format(x="f2", s="s2", s2="s2q")
+    scored = (
+        feat.join(F.broadcast(stats), "lang")
+        .filter(
+            (F.col("n") >= 3)
+            & (F.col("n") * F.col("s1q") > F.col("s1") * F.col("s1"))
+            & (F.col("n") * F.col("s2q") > F.col("s2") * F.col("s2"))
+        )
+        .select(
+            "doc_id",
+            "lang",
+            (F.expr(term1) + F.expr(term2)).alias("m2_milli"),
+        )
+    )
+    return scored.orderBy(F.col("m2_milli").desc(), "doc_id").limit(_DM_TOPK)
+
+
+# --- round-9 registration footer (commented until round 9) ---
+# These two lines register the whole batch into the live catalog; they
+# must stay below the final @_staged definition so every entry is in
+# STAGED before the update (the round-25 footer-placement lesson).
+# from ravelytics_spark.plans.queries import REGISTRY as _REGISTRY
+#
+# _REGISTRY.update(STAGED)

@@ -248,6 +248,14 @@ _SINGLE_PARTITION_OK = {
     "x220_srm_check": "global allocation count: one partial row per partition combines to the 1-row chi-square frame",
     "x222_mixture_feasibility": "corpus-total scalar over the <=|sources| frame: one partial row per partition, then broadcast into the rate plan",
     "x223_context_length_curve": "four per-length rollups over the 32-bucket token-total frame: each global agg combines one partial row per partition into the 4-row curve",
+    # round-28 staged batch (registration lands in round 9)
+    "x235_percent_of_parent": "grand-total window over the <=|region x nation x segment| cell frame (~125 rows), never the fact table",
+    "x237_hurst_rs": "global day rank + 4-point OLS windows over the bounded daily frame (|days| rows)",
+    "x239_gains_table": "global rank over the CUSTOMER aggregate (certifiable form; the x219 bucketed-rank path is the scale twin) + cumulative windows over the 10-row decile frame",
+    "x240_brier_decomposition": "global totals window over the 10-row calibration-bin frame",
+    "x243_vocab_coverage_curve": "rank window + corpus-total scalar over the bounded TakeOrdered top-10k vocab frame",
+    "x245_twonn_intrinsic_dim": "final 1-row estimator agg: one partial row per partition after the keyed NN stages",
+    "x257_l28_histogram": "window-anchor scalar (max day) over the deduped user-day table, broadcast back",
 }
 
 
@@ -256,13 +264,14 @@ def test_no_catalog_plan_single_partitions_or_goes_cartesian(spark, sf_dir):
     whitelist may funnel through Exchange SinglePartition, and none may
     plan a CartesianProduct. This is the blanket guard that a future
     entry doesn't reintroduce the global-window anti-pattern."""
-    from ravelytics_spark.plans.round26_staged import STAGED as _STAGED26
+    from ravelytics_spark.plans.round28_staged import STAGED as _STAGED28
 
     bad = {}
     # Sweep staged-but-unregistered entries too: an anti-pattern must
     # fail HERE, in the round that authors it, not in the round that
-    # flips the registration footer.
-    for name, qy in {**REGISTRY, **_STAGED26}.items():
+    # flips the registration footer. (The round-26 batch is live in
+    # REGISTRY since round 8; round-28 is the currently-staged set.)
+    for name, qy in {**REGISTRY, **_STAGED28}.items():
         plan = qy.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         if "CartesianProduct" in plan:
             bad[name] = "CartesianProduct"

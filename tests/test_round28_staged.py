@@ -1,0 +1,240 @@
+"""Oracle-comparison + property tests for the STAGED round-28 entries
+(built in round 8; registration deferred to round 9 — the
+round-23/24/25/26 staging precedent: entries ship the round after the
+certification window they'd overflow)."""
+
+from __future__ import annotations
+
+import pytest
+
+from ravelytics_spark.plans.round28_staged import STAGED
+from ravelytics_spark.testing import compare, duckdb_connection
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+
+@pytest.mark.parametrize("name", sorted(STAGED))
+@pytest.mark.parametrize("sf_dir", SFS)
+def test_round28_staged_matches_oracle(spark, name, sf_dir):
+    entry = STAGED[name]
+    assert entry.oracle is not None, "round-28 batch is fully oracle-backed"
+    con = duckdb_connection(sf_dir)
+    problems = compare(
+        entry.spark(spark, sf_dir),
+        con,
+        entry.oracle,
+        name,
+        strict_row_order=True,
+    )
+    assert not problems, problems
+
+
+def test_round28_not_yet_registered():
+    """The registration footer stays commented until round 9: no
+    round-28 name may leak into the live catalog early (it would
+    displace the round-8 certification window the pin test froze)."""
+    from ravelytics_spark.plans.queries import REGISTRY
+
+    leaked = set(STAGED) & set(REGISTRY)
+    assert not leaked, f"staged entries registered early: {leaked}"
+    assert len(STAGED) == 24
+
+
+# ---------------------------------------------------------------------------
+# Semantic properties the oracle twin cannot express
+# ---------------------------------------------------------------------------
+
+
+def test_percent_of_parent_shares_sum(spark):
+    rows = STAGED["x235_percent_of_parent"].spark(spark, SFS[1]).collect()
+    # leaf shares within each (region, nation) sum to ~1e6 (floor-division
+    # truncation loses at most |segments| ppm per nation)
+    from collections import defaultdict
+
+    by_nation = defaultdict(list)
+    for r in rows:
+        by_nation[(r.region, r.nation)].append(r)
+    for (reg, nat), rs in by_nation.items():
+        total = sum(r.seg_share_ppm for r in rs)
+        assert 1_000_000 - len(rs) <= total <= 1_000_000, (reg, nat)
+        # every row of a nation reports the same ancestor shares
+        assert len({r.nation_share_ppm for r in rs}) == 1
+        assert len({r.region_share_ppm for r in rs}) == 1
+
+
+def test_croston_rate_bounded_by_size_over_interval(spark):
+    # rate = size_ewma / interval_ewma exactly (same numerators), so
+    # rate * interval ~ size within integer-division slack
+    for r in STAGED["x236_croston_intermittent"].spark(spark, SFS[1]).collect():
+        assert r.interval_ewma_micro >= 1_000_000  # gaps are >= 1 month
+        assert r.croston_rate_micro <= r.size_ewma_micro
+        assert r.n_demands >= 1
+
+
+def test_auc_exact_symmetry_bounds(spark):
+    for r in STAGED["x241_auc_exact"].spark(spark, SFS[1]).collect():
+        assert 0 <= r.auc_ppm <= 1_000_000
+
+
+def test_gains_table_monotone_capture(spark):
+    rows = sorted(
+        STAGED["x239_gains_table"].spark(spark, SFS[1]).collect(),
+        key=lambda r: r.decile,
+    )
+    assert rows[0].decile == 1 and rows[-1].capture_ppm in (999999, 1000000)
+    caps = [r.capture_ppm for r in rows]
+    assert caps == sorted(caps), "cumulative capture must be monotone"
+    # lift of the full population is exactly 1.0 (cum == tot)
+    assert rows[-1].lift_milli == 1000
+
+
+def test_vocab_coverage_monotone(spark):
+    rows = sorted(
+        STAGED["x243_vocab_coverage_curve"].spark(spark, SFS[1]).collect(),
+        key=lambda r: r.vocab_size,
+    )
+    assert [r.vocab_size for r in rows] == [100, 1000, 10000]
+    covs = [r.coverage_ppm for r in rows]
+    assert covs == sorted(covs)
+    assert all(0 < c <= 1_000_000 for c in covs)
+
+
+def test_stickiness_dau_wau_mau_ordering(spark):
+    for r in STAGED["x256_active_stickiness"].spark(spark, SFS[1]).collect():
+        assert r.dau <= r.wau <= r.mau
+        assert 0 < r.stickiness_ppm <= 1_000_000
+
+
+def test_l28_total_users_matches_window(spark):
+    import duckdb
+
+    rows = STAGED["x257_l28_histogram"].spark(spark, SFS[1]).collect()
+    total = sum(r.n_users for r in rows)
+    con = duckdb.connect()
+    expect = con.execute(
+        f"""SELECT count(DISTINCT user_id) FROM (
+            SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
+            FROM '{SFS[1]}/events.parquet')
+        WHERE d >= (SELECT max(CAST(floor(epoch(ts)) AS BIGINT) // 86400) - 27
+                    FROM '{SFS[1]}/events.parquet')"""
+    ).fetchone()[0]
+    assert total == expect
+    assert all(1 <= r.days_active <= 28 for r in rows)
+
+
+def test_time_decay_credit_conserved(spark):
+    # per-purchase shares are w*1e6 DIV sum(w): channel totals must sum
+    # to ~1e6 per attributed purchase (floor slack < touches per purchase)
+    import duckdb
+
+    rows = STAGED["x258_time_decay_attribution"].spark(spark, SFS[1]).collect()
+    total_credit = sum(r.credit_ppm_sum for r in rows)
+    n_touches = sum(r.n_touches for r in rows)
+    con = duckdb.connect()
+    n_attr = con.execute(
+        f"""WITH p AS (SELECT event_id, user_id,
+                CAST(floor(epoch(ts)) AS BIGINT) AS pts
+            FROM '{SFS[1]}/events.parquet' WHERE event_type = 'purchase'),
+        t AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tts
+            FROM '{SFS[1]}/events.parquet'
+            WHERE event_type IN ('view', 'click'))
+        SELECT count(DISTINCT p.event_id) FROM p JOIN t
+          ON p.user_id = t.user_id
+        WHERE t.tts < p.pts AND (p.pts - t.tts) // 86400 <= 27"""
+    ).fetchone()[0]
+    assert n_attr * 1_000_000 - n_touches <= total_credit <= n_attr * 1_000_000
+
+
+def test_burrows_delta_self_consistency(spark):
+    rows = STAGED["x242_burrows_delta"].spark(spark, SFS[1]).collect()
+    n_sources = len({r.src_a for r in rows} | {r.src_b for r in rows})
+    assert len(rows) == n_sources * (n_sources - 1) // 2
+    assert all(r.delta_micro >= 0 for r in rows)
+
+
+def test_twonn_dim_plausible(spark):
+    row = STAGED["x245_twonn_intrinsic_dim"].spark(spark, SFS[1]).collect()[0]
+    # 64 ambient dims: the estimate must be positive and can't exceed
+    # the ambient dimension by an order of magnitude
+    assert row.n_points > 0
+    assert 0 < row.intrinsic_dim_milli < 640_000
+
+
+def test_label_propagation_members_conserved(spark):
+    import duckdb
+
+    rows = STAGED["x246_label_propagation"].spark(spark, SFS[1]).collect()
+    con = duckdb.connect()
+    n_nodes = con.execute(
+        f"""WITH pk AS (SELECT DISTINCT l_orderkey o, l_partkey p
+               FROM '{SFS[1]}/lineitem.parquet'),
+        e AS (SELECT a.p u, b.p v FROM pk a JOIN pk b
+              ON a.o = b.o AND a.p < b.p
+              GROUP BY 1, 2 HAVING count(*) >= 2)
+        SELECT count(DISTINCT n) FROM
+          (SELECT u AS n FROM e UNION SELECT v FROM e)"""
+    ).fetchone()[0]
+    assert sum(r.n_members for r in rows) == n_nodes
+    assert len(rows) < n_nodes  # propagation must merge SOME labels
+
+
+def test_link_prediction_excludes_existing_edges(spark):
+    import duckdb
+
+    rows = STAGED["x247_link_prediction"].spark(spark, SFS[1]).collect()
+    assert rows
+    con = duckdb.connect()
+    edges = set(
+        con.execute(
+            f"""WITH pk AS (SELECT DISTINCT l_orderkey o, l_partkey p
+                   FROM '{SFS[1]}/lineitem.parquet')
+            SELECT a.p, b.p FROM pk a JOIN pk b
+            ON a.o = b.o AND a.p < b.p
+            GROUP BY 1, 2 HAVING count(*) >= 2"""
+        ).fetchall()
+    )
+    for r in rows:
+        assert (r.u, r.v) not in edges
+        assert 0 < r.jaccard_ppm <= 1_000_000
+
+
+def test_fifo_matching_conserves_quantity(spark):
+    import duckdb
+
+    rows = STAGED["x251_fifo_cost_basis"].spark(spark, SFS[1]).collect()
+    con = duckdb.connect()
+    buy_total = {
+        p: q
+        for p, q in con.execute(
+            f"""SELECT l_partkey, SUM(CAST(l_quantity AS BIGINT))
+            FROM '{SFS[1]}/lineitem.parquet'
+            WHERE l_shipdate < TIMESTAMP '1997-01-01' GROUP BY 1"""
+        ).fetchall()
+    }
+    for r in rows:
+        assert r.matched_qty + r.unmatched_qty == r.sell_qty
+        # FIFO can never match more than the part's total lot supply
+        assert r.matched_qty <= buy_total.get(r.part, 0)
+        assert r.matched_qty == min(r.sell_qty, buy_total.get(r.part, 0)), (
+            "FIFO interval overlap must consume exactly "
+            "min(total sells, total buys)"
+        )
+
+
+def test_hurst_of_shuffled_series_near_half(spark):
+    # The estimator itself: on the real daily series H should land in a
+    # plausible (0, 1.2) band and every scale must contribute blocks.
+    rows = STAGED["x237_hurst_rs"].spark(spark, SFS[1]).collect()
+    assert [r.scale for r in rows] == [8, 16, 32, 64]
+    assert all(r.n_blocks >= 1 for r in rows)
+    h = rows[0].hurst_milli
+    assert all(r.hurst_milli == h for r in rows)
+    assert 0 < h < 1200
+
+
+def test_mahalanobis_outliers_are_extreme(spark):
+    rows = STAGED["x255_diag_mahalanobis"].spark(spark, SFS[1]).collect()
+    assert len(rows) == 20
+    scores = [r.m2_milli for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert scores[0] >= 2000  # top outlier is > sqrt(2) sd out on average
