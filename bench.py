@@ -97,6 +97,14 @@ HEADLINE = [
     # round 8: the production (hot-bucket-capped) winnowing form —
     # tracked next to x150 so the cap's cost/benefit stays measured
     "x227_winnow_capped",
+    # round-28 staged heavies, pre-wired (runner skips names not in
+    # REGISTRY; these activate when the round-9 footer flips): TwoNN
+    # all-pairs NN, 2-round label propagation, FIFO interval matching,
+    # rescaled-range Hurst
+    "x245_twonn_intrinsic_dim",
+    "x246_label_propagation",
+    "x251_fifo_cost_basis",
+    "x237_hurst_rs",
 ]
 
 

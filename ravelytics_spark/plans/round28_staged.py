@@ -117,6 +117,24 @@ showcase structural ops:
   (n*x - S)^2 / (n*S2 - S^2) identity, per-feature integer milli
   terms that add exactly.
 
+Fifth wave — classical inference + graph structure metrology:
+
+* ``x259_anova_oneway`` — one-way ANOVA across segments with exact
+  MILLI sums of squares (per-group correction terms S1^2*1000 DIV n
+  stay BIGINT); F is the single shared IEEE ratio, eta^2 exact ppm.
+* ``x260_extreme_value_gumbel`` — Gumbel method-of-moments fit of
+  30-day-block maximum daily revenue + the 12-block return level;
+  block maxima and moments exact BIGINT dollars (all mixed literals
+  cast to DOUBLE explicitly — Spark parses bare 1.0/12.0 as DECIMAL
+  division, DuckDB as double: the one dialect trap this batch hit).
+* ``x261_capture_recapture`` — Chapman population estimate from two
+  deterministic md5 ~25% probes, signed error vs truth in ppm.
+* ``x262_modularity_score`` — Newman modularity of the x246 LPA
+  partition via exact directed-edge counts: Q_ppm in one signed
+  integer division, reported with per-community structure counts.
+* ``x263_adamic_adar`` — log-damped shared-neighbor link scores
+  (nano-floored 1/ln(degree) weights sum exactly), completing x247.
+
 Hash-parity conventions as plans/queries.py: exact cents/BIGINT
 arithmetic until one shared IEEE expression, total ORDER BY, BIGINT
 casts on every count.
@@ -2591,6 +2609,563 @@ def x255_diag_mahalanobis(spark, sf_dir):
         )
     )
     return scored.orderBy(F.col("m2_milli").desc(), "doc_id").limit(_DM_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# x259 — one-way ANOVA of order value across segments
+# ---------------------------------------------------------------------------
+
+_ANOVA_F = (
+    "round((CAST(ssb_milli AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0))"
+    " / (CAST(ssw_milli AS DOUBLE) / (CAST(n AS DOUBLE)"
+    " - CAST(k AS DOUBLE))), 6)"
+)
+
+_ANOVA_ORACLE = f"""
+WITH x AS (
+    SELECT c.c_mktsegment AS seg,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) // 100000 AS v
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+g AS (
+    SELECT seg, CAST(count(*) AS BIGINT) AS n_g,
+           CAST(SUM(v) AS BIGINT) AS s1, CAST(SUM(v * v) AS BIGINT) AS s2,
+           CAST(SUM(v) * SUM(v) * 1000 // count(*) AS BIGINT) AS t_milli
+    FROM x GROUP BY seg
+),
+tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS k, CAST(SUM(n_g) AS BIGINT) AS n,
+           CAST(SUM(s1) AS BIGINT) AS s1_all,
+           CAST(SUM(s2) AS BIGINT) AS s2_all,
+           CAST(SUM(t_milli) AS BIGINT) AS t_all_milli
+    FROM g
+),
+ss AS (
+    SELECT k, n,
+           CAST(t_all_milli - s1_all * s1_all * 1000 // n AS BIGINT)
+               AS ssb_milli,
+           CAST(s2_all * 1000 - t_all_milli AS BIGINT) AS ssw_milli
+    FROM tot
+)
+SELECT k, n, ssb_milli, ssw_milli,
+       {{_ANOVA_F}} AS f_stat,
+       CAST(ssb_milli * 1000000 // (ssb_milli + ssw_milli) AS BIGINT)
+           AS eta2_ppm
+FROM ss
+"""
+
+
+@_staged(
+    "x259_anova_oneway",
+    "OP-G6-ext",
+    "One-way ANOVA of order value (kilodollar units, the x253 "
+    "overflow discipline) across customer segments: per-group "
+    "correction terms S1^2*1000 DIV n_g stay exact BIGINT MILLI "
+    "sums, so SSB = sum(t_g) - T^2/N and SSW = 1000*S2 - sum(t_g) "
+    "are exact integers and only the final F ratio is one shared "
+    "IEEE expression; eta-squared effect size lands in exact ppm. "
+    "The does-the-grouping-matter gate x168 (two groups, rank-based) "
+    "and x116 (categorical chi-square) both lack for k-group "
+    "numeric responses. Scale: one segment hash-agg with map-side "
+    "partials; everything else is a 5-row frame.",
+    _ANOVA_ORACLE.replace("{_ANOVA_F}", _ANOVA_F),
+)
+def x259_anova_oneway(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    x = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.expr(
+            "CAST(round(o_totalprice * 100) AS BIGINT) DIV 100000"
+        ).alias("v"),
+    )
+    g = x.groupBy("seg").agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum("v").cast("long").alias("s1"),
+        F.sum(F.expr("v * v")).cast("long").alias("s2"),
+        F.expr("CAST(SUM(v) * SUM(v) * 1000 DIV count(*) AS BIGINT)").alias(
+            "t_milli"
+        ),
+    )
+    tot = g.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s1").cast("long").alias("s1_all"),
+        F.sum("s2").cast("long").alias("s2_all"),
+        F.sum("t_milli").cast("long").alias("t_all_milli"),
+    )
+    ss = tot.select(
+        "k",
+        "n",
+        F.expr(
+            "CAST(t_all_milli - s1_all * s1_all * 1000 DIV n AS BIGINT)"
+        ).alias("ssb_milli"),
+        F.expr("CAST(s2_all * 1000 - t_all_milli AS BIGINT)").alias(
+            "ssw_milli"
+        ),
+    )
+    return ss.select(
+        "k",
+        "n",
+        "ssb_milli",
+        "ssw_milli",
+        F.expr(_ANOVA_F).alias("f_stat"),
+        F.expr(
+            "CAST(ssb_milli * 1000000 DIV (ssb_milli + ssw_milli) AS BIGINT)"
+        ).alias("eta2_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x260 — Gumbel extreme-value fit of monthly-maximum daily revenue
+# ---------------------------------------------------------------------------
+
+# Euler-Mascheroni and pi as literal doubles: both engines parse the
+# same decimal literal to the same IEEE double.
+_EV_LOC = (
+    "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)"
+    " - 0.5772156649015329 * (sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)"
+    " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+    " * 2.449489742783178 / 3.141592653589793))"
+)
+_EV_SCALE = (
+    "(sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)"
+    " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+    " * 2.449489742783178 / 3.141592653589793)"
+)
+
+_GUMBEL_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS d,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               // 100 AS x
+    FROM orders GROUP BY 1
+),
+monthly AS (
+    SELECT d // 30 AS period, CAST(MAX(x) AS BIGINT) AS mx
+    FROM daily GROUP BY 1
+),
+mom AS (
+    SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(mx) AS BIGINT) AS s1,
+           CAST(SUM(mx * mx) AS BIGINT) AS s2
+    FROM monthly
+)
+SELECT n, s1, s2,
+       CAST(round(1000.0 * {{_EV_LOC}}) AS BIGINT) AS loc_milli,
+       CAST(round(1000.0 * {{_EV_SCALE}}) AS BIGINT) AS scale_milli,
+       CAST(round(1000.0 * ({{_EV_LOC}} - {{_EV_SCALE}}
+            * ln(-ln(CAST(11 AS DOUBLE) / CAST(12 AS DOUBLE))))) AS BIGINT) AS rl12_milli
+FROM mom WHERE n >= 2 AND n * s2 > s1 * s1
+"""
+
+
+@_staged(
+    "x260_extreme_value_gumbel",
+    "OP-G6/T-ext",
+    "Gumbel extreme-value fit of 30-day-block maximum daily revenue "
+    "(method of moments): scale = sd*sqrt(6)/pi, location = mean - "
+    "gamma*scale, and the 12-block return level loc - scale*"
+    "ln(-ln(1-1/12)) — the 'how bad is a once-a-year peak' number "
+    "capacity planning reads, which mean/quantile profiles (x8, "
+    "x104) cannot give because extremes follow their own law. Block "
+    "maxima and both moment sums are exact BIGINT dollars; the "
+    "constants are shared decimal literals, so both engines run the "
+    "identical IEEE expression. Scale: day agg -> block-max agg -> "
+    "one 1-row moment frame.",
+    _GUMBEL_ORACLE.replace("{_EV_LOC}", _EV_LOC).replace(
+        "{_EV_SCALE}", _EV_SCALE
+    ),
+)
+def x260_extreme_value_gumbel(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr("unix_timestamp(o_orderdate) div 86400").alias("d")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+            " DIV 100"
+        ).alias("x")
+    )
+    monthly = daily.groupBy(F.expr("d DIV 30").alias("period")).agg(
+        F.max("x").cast("long").alias("mx")
+    )
+    mom = monthly.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("mx").cast("long").alias("s1"),
+        F.sum(F.expr("mx * mx")).cast("long").alias("s2"),
+    )
+    return mom.filter(
+        (F.col("n") >= 2) & (F.col("n") * F.col("s2") > F.col("s1") * F.col("s1"))
+    ).select(
+        "n",
+        "s1",
+        "s2",
+        F.expr(f"CAST(round(1000.0 * {_EV_LOC}) AS BIGINT)").alias(
+            "loc_milli"
+        ),
+        F.expr(f"CAST(round(1000.0 * {_EV_SCALE}) AS BIGINT)").alias(
+            "scale_milli"
+        ),
+        F.expr(
+            f"CAST(round(1000.0 * ({_EV_LOC} - {_EV_SCALE}"
+            " * ln(-ln(CAST(11 AS DOUBLE) / CAST(12 AS DOUBLE))))) AS BIGINT)"
+        ).alias("rl12_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x261 — capture-recapture (Chapman) estimate of the order population
+# ---------------------------------------------------------------------------
+
+_CRC_ORACLE = """
+WITH marks AS (
+    SELECT o_orderkey,
+           CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)
+                     IN ('0','1','2','3') THEN 1 ELSE 0 END AS in_a,
+           CASE WHEN substr(md5('b' || CAST(o_orderkey AS VARCHAR)), 1, 1)
+                     IN ('0','1','2','3') THEN 1 ELSE 0 END AS in_b
+    FROM orders
+),
+counts AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_true,
+           CAST(SUM(in_a) AS BIGINT) AS n1,
+           CAST(SUM(in_b) AS BIGINT) AS n2,
+           CAST(SUM(in_a * in_b) AS BIGINT) AS m
+    FROM marks
+)
+SELECT n_true, n1, n2, m,
+       CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 AS BIGINT) AS n_hat,
+       CAST(CASE WHEN (n1 + 1) * (n2 + 1) // (m + 1) - 1 >= n_true
+                 THEN ((n1 + 1) * (n2 + 1) // (m + 1) - 1 - n_true)
+                      * 1000000 // n_true
+                 ELSE -((n_true - ((n1 + 1) * (n2 + 1) // (m + 1) - 1))
+                        * 1000000 // n_true) END AS BIGINT) AS err_ppm
+FROM counts
+"""
+
+
+@_staged(
+    "x261_capture_recapture",
+    "OP-G5-ext",
+    "Capture-recapture population estimate (Chapman's nearly-"
+    "unbiased form) from two independent deterministic ~25% md5 "
+    "probes of the orderkey space: N_hat = (n1+1)(n2+1)/(m+1) - 1, "
+    "compared against the true count with signed error in ppm. The "
+    "ecology estimator is the right tool whenever two OVERLAPPING "
+    "partial feeds exist but the union is unobservable (two scraped "
+    "crawls, two vendor exports) — the audit says how well the "
+    "overlap predicts the total, and the md5 marks make both probes "
+    "reproducible. Scale: one scan, one global count frame (one "
+    "partial row per partition).",
+    _CRC_ORACLE,
+)
+def x261_capture_recapture(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    in_a = F.when(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).isin(
+            "0", "1", "2", "3"
+        ),
+        1,
+    ).otherwise(0)
+    in_b = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("b"), F.col("o_orderkey").cast("string"))),
+            1,
+            1,
+        ).isin("0", "1", "2", "3"),
+        1,
+    ).otherwise(0)
+    marks = o.select(in_a.alias("in_a"), in_b.alias("in_b"))
+    counts = marks.agg(
+        F.count("*").cast("long").alias("n_true"),
+        F.sum("in_a").cast("long").alias("n1"),
+        F.sum("in_b").cast("long").alias("n2"),
+        F.sum(F.expr("in_a * in_b")).cast("long").alias("m"),
+    )
+    return counts.select(
+        "n_true",
+        "n1",
+        "n2",
+        "m",
+        F.expr("CAST((n1 + 1) * (n2 + 1) DIV (m + 1) - 1 AS BIGINT)").alias(
+            "n_hat"
+        ),
+        F.expr(
+            "CAST(CASE WHEN (n1 + 1) * (n2 + 1) DIV (m + 1) - 1 >= n_true"
+            " THEN ((n1 + 1) * (n2 + 1) DIV (m + 1) - 1 - n_true)"
+            " * 1000000 DIV n_true"
+            " ELSE -((n_true - ((n1 + 1) * (n2 + 1) DIV (m + 1) - 1))"
+            " * 1000000 DIV n_true) END AS BIGINT)"
+        ).alias("err_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x262 — modularity of the 2-round LPA partition
+# ---------------------------------------------------------------------------
+
+_MOD_ORACLE = f"""
+WITH pk AS MATERIALIZED (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+e AS MATERIALIZED (
+    SELECT a.p AS u, b.p AS v
+    FROM pk a JOIN pk b ON a.o = b.o AND a.p < b.p
+    GROUP BY a.p, b.p HAVING count(*) >= 2
+),
+und AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+l0 AS MATERIALIZED (SELECT DISTINCT u AS n, u AS lab FROM und),
+{{_LPA_CTES}},
+m AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM und),
+deg AS (
+    SELECT la.lab AS community, CAST(count(*) AS BIGINT) AS d_sum
+    FROM und JOIN l{_LPA_ROUNDS} la ON und.u = la.n GROUP BY la.lab
+),
+internal AS (
+    SELECT la.lab AS community, CAST(count(*) AS BIGINT) AS m2_in
+    FROM und
+    JOIN l{_LPA_ROUNDS} la ON und.u = la.n
+    JOIN l{_LPA_ROUNDS} lb ON und.v = lb.n
+    WHERE la.lab = lb.lab
+    GROUP BY la.lab
+),
+sz AS (
+    SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_members
+    FROM l{_LPA_ROUNDS} GROUP BY lab
+),
+terms AS (
+    SELECT s.community, s.n_members,
+           COALESCE(i.m2_in, 0) // 2 AS internal_edges, d.d_sum,
+           CAST(COALESCE(i.m2_in, 0) * m.m2 - d.d_sum * d.d_sum AS BIGINT)
+               AS t_num
+    FROM sz s
+    JOIN deg d ON d.community = s.community
+    LEFT JOIN internal i ON i.community = s.community
+    CROSS JOIN m
+),
+q AS (
+    SELECT CAST(SUM(t_num) AS BIGINT) AS q_num,
+           CAST(any_value(m.m2) * any_value(m.m2) AS BIGINT) AS q_den
+    FROM terms CROSS JOIN m
+)
+SELECT t.community, t.n_members, t.internal_edges, t.d_sum,
+       CAST(CASE WHEN q.q_num >= 0 THEN q.q_num * 1000000 // q.q_den
+                 ELSE -((-q.q_num) * 1000000 // q.q_den) END AS BIGINT)
+           AS q_ppm
+FROM terms t CROSS JOIN q
+ORDER BY t.community
+"""
+
+
+@_staged(
+    "x262_modularity_score",
+    "OP-X2-ext",
+    "Newman modularity of the x246 2-round LPA partition over the "
+    "co-order graph: Q = sum_c (m_in_c/m - (d_c/2m)^2), computed "
+    "from exact directed-edge counts as Q_ppm = sum(2*m_in_c*2m - "
+    "d_c^2) / (2m)^2 in one signed integer division — the number "
+    "that says whether the communities x246 found are real structure "
+    "(Q >> 0) or noise (Q ~ 0), reported per community alongside "
+    "member/edge/degree counts. Scale: two label joins against the "
+    "checkpointed edge list (the x127 discipline) + community-sized "
+    "aggregates; the global edge count is a 1-row broadcast.",
+    _MOD_ORACLE.replace("{_LPA_CTES}", _lpa_round_ctes()),
+)
+def x262_modularity_score(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    pk = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = pk.alias("a"), pk.alias("b")
+    e = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count("*").alias("wt"))
+        .filter(F.col("wt") >= 2)
+        .select("u", "v")
+    )
+    und = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    lab = und.select(F.col("u").alias("n"), F.col("u").alias("lab")).distinct()
+    for _ in range(_LPA_ROUNDS):
+        lab = lab.localCheckpoint(eager=True)
+        cnt = (
+            und.join(lab, und.v == lab.n)
+            .groupBy(und.u.alias("node"), "lab")
+            .agg(F.count("*").alias("cnt"))
+        )
+        lab = (
+            cnt.groupBy("node")
+            .agg(F.min(F.struct(-F.col("cnt"), F.col("lab"))).alias("best"))
+            .select(F.col("node").alias("n"), F.col("best.lab").alias("lab"))
+        )
+    lab = lab.localCheckpoint(eager=True)
+    m = und.agg(F.count("*").cast("long").alias("m2"))
+    la = lab.select(F.col("n").alias("u"), F.col("lab").alias("lab_u"))
+    lb = lab.select(F.col("n").alias("v"), F.col("lab").alias("lab_v"))
+    tagged = und.join(la, "u").join(lb, "v")
+    deg = tagged.groupBy(F.col("lab_u").alias("community")).agg(
+        F.count("*").cast("long").alias("d_sum")
+    )
+    internal = (
+        tagged.filter(F.col("lab_u") == F.col("lab_v"))
+        .groupBy(F.col("lab_u").alias("community"))
+        .agg(F.count("*").cast("long").alias("m2_in"))
+    )
+    sz = lab.groupBy(F.col("lab").alias("community")).agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+    terms = (
+        sz.join(deg, "community")
+        .join(internal, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            "n_members",
+            F.expr("COALESCE(m2_in, 0) DIV 2").cast("long").alias(
+                "internal_edges"
+            ),
+            "d_sum",
+            F.expr(
+                "CAST(COALESCE(m2_in, 0) * m2 - d_sum * d_sum AS BIGINT)"
+            ).alias("t_num"),
+            "m2",
+        )
+    )
+    wall = Window.partitionBy()
+    q = terms.select(
+        "community",
+        "n_members",
+        "internal_edges",
+        "d_sum",
+        F.sum("t_num").over(wall).cast("long").alias("q_num"),
+        (F.col("m2") * F.col("m2")).cast("long").alias("q_den"),
+    )
+    return q.select(
+        "community",
+        "n_members",
+        "internal_edges",
+        "d_sum",
+        F.expr(
+            "CAST(CASE WHEN q_num >= 0 THEN q_num * 1000000 DIV q_den"
+            " ELSE -((-q_num) * 1000000 DIV q_den) END AS BIGINT)"
+        ).alias("q_ppm"),
+    ).orderBy("community")
+
+
+# ---------------------------------------------------------------------------
+# x263 — Adamic-Adar link prediction (log-damped shared neighbors)
+# ---------------------------------------------------------------------------
+
+_AA_TOPK = 50
+
+_AA_ORACLE = f"""
+WITH pk AS MATERIALIZED (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+e AS MATERIALIZED (
+    SELECT a.p AS u, b.p AS v
+    FROM pk a JOIN pk b ON a.o = b.o AND a.p < b.p
+    GROUP BY a.p, b.p HAVING count(*) >= 2
+),
+und AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+deg AS MATERIALIZED (
+    SELECT u AS n, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY u
+),
+wn AS (
+    SELECT n, CAST(floor(1000000000.0 / ln(CAST(d AS DOUBLE))) AS BIGINT)
+           AS w_nano
+    FROM deg WHERE d >= 2
+),
+cand AS (
+    SELECT a.u AS u, b.u AS v,
+           CAST(count(*) AS BIGINT) AS common,
+           CAST(SUM(w.w_nano) AS BIGINT) AS aa_nano
+    FROM und a
+    JOIN und b ON a.v = b.v AND a.u < b.u
+    JOIN wn w ON w.n = a.v
+    GROUP BY a.u, b.u
+),
+nonedge AS (
+    SELECT c.u, c.v, c.common, c.aa_nano FROM cand c
+    LEFT JOIN e ON e.u = c.u AND e.v = c.v
+    WHERE e.u IS NULL
+)
+SELECT u, v, common, aa_nano
+FROM nonedge
+ORDER BY aa_nano DESC, u, v
+LIMIT {_AA_TOPK}
+"""
+
+
+@_staged(
+    "x263_adamic_adar",
+    "OP-X2-ext",
+    "Adamic-Adar link prediction on the co-order graph: each shared "
+    "neighbor contributes 1/ln(degree) — rare mutual neighbors count "
+    "more than promiscuous hubs, the refinement that beats raw "
+    "common-neighbor counts (x247) on hub-heavy graphs. Per-neighbor "
+    "weights are nano-floored BIGINTs (identical double in, "
+    "identical floor out), so pair scores are exact integer sums "
+    "immune to accumulation order; existing edges are anti-joined "
+    f"out and the top-{_AA_TOPK} uses the total (score DESC, u, v) "
+    "order. Scale: same neighbor-keyed candidate join as x247 with "
+    "the weight broadcast from the node-degree aggregate.",
+    _AA_ORACLE,
+)
+def x263_adamic_adar(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    pk = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = pk.alias("a"), pk.alias("b")
+    e = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count("*").alias("wt"))
+        .filter(F.col("wt") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy(F.col("u").alias("n")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    wn = deg.filter(F.col("d") >= 2).select(
+        "n",
+        F.expr(
+            "CAST(floor(1000000000.0 / ln(CAST(d AS DOUBLE))) AS BIGINT)"
+        ).alias("w_nano"),
+    )
+    x, y = und.alias("x"), und.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.v") == F.col("y.v")) & (F.col("x.u") < F.col("y.u")),
+        )
+        .join(F.broadcast(wn), F.col("x.v") == F.col("n"))
+        .groupBy(F.col("x.u").alias("cu"), F.col("y.u").alias("cv"))
+        .agg(
+            F.count("*").cast("long").alias("common"),
+            F.sum("w_nano").cast("long").alias("aa_nano"),
+        )
+    )
+    nonedge = cand.join(
+        e, (cand.cu == e.u) & (cand.cv == e.v), "left_anti"
+    )
+    return (
+        nonedge.select(
+            F.col("cu").alias("u"),
+            F.col("cv").alias("v"),
+            "common",
+            "aa_nano",
+        )
+        .orderBy(F.col("aa_nano").desc(), "u", "v")
+        .limit(_AA_TOPK)
+    )
 
 
 # --- round-9 registration footer (commented until round 9) ---

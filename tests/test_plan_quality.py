@@ -256,6 +256,10 @@ _SINGLE_PARTITION_OK = {
     "x243_vocab_coverage_curve": "rank window + corpus-total scalar over the bounded TakeOrdered top-10k vocab frame",
     "x245_twonn_intrinsic_dim": "final 1-row estimator agg: one partial row per partition after the keyed NN stages",
     "x257_l28_histogram": "window-anchor scalar (max day) over the deduped user-day table, broadcast back",
+    "x259_anova_oneway": "grand moment rollup over the 5-row segment frame: one partial row per partition",
+    "x260_extreme_value_gumbel": "1-row Gumbel moment frame over the <=|30-day blocks| maxima",
+    "x261_capture_recapture": "global mark counts: one partial row per partition into the 1-row Chapman frame",
+    "x262_modularity_score": "global Q window over the <=|communities| term frame; edge total is a 1-row broadcast",
 }
 
 

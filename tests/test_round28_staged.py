@@ -37,7 +37,7 @@ def test_round28_not_yet_registered():
 
     leaked = set(STAGED) & set(REGISTRY)
     assert not leaked, f"staged entries registered early: {leaked}"
-    assert len(STAGED) == 24
+    assert len(STAGED) == 29
 
 
 # ---------------------------------------------------------------------------
@@ -238,3 +238,47 @@ def test_mahalanobis_outliers_are_extreme(spark):
     scores = [r.m2_milli for r in rows]
     assert scores == sorted(scores, reverse=True)
     assert scores[0] >= 2000  # top outlier is > sqrt(2) sd out on average
+
+
+def test_anova_decomposition_consistent(spark):
+    row = STAGED["x259_anova_oneway"].spark(spark, SFS[1]).collect()[0]
+    assert row.k == 5 and row.n > 0
+    assert row.ssb_milli >= 0 and row.ssw_milli > 0
+    assert 0 <= row.eta2_ppm <= 1_000_000
+    # eta2 must equal SSB/(SSB+SSW) in ppm exactly
+    assert row.eta2_ppm == row.ssb_milli * 1_000_000 // (
+        row.ssb_milli + row.ssw_milli
+    )
+
+
+def test_gumbel_return_level_dominates_location(spark):
+    row = STAGED["x260_extreme_value_gumbel"].spark(spark, SFS[1]).collect()[0]
+    assert row.scale_milli > 0
+    # -ln(-ln(11/12)) > 0, so the 12-block return level sits above loc
+    assert row.rl12_milli > row.loc_milli
+
+
+def test_capture_recapture_close_to_truth(spark):
+    row = STAGED["x261_capture_recapture"].spark(spark, SFS[1]).collect()[0]
+    # two ~25% probes of a 15k population: Chapman lands within ~10%
+    assert abs(row.err_ppm) < 100_000
+    assert row.m <= min(row.n1, row.n2)
+
+
+def test_modularity_matches_term_arithmetic(spark):
+    rows = STAGED["x262_modularity_score"].spark(spark, SFS[1]).collect()
+    assert rows
+    q = {r.q_ppm for r in rows}
+    assert len(q) == 1  # one partition-level Q repeated per community
+    # internal edge mass can never exceed half the degree mass
+    for r in rows:
+        assert 2 * r.internal_edges <= r.d_sum
+
+
+def test_adamic_adar_ranks_within_common_neighbors(spark):
+    rows = STAGED["x263_adamic_adar"].spark(spark, SFS[1]).collect()
+    assert rows
+    for r in rows:
+        # each shared neighbor contributes at most 1/ln(2) ~ 1.4427e9 nano
+        assert r.aa_nano <= r.common * 1_442_695_041
+        assert r.aa_nano > 0
