@@ -134,6 +134,10 @@ Fifth wave — classical inference + graph structure metrology:
   integer division, reported with per-community structure counts.
 * ``x263_adamic_adar`` — log-damped shared-neighbor link scores
   (nano-floored 1/ln(degree) weights sum exactly), completing x247.
+* ``x264_degree_assortativity`` — Newman's degree-correlation r over
+  directed edges, exact BIGINT moments, one shared IEEE ratio.
+* ``x265_clustering_coefficient`` — global 3*triangles/wedges in
+  exact ppm (oriented two-hop triangle join, degree-sum wedges).
 
 Hash-parity conventions as plans/queries.py: exact cents/BIGINT
 arithmetic until one shared IEEE expression, total ORDER BY, BIGINT
@@ -3165,6 +3169,197 @@ def x263_adamic_adar(spark, sf_dir):
         )
         .orderBy(F.col("aa_nano").desc(), "u", "v")
         .limit(_AA_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# x264 — degree assortativity of the co-order graph
+# ---------------------------------------------------------------------------
+
+_ASSORT_R = (
+    "round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)"
+)
+
+_ASSORT_ORACLE = f"""
+WITH pk AS MATERIALIZED (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+e AS MATERIALIZED (
+    SELECT a.p AS u, b.p AS v
+    FROM pk a JOIN pk b ON a.o = b.o AND a.p < b.p
+    GROUP BY a.p, b.p HAVING count(*) >= 2
+),
+und AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+deg AS MATERIALIZED (
+    SELECT u AS n, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY u
+),
+pairs AS (
+    SELECT du.d AS x, dv.d AS y
+    FROM und JOIN deg du ON und.u = du.n JOIN deg dv ON und.v = dv.n
+),
+s AS (
+    SELECT CAST(count(*) AS BIGINT) AS m,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(y * y) AS BIGINT) AS syy
+    FROM pairs
+)
+SELECT m, sx, sxy, sxx,
+       {{_ASSORT_R}} AS assortativity
+FROM s WHERE m * sxx > sx * sx AND m * syy > sy * sy
+"""
+
+
+@_staged(
+    "x264_degree_assortativity",
+    "OP-X2-ext",
+    "Degree assortativity of the weight>=2 co-order graph: the "
+    "Pearson correlation of endpoint degrees over all DIRECTED "
+    "edges (the standard Newman r) — positive r means hubs wire to "
+    "hubs (a dense rich-club core that concentrates any keyed "
+    "shuffle), negative means hub-and-spoke (broadcast-friendly). "
+    "The one number that predicts which join strategy the graph "
+    "family (x43 pagerank, x127 k-core, x246 LPA) needs at 100 TB. "
+    "All five moment sums are exact BIGINT over the edge list; r is "
+    "one shared IEEE expression. By symmetry of the directed edge "
+    "set sx = sy and sxx = syy, so the output carries one of each. "
+    "Scale: two degree joins against the node aggregate + one global "
+    "moment frame (one partial row per partition).",
+    _ASSORT_ORACLE.replace("{_ASSORT_R}", _ASSORT_R),
+)
+def x264_degree_assortativity(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    pk = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = pk.alias("a"), pk.alias("b")
+    e = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count("*").alias("wt"))
+        .filter(F.col("wt") >= 2)
+        .select("u", "v")
+    )
+    und = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    deg = und.groupBy(F.col("u").alias("n")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("x"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("y"))
+    pairs = und.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    s = pairs.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("x * y")).cast("long").alias("sxy"),
+        F.sum(F.expr("x * x")).cast("long").alias("sxx"),
+        F.sum(F.expr("y * y")).cast("long").alias("syy"),
+    )
+    return s.filter(
+        (F.col("m") * F.col("sxx") > F.col("sx") * F.col("sx"))
+        & (F.col("m") * F.col("syy") > F.col("sy") * F.col("sy"))
+    ).select("m", "sx", "sxy", "sxx", F.expr(_ASSORT_R).alias("assortativity"))
+
+
+# ---------------------------------------------------------------------------
+# x265 — global clustering coefficient (triangles / wedges)
+# ---------------------------------------------------------------------------
+
+_CLUSTER_ORACLE = """
+WITH pk AS MATERIALIZED (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+e AS MATERIALIZED (
+    SELECT a.p AS u, b.p AS v
+    FROM pk a JOIN pk b ON a.o = b.o AND a.p < b.p
+    GROUP BY a.p, b.p HAVING count(*) >= 2
+),
+und AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+deg AS (
+    SELECT u AS n, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY u
+),
+tri AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_tri
+    FROM e e1 JOIN e e2 ON e2.u = e1.v AND e2.v > e1.v
+              JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+wedge AS (
+    SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg
+)
+SELECT t.n_tri, w.n_wedges,
+       CAST(3 * t.n_tri * 1000000 // w.n_wedges AS BIGINT)
+           AS clustering_ppm
+FROM tri t CROSS JOIN wedge w
+WHERE w.n_wedges > 0
+"""
+
+
+@_staged(
+    "x265_clustering_coefficient",
+    "OP-X2-ext",
+    "Global clustering coefficient of the weight>=2 co-order graph: "
+    "3 * triangles / wedges in exact ppm — triangles from the "
+    "oriented two-hop join (each triangle counted exactly once, the "
+    "x103 shape), wedges as the exact sum d*(d-1)/2 over the degree "
+    "table. High clustering + positive assortativity (x264) is the "
+    "signature of a community-structured graph where x246's LPA is "
+    "meaningful; near-zero clustering says the co-order signal is "
+    "bipartite-ish noise. Scale: the triangle join is keyed on the "
+    "shared endpoint with the oriented (u < v) pruning; wedges are "
+    "one node-sized aggregate.",
+    _CLUSTER_ORACLE,
+)
+def x265_clustering_coefficient(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    pk = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = pk.alias("a"), pk.alias("b")
+    e = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count("*").alias("wt"))
+        .filter(F.col("wt") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy(F.col("u").alias("n")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    e1 = e.select(F.col("u").alias("t_u"), F.col("v").alias("t_v"))
+    e2 = e.select(F.col("u").alias("w_u"), F.col("v").alias("w_v"))
+    e3 = e.select(F.col("u").alias("c_u"), F.col("v").alias("c_v"))
+    tri = (
+        e1.join(e2, (F.col("w_u") == F.col("t_v")) & (F.col("w_v") > F.col("t_v")))
+        .join(
+            e3,
+            (F.col("c_u") == F.col("t_u")) & (F.col("c_v") == F.col("w_v")),
+            "left_semi",
+        )
+        .agg(F.count("*").cast("long").alias("n_tri"))
+    )
+    wedge = deg.agg(
+        F.sum(F.expr("d * (d - 1) DIV 2")).cast("long").alias("n_wedges")
+    )
+    return (
+        tri.crossJoin(F.broadcast(wedge))
+        .filter(F.col("n_wedges") > 0)
+        .select(
+            "n_tri",
+            "n_wedges",
+            F.expr(
+                "CAST(3 * n_tri * 1000000 DIV n_wedges AS BIGINT)"
+            ).alias("clustering_ppm"),
+        )
     )
 
 

@@ -260,6 +260,8 @@ _SINGLE_PARTITION_OK = {
     "x260_extreme_value_gumbel": "1-row Gumbel moment frame over the <=|30-day blocks| maxima",
     "x261_capture_recapture": "global mark counts: one partial row per partition into the 1-row Chapman frame",
     "x262_modularity_score": "global Q window over the <=|communities| term frame; edge total is a 1-row broadcast",
+    "x264_degree_assortativity": "global edge-moment frame: one partial row per partition after the keyed degree joins",
+    "x265_clustering_coefficient": "1-row triangle and wedge scalars after the keyed two-hop join",
 }
 
 

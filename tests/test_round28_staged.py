@@ -37,7 +37,7 @@ def test_round28_not_yet_registered():
 
     leaked = set(STAGED) & set(REGISTRY)
     assert not leaked, f"staged entries registered early: {leaked}"
-    assert len(STAGED) == 29
+    assert len(STAGED) == 31
 
 
 # ---------------------------------------------------------------------------
@@ -282,3 +282,17 @@ def test_adamic_adar_ranks_within_common_neighbors(spark):
         # each shared neighbor contributes at most 1/ln(2) ~ 1.4427e9 nano
         assert r.aa_nano <= r.common * 1_442_695_041
         assert r.aa_nano > 0
+
+
+def test_assortativity_is_a_correlation(spark):
+    row = STAGED["x264_degree_assortativity"].spark(spark, SFS[1]).collect()[0]
+    assert -1.0 <= row.assortativity <= 1.0
+    assert row.m > 0 and row.m % 2 == 0  # directed edge count is even
+
+
+def test_clustering_consistent_with_triangle_bound(spark):
+    row = (
+        STAGED["x265_clustering_coefficient"].spark(spark, SFS[1]).collect()[0]
+    )
+    assert 0 <= row.clustering_ppm <= 1_000_000
+    assert 3 * row.n_tri <= row.n_wedges  # every triangle closes 3 wedges
