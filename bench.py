@@ -98,10 +98,11 @@ HEADLINE = [
     # tracked next to x150 so the cap's cost/benefit stays measured
     "x227_winnow_capped",
     # round-28 staged heavies, pre-wired (runner skips names not in
-    # REGISTRY; these activate when the round-9 footer flips): TwoNN
-    # all-pairs NN, 2-round label propagation, FIFO interval matching,
-    # rescaled-range Hurst
-    "x245_twonn_intrinsic_dim",
+    # REGISTRY; these activate when the round-9 footer flips): 2-round
+    # label propagation, FIFO interval matching, rescaled-range Hurst.
+    # x245 TwoNN is deliberately NOT tracked: its certified form is the
+    # exact all-pairs gram (41 s at sf0.1 — measured, documented); the
+    # production path is SRP-bucketed candidates per its docstring.
     "x246_label_propagation",
     "x251_fifo_cost_basis",
     "x237_hurst_rs",
