@@ -2205,7 +2205,7 @@ _HURST_ORACLE = f"""
 WITH daily AS (
     SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS d,
            CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-               // 100 AS x
+               // 100000 AS x
     FROM orders GROUP BY 1
 ),
 rn AS (
@@ -2269,7 +2269,10 @@ FROM ols ORDER BY scale
     "OP-W4/T-ext",
     "Hurst exponent of the daily-revenue series by classical "
     f"rescaled-range analysis at dyadic scales {_RS_SCALES}: the "
-    "series splits into complete s-day blocks, the cumulative-"
+    "series (exact BIGINT KILOdollars — dollar units overflowed "
+    "s*sx2 at the 10x replica sweep, the x202 catch class; "
+    "kilodollar units hold to ~5000x) "
+    "splits into complete s-day blocks, the cumulative-"
     "deviation range is computed in the SCALED identity R*s = "
     "max(s*cum_t - t*sumx) - min(...) (exact BIGINT — no per-block "
     "float mean), the block sd enters once as sqrt(s*sx2 - sx^2), "
@@ -2291,7 +2294,7 @@ def x237_hurst_rs(spark, sf_dir):
     ).agg(
         F.expr(
             "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
-            " DIV 100"
+            " DIV 100000"
         ).alias("x")
     )
     rn = daily.select(
@@ -2744,7 +2747,7 @@ _GUMBEL_ORACLE = f"""
 WITH daily AS (
     SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS d,
            CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-               // 100 AS x
+               // 100000 AS x
     FROM orders GROUP BY 1
 ),
 monthly AS (
@@ -2774,7 +2777,9 @@ FROM mom WHERE n >= 2 AND n * s2 > s1 * s1
     "ln(-ln(1-1/12)) — the 'how bad is a once-a-year peak' number "
     "capacity planning reads, which mean/quantile profiles (x8, "
     "x104) cannot give because extremes follow their own law. Block "
-    "maxima and both moment sums are exact BIGINT dollars; the "
+    "maxima and both moment sums are exact BIGINT KILOdollars (the "
+    "replica sweep overflowed the dollar-unit square sums at 10x — "
+    "the x202/x237 catch class; kilodollar units hold to ~5000x); the "
     "constants are shared decimal literals, so both engines run the "
     "identical IEEE expression. Scale: day agg -> block-max agg -> "
     "one 1-row moment frame.",
@@ -2789,7 +2794,7 @@ def x260_extreme_value_gumbel(spark, sf_dir):
     ).agg(
         F.expr(
             "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
-            " DIV 100"
+            " DIV 100000"
         ).alias("x")
     )
     monthly = daily.groupBy(F.expr("d DIV 30").alias("period")).agg(
