@@ -187,10 +187,10 @@ lv AS (
     FROM cell
 )
 SELECT region, nation, segment, cents,
-       CAST(cents * 1000000 // nation_cents AS BIGINT) AS seg_share_ppm,
-       CAST(nation_cents * 1000000 // region_cents AS BIGINT)
+       CAST((cents * 1000 // nation_cents) * 1000 + ((cents * 1000 % nation_cents) * 1000) // nation_cents AS BIGINT) AS seg_share_ppm,
+       CAST((nation_cents * 1000 // region_cents) * 1000 + ((nation_cents * 1000 % region_cents) * 1000) // region_cents AS BIGINT)
            AS nation_share_ppm,
-       CAST(region_cents * 1000000 // grand_cents AS BIGINT)
+       CAST((region_cents * 1000 // grand_cents) * 1000 + ((region_cents * 1000 % grand_cents) * 1000) // grand_cents AS BIGINT)
            AS region_share_ppm
 FROM lv ORDER BY region, nation, segment
 """
@@ -247,14 +247,14 @@ def x235_percent_of_parent(spark, sf_dir):
         "nation",
         "segment",
         "cents",
-        F.expr("CAST(cents * 1000000 DIV nation_cents AS BIGINT)").alias(
+        F.expr("CAST((cents * 1000 DIV nation_cents) * 1000 + ((cents * 1000 % nation_cents) * 1000) DIV nation_cents AS BIGINT)").alias(
             "seg_share_ppm"
         ),
         F.expr(
-            "CAST(nation_cents * 1000000 DIV region_cents AS BIGINT)"
+            "CAST((nation_cents * 1000 DIV region_cents) * 1000 + ((nation_cents * 1000 % region_cents) * 1000) DIV region_cents AS BIGINT)"
         ).alias("nation_share_ppm"),
         F.expr(
-            "CAST(region_cents * 1000000 DIV grand_cents AS BIGINT)"
+            "CAST((region_cents * 1000 DIV grand_cents) * 1000 + ((region_cents * 1000 % grand_cents) * 1000) DIV grand_cents AS BIGINT)"
         ).alias("region_share_ppm"),
     ).orderBy("region", "nation", "segment")
 
@@ -519,7 +519,10 @@ agg AS (
     FROM ranked GROUP BY segment
 )
 SELECT segment, n_pos, n_neg,
-       CAST((r1_2 - n_pos * (n_pos + 1)) * 1000000 // (2 * n_pos * n_neg)
+       CAST(((r1_2 - n_pos * (n_pos + 1)) * 1000 // (2 * n_pos * n_neg))
+            * 1000
+            + (((r1_2 - n_pos * (n_pos + 1)) * 1000 % (2 * n_pos * n_neg))
+               * 1000) // (2 * n_pos * n_neg)
             AS BIGINT) AS auc_ppm
 FROM agg WHERE n_pos > 0 AND n_neg > 0
 ORDER BY segment
@@ -579,7 +582,10 @@ def x241_auc_exact(spark, sf_dir):
             "n_pos",
             "n_neg",
             F.expr(
-                "CAST((r1_2 - n_pos * (n_pos + 1)) * 1000000"
+                "CAST(((r1_2 - n_pos * (n_pos + 1)) * 1000"
+                " DIV (2 * n_pos * n_neg)) * 1000"
+                " + (((r1_2 - n_pos * (n_pos + 1)) * 1000"
+                " % (2 * n_pos * n_neg)) * 1000)"
                 " DIV (2 * n_pos * n_neg) AS BIGINT)"
             ).alias("auc_ppm"),
         )
@@ -2637,7 +2643,7 @@ WITH x AS (
 g AS (
     SELECT seg, CAST(count(*) AS BIGINT) AS n_g,
            CAST(SUM(v) AS BIGINT) AS s1, CAST(SUM(v * v) AS BIGINT) AS s2,
-           CAST(SUM(v) * SUM(v) * 1000 // count(*) AS BIGINT) AS t_milli
+           CAST((SUM(v) * SUM(v) // count(*)) * 1000 + ((SUM(v) * SUM(v) % count(*)) * 1000) // count(*) AS BIGINT) AS t_milli
     FROM x GROUP BY seg
 ),
 tot AS (
@@ -2649,14 +2655,14 @@ tot AS (
 ),
 ss AS (
     SELECT k, n,
-           CAST(t_all_milli - s1_all * s1_all * 1000 // n AS BIGINT)
+           CAST(t_all_milli - ((s1_all * s1_all // n) * 1000 + ((s1_all * s1_all % n) * 1000) // n) AS BIGINT)
                AS ssb_milli,
            CAST(s2_all * 1000 - t_all_milli AS BIGINT) AS ssw_milli
     FROM tot
 )
 SELECT k, n, ssb_milli, ssw_milli,
        {{_ANOVA_F}} AS f_stat,
-       CAST(ssb_milli * 1000000 // (ssb_milli + ssw_milli) AS BIGINT)
+       CAST((ssb_milli * 1000 // (ssb_milli + ssw_milli)) * 1000 + ((ssb_milli * 1000 % (ssb_milli + ssw_milli)) * 1000) // (ssb_milli + ssw_milli) AS BIGINT)
            AS eta2_ppm
 FROM ss
 """
@@ -2690,9 +2696,11 @@ def x259_anova_oneway(spark, sf_dir):
         F.count("*").cast("long").alias("n_g"),
         F.sum("v").cast("long").alias("s1"),
         F.sum(F.expr("v * v")).cast("long").alias("s2"),
-        F.expr("CAST(SUM(v) * SUM(v) * 1000 DIV count(*) AS BIGINT)").alias(
-            "t_milli"
-        ),
+        F.expr(
+            "CAST((SUM(v) * SUM(v) DIV count(*)) * 1000"
+            " + ((SUM(v) * SUM(v) % count(*)) * 1000) DIV count(*)"
+            " AS BIGINT)"
+        ).alias("t_milli"),
     )
     tot = g.agg(
         F.count("*").cast("long").alias("k"),
@@ -2705,7 +2713,7 @@ def x259_anova_oneway(spark, sf_dir):
         "k",
         "n",
         F.expr(
-            "CAST(t_all_milli - s1_all * s1_all * 1000 DIV n AS BIGINT)"
+            "CAST(t_all_milli - ((s1_all * s1_all DIV n) * 1000 + ((s1_all * s1_all % n) * 1000) DIV n) AS BIGINT)"
         ).alias("ssb_milli"),
         F.expr("CAST(s2_all * 1000 - t_all_milli AS BIGINT)").alias(
             "ssw_milli"
@@ -2718,7 +2726,7 @@ def x259_anova_oneway(spark, sf_dir):
         "ssw_milli",
         F.expr(_ANOVA_F).alias("f_stat"),
         F.expr(
-            "CAST(ssb_milli * 1000000 DIV (ssb_milli + ssw_milli) AS BIGINT)"
+            "CAST((ssb_milli * 1000 DIV (ssb_milli + ssw_milli)) * 1000 + ((ssb_milli * 1000 % (ssb_milli + ssw_milli)) * 1000) DIV (ssb_milli + ssw_milli) AS BIGINT)"
         ).alias("eta2_ppm"),
     )
 
@@ -2960,8 +2968,12 @@ q AS (
     FROM terms CROSS JOIN m
 )
 SELECT t.community, t.n_members, t.internal_edges, t.d_sum,
-       CAST(CASE WHEN q.q_num >= 0 THEN q.q_num * 1000000 // q.q_den
-                 ELSE -((-q.q_num) * 1000000 // q.q_den) END AS BIGINT)
+       CAST(CASE WHEN q.q_num >= 0
+                 THEN (q.q_num * 1000 // q.q_den) * 1000
+                      + ((q.q_num * 1000 % q.q_den) * 1000) // q.q_den
+                 ELSE -(((-q.q_num) * 1000 // q.q_den) * 1000
+                        + (((-q.q_num) * 1000 % q.q_den) * 1000) // q.q_den)
+            END AS BIGINT)
            AS q_ppm
 FROM terms t CROSS JOIN q
 ORDER BY t.community
@@ -3059,8 +3071,12 @@ def x262_modularity_score(spark, sf_dir):
         "internal_edges",
         "d_sum",
         F.expr(
-            "CAST(CASE WHEN q_num >= 0 THEN q_num * 1000000 DIV q_den"
-            " ELSE -((-q_num) * 1000000 DIV q_den) END AS BIGINT)"
+            "CAST(CASE WHEN q_num >= 0"
+            " THEN (q_num * 1000 DIV q_den) * 1000"
+            " + ((q_num * 1000 % q_den) * 1000) DIV q_den"
+            " ELSE -(((-q_num) * 1000 DIV q_den) * 1000"
+            " + (((-q_num) * 1000 % q_den) * 1000) DIV q_den)"
+            " END AS BIGINT)"
         ).alias("q_ppm"),
     ).orderBy("community")
 

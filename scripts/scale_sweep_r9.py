@@ -111,7 +111,10 @@ def ensure_events(spark, factor: int, out_dir: str) -> None:
 
 def main():
     factors = [int(a) for a in sys.argv[1:]] or [1, 10, 100]
-    spark = get_spark(app_name="scale_sweep_r9")
+    spark = get_spark(
+        app_name="scale_sweep_r9",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     from ravelytics_spark.plans.queries import REGISTRY
