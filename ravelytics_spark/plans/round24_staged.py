@@ -779,10 +779,15 @@ def x150_winnow_dup_spans(spark, sf_dir):
     fps = (
         kh.select("doc_id", F.min("h").over(wWin).alias("fp"))
         .distinct()
-        # eager lineage cut (the x91 lesson): both sides of the pair
-        # self-join consume this frame — without it the per-char
-        # explode+md5+window pipeline executes twice.
-        .localCheckpoint(eager=True)
+        # NO lineage cut here, deliberately (measured, round 8): with
+        # only the two pair-join sides consuming the frame, a
+        # DISK_ONLY checkpoint materializes ~0.22 rows/char to disk
+        # for 259 s at the 100x sweep vs 203.6 s recomputing the
+        # explode+md5+window pipeline twice — the cut only pays from
+        # three consumers up (x227, whose capped form also reads it
+        # for the hot-bucket agg, runs 72 s at the same scale). A
+        # MEMORY-backed cut is worse than either: it starved the hash
+        # aggs outright (AGGREGATE_OUT_OF_MEMORY at 100x).
     )
     a, b = fps.alias("a"), fps.alias("b")
     pairs = (

@@ -64,6 +64,8 @@ casts on every count.
 
 from __future__ import annotations
 
+from pyspark.storagelevel import StorageLevel
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -184,7 +186,12 @@ def x227_winnow_capped(spark, sf_dir):
     # eager lineage cut (the x91 lesson): the fingerprint frame feeds
     # the hot-bucket agg AND both sides of the pair self-join — without
     # it the explode+md5+window pipeline executes three times.
-    fps = winnow_fingerprints(d).localCheckpoint(eager=True)
+    # DISK_ONLY (the x150 100x-sweep lesson): memory-resident caching
+    # of the ~0.22/char fingerprint frame starves the hash aggs at
+    # scale; a disk-backed cut keeps execution memory whole.
+    fps = winnow_fingerprints(d).localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
     hot = (
         fps.groupBy("fp")
         .agg(F.count("*").alias("c"))

@@ -2655,7 +2655,7 @@ tot AS (
 ),
 ss AS (
     SELECT k, n,
-           CAST(t_all_milli - ((s1_all * s1_all // n) * 1000 + ((s1_all * s1_all % n) * 1000) // n) AS BIGINT)
+           CAST(round(CAST(t_all_milli AS DOUBLE) - CAST(s1_all AS DOUBLE) * CAST(s1_all AS DOUBLE) * 1000.0 / CAST(n AS DOUBLE)) AS BIGINT)
                AS ssb_milli,
            CAST(s2_all * 1000 - t_all_milli AS BIGINT) AS ssw_milli
     FROM tot
@@ -2674,9 +2674,14 @@ FROM ss
     "One-way ANOVA of order value (kilodollar units, the x253 "
     "overflow discipline) across customer segments: per-group "
     "correction terms S1^2*1000 DIV n_g stay exact BIGINT MILLI "
-    "sums, so SSB = sum(t_g) - T^2/N and SSW = 1000*S2 - sum(t_g) "
-    "are exact integers and only the final F ratio is one shared "
-    "IEEE expression; eta-squared effect size lands in exact ppm. "
+    "sums (two-stage division; per-group squares hold to ~300x "
+    "sf0.1), while the GLOBAL correction T^2*1000/N goes through "
+    "one shared IEEE double and rounds back to milli — the 100x "
+    "sweep overflowed both the naive and the two-stage integer "
+    "forms (T^2 itself breaches BIGINT), the x202 catch class "
+    "resolved by the x49 identical-expression convention instead. "
+    "SSW stays exact; F and ppm eta-squared derive from the milli "
+    "frame. "
     "The does-the-grouping-matter gate x168 (two groups, rank-based) "
     "and x116 (categorical chi-square) both lack for k-group "
     "numeric responses. Scale: one segment hash-agg with map-side "
@@ -2713,7 +2718,7 @@ def x259_anova_oneway(spark, sf_dir):
         "k",
         "n",
         F.expr(
-            "CAST(t_all_milli - ((s1_all * s1_all DIV n) * 1000 + ((s1_all * s1_all % n) * 1000) DIV n) AS BIGINT)"
+            "CAST(round(CAST(t_all_milli AS DOUBLE) - CAST(s1_all AS DOUBLE) * CAST(s1_all AS DOUBLE) * 1000.0 / CAST(n AS DOUBLE)) AS BIGINT)"
         ).alias("ssb_milli"),
         F.expr("CAST(s2_all * 1000 - t_all_milli AS BIGINT)").alias(
             "ssw_milli"

@@ -357,16 +357,16 @@ def test_x141_penny_windows_share_one_exchange(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
-def test_x150_winnow_fingerprints_computed_once(spark, sf_dir):
-    """The winnowing fingerprint pipeline (per-char explode + md5 +
-    window-min) must run exactly once — at the eager checkpoint — so
-    the final plan shows NO Generate/Window, and candidate pairs come
-    from the single fingerprint equi-join (never all-pairs)."""
+def test_x150_winnow_single_pair_join(spark, sf_dir):
+    """Candidate pairs come from the single fingerprint equi-join
+    (never all-pairs). The fingerprint pipeline deliberately carries
+    NO checkpoint: with only two consumers, the 100x sweep measured a
+    DISK_ONLY cut at 259 s vs 203.6 s recomputing twice (and a memory
+    cut OOMs the hash aggs) — the cut pays from three consumers up,
+    which is x227's shape, not this one."""
     plan = _final_plan(REGISTRY["x150_winnow_dup_spans"].spark(spark, sf_dir))
-    assert "Generate" not in plan
-    assert "Window" not in plan
-    assert "Scan ExistingRDD" in plan  # the checkpointed fingerprints
     assert plan.count("Join") == 1
+    assert "CartesianProduct" not in plan
 
 
 def test_x227_capped_winnow_anti_probe_shape(spark, sf_dir):
