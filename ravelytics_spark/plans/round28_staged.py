@@ -139,6 +139,22 @@ Fifth wave — classical inference + graph structure metrology:
 * ``x265_clustering_coefficient`` — global 3*triangles/wedges in
   exact ppm (oriented two-hop triangle join, degree-sum wedges).
 
+Sixth wave — rank concordance, series symbolization, decomposable
+inequality, distribution-free bands:
+
+* ``x266_kendall_w`` — Kendall's coefficient of concordance across
+  the m yearly nation rankings: doubled deviations keep every term
+  integer, W in exact ppm (the multi-ranker x170).
+* ``x267_sax_symbols`` — SAX discretization of daily revenue: 16
+  PAA segments per year quantized by EMPIRICAL quartile breakpoints
+  (exact rank picks, no Gaussian table).
+* ``x268_theil_decomposition`` — Theil-T inequality with the
+  between/within-region split Gini can't do; every ln nano-floored
+  before exact integer sums.
+* ``x269_dkw_bands`` — exact rank-pick deciles per segment with the
+  closed-form DKW 95% ECDF half-width in ppm (the zero-pass
+  companion of x153's bootstrap).
+
 Hash-parity conventions as plans/queries.py: exact cents/BIGINT
 arithmetic until one shared IEEE expression, total ORDER BY, BIGINT
 casts on every count.
@@ -3387,6 +3403,468 @@ def x265_clustering_coefficient(spark, sf_dir):
             ).alias("clustering_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x266 — Kendall's W: concordance of yearly nation-revenue rankings
+# ---------------------------------------------------------------------------
+
+_KW_ORACLE = """
+WITH yr AS (
+    SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+           CAST(year(o.o_orderdate) AS BIGINT) AS y,
+           CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+),
+m AS (SELECT CAST(count(DISTINCT y) AS BIGINT) AS m FROM yr),
+full_n AS (
+    SELECT nationkey FROM yr GROUP BY nationkey
+    HAVING count(*) = (SELECT m FROM m)
+),
+ranked AS (
+    SELECT r.nationkey, r.y,
+           CAST(row_number() OVER (PARTITION BY r.y
+                ORDER BY r.cents DESC, r.nationkey) AS BIGINT) AS rnk
+    FROM yr r JOIN full_n f ON r.nationkey = f.nationkey
+),
+rs AS (
+    SELECT nationkey, CAST(SUM(rnk) AS BIGINT) AS rank_sum FROM ranked
+    GROUP BY nationkey
+),
+dims AS (
+    SELECT CAST(count(*) AS BIGINT) AS n, (SELECT m FROM m) AS m FROM rs
+),
+s AS (
+    SELECT CAST(SUM((2 * r.rank_sum - d.m * (d.n + 1))
+                    * (2 * r.rank_sum - d.m * (d.n + 1))) AS BIGINT) AS s4
+    FROM rs r CROSS JOIN dims d
+)
+SELECT r.nationkey, r.rank_sum, d.m, d.n,
+       CAST(3 * s.s4 * 1000000 // (d.m * d.m * (d.n * d.n * d.n - d.n))
+            AS BIGINT) AS w_ppm
+FROM rs r CROSS JOIN dims d CROSS JOIN s
+ORDER BY r.nationkey
+"""
+
+
+@_staged(
+    "x266_kendall_w",
+    "OP-W2-ext",
+    "Kendall's coefficient of concordance W across the m yearly "
+    "nation-revenue rankings (nations present in every year; ranks "
+    "total-tie-broken on nationkey): with doubled deviations "
+    "D = 2*R_i - m*(n+1) every term stays integer even when the mean "
+    "rank is half-integral, S*4 = sum(D^2) is an exact BIGINT, and "
+    "W = 3*S4 / (m^2*(n^3-n)) lands in exact ppm. W ~ 1 means the "
+    "league table is stable year over year (x147's RBO measures "
+    "drift of ONE pair of lists; W scores ALL m at once — the "
+    "multi-ranker generalization of x170's Kendall tau). Scale: one "
+    "(nation, year) hash-agg, year-partitioned rank windows, and "
+    "all W math on the <=|nations| frame.",
+    _KW_ORACLE,
+)
+def x266_kendall_w(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    yr = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            F.year("o_orderdate").cast("long").alias("y"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    m_df = yr.agg(F.countDistinct("y").cast("long").alias("m"))
+    counts = yr.groupBy("nationkey").agg(F.count("*").alias("ny"))
+    full_n = (
+        counts.crossJoin(F.broadcast(m_df))
+        .filter(F.col("ny") == F.col("m"))
+        .select("nationkey")
+    )
+    ranked = yr.join(F.broadcast(full_n), "nationkey").select(
+        "nationkey",
+        "y",
+        F.row_number()
+        .over(
+            Window.partitionBy("y").orderBy(
+                F.col("cents").desc(), "nationkey"
+            )
+        )
+        .cast("long")
+        .alias("rnk"),
+    )
+    rs = ranked.groupBy("nationkey").agg(
+        F.sum("rnk").cast("long").alias("rank_sum")
+    )
+    wall = Window.partitionBy()
+    stats = rs.crossJoin(F.broadcast(m_df)).select(
+        "nationkey",
+        "rank_sum",
+        "m",
+        F.count("*").over(wall).cast("long").alias("n"),
+    )
+    stats = stats.withColumn(
+        "s4",
+        F.sum(
+            (2 * F.col("rank_sum") - F.col("m") * (F.col("n") + 1))
+            * (2 * F.col("rank_sum") - F.col("m") * (F.col("n") + 1))
+        )
+        .over(wall)
+        .cast("long"),
+    )
+    return stats.select(
+        "nationkey",
+        "rank_sum",
+        "m",
+        "n",
+        F.expr(
+            "CAST(3 * s4 * 1000000 DIV (m * m * (n * n * n - n)) AS BIGINT)"
+        ).alias("w_ppm"),
+    ).orderBy("nationkey")
+
+
+# ---------------------------------------------------------------------------
+# x267 — SAX symbolization of the daily-revenue series (per year)
+# ---------------------------------------------------------------------------
+
+_SAX_SEGS = 16
+_SAX_SYMS = 4
+
+_SAX_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS d,
+           CAST(year(o_orderdate) AS BIGINT) AS y,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               // 100000 AS x
+    FROM orders GROUP BY 1, 2
+),
+rn AS (
+    SELECT y, x,
+           row_number() OVER (PARTITION BY y ORDER BY d) AS rn,
+           CAST(count(*) OVER (PARTITION BY y) AS BIGINT) AS nd
+    FROM daily
+),
+paa AS (
+    SELECT y, (rn - 1) * {_SAX_SEGS} // nd AS seg,
+           CAST(SUM(x) * 1000 // count(*) AS BIGINT) AS paa_milli
+    FROM rn GROUP BY y, (rn - 1) * {_SAX_SEGS} // nd
+),
+ordered AS (
+    SELECT y, seg, paa_milli,
+           row_number() OVER (ORDER BY paa_milli, y, seg) AS r,
+           CAST(count(*) OVER () AS BIGINT) AS n
+    FROM paa
+),
+sel AS (
+    SELECT greatest((SELECT max(n) FROM ordered) * k // {_SAX_SYMS}, 1)
+        AS pick
+    FROM (SELECT unnest([1, 2, 3]) AS k)
+),
+thr AS (
+    SELECT o.paa_milli AS t FROM ordered o JOIN sel s ON o.r = s.pick
+),
+sym AS (
+    SELECT p.y, CAST(p.seg AS BIGINT) AS seg, p.paa_milli,
+           CAST((SELECT count(*) FROM thr WHERE thr.t < p.paa_milli)
+                AS BIGINT) AS symbol
+    FROM paa p
+)
+SELECT y, seg, paa_milli, symbol FROM sym ORDER BY y, seg
+"""
+
+
+@_staged(
+    "x267_sax_symbols",
+    "OP-W4/T-ext",
+    f"SAX symbolization of daily revenue: each year's series reduces "
+    f"to {_SAX_SEGS} PAA segments (mean kilodollars in exact milli — "
+    "ntile-equivalent segment assignment from the closed form), and "
+    f"segments quantize to {_SAX_SYMS} symbols by EMPIRICAL quartile "
+    "breakpoints (exact rank picks over the bounded segment frame, "
+    "not the Gaussian table — no distribution assumption, no "
+    "floats). The discretization that turns a numeric series into "
+    "words for motif mining/indexing (Lin et al. 2003); two years "
+    "with the same symbol word are rhyming seasons. Scale: the "
+    "per-year rank window runs over the bounded daily frame; "
+    "everything after is the |years| x segments frame.",
+    _SAX_ORACLE,
+)
+def x267_sax_symbols(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr("unix_timestamp(o_orderdate) div 86400").alias("d"),
+        F.year("o_orderdate").cast("long").alias("y"),
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+            " DIV 100000"
+        ).alias("x")
+    )
+    wyr = Window.partitionBy("y")
+    rn = daily.select(
+        "y",
+        "x",
+        F.row_number().over(wyr.orderBy("d")).alias("rn"),
+        F.count("*").over(wyr).cast("long").alias("nd"),
+    )
+    paa = rn.groupBy(
+        "y", F.expr(f"(rn - 1) * {_SAX_SEGS} DIV nd").alias("seg")
+    ).agg(F.expr("CAST(SUM(x) * 1000 DIV count(*) AS BIGINT)").alias("paa_milli"))
+    wall = Window.partitionBy()
+    ordered = paa.select(
+        "y",
+        "seg",
+        "paa_milli",
+        F.row_number()
+        .over(Window.orderBy("paa_milli", "y", "seg"))
+        .alias("r"),
+        F.count("*").over(wall).cast("long").alias("n"),
+    )
+    thr = (
+        ordered.filter(
+            F.expr(
+                " OR ".join(
+                    f"r = greatest(n * {k} DIV {_SAX_SYMS}, 1)"
+                    for k in (1, 2, 3)
+                )
+            )
+        )
+        .select(F.col("paa_milli").alias("t"))
+    )
+    sym = (
+        paa.crossJoin(F.broadcast(thr.groupBy().agg(
+            F.collect_list("t").alias("ts")
+        )))
+        .select(
+            "y",
+            F.col("seg").cast("long").alias("seg"),
+            "paa_milli",
+            F.expr(
+                "CAST(size(filter(ts, t -> t < paa_milli)) AS BIGINT)"
+            ).alias("symbol"),
+        )
+    )
+    return sym.orderBy("y", "seg")
+
+
+# ---------------------------------------------------------------------------
+# x268 — Theil inequality index with between/within-region decomposition
+# ---------------------------------------------------------------------------
+
+_THEIL_ORACLE = """
+WITH nat AS (
+    SELECT CAST(n.n_regionkey AS BIGINT) AS regionkey,
+           CAST(c.c_nationkey AS BIGINT) AS nationkey,
+           CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+),
+tot AS (
+    SELECT CAST(SUM(cents) AS BIGINT) AS x_all,
+           CAST(count(*) AS BIGINT) AS n_all
+    FROM nat
+),
+terms AS (
+    SELECT n.regionkey, n.nationkey, n.cents,
+           CAST(floor(1000000000.0 * (CAST(n.cents AS DOUBLE)
+                / CAST(t.x_all AS DOUBLE))
+                * ln(CAST(n.cents AS DOUBLE) * CAST(t.n_all AS DOUBLE)
+                     / CAST(t.x_all AS DOUBLE))) AS BIGINT) AS t_nano
+    FROM nat n CROSS JOIN tot t WHERE n.cents > 0
+),
+reg AS (
+    SELECT r.regionkey, CAST(SUM(r.cents) AS BIGINT) AS x_r,
+           CAST(count(*) AS BIGINT) AS n_r,
+           CAST(SUM(r.t_nano) AS BIGINT) AS t_total_nano
+    FROM terms r GROUP BY r.regionkey
+),
+btw AS (
+    SELECT g.regionkey, g.x_r, g.n_r, g.t_total_nano,
+           CAST(floor(1000000000.0 * (CAST(g.x_r AS DOUBLE)
+                / CAST(t.x_all AS DOUBLE))
+                * ln((CAST(g.x_r AS DOUBLE) / CAST(t.x_all AS DOUBLE))
+                     / (CAST(g.n_r AS DOUBLE) / CAST(t.n_all AS DOUBLE))))
+                AS BIGINT) AS t_between_nano
+    FROM reg g CROSS JOIN tot t
+)
+SELECT regionkey, n_r, x_r, t_total_nano, t_between_nano,
+       CAST(t_total_nano - t_between_nano AS BIGINT) AS t_within_nano
+FROM btw ORDER BY regionkey
+"""
+
+
+@_staged(
+    "x268_theil_decomposition",
+    "OP-G6-ext",
+    "Theil-T inequality of nation revenues with the between/within-"
+    "REGION decomposition — the property that makes Theil the "
+    "inequality index for hierarchical data (Gini x115 does not "
+    "decompose additively): per-region rows carry the region's total "
+    "term mass sum((x_i/X) ln(x_i/(X/n))), its between-group term "
+    "(X_r/X) ln(share_x/share_n), and the within residual. Every ln "
+    "runs over exact BIGINT ratios and is floored to integer NANOS "
+    "before any sum, so aggregates are order-immune exact integers "
+    "(the x245/x254 discipline); the decomposition identity "
+    "T_total = T_between + T_within holds in reader arithmetic to "
+    "per-term flooring slack. Scale: one (region, nation) hash-agg, "
+    "a 1-row totals broadcast, and all index math on the "
+    "<=|nations| frame.",
+    _THEIL_ORACLE,
+)
+def x268_theil_decomposition(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    nat = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_regionkey").cast("long").alias("regionkey"),
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    tot = nat.agg(
+        F.sum("cents").cast("long").alias("x_all"),
+        F.count("*").cast("long").alias("n_all"),
+    )
+    terms = (
+        nat.filter(F.col("cents") > 0)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "regionkey",
+            "nationkey",
+            "cents",
+            "x_all",
+            "n_all",
+            F.expr(
+                "CAST(floor(1000000000.0 * (CAST(cents AS DOUBLE)"
+                " / CAST(x_all AS DOUBLE))"
+                " * ln(CAST(cents AS DOUBLE) * CAST(n_all AS DOUBLE)"
+                " / CAST(x_all AS DOUBLE))) AS BIGINT)"
+            ).alias("t_nano"),
+        )
+    )
+    reg = terms.groupBy("regionkey").agg(
+        F.sum("cents").cast("long").alias("x_r"),
+        F.count("*").cast("long").alias("n_r"),
+        F.sum("t_nano").cast("long").alias("t_total_nano"),
+    )
+    btw = reg.crossJoin(F.broadcast(tot)).select(
+        "regionkey",
+        "n_r",
+        "x_r",
+        "t_total_nano",
+        F.expr(
+            "CAST(floor(1000000000.0 * (CAST(x_r AS DOUBLE)"
+            " / CAST(x_all AS DOUBLE))"
+            " * ln((CAST(x_r AS DOUBLE) / CAST(x_all AS DOUBLE))"
+            " / (CAST(n_r AS DOUBLE) / CAST(n_all AS DOUBLE))))"
+            " AS BIGINT)"
+        ).alias("t_between_nano"),
+    )
+    return btw.select(
+        "regionkey",
+        "n_r",
+        "x_r",
+        "t_total_nano",
+        "t_between_nano",
+        (F.col("t_total_nano") - F.col("t_between_nano"))
+        .cast("long")
+        .alias("t_within_nano"),
+    ).orderBy("regionkey")
+
+
+# ---------------------------------------------------------------------------
+# x269 — empirical deciles with DKW confidence bands, per segment
+# ---------------------------------------------------------------------------
+
+_DKW_EPS = (
+    "CAST(round(1000000.0 * sqrt(ln(2.0 / 0.05)"
+    " / (2.0 * CAST(n AS DOUBLE)))) AS BIGINT)"
+)
+
+_DKW_ORACLE = f"""
+WITH base AS (
+    SELECT c.c_mktsegment AS segment,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+           o.o_orderkey AS ok
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+ranked AS (
+    SELECT segment, cents,
+           row_number() OVER (PARTITION BY segment ORDER BY cents, ok)
+               AS r,
+           CAST(count(*) OVER (PARTITION BY segment) AS BIGINT) AS n
+    FROM base
+),
+dec AS (
+    SELECT segment, n, ks.k AS decile, cents
+    FROM ranked
+    JOIN (SELECT unnest(range(1, 10)) AS k) ks
+      ON ranked.r = greatest(ranked.n * ks.k // 10, 1)
+)
+SELECT segment, CAST(decile AS BIGINT) AS decile, cents AS value_cents, n,
+       {{_DKW_EPS}} AS dkw_eps_ppm
+FROM dec ORDER BY segment, decile
+"""
+
+
+@_staged(
+    "x269_dkw_bands",
+    "OP-G6/W2-ext",
+    "Empirical deciles of order value per segment with the "
+    "Dvoretzky-Kiefer-Wolfowitz 95% ECDF confidence half-width "
+    "eps = sqrt(ln(2/alpha)/(2n)) in ppm — the distribution-free "
+    "answer to 'how much can these deciles move on a resample', "
+    "complementing x153's hash-bootstrap (simulation) with the "
+    "closed-form bound (zero extra passes). Decile values are exact "
+    "rank picks over the total (cents, orderkey) order (the x118 "
+    "convention); eps is one shared IEEE expression over the exact "
+    "group count. Scale: one segment-partitioned rank window; the "
+    "decile extraction joins a 9-row literal frame on the rank.",
+    _DKW_ORACLE.replace("{_DKW_EPS}", _DKW_EPS),
+)
+def x269_dkw_bands(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    base = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderkey").alias("ok"),
+    )
+    ws = Window.partitionBy("segment")
+    ranked = base.select(
+        "segment",
+        "cents",
+        F.row_number().over(ws.orderBy("cents", "ok")).alias("r"),
+        F.count("*").over(ws).cast("long").alias("n"),
+    )
+    ks = spark.createDataFrame([(k,) for k in range(1, 10)], "k long")
+    dec = ranked.join(
+        F.broadcast(ks),
+        ranked.r == F.greatest(F.expr("n * k DIV 10"), F.lit(1)),
+    )
+    return dec.select(
+        "segment",
+        F.col("k").alias("decile"),
+        F.col("cents").alias("value_cents"),
+        "n",
+        F.expr(_DKW_EPS).alias("dkw_eps_ppm"),
+    ).orderBy("segment", "decile")
 
 
 # --- round-9 registration footer (commented until round 9) ---

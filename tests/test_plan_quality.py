@@ -262,6 +262,9 @@ _SINGLE_PARTITION_OK = {
     "x262_modularity_score": "global Q window over the <=|communities| term frame; edge total is a 1-row broadcast",
     "x264_degree_assortativity": "global edge-moment frame: one partial row per partition after the keyed degree joins",
     "x265_clustering_coefficient": "1-row triangle and wedge scalars after the keyed two-hop join",
+    "x266_kendall_w": "concordance windows over the <=|nations| rank-sum frame; year count is a 1-row broadcast",
+    "x267_sax_symbols": "breakpoint rank over the bounded |years| x 16 PAA segment frame",
+    "x268_theil_decomposition": "1-row corpus totals broadcast into the <=|nations| term frame",
 }
 
 

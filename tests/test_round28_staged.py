@@ -37,7 +37,7 @@ def test_round28_not_yet_registered():
 
     leaked = set(STAGED) & set(REGISTRY)
     assert not leaked, f"staged entries registered early: {leaked}"
-    assert len(STAGED) == 31
+    assert len(STAGED) == 35
 
 
 # ---------------------------------------------------------------------------
@@ -296,3 +296,58 @@ def test_clustering_consistent_with_triangle_bound(spark):
     )
     assert 0 <= row.clustering_ppm <= 1_000_000
     assert 3 * row.n_tri <= row.n_wedges  # every triangle closes 3 wedges
+
+
+def test_kendall_w_bounds_and_rank_mass(spark):
+    rows = STAGED["x266_kendall_w"].spark(spark, SFS[1]).collect()
+    assert rows
+    w = {r.w_ppm for r in rows}
+    assert len(w) == 1 and 0 <= rows[0].w_ppm <= 1_000_000
+    m, n = rows[0].m, rows[0].n
+    # rank sums redistribute the fixed total m * n(n+1)/2
+    assert sum(r.rank_sum for r in rows) == m * n * (n + 1) // 2
+
+
+def test_sax_symbols_quartile_balance(spark):
+    rows = STAGED["x267_sax_symbols"].spark(spark, SFS[1]).collect()
+    assert {r.symbol for r in rows} <= {0, 1, 2, 3}
+    from collections import Counter
+
+    c = Counter(r.symbol for r in rows)
+    # empirical quartile breakpoints: no symbol hogs over half the mass
+    assert max(c.values()) <= len(rows) // 2
+    # segments per year are the contract
+    years = {r.y for r in rows}
+    for y in years:
+        segs = sorted(r.seg for r in rows if r.y == y)
+        assert segs == list(range(len(segs)))
+
+
+def test_theil_decomposition_identity(spark):
+    rows = STAGED["x268_theil_decomposition"].spark(spark, SFS[1]).collect()
+    assert rows
+    for r in rows:
+        # per-region: within = total - between, by construction exact
+        assert r.t_within_nano == r.t_total_nano - r.t_between_nano
+    # corpus Theil (sum of per-region term masses) is non-negative up
+    # to per-nation nano-flooring slack
+    total = sum(r.t_total_nano for r in rows)
+    n_nations = sum(r.n_r for r in rows)
+    assert total >= -n_nations
+
+
+def test_dkw_bands_monotone_and_eps(spark):
+    import math
+
+    rows = STAGED["x269_dkw_bands"].spark(spark, SFS[1]).collect()
+    by_seg: dict = {}
+    for r in rows:
+        by_seg.setdefault(r.segment, []).append(r)
+    for seg, rs in by_seg.items():
+        rs.sort(key=lambda r: r.decile)
+        assert [r.decile for r in rs] == list(range(1, 10))
+        vals = [r.value_cents for r in rs]
+        assert vals == sorted(vals)
+        n = rs[0].n
+        expect = round(1e6 * math.sqrt(math.log(2 / 0.05) / (2 * n)))
+        assert rs[0].dkw_eps_ppm == expect
