@@ -81,6 +81,10 @@ ENTRIES = [
     ("x263_adamic_adar", None),
     ("x264_degree_assortativity", None),
     ("x265_clustering_coefficient", None),
+    ("x266_kendall_w", None),
+    ("x267_sax_symbols", None),
+    ("x268_theil_decomposition", None),
+    ("x269_dkw_bands", None),
 ]
 
 
