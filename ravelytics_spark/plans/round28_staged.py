@@ -155,6 +155,18 @@ inequality, distribution-free bands:
   closed-form DKW 95% ECDF half-width in ppm (the zero-pass
   companion of x153's bootstrap).
 
+Seventh wave — process control, nonparametric k-group inference,
+vocabulary completeness:
+
+* ``x270_spc_control_chart`` — Shewhart X-bar/R weekly control chart
+  with tabulated n=7 constants and both out-of-control flags (the
+  operating-rule form of x125's retrospective CUSUM).
+* ``x271_kruskal_wallis`` — tie-corrected Kruskal-Wallis H across
+  segments via doubled global midranks; per-group contributions
+  nano-floored so the cross-group sum is exact.
+* ``x272_chao1_unseen`` — Chao1 richness + Good-Turing unseen mass
+  per source: how much vocabulary the sample never surfaced.
+
 Hash-parity conventions as plans/queries.py: exact cents/BIGINT
 arithmetic until one shared IEEE expression, total ORDER BY, BIGINT
 casts on every count.
@@ -3865,6 +3877,327 @@ def x269_dkw_bands(spark, sf_dir):
         "n",
         F.expr(_DKW_EPS).alias("dkw_eps_ppm"),
     ).orderBy("segment", "decile")
+
+
+# ---------------------------------------------------------------------------
+# x270 — Shewhart X-bar/R control chart over weekly revenue subgroups
+# ---------------------------------------------------------------------------
+
+# Standard X-bar/R constants for subgroup size n = 7 (shared decimal
+# literals -> identical IEEE doubles in both engines).
+_SPC_A2 = "0.419"
+_SPC_D3 = "0.076"
+_SPC_D4 = "1.924"
+
+_SPC_OOC = (
+    "CAST(CASE WHEN CAST(xbar_milli AS DOUBLE)"
+    " > CAST(xbb_milli AS DOUBLE) + {a2} * CAST(rbar_milli AS DOUBLE)"
+    " OR CAST(xbar_milli AS DOUBLE)"
+    " < CAST(xbb_milli AS DOUBLE) - {a2} * CAST(rbar_milli AS DOUBLE)"
+    " THEN 1 ELSE 0 END AS BIGINT)"
+).format(a2=_SPC_A2)
+_SPC_ROOC = (
+    "CAST(CASE WHEN CAST(r_range AS DOUBLE) * 1000.0"
+    " > {d4} * CAST(rbar_milli AS DOUBLE)"
+    " OR CAST(r_range AS DOUBLE) * 1000.0"
+    " < {d3} * CAST(rbar_milli AS DOUBLE)"
+    " THEN 1 ELSE 0 END AS BIGINT)"
+).format(d3=_SPC_D3, d4=_SPC_D4)
+
+_SPC_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS d,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               // 100000 AS x
+    FROM orders GROUP BY 1
+),
+grp AS (
+    SELECT d // 7 AS week, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(SUM(x) * 1000 // count(*) AS BIGINT) AS xbar_milli,
+           CAST(MAX(x) - MIN(x) AS BIGINT) AS r_range
+    FROM daily GROUP BY 1 HAVING count(*) = 7
+),
+ctr AS (
+    SELECT CAST(SUM(xbar_milli) // count(*) AS BIGINT) AS xbb_milli,
+           CAST(SUM(r_range) * 1000 // count(*) AS BIGINT) AS rbar_milli
+    FROM grp
+)
+SELECT g.week, g.xbar_milli, g.r_range, c.xbb_milli, c.rbar_milli,
+       {_SPC_OOC} AS xbar_ooc,
+       {_SPC_ROOC} AS range_ooc
+FROM grp g CROSS JOIN ctr c
+ORDER BY g.week
+"""
+
+
+@_staged(
+    "x270_spc_control_chart",
+    "OP-G6/T-ext",
+    "Shewhart X-bar/R control chart over complete 7-day subgroups of "
+    "daily revenue (exact kilodollar means in milli, exact ranges): "
+    "center lines are integer means over the subgroup frame, control "
+    "limits use the tabulated n=7 constants (A2/D3/D4 as shared "
+    "decimal literals), and each week gets the out-of-control flags "
+    "for both the mean and the range chart. The SPC primitive that "
+    "turns x125's retrospective CUSUM into an operating rule a "
+    "monitor evaluates per period. All comparisons are one shared "
+    "IEEE expression over exact integers — no accumulation anywhere. "
+    "Scale: day agg -> week agg -> 1-row center frame broadcast "
+    "back; the chart is |weeks| rows.",
+    _SPC_ORACLE,
+)
+def x270_spc_control_chart(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr("unix_timestamp(o_orderdate) div 86400").alias("d")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+            " DIV 100000"
+        ).alias("x")
+    )
+    grp = (
+        daily.groupBy(F.expr("d DIV 7").alias("week"))
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.expr("CAST(SUM(x) * 1000 DIV count(*) AS BIGINT)").alias(
+                "xbar_milli"
+            ),
+            (F.max("x") - F.min("x")).cast("long").alias("r_range"),
+        )
+        .filter(F.col("n_days") == 7)
+    )
+    ctr = grp.agg(
+        F.expr("CAST(SUM(xbar_milli) DIV count(*) AS BIGINT)").alias(
+            "xbb_milli"
+        ),
+        F.expr("CAST(SUM(r_range) * 1000 DIV count(*) AS BIGINT)").alias(
+            "rbar_milli"
+        ),
+    )
+    return (
+        grp.crossJoin(F.broadcast(ctr))
+        .select(
+            "week",
+            "xbar_milli",
+            "r_range",
+            "xbb_milli",
+            "rbar_milli",
+            F.expr(_SPC_OOC).alias("xbar_ooc"),
+            F.expr(_SPC_ROOC).alias("range_ooc"),
+        )
+        .orderBy("week")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x271 — Kruskal-Wallis rank test across segments (tie-corrected)
+# ---------------------------------------------------------------------------
+
+_KW_H = (
+    "round((CAST(term_sum_nano AS DOUBLE) / 1000000000.0"
+    " - 3.0 * (CAST(n_tot AS DOUBLE) + 1.0))"
+    " / (1.0 - CAST(tie_sum AS DOUBLE)"
+    " / (CAST(n_tot AS DOUBLE) * CAST(n_tot AS DOUBLE)"
+    " * CAST(n_tot AS DOUBLE) - CAST(n_tot AS DOUBLE))), 6)"
+)
+
+_KRUSKAL_ORACLE = f"""
+WITH base AS (
+    SELECT c.c_mktsegment AS segment,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+ranked AS (
+    SELECT segment, cents,
+           CAST(2 * rank() OVER (ORDER BY cents)
+                + count(*) OVER (PARTITION BY cents) - 1 AS BIGINT) AS mr2
+    FROM base
+),
+ties AS (
+    SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie_sum
+    FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM base GROUP BY cents)
+),
+g AS (
+    SELECT segment, CAST(count(*) AS BIGINT) AS n_g,
+           CAST(SUM(mr2) AS BIGINT) AS r2_sum
+    FROM ranked GROUP BY segment
+),
+tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n_tot FROM g),
+terms AS (
+    SELECT g.segment, g.n_g, g.r2_sum,
+           CAST(floor(1000000000.0 * 3.0 * CAST(g.r2_sum AS DOUBLE)
+                * CAST(g.r2_sum AS DOUBLE)
+                / (CAST(g.n_g AS DOUBLE) * CAST(t.n_tot AS DOUBLE)
+                   * (CAST(t.n_tot AS DOUBLE) + 1.0))) AS BIGINT)
+               AS term_nano
+    FROM g CROSS JOIN tot t
+),
+h AS (
+    SELECT CAST(SUM(term_nano) AS BIGINT) AS term_sum_nano FROM terms
+)
+SELECT t.segment, t.n_g, t.r2_sum, t.term_nano,
+       {_KW_H} AS h_stat
+FROM terms t
+CROSS JOIN h CROSS JOIN ties CROSS JOIN tot
+ORDER BY t.segment
+"""
+
+
+@_staged(
+    "x271_kruskal_wallis",
+    "OP-W2-ext",
+    "Tie-corrected Kruskal-Wallis H across customer segments on "
+    "order value: global midranks via the x241 integer identity "
+    "(2*midrank = 2*rank + tiecount - 1), per-group rank masses "
+    "exact BIGINT, each group's 12/(N(N+1)) * R^2/n contribution "
+    "(= 3*R2^2/(n*N*(N+1)) in doubled-rank units) floored to NANOS "
+    "so the cross-group sum is exact, and the tie divisor "
+    "1 - sum(t^3-t)/(N^3-N) evaluated in doubles (N^3 breaches "
+    "BIGINT at replica scale BY DESIGN of the formula — the operands "
+    "are exact integers, the expression is shared verbatim). "
+    "Completes the inference battery: x168 two-group ranks, x259 "
+    "parametric k-group, this the nonparametric k-group. Scale: the "
+    "global rank is the documented certifiable form over the fact "
+    "frame (the x219 bucketed rank is the selectable scale path for "
+    "this exact shape); everything after is the 5-row group frame.",
+    _KRUSKAL_ORACLE,
+)
+def x271_kruskal_wallis(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    base = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    wr = Window.orderBy("cents")
+    wt = Window.partitionBy("cents")
+    ranked = base.select(
+        "segment",
+        (2 * F.rank().over(wr) + F.count("*").over(wt) - 1)
+        .cast("long")
+        .alias("mr2"),
+    )
+    ties = (
+        base.groupBy("cents")
+        .agg(F.count("*").cast("long").alias("t"))
+        .agg(
+            F.sum(F.expr("t * t * t - t")).cast("long").alias("tie_sum")
+        )
+    )
+    g = ranked.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum("mr2").cast("long").alias("r2_sum"),
+    )
+    tot = g.agg(F.sum("n_g").cast("long").alias("n_tot"))
+    terms = g.crossJoin(F.broadcast(tot)).select(
+        "segment",
+        "n_g",
+        "r2_sum",
+        "n_tot",
+        F.expr(
+            "CAST(floor(1000000000.0 * 3.0 * CAST(r2_sum AS DOUBLE)"
+            " * CAST(r2_sum AS DOUBLE)"
+            " / (CAST(n_g AS DOUBLE) * CAST(n_tot AS DOUBLE)"
+            " * (CAST(n_tot AS DOUBLE) + 1.0))) AS BIGINT)"
+        ).alias("term_nano"),
+    )
+    h = terms.agg(F.sum("term_nano").cast("long").alias("term_sum_nano"))
+    return (
+        terms.crossJoin(F.broadcast(h))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "segment",
+            "n_g",
+            "r2_sum",
+            "term_nano",
+            F.expr(_KW_H).alias("h_stat"),
+        )
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x272 — Chao1 vocabulary richness + Good-Turing unseen mass per source
+# ---------------------------------------------------------------------------
+
+_CHAO_ORACLE = """
+WITH tok AS (
+    SELECT source, w FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ) WHERE w <> ''
+),
+wc AS (
+    SELECT source, w, CAST(count(*) AS BIGINT) AS c
+    FROM tok GROUP BY source, w
+),
+s AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS s_obs,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+           CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+           CAST(SUM(c) AS BIGINT) AS n_tokens
+    FROM wc GROUP BY source
+)
+SELECT source, s_obs, f1, f2, n_tokens,
+       CAST(CASE WHEN f2 > 0
+                 THEN s_obs * 1000 + f1 * f1 * 1000 // (2 * f2)
+                 ELSE s_obs * 1000 + f1 * (f1 - 1) * 1000 // 2 END
+            AS BIGINT) AS chao1_milli,
+       CAST(f1 * 1000000 // n_tokens AS BIGINT) AS unseen_mass_ppm
+FROM s ORDER BY source
+"""
+
+
+@_staged(
+    "x272_chao1_unseen",
+    "OP-X4-ext",
+    "Chao1 vocabulary-richness estimate + Good-Turing unseen "
+    "probability mass per source: chao1 = S_obs + F1^2/(2*F2) (the "
+    "bias-corrected F1*(F1-1)/2 form when no doubletons exist) says "
+    "how many word types the source HAS that the sample never "
+    "surfaced; P0 = F1/N is the probability the next token is a "
+    "never-seen type. The 'how much vocabulary are we missing' "
+    "companion to x193's Heaps saturation and x88's hapax ratio — "
+    "the number that decides whether a source needs more crawling "
+    "before its vocabulary statistics are trustworthy. All integer "
+    "milli/ppm (F1^2*1000 stays far under 2^63 at any realistic "
+    "vocabulary). Scale: one (source, word) hash-agg with map-side "
+    "partials, then a |sources|-row frame.",
+    _CHAO_ORACLE,
+)
+def x272_chao1_unseen(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    wc = tok.groupBy("source", "w").agg(F.count("*").cast("long").alias("c"))
+    s = wc.groupBy("source").agg(
+        F.count("*").cast("long").alias("s_obs"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("f2"),
+        F.sum("c").cast("long").alias("n_tokens"),
+    )
+    return s.select(
+        "source",
+        "s_obs",
+        "f1",
+        "f2",
+        "n_tokens",
+        F.expr(
+            "CAST(CASE WHEN f2 > 0"
+            " THEN s_obs * 1000 + f1 * f1 * 1000 DIV (2 * f2)"
+            " ELSE s_obs * 1000 + f1 * (f1 - 1) * 1000 DIV 2 END"
+            " AS BIGINT)"
+        ).alias("chao1_milli"),
+        F.expr("CAST(f1 * 1000000 DIV n_tokens AS BIGINT)").alias(
+            "unseen_mass_ppm"
+        ),
+    ).orderBy("source")
 
 
 # --- round-9 registration footer (commented until round 9) ---

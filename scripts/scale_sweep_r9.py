@@ -85,6 +85,9 @@ ENTRIES = [
     ("x267_sax_symbols", None),
     ("x268_theil_decomposition", None),
     ("x269_dkw_bands", None),
+    ("x270_spc_control_chart", None),
+    ("x271_kruskal_wallis", None),
+    ("x272_chao1_unseen", None),
 ]
 
 

@@ -265,6 +265,8 @@ _SINGLE_PARTITION_OK = {
     "x266_kendall_w": "concordance windows over the <=|nations| rank-sum frame; year count is a 1-row broadcast",
     "x267_sax_symbols": "breakpoint rank over the bounded |years| x 16 PAA segment frame",
     "x268_theil_decomposition": "1-row corpus totals broadcast into the <=|nations| term frame",
+    "x270_spc_control_chart": "1-row center-line frame over the <=|weeks| subgroup aggregate",
+    "x271_kruskal_wallis": "global midrank window over the fact frame (documented certifiable form; the x219 bucketed rank is the scale path) + 5-row scalar frames",
 }
 
 

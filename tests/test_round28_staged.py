@@ -37,7 +37,7 @@ def test_round28_not_yet_registered():
 
     leaked = set(STAGED) & set(REGISTRY)
     assert not leaked, f"staged entries registered early: {leaked}"
-    assert len(STAGED) == 35
+    assert len(STAGED) == 38
 
 
 # ---------------------------------------------------------------------------
@@ -334,6 +334,37 @@ def test_theil_decomposition_identity(spark):
     total = sum(r.t_total_nano for r in rows)
     n_nations = sum(r.n_r for r in rows)
     assert total >= -n_nations
+
+
+def test_spc_flags_consistent(spark):
+    rows = STAGED["x270_spc_control_chart"].spark(spark, SFS[1]).collect()
+    assert rows
+    xbb = {r.xbb_milli for r in rows}
+    rbar = {r.rbar_milli for r in rows}
+    assert len(xbb) == 1 and len(rbar) == 1
+    for r in rows:
+        assert r.xbar_ooc in (0, 1) and r.range_ooc in (0, 1)
+        lo = r.xbb_milli - 0.419 * r.rbar_milli
+        hi = r.xbb_milli + 0.419 * r.rbar_milli
+        assert r.xbar_ooc == (0 if lo <= r.xbar_milli <= hi else 1)
+
+
+def test_kruskal_wallis_rank_mass_conserved(spark):
+    rows = STAGED["x271_kruskal_wallis"].spark(spark, SFS[1]).collect()
+    n_tot = sum(r.n_g for r in rows)
+    # sum of doubled midranks over everyone = 2 * N(N+1)/2 = N(N+1)
+    assert sum(r.r2_sum for r in rows) == n_tot * (n_tot + 1)
+    h = {r.h_stat for r in rows}
+    assert len(h) == 1 and h.pop() >= 0
+
+
+def test_chao1_dominates_observed_vocab(spark):
+    rows = STAGED["x272_chao1_unseen"].spark(spark, SFS[1]).collect()
+    assert rows
+    for r in rows:
+        assert r.chao1_milli >= r.s_obs * 1000
+        assert r.f1 + r.f2 <= r.s_obs
+        assert 0 <= r.unseen_mass_ppm <= 1_000_000
 
 
 def test_dkw_bands_monotone_and_eps(spark):
