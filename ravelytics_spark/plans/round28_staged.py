@@ -166,6 +166,11 @@ vocabulary completeness:
   nano-floored so the cross-group sum is exact.
 * ``x272_chao1_unseen`` — Chao1 richness + Good-Turing unseen mass
   per source: how much vocabulary the sample never surfaced.
+* ``x273_mann_kendall`` — distribution-free monotonic-trend test per
+  nation: pairwise sign sums exact, tie-corrected variance kept in
+  x18 integer units, one continuity-corrected z expression.
+* ``x274_cpk_capability`` — Cp/Cpk of weekly revenue vs a +-50% band
+  with the SPC sigma estimator Rbar/d2 (x270's subgroup frame).
 
 Hash-parity conventions as plans/queries.py: exact cents/BIGINT
 arithmetic until one shared IEEE expression, total ORDER BY, BIGINT
@@ -4198,6 +4203,256 @@ def x272_chao1_unseen(spark, sf_dir):
             "unseen_mass_ppm"
         ),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# x273 — Mann-Kendall monotonic-trend test on monthly revenue, per nation
+# ---------------------------------------------------------------------------
+
+_MK_Z = (
+    "round(CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0)"
+    " / sqrt(CAST(var18 AS DOUBLE) / 18.0)"
+    " WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0)"
+    " / sqrt(CAST(var18 AS DOUBLE) / 18.0)"
+    " ELSE 0.0 END, 6)"
+)
+
+_MK_ORACLE = f"""
+WITH m AS (
+    SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+           CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) AS BIGINT)
+               AS mi,
+           CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT a.nationkey,
+           CASE WHEN b.cents > a.cents THEN 1
+                WHEN b.cents < a.cents THEN -1 ELSE 0 END AS sg
+    FROM m a JOIN m b ON a.nationkey = b.nationkey AND a.mi < b.mi
+),
+sstat AS (
+    SELECT nationkey, CAST(SUM(sg) AS BIGINT) AS s_stat FROM pairs
+    GROUP BY nationkey
+),
+nn AS (
+    SELECT nationkey, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY nationkey
+),
+tie AS (
+    SELECT nationkey,
+           CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum
+    FROM (SELECT nationkey, CAST(count(*) AS BIGINT) AS t FROM m
+          GROUP BY nationkey, cents)
+    GROUP BY nationkey
+)
+SELECT s.nationkey, nn.n, s.s_stat,
+       CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - tie.tsum AS BIGINT)
+           AS var18,
+       {_MK_Z} AS z
+FROM sstat s JOIN nn ON s.nationkey = nn.nationkey
+JOIN tie ON s.nationkey = tie.nationkey
+WHERE nn.n >= 4 AND nn.n * (nn.n - 1) * (2 * nn.n + 5) > tie.tsum
+ORDER BY s.nationkey
+"""
+
+
+@_staged(
+    "x273_mann_kendall",
+    "OP-W3-ext",
+    "Mann-Kendall monotonic-trend test per nation on monthly revenue: "
+    "S = sum of pairwise sign(later - earlier) over all month pairs "
+    "(exact integer), the tie-corrected variance kept in x18 units "
+    "(var18 = n(n-1)(2n+5) - sum t(t-1)(2t+5), exact BIGINT — no "
+    "/18 rational until the single z expression with its continuity "
+    "correction). The DISTRIBUTION-FREE trend verdict: x114's OLS "
+    "slope and x155's Theil-Sen ESTIMATE a slope, MK says whether "
+    "ANY monotonic trend is significant without assuming linearity "
+    "or normality — the standard first test on environmental/KPI "
+    "series. Scale: the pair join is nation-keyed over the bounded "
+    "|nations| x |months| frame (~84 rows per nation), never raw "
+    "orders.",
+    _MK_ORACLE,
+)
+def x273_mann_kendall(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    m = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("mi"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .localCheckpoint(eager=True)  # three consumers: pairs x2 + ties
+    )
+    a = m.select("nationkey", F.col("mi").alias("mi_a"), F.col("cents").alias("ca"))
+    b = m.select("nationkey", F.col("mi").alias("mi_b"), F.col("cents").alias("cb"))
+    pairs = a.join(b, "nationkey").filter(F.col("mi_a") < F.col("mi_b"))
+    sstat = pairs.groupBy("nationkey").agg(
+        F.sum(
+            F.when(F.col("cb") > F.col("ca"), 1)
+            .when(F.col("cb") < F.col("ca"), -1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("s_stat")
+    )
+    nn = m.groupBy("nationkey").agg(F.count("*").cast("long").alias("n"))
+    tie = (
+        m.groupBy("nationkey", "cents")
+        .agg(F.count("*").cast("long").alias("t"))
+        .groupBy("nationkey")
+        .agg(
+            F.sum(F.expr("t * (t - 1) * (2 * t + 5)"))
+            .cast("long")
+            .alias("tsum")
+        )
+    )
+    out = (
+        sstat.join(nn, "nationkey")
+        .join(tie, "nationkey")
+        .filter(
+            (F.col("n") >= 4)
+            & (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                > F.col("tsum")
+            )
+        )
+        .select(
+            "nationkey",
+            "n",
+            "s_stat",
+            F.expr(
+                "CAST(n * (n - 1) * (2 * n + 5) - tsum AS BIGINT)"
+            ).alias("var18"),
+        )
+    )
+    return out.select(
+        "nationkey", "n", "s_stat", "var18", F.expr(_MK_Z).alias("z")
+    ).orderBy("nationkey")
+
+
+# ---------------------------------------------------------------------------
+# x274 — process capability Cp / Cpk of weekly revenue (pairs with x270)
+# ---------------------------------------------------------------------------
+
+_CPK_D2 = "2.704"  # d2 constant for subgroup size n = 7
+
+_CPK_SIGMA = (
+    f"(CAST(rbar_milli AS DOUBLE) / 1000.0 / {_CPK_D2})"
+)
+_CPK_CP = (
+    "CAST(round(1000.0 * (CAST(usl_milli - lsl_milli AS DOUBLE) / 1000.0)"
+    f" / (6.0 * {_CPK_SIGMA})) AS BIGINT)"
+)
+_CPK_CPK = (
+    "CAST(round(1000.0 * least("
+    "CAST(usl_milli - xbb_milli AS DOUBLE) / 1000.0,"
+    " CAST(xbb_milli - lsl_milli AS DOUBLE) / 1000.0)"
+    f" / (3.0 * {_CPK_SIGMA})) AS BIGINT)"
+)
+
+_CPK_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS d,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               // 100000 AS x
+    FROM orders GROUP BY 1
+),
+grp AS (
+    SELECT d // 7 AS week,
+           CAST(SUM(x) * 1000 // count(*) AS BIGINT) AS xbar_milli,
+           CAST(MAX(x) - MIN(x) AS BIGINT) AS r_range
+    FROM daily GROUP BY 1 HAVING count(*) = 7
+),
+ctr AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_weeks,
+           CAST(SUM(xbar_milli) // count(*) AS BIGINT) AS xbb_milli,
+           CAST(SUM(r_range) * 1000 // count(*) AS BIGINT) AS rbar_milli
+    FROM grp
+),
+spec AS (
+    SELECT n_weeks, xbb_milli, rbar_milli,
+           xbb_milli // 2 AS lsl_milli,
+           xbb_milli * 3 // 2 AS usl_milli
+    FROM ctr
+)
+SELECT n_weeks, xbb_milli, rbar_milli, lsl_milli, usl_milli,
+       {_CPK_CP} AS cp_milli,
+       {_CPK_CPK} AS cpk_milli
+FROM spec WHERE rbar_milli > 0
+"""
+
+
+@_staged(
+    "x274_cpk_capability",
+    "OP-G6/T-ext",
+    "Process capability Cp / Cpk of weekly revenue against a +-50% "
+    "band around the grand mean: within-subgroup sigma from the SPC "
+    "estimator Rbar/d2 (d2 = 2.704 for n = 7, shared literal — the "
+    "same subgroup frame as x270's control chart), Cp = span/6sigma, "
+    "Cpk = nearest-limit margin/3sigma, both in milli from one "
+    "shared IEEE expression over exact integers. The capacity-"
+    "planning verdict x270's chart feeds: in-control but Cpk < 1 "
+    "means the process cannot hold the band even when stable. "
+    "Scale: identical frame shape to x270 — day agg, week agg, one "
+    "1-row capability frame.",
+    _CPK_ORACLE,
+)
+def x274_cpk_capability(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr("unix_timestamp(o_orderdate) div 86400").alias("d")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+            " DIV 100000"
+        ).alias("x")
+    )
+    grp = (
+        daily.groupBy(F.expr("d DIV 7").alias("week"))
+        .agg(
+            F.count("*").alias("n_days"),
+            F.expr("CAST(SUM(x) * 1000 DIV count(*) AS BIGINT)").alias(
+                "xbar_milli"
+            ),
+            (F.max("x") - F.min("x")).cast("long").alias("r_range"),
+        )
+        .filter(F.col("n_days") == 7)
+    )
+    ctr = grp.agg(
+        F.count("*").cast("long").alias("n_weeks"),
+        F.expr("CAST(SUM(xbar_milli) DIV count(*) AS BIGINT)").alias(
+            "xbb_milli"
+        ),
+        F.expr("CAST(SUM(r_range) * 1000 DIV count(*) AS BIGINT)").alias(
+            "rbar_milli"
+        ),
+    )
+    spec = ctr.select(
+        "n_weeks",
+        "xbb_milli",
+        "rbar_milli",
+        F.expr("xbb_milli DIV 2").cast("long").alias("lsl_milli"),
+        F.expr("xbb_milli * 3 DIV 2").cast("long").alias("usl_milli"),
+    )
+    return spec.filter(F.col("rbar_milli") > 0).select(
+        "n_weeks",
+        "xbb_milli",
+        "rbar_milli",
+        "lsl_milli",
+        "usl_milli",
+        F.expr(_CPK_CP).alias("cp_milli"),
+        F.expr(_CPK_CPK).alias("cpk_milli"),
+    )
 
 
 # --- round-9 registration footer (commented until round 9) ---

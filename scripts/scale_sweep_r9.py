@@ -88,6 +88,8 @@ ENTRIES = [
     ("x270_spc_control_chart", None),
     ("x271_kruskal_wallis", None),
     ("x272_chao1_unseen", None),
+    ("x273_mann_kendall", None),
+    ("x274_cpk_capability", None),
 ]
 
 

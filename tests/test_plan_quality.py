@@ -267,6 +267,7 @@ _SINGLE_PARTITION_OK = {
     "x268_theil_decomposition": "1-row corpus totals broadcast into the <=|nations| term frame",
     "x270_spc_control_chart": "1-row center-line frame over the <=|weeks| subgroup aggregate",
     "x271_kruskal_wallis": "global midrank window over the fact frame (documented certifiable form; the x219 bucketed rank is the scale path) + 5-row scalar frames",
+    "x274_cpk_capability": "1-row capability frame over the <=|weeks| subgroup aggregate",
 }
 
 

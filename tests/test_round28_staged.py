@@ -37,7 +37,7 @@ def test_round28_not_yet_registered():
 
     leaked = set(STAGED) & set(REGISTRY)
     assert not leaked, f"staged entries registered early: {leaked}"
-    assert len(STAGED) == 38
+    assert len(STAGED) == 40
 
 
 # ---------------------------------------------------------------------------
@@ -365,6 +365,28 @@ def test_chao1_dominates_observed_vocab(spark):
         assert r.chao1_milli >= r.s_obs * 1000
         assert r.f1 + r.f2 <= r.s_obs
         assert 0 <= r.unseen_mass_ppm <= 1_000_000
+
+
+def test_mann_kendall_s_bounds(spark):
+    rows = STAGED["x273_mann_kendall"].spark(spark, SFS[1]).collect()
+    assert rows
+    for r in rows:
+        # |S| is bounded by the number of comparable pairs
+        assert abs(r.s_stat) <= r.n * (r.n - 1) // 2
+        assert r.var18 > 0
+        # continuity correction keeps |z| <= |S|/sqrt(var)
+        import math
+
+        assert abs(r.z) <= abs(r.s_stat) / math.sqrt(r.var18 / 18.0) + 1e-9
+
+
+def test_cpk_consistent_with_spec_band(spark):
+    row = STAGED["x274_cpk_capability"].spark(spark, SFS[1]).collect()[0]
+    assert row.lsl_milli < row.xbb_milli < row.usl_milli
+    # symmetric-band identity: when the mean sits mid-band, Cpk == Cp
+    # up to the integer flooring of the two spec limits
+    assert abs(row.cp_milli - row.cpk_milli) <= max(2, row.cp_milli // 100)
+    assert row.cp_milli > 0
 
 
 def test_dkw_bands_monotone_and_eps(spark):
