@@ -53,12 +53,15 @@ _R1_CERTIFIED = frozenset(
 )
 
 
-def _certified_names() -> frozenset[str]:
-    """Entries hash-certified in ANY prior round: parsed from the
-    driver's CORRECTNESS_r*.json files next to this module, so the
+def _correctness_records() -> tuple[frozenset[str], frozenset[str]]:
+    """(certified, seen): entries hash-certified in ANY prior round,
+    and entries with ANY driver-side record at all (including
+    harness-only ``no_oracle`` rows-checks). Parsed from the driver's
+    CORRECTNESS_r*.json files next to this module, so the
     certification window self-adapts every round without editing the
     hardcoded round-1 floor."""
-    names = set(_R1_CERTIFIED)
+    certified = set(_R1_CERTIFIED)
+    seen = set(_R1_CERTIFIED)
     here = os.path.dirname(os.path.abspath(__file__))
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
@@ -67,26 +70,36 @@ def _certified_names() -> frozenset[str]:
         except (OSError, ValueError):
             continue
         for name, rec in data.items():
+            if not isinstance(rec, dict):
+                continue
+            seen.add(name)
             if (
-                isinstance(rec, dict)
-                and rec.get("rows_match")
+                rec.get("rows_match")
                 and rec.get("schema_match")
                 and rec.get("hash_match")
                 and not rec.get("err")
             ):
-                names.add(name)
-    return frozenset(names)
+                certified.add(name)
+    return frozenset(certified), frozenset(seen)
+
+
+def _certified_names() -> frozenset[str]:
+    return _correctness_records()[0]
 
 
 def _ordered_names() -> list[str]:
-    certified = _certified_names()
+    certified, seen = _correctness_records()
 
     def tier(name: str) -> int:
         if REGISTRY[name].oracle is not None and name not in certified:
             return 0  # oracle-backed, awaiting hash certification
         if REGISTRY[name].oracle is None:
-            return 1  # harness-only: rows check is still new signal
-        return 2  # already hash-certified in a prior round
+            # harness-only: a rows-check is still signal — entries the
+            # driver has NEVER recorded (in any round) outrank ones
+            # with a stale r04-era record, so every registered entry
+            # eventually has a driver-side row (verdict r8 missing #3)
+            return 1 if name not in seen else 2
+        return 3  # already hash-certified in a prior round
 
     names = list(REGISTRY)
     return sorted(names, key=lambda n: (tier(n), names.index(n)))

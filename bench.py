@@ -97,15 +97,21 @@ HEADLINE = [
     # round 8: the production (hot-bucket-capped) winnowing form —
     # tracked next to x150 so the cap's cost/benefit stays measured
     "x227_winnow_capped",
-    # round-28 staged heavies, pre-wired (runner skips names not in
-    # REGISTRY; these activate when the round-9 footer flips): 2-round
-    # label propagation, FIFO interval matching, rescaled-range Hurst.
+    # round-28 heavies (registered in round 9): 2-round label
+    # propagation, FIFO interval matching, rescaled-range Hurst.
     # x245 TwoNN is deliberately NOT tracked: its certified form is the
     # exact all-pairs gram (41 s at sf0.1 — measured, documented); the
-    # production path is SRP-bucketed candidates per its docstring.
+    # bench tracks its production twin x245b below instead.
     "x246_label_propagation",
     "x251_fifo_cost_basis",
     "x237_hurst_rs",
+    # round 9: the SRP-bucketed production forms of the two all-pairs
+    # embedding audits (the entries a 100 TB user would call) — the
+    # bench tracks the bucketed forms, the exact forms stay as
+    # certification oracles of the metric (x230 stays tracked via the
+    # exact entry's absence here; its cost is documented in SCALING.md)
+    "x230b_hubness_bucketed",
+    "x245b_twonn_bucketed",
 ]
 
 

@@ -851,3 +851,11 @@ from ravelytics_spark.plans import round25_staged as _round25  # noqa: E402,F401
 # them. The module self-registers its STAGED dict at import.
 from ravelytics_spark.plans import round26_staged as _round26  # noqa: E402,F401
 from ravelytics_spark.plans import round27 as _round27  # noqa: E402,F401
+
+# Round-28 entries were STAGED in round 8 (the round-8 window was
+# exactly full at 50); the round-9 footer in the module registers the
+# whole x235-x274 batch at import. round29 carries the round-9 live
+# registrations (scale-safe SRP-bucketed twins of the all-pairs
+# x230/x245 audit forms).
+from ravelytics_spark.plans import round28_staged as _round28  # noqa: E402,F401
+from ravelytics_spark.plans import round29 as _round29  # noqa: E402,F401

@@ -62,7 +62,11 @@ def ensure_topic(
     return True
 
 
-def to_kafka_records(df: DataFrame, key_col: str | None = None) -> DataFrame:
+def to_kafka_records(
+    df: DataFrame,
+    key_col: str | None = None,
+    keep_key_in_value: bool = False,
+) -> DataFrame:
     """Serialize rows to the Kafka wire shape: value = JSON of all
     columns (JSONEachRow), optional key for per-key ordering/compaction.
 
@@ -71,8 +75,15 @@ def to_kafka_records(df: DataFrame, key_col: str | None = None) -> DataFrame:
     (argMax / group-by-ingest_ts).
     Keyed (artists, OP-S6): key=artist_id keeps each artist's updates in
     one partition → per-artist ordering for the latest-state view.
+    ``keep_key_in_value=True`` reproduces the reference's artists wire
+    layout exactly (spotify_artist_genres_to_kafka.py:126-127: the
+    record keeps artist_id in the JSON value AND sends it as the key);
+    the default drops the key from the payload (no duplication) for
+    consumers that read the key column.
     """
-    payload_cols = [c for c in df.columns if c != key_col]
+    payload_cols = [
+        c for c in df.columns if keep_key_in_value or c != key_col
+    ]
     value = F.to_json(F.struct(*payload_cols)).alias("value")
     if key_col is None:
         return df.select(value)

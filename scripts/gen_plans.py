@@ -47,6 +47,14 @@ SHOWCASE = [
     ("x227_winnow_capped", "x150 + hot-fingerprint cap: tiny bucket-size agg broadcast back as a LeftAnti probe; fingerprint frame checkpointed once"),
     ("x230_hubness_audit", "all-pairs as replicated equi-join (no CartesianProduct); PARTIAL WindowGroupLimit top-k heaps run BEFORE the qa shuffle"),
     ("x233_lsh_bucket_balance", "signature mins partial-aggregated map-side; band posexplode feeds two stacked hash-aggs; zero joins anywhere"),
+    # round-9 registrations: graph family + SRP-bucketed audit twins
+    ("x246_label_propagation", "per-round: ONE edge-keyed join off checkpointed frames (Scan ExistingRDD) + count agg + min-struct argmax; earlier rounds cut away"),
+    ("x262_modularity_score", "LPA labels checkpointed once; two label tag joins; 1-row edge-total broadcast is the only nested-loop join"),
+    ("x263_adamic_adar", "candidates via shared-neighbor equi self-join; 1/ln(degree) weights BROADCAST; top-50 is TakeOrderedAndProject"),
+    ("x264_degree_assortativity", "degree dim broadcast onto both endpoints; moment sums partial-aggregate to one row per partition"),
+    ("x265_clustering_coefficient", "oriented two-hop equi-join closed by LEFT SEMI; wedges pure degree agg; 1-row wedge broadcast"),
+    ("x230b_hubness_bucketed", "SRP-code equi-join candidates (probe explode + per-bucket cap), WindowGroupLimit heaps before the qa shuffle; nz checkpointed once"),
+    ("x245b_twonn_bucketed", "same bucketed candidate shape; top-2 heaps; single-row estimator agg (one partial row per partition)"),
 ]
 
 KEY_LINES = re.compile(

@@ -90,6 +90,15 @@ ENTRIES = [
     ("x272_chao1_unseen", None),
     ("x273_mann_kendall", None),
     ("x274_cpk_capability", None),
+    # round-9 live registrations: the SRP-bucketed production twins of
+    # the capped all-pairs forms above — UNRESTRICTED on purpose: their
+    # whole reason to exist is a linear-ish 10x/100x row (candidate
+    # mass <= N * 500 once the per-bucket cap binds). Note the 100x
+    # replicas are exact duplicates, so x245b's d1=0 exclusion empties
+    # its estimator output there — the timing is still the honest cost
+    # of the candidate+top-2 pipeline.
+    ("x230b_hubness_bucketed", None),
+    ("x245b_twonn_bucketed", None),
 ]
 
 

@@ -268,6 +268,8 @@ _SINGLE_PARTITION_OK = {
     "x270_spc_control_chart": "1-row center-line frame over the <=|weeks| subgroup aggregate",
     "x271_kruskal_wallis": "global midrank window over the fact frame (documented certifiable form; the x219 bucketed rank is the scale path) + 5-row scalar frames",
     "x274_cpk_capability": "1-row capability frame over the <=|weeks| subgroup aggregate",
+    # round-29 live registrations (round 9)
+    "x245b_twonn_bucketed": "final 1-row estimator agg: one partial row per partition after the SRP-bucketed candidate stages (the x245 idiom)",
 }
 
 
@@ -441,3 +443,106 @@ def test_x233_bucket_balance_partial_mins_no_joins(spark, sf_dir):
     assert "Join" not in plan
     assert "partial_min" in plan
     assert plan.count("Generate") == 2  # shingle explode + band posexplode
+
+
+# ---------------------------------------------------------------------------
+# Round-28 graph family (registered round 9): pin the per-round join
+# counts and checkpoint discipline the way x127/x172 are pinned, so an
+# iterative-rewrite regression (re-deriving the edge list per round,
+# lineage blowup across rounds) fails here, not at 100 TB.
+# ---------------------------------------------------------------------------
+
+
+def test_x246_lpa_round_is_one_join_off_checkpoints(spark, sf_dir):
+    """Each label-propagation round must read the CHECKPOINTED edge
+    list and previous-label frame (Scan ExistingRDD), never re-derive
+    them: the final plan shows exactly ONE label join (the visible
+    last round) and at least two checkpoint scans — the whole edge
+    build and every earlier round are cut away behind checkpoints."""
+    plan = _final_plan(REGISTRY["x246_label_propagation"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Join") == 1, plan.count("Join")
+    assert plan.count("Scan ExistingRDD") >= 2
+
+
+def test_x262_modularity_tags_off_checkpointed_labels(spark, sf_dir):
+    """Modularity reuses the LPA machinery: the final plan starts from
+    the checkpointed label + edge frames (never re-running the rounds),
+    tags edges with two label joins, and the only nested-loop join is
+    the 1-row global-edge-count broadcast."""
+    plan = _final_plan(REGISTRY["x262_modularity_score"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan ExistingRDD") >= 2
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the m2 scalar only
+
+
+def test_x263_adamic_adar_candidates_stay_equi_joined(spark, sf_dir):
+    """Link-prediction candidates come only through shared neighbors
+    (an equi self-join on the checkpointed edge list) with the
+    1/ln(degree) weight table BROADCAST into the join; the top-50 is a
+    TakeOrderedAndProject heap, never a global sort."""
+    plan = _final_plan(REGISTRY["x263_adamic_adar"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # the broadcast weight probe
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Scan ExistingRDD") >= 1
+
+
+def test_x264_assortativity_broadcasts_degree_dims(spark, sf_dir):
+    """Degree assortativity joins the (node, degree) dim onto BOTH edge
+    endpoints as broadcasts — the big edge frame never shuffles for the
+    moment sums (they partial-aggregate map-side to one row per
+    partition)."""
+    plan = _final_plan(
+        REGISTRY["x264_degree_assortativity"].spark(spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("Scan ExistingRDD") >= 1
+
+
+def test_x265_clustering_triangle_join_is_oriented_semi(spark, sf_dir):
+    """Triangle counting must be the oriented two-hop equi-join closed
+    by a LEFT SEMI probe (each triangle counted once), with wedges a
+    pure degree aggregate — the only nested-loop join is the final
+    1-row wedge-scalar broadcast."""
+    plan = _final_plan(
+        REGISTRY["x265_clustering_coefficient"].spark(spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # wedge scalar only
+    assert "LeftSemi" in plan
+    assert plan.count("Scan ExistingRDD") >= 1
+
+
+# ---------------------------------------------------------------------------
+# Round-29: the SRP-bucketed production twins.
+# ---------------------------------------------------------------------------
+
+
+def test_x230b_bucketed_candidates_equi_join_and_heaps(spark, sf_dir):
+    """The bucketed hubness audit must generate candidates through the
+    SRP-code EQUI-join (probe explode on the neighbor side, per-bucket
+    row_number cap), never a cartesian; the per-query top-k runs its
+    partial WindowGroupLimit heap before the qa shuffle, and the
+    fixed-point encode is checkpointed once (the x230 discipline)."""
+    plan = _final_plan(
+        REGISTRY["x230b_hubness_bucketed"].spark(spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Generate") == 1  # the probe explode only
+    assert plan.count("Scan ExistingRDD") >= 2  # nz feeds both sides
+
+
+def test_x245b_bucketed_twonn_shares_candidate_shape(spark, sf_dir):
+    """The bucketed TwoNN estimator reuses the same candidate plan:
+    equi-join on probe codes, top-2 via WindowGroupLimit heaps, one
+    final single-row estimator agg."""
+    plan = _final_plan(REGISTRY["x245b_twonn_bucketed"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Generate") == 1
