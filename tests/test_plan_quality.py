@@ -270,6 +270,25 @@ _SINGLE_PARTITION_OK = {
     "x274_cpk_capability": "1-row capability frame over the <=|weeks| subgroup aggregate",
     # round-29 live registrations (round 9)
     "x245b_twonn_bucketed": "final 1-row estimator agg: one partial row per partition after the SRP-bucketed candidate stages (the x245 idiom)",
+    # round-30 staged batch (registration lands in round 10; swept
+    # while staged per the x166 lesson)
+    "x275_ljung_box": "global per-nation frames are nkey-partitioned; the final rollup combines one partial row per partition per nation group",
+    "x276_jarque_bera": "global 1-row-per-segment moment agg: one partial row per partition",
+    "x277_pr_auc": "cumulative windows partition by SEGMENT over the distinct-score-group frame (5 partitions, certifiable form; the x219 bucketed rank is the scale path)",
+    "x279_grubbs_test": "brand-keyed moment agg; scalar algebra on the <=|brands| frame",
+    "x280_fd_violations": "three per-FD 1-row rollups: each global agg combines one partial row per partition",
+    "x281_benford_second_digit": "segment-partitioned total window over the <=|segments x 10| digit frame",
+    "x283_abc_xyz_matrix": "ABC cumulative window over the PART-level aggregate (the x112 certifiable form; x219 bucketed rank is the scale path)",
+    "x285_kaplan_meier": "both cumulative windows run over the <=13-row gap-bucket aggregate (the x200 idiom)",
+    "x287_pot_gpd": "global rank pick over the bounded DAILY aggregate + 1-row threshold broadcast + 1-row moment frame",
+    "x288_lognormal_fit": "segment-keyed agg over per-row integer ln terms: one partial row per partition",
+    "x289_dickey_fuller": "global row_number over the bounded DAILY aggregate + 1-row OLS frame",
+    "x290_entropy_rate": "global 1-row agg over the |etypes|^2 cell frame: one partial row per partition",
+    "x291_cochran_armitage": "global 1-row agg over the 7-row year frame: one partial row per partition",
+    "x292_smd_balance": "per-covariate 1-row moment rollup: one partial row per partition",
+    "x295_keyness_llr": "corpus token-total scalar (1-row broadcast) + bounded TakeOrdered top-1k vocab broadcast",
+    "x296_fleiss_kappa": "global 1-row judge agg over documents: one partial row per partition",
+    "x297_cramers_v_matrix": "marginal windows over the bounded contingency cell frames (pair/av/bv partitions)",
 }
 
 
@@ -278,14 +297,14 @@ def test_no_catalog_plan_single_partitions_or_goes_cartesian(spark, sf_dir):
     whitelist may funnel through Exchange SinglePartition, and none may
     plan a CartesianProduct. This is the blanket guard that a future
     entry doesn't reintroduce the global-window anti-pattern."""
-    from ravelytics_spark.plans.round28_staged import STAGED as _STAGED28
+    from ravelytics_spark.plans.round30_staged import STAGED as _STAGED30
 
     bad = {}
     # Sweep staged-but-unregistered entries too: an anti-pattern must
     # fail HERE, in the round that authors it, not in the round that
-    # flips the registration footer. (The round-26 batch is live in
-    # REGISTRY since round 8; round-28 is the currently-staged set.)
-    for name, qy in {**REGISTRY, **_STAGED28}.items():
+    # flips the registration footer. (The round-28 batch is live in
+    # REGISTRY since round 9; round-30 is the currently-staged set.)
+    for name, qy in {**REGISTRY, **_STAGED30}.items():
         plan = qy.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         if "CartesianProduct" in plan:
             bad[name] = "CartesianProduct"
