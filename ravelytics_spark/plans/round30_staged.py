@@ -101,6 +101,28 @@ Wave 5 — corpus/text metrology:
   the rest over the bounded top-1k vocab: names the tokens behind
   x85's drift number.
 
+Wave 6 — sequence/shape tests, parametric fits, inequality, skyline:
+
+* ``x298_poisson_dispersion`` — var/mean overdispersion of daily
+  order counts per nation (the formal x180).
+* ``x299_zipf_slope`` — log-log OLS Zipf exponent over the bounded
+  top-1k rank-frequency frame.
+* ``x300_turning_points`` — local peaks/valleys vs 2(n-2)/3: the
+  shape-randomness check x231's sign-runs miss.
+* ``x301_friedman_test`` — month-blocked segment rank test (the
+  paired complement of x271's pooled Kruskal-Wallis).
+* ``x302_gamma_mom`` — Gamma shape/scale MOM fit per segment (the
+  positive-support rival of x288; x287 referees the tail).
+* ``x303_hoover_index`` — the Robin-Hood share-to-move inequality
+  index per region (L1 companion of x115/x268).
+* ``x304_interarrival_cv2`` — reorder-gap CV^2 per segment: the
+  queueing burstiness number that sizes fulfillment buffers.
+* ``x305_records_test`` — running-maxima count vs H_n with the
+  harmonic numbers as exact per-position integer sums.
+* ``x306_skyline_parts`` — the Pareto-frontier SKYLINE operator
+  (price vs size) via a bounded per-size frontier, not an all-pairs
+  anti-join.
+
 Hash-parity conventions as plans/queries.py: exact cents/BIGINT
 arithmetic until one shared IEEE expression, total ORDER BY, BIGINT
 casts on every count.
@@ -527,7 +549,9 @@ s AS (
 SELECT segment, n, s1, s2,
        CAST(floor(1000000.0 * {_LOGN_MU}) AS BIGINT) AS mu_micro,
        CAST(floor(1000000.0 * ({_LOGN_SIGMA})) AS BIGINT) AS sigma_micro
-FROM s WHERE n >= 2 AND n * s2 > s1 * s1
+FROM s WHERE n >= 2
+  AND CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+      > CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
 ORDER BY segment
 """
 
@@ -569,7 +593,10 @@ def x288_lognormal_fit(spark, sf_dir):
     return (
         s.filter(
             (F.col("n") >= 2)
-            & (F.col("n") * F.col("s2") > F.col("s1") * F.col("s1"))
+            & F.expr(
+                "CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)"
+                " > CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+            )
         )
         .select(
             "segment",
@@ -874,7 +901,9 @@ s AS (
 )
 SELECT nn, r, su, stn, sttn, n_years,
        {_CA_Z} AS z_milli
-FROM s WHERE r > 0 AND r < nn AND nn * sttn > stn * stn
+FROM s WHERE r > 0 AND r < nn
+  AND CAST(nn AS DOUBLE) * CAST(sttn AS DOUBLE)
+      > CAST(stn AS DOUBLE) * CAST(stn AS DOUBLE)
 """
 
 
@@ -915,7 +944,10 @@ def x291_cochran_armitage(spark, sf_dir):
     return s.filter(
         (F.col("r") > 0)
         & (F.col("r") < F.col("nn"))
-        & (F.col("nn") * F.col("sttn") > F.col("stn") * F.col("stn"))
+        & F.expr(
+            "CAST(nn AS DOUBLE) * CAST(sttn AS DOUBLE)"
+            " > CAST(stn AS DOUBLE) * CAST(stn AS DOUBLE)"
+        )
     ).select(
         "nn", "r", "su", "stn", "sttn", "n_years",
         F.expr(_CA_Z).alias("z_milli"),
@@ -952,7 +984,7 @@ WITH cust AS (
            CAST(round(c.c_acctbal * 100) AS BIGINT) AS acct_cents,
            COALESCE(CAST(count(o.o_orderkey) AS BIGINT), 0) AS n_orders,
            COALESCE(CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
-                AS BIGINT), 0) // 100 AS spend_dollars
+                AS BIGINT), 0) // 100000 AS spend_kd
     FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
     GROUP BY 1, 2, 3
 ),
@@ -961,7 +993,7 @@ long_f AS (
     UNION ALL
     SELECT treated, 'n_orders', n_orders FROM cust
     UNION ALL
-    SELECT treated, 'spend_dollars', spend_dollars FROM cust
+    SELECT treated, 'spend_kd', spend_kd FROM cust
 ),
 arms AS (
     SELECT covariate,
@@ -983,7 +1015,10 @@ SELECT covariate, n1, n0, s1_1, s1_0,
        {_SMD_MILLI} AS smd_milli
 FROM arms
 WHERE n1 >= 2 AND n0 >= 2
-  AND n1 * s2_1 > s1_1 * s1_1 AND n0 * s2_0 > s1_0 * s1_0
+  AND CAST(n1 AS DOUBLE) * CAST(s2_1 AS DOUBLE)
+      > CAST(s1_1 AS DOUBLE) * CAST(s1_1 AS DOUBLE)
+  AND CAST(n0 AS DOUBLE) * CAST(s2_0 AS DOUBLE)
+      > CAST(s1_0 AS DOUBLE) * CAST(s1_0 AS DOUBLE)
 ORDER BY covariate
 """
 
@@ -993,10 +1028,12 @@ ORDER BY covariate
     "OP-G6-ext",
     "Covariate-balance audit for a deterministic md5 ~50% customer "
     "split: standardized mean difference per covariate (account "
-    "balance cents, order count, lifetime spend in DOLLARS — the "
-    "documented unit choice that keeps x^2 sums under 2^63 at 100x; "
-    "spend is nonnegative so the dollar floor-division is "
-    "engine-identical), through one shared IEEE chain in milli. THE "
+    "balance cents, order count, lifetime spend in KILODOLLARS — the "
+    "documented unit choice that keeps x^2 sums far under 2^63 at "
+    "any scale; spend is nonnegative so the floor-division is "
+    "engine-identical; the variance guards compare in DOUBLE because "
+    "n*s2 and s1^2 individually overflow BIGINT at 100x), through "
+    "one shared IEEE chain in milli. THE "
     "pre-experiment gate in the causal stack: x220's SRM catches "
     "broken allocation counts, this catches broken allocation "
     "COMPOSITION (|SMD| > 0.1 means x225/x226's effect estimates are "
@@ -1029,8 +1066,8 @@ def x292_smd_balance(spark, sf_dir):
             .alias("n_orders"),
             F.expr(
                 "COALESCE(CAST(SUM(CAST(round(o_totalprice * 100) AS"
-                " BIGINT)) AS BIGINT), 0) DIV 100"
-            ).alias("spend_dollars"),
+                " BIGINT)) AS BIGINT), 0) DIV 100000"
+            ).alias("spend_kd"),
         )
     )
     long_f = (
@@ -1049,8 +1086,8 @@ def x292_smd_balance(spark, sf_dir):
         .unionByName(
             cust.select(
                 "treated",
-                F.lit("spend_dollars").alias("covariate"),
-                F.col("spend_dollars").alias("x"),
+                F.lit("spend_kd").alias("covariate"),
+                F.col("spend_kd").alias("x"),
             )
         )
     )
@@ -1072,8 +1109,14 @@ def x292_smd_balance(spark, sf_dir):
         arms.filter(
             (F.col("n1") >= 2)
             & (F.col("n0") >= 2)
-            & (F.col("n1") * F.col("s2_1") > F.col("s1_1") * F.col("s1_1"))
-            & (F.col("n0") * F.col("s2_0") > F.col("s1_0") * F.col("s1_0"))
+            & F.expr(
+                "CAST(n1 AS DOUBLE) * CAST(s2_1 AS DOUBLE)"
+                " > CAST(s1_1 AS DOUBLE) * CAST(s1_1 AS DOUBLE)"
+            )
+            & F.expr(
+                "CAST(n0 AS DOUBLE) * CAST(s2_0 AS DOUBLE)"
+                " > CAST(s1_0 AS DOUBLE) * CAST(s1_0 AS DOUBLE)"
+            )
         )
         .select(
             "covariate", "n1", "n0", "s1_1", "s1_0",
@@ -1351,7 +1394,9 @@ s AS (
 SELECT brand, n, s1, s2, mx, mn,
        {_GR_GMAX} AS g_max_milli,
        {_GR_GMIN} AS g_min_milli
-FROM s WHERE n >= 3 AND n * s2 > s1 * s1
+FROM s WHERE n >= 3
+  AND CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+      > CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
 ORDER BY brand
 """
 
@@ -1391,7 +1436,10 @@ def x279_grubbs_test(spark, sf_dir):
     return (
         s.filter(
             (F.col("n") >= 3)
-            & (F.col("n") * F.col("s2") > F.col("s1") * F.col("s1"))
+            & F.expr(
+                "CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)"
+                " > CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+            )
         )
         .select(
             "brand",
@@ -1824,7 +1872,9 @@ s AS (
 )
 SELECT brand, n, sx, sy, sxx, sxy,
        CAST(floor(1000.0 * ({_EL_SLOPE})) AS BIGINT) AS elasticity_milli
-FROM s WHERE n >= 2 AND n * sxx > sx * sx
+FROM s WHERE n >= 2
+  AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      > CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
 ORDER BY brand
 """
 
@@ -1869,7 +1919,10 @@ def x284_price_elasticity(spark, sf_dir):
     return (
         s.filter(
             (F.col("n") >= 2)
-            & (F.col("n") * F.col("sxx") > F.col("sx") * F.col("sx"))
+            & F.expr(
+                "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+                " > CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+            )
         )
         .select(
             "brand", "n", "sx", "sy", "sxx", "sxy",
@@ -2666,6 +2719,822 @@ def x295_keyness_llr(spark, sf_dir):
         )
         .orderBy(F.col("g2_milli").desc(), "token")
         .limit(_KEY_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# x298 — Poisson overdispersion of daily order counts per nation
+# ---------------------------------------------------------------------------
+
+_PD_MEAN = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+_PD_VAR = (
+    "((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+    " / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))"
+)
+_PD_D = f"CAST(floor(1000.0 * {_PD_VAR} / {_PD_MEAN}) AS BIGINT)"
+_PD_CHI2 = (
+    f"CAST(floor(1000.0 * CAST(n - 1 AS DOUBLE) * {_PD_VAR} / {_PD_MEAN})"
+    " AS BIGINT)"
+)
+
+_PD_ORACLE = f"""
+WITH daily AS (
+    SELECT c.c_nationkey AS nkey, o.o_orderdate AS d,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+),
+s AS (
+    SELECT nkey, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(cnt) AS BIGINT) AS s1,
+           CAST(SUM(cnt * cnt) AS BIGINT) AS s2
+    FROM daily GROUP BY nkey
+)
+SELECT nkey, n, s1, s2,
+       {_PD_D} AS dispersion_milli,
+       {_PD_CHI2} AS chi2_milli
+FROM s WHERE n >= 2 AND s1 > 0
+ORDER BY nkey
+"""
+
+
+@_staged(
+    "x298_poisson_dispersion",
+    "OP-G5/G6-ext",
+    "Poisson overdispersion audit of daily order counts per nation "
+    "(observed order-days only — the documented support): dispersion "
+    "index D = var/mean and the chi-square (n-1)*D from exact BIGINT "
+    "count moments through one shared IEEE chain in milli. D >> 1 "
+    "means arrivals cluster (marketing pulses, batch ingest) and "
+    "every Poisson-assuming capacity/alert threshold is wrong — the "
+    "formal version of x180's Fano fingerprint, per nation. Scale: "
+    "one (nation, day) count agg then a nation-keyed moment agg, "
+    "both with map-side partials.",
+    _PD_ORACLE,
+)
+def x298_poisson_dispersion(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    daily = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nkey"),
+            F.col("o_orderdate").alias("d"),
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    s = daily.groupBy("nkey").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cnt").cast("long").alias("s1"),
+        F.sum(F.expr("cnt * cnt")).cast("long").alias("s2"),
+    )
+    return (
+        s.filter((F.col("n") >= 2) & (F.col("s1") > 0))
+        .select(
+            "nkey", "n", "s1", "s2",
+            F.expr(_PD_D).alias("dispersion_milli"),
+            F.expr(_PD_CHI2).alias("chi2_milli"),
+        )
+        .orderBy("nkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x299 — Zipf slope of the token rank-frequency curve
+# ---------------------------------------------------------------------------
+
+_ZIPF_VOCAB = 1000
+
+_ZIPF_LR = "CAST(floor(1000.0 * ln(CAST(r AS DOUBLE))) AS BIGINT)"
+_ZIPF_LC = "CAST(floor(1000.0 * ln(CAST(c AS DOUBLE))) AS BIGINT)"
+_ZIPF_SLOPE = (
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+)
+
+_ZIPF_ORACLE = f"""
+WITH tok AS (
+    SELECT w FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ) WHERE w <> ''
+),
+top AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS c,
+           row_number() OVER (ORDER BY count(*) DESC, w) AS r
+    FROM tok GROUP BY w
+    QUALIFY row_number() OVER (ORDER BY count(*) DESC, w)
+        <= {_ZIPF_VOCAB}
+),
+lt AS (
+    SELECT {_ZIPF_LR} AS lr, {_ZIPF_LC} AS lc FROM top
+),
+s AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(lr) AS BIGINT) AS sx,
+           CAST(SUM(lc) AS BIGINT) AS sy,
+           CAST(SUM(lr * lr) AS BIGINT) AS sxx,
+           CAST(SUM(lr * lc) AS BIGINT) AS sxy
+    FROM lt
+)
+SELECT n, sx, sy, sxx, sxy,
+       CAST(floor(1000.0 * ({_ZIPF_SLOPE})) AS BIGINT) AS zipf_slope_milli
+FROM s WHERE n >= 2 AND n * sxx > sx * sx
+"""
+
+
+@_staged(
+    "x299_zipf_slope",
+    "OP-X4-ext",
+    f"Zipf exponent of the corpus token rank-frequency curve: the "
+    f"top-{_ZIPF_VOCAB} vocabulary (count desc, token asc — the x234 "
+    "bounded TakeOrdered) in log-log space with per-row ln terms "
+    "MILLI-floored, OLS slope from the exact milli sums through one "
+    "shared IEEE chain. Natural text sits near -1; template/generated "
+    "corpora flatten, boilerplate-heavy ones steepen — the "
+    "distributional-shape complement of x193's Heaps curve and "
+    "x20's unigram LM. Scale: one token hash-agg, TakeOrdered "
+    "top-1k, all regression algebra on the bounded 1000-row frame.",
+    _ZIPF_ORACLE,
+)
+def x299_zipf_slope(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    wc = tok.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    top = (
+        wc.orderBy(F.col("c").desc(), "w")
+        .limit(_ZIPF_VOCAB)
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy().orderBy(F.col("c").desc(), "w")
+            ),
+        )
+    )
+    lt = top.select(
+        F.expr(_ZIPF_LR).alias("lr"), F.expr(_ZIPF_LC).alias("lc")
+    )
+    s = lt.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("lr").cast("long").alias("sx"),
+        F.sum("lc").cast("long").alias("sy"),
+        F.sum(F.expr("lr * lr")).cast("long").alias("sxx"),
+        F.sum(F.expr("lr * lc")).cast("long").alias("sxy"),
+    )
+    return s.filter(
+        (F.col("n") >= 2)
+        & (F.col("n") * F.col("sxx") > F.col("sx") * F.col("sx"))
+    ).select(
+        "n", "sx", "sy", "sxx", "sxy",
+        F.expr(f"CAST(floor(1000.0 * ({_ZIPF_SLOPE})) AS BIGINT)").alias(
+            "zipf_slope_milli"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x300 — turning-points randomness test of daily revenue
+# ---------------------------------------------------------------------------
+
+# E[T] = 2(n-2)/3, Var[T] = (16n-29)/90; z through one shared chain.
+_TP_Z = (
+    "CAST(floor(1000.0 * (CAST(t_cnt AS DOUBLE)"
+    " - 2.0 * CAST(n - 2 AS DOUBLE) / 3.0)"
+    " / sqrt((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0)) AS BIGINT)"
+)
+
+_TP_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS d,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders GROUP BY 1
+),
+seq AS (
+    SELECT cents,
+           lag(cents) OVER (ORDER BY d) AS prv,
+           lead(cents) OVER (ORDER BY d) AS nxt,
+           CAST(count(*) OVER () AS BIGINT) AS n
+    FROM daily
+),
+tp AS (
+    SELECT n,
+           CAST(SUM(CASE WHEN (prv < cents AND cents > nxt)
+                          OR (prv > cents AND cents < nxt)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS t_cnt
+    FROM seq WHERE prv IS NOT NULL AND nxt IS NOT NULL
+    GROUP BY n
+)
+SELECT n, t_cnt, {_TP_Z} AS z_milli
+FROM tp WHERE n >= 3
+"""
+
+
+@_staged(
+    "x300_turning_points",
+    "OP-W3/G6-ext",
+    "Turning-points randomness test of the daily-revenue sequence: "
+    "strict local peaks/valleys counted with exact integer compares "
+    "(ties are neither — the documented convention), E[T] = 2(n-2)/3 "
+    "and Var[T] = (16n-29)/90 in one shared IEEE z chain. Too FEW "
+    "turning points = trend/momentum, too MANY = oscillation — the "
+    "shape-based randomness check that catches what x231's runs test "
+    "(sign-based) misses, e.g. a sawtooth with balanced signs. "
+    "Scale: day agg then lag/lead windows over the bounded daily "
+    "frame only.",
+    _TP_ORACLE,
+)
+def x300_turning_points(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr("unix_timestamp(o_orderdate) div 86400").alias("d")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+        ).alias("cents")
+    )
+    wd = Window.partitionBy().orderBy("d")
+    seq = daily.select(
+        "cents",
+        F.lag("cents").over(wd).alias("prv"),
+        F.lead("cents").over(wd).alias("nxt"),
+        F.count("*").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    tp = (
+        seq.filter(F.col("prv").isNotNull() & F.col("nxt").isNotNull())
+        .groupBy("n")
+        .agg(
+            F.sum(
+                F.when(
+                    (
+                        (F.col("prv") < F.col("cents"))
+                        & (F.col("cents") > F.col("nxt"))
+                    )
+                    | (
+                        (F.col("prv") > F.col("cents"))
+                        & (F.col("cents") < F.col("nxt"))
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("t_cnt")
+        )
+    )
+    return tp.filter(F.col("n") >= 3).select(
+        "n", "t_cnt", F.expr(_TP_Z).alias("z_milli")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x301 — Friedman rank test: segment revenue ranked within months
+# ---------------------------------------------------------------------------
+
+# Q = 12/(n*k*(k+1)) * sum R_j^2 - 3*n*(k+1), exact ranks (total
+# tie-break), one shared chain in milli.
+_FR_Q = (
+    "CAST(floor(1000.0 * (12.0 * CAST(srr AS DOUBLE)"
+    " / (CAST(nb AS DOUBLE) * CAST(k AS DOUBLE) * CAST(k + 1 AS DOUBLE))"
+    " - 3.0 * CAST(nb AS DOUBLE) * CAST(k + 1 AS DOUBLE))) AS BIGINT)"
+)
+
+_FR_ORACLE = f"""
+WITH ms AS (
+    SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS mon,
+           c.c_mktsegment AS segment,
+           CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+),
+k AS (SELECT CAST(count(DISTINCT segment) AS BIGINT) AS k FROM ms),
+full_m AS (
+    SELECT mon FROM ms GROUP BY mon
+    HAVING CAST(count(*) AS BIGINT) = (SELECT k FROM k)
+),
+rk AS (
+    SELECT ms.mon, ms.segment,
+           CAST(row_number() OVER (PARTITION BY ms.mon
+                ORDER BY ms.cents, ms.segment) AS BIGINT) AS r
+    FROM ms JOIN full_m ON ms.mon = full_m.mon
+),
+rj AS (
+    SELECT segment, CAST(SUM(r) AS BIGINT) AS rank_sum,
+           CAST(count(*) AS BIGINT) AS nb
+    FROM rk GROUP BY segment
+),
+s AS (
+    SELECT CAST(MAX(nb) AS BIGINT) AS nb,
+           CAST(count(*) AS BIGINT) AS k,
+           CAST(SUM(rank_sum * rank_sum) AS BIGINT) AS srr
+    FROM rj
+)
+SELECT nb AS n_blocks, k AS n_treatments, srr,
+       {_FR_Q} AS q_milli
+FROM s WHERE nb >= 2 AND k >= 2
+"""
+
+
+@_staged(
+    "x301_friedman_test",
+    "OP-W2/G6-ext",
+    "Friedman rank test — do customer segments differ in monthly "
+    "revenue once every month is its own block? Within-month ranks "
+    "are exact row_numbers (cents, segment total tie-break — the "
+    "engine-identical tie-free convention), rank sums exact BIGINT, "
+    "Q through one shared IEEE chain in milli; incomplete months "
+    "drop per the complete-block design. The PAIRED k-group test the "
+    "inference tier lacked: x271's Kruskal-Wallis pools all rows and "
+    "a month-level shock drowns the segment signal — blocking "
+    "removes it (x266's Kendall W is this statistic's concordance "
+    "view). Scale: month-segment agg; rank windows partition by "
+    "MONTH over the <=|segments| frame.",
+    _FR_ORACLE,
+)
+def x301_friedman_test(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    ms = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("mon"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("cents")
+        )
+    )
+    kf = ms.agg(F.countDistinct("segment").cast("long").alias("k"))
+    per_mon = ms.groupBy("mon").agg(F.count("*").cast("long").alias("c"))
+    full_m = (
+        per_mon.crossJoin(F.broadcast(kf))
+        .filter(F.col("c") == F.col("k"))
+        .select("mon")
+    )
+    wr = Window.partitionBy("mon").orderBy("cents", "segment")
+    rk = ms.join(full_m, "mon").select(
+        "segment", F.row_number().over(wr).cast("long").alias("r")
+    )
+    rj = rk.groupBy("segment").agg(
+        F.sum("r").cast("long").alias("rank_sum"),
+        F.count("*").cast("long").alias("nb"),
+    )
+    s = rj.agg(
+        F.max("nb").cast("long").alias("nb"),
+        F.count("*").cast("long").alias("k"),
+        F.sum(F.expr("rank_sum * rank_sum")).cast("long").alias("srr"),
+    )
+    return s.filter((F.col("nb") >= 2) & (F.col("k") >= 2)).select(
+        F.col("nb").alias("n_blocks"),
+        F.col("k").alias("n_treatments"),
+        "srr",
+        F.expr(_FR_Q).alias("q_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x302 — Gamma method-of-moments fit of order value per segment
+# ---------------------------------------------------------------------------
+
+_GA_MEAN = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+_GA_VAR = (
+    "((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+    " / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))"
+)
+_GA_SHAPE = (
+    f"CAST(floor(1000.0 * {_GA_MEAN} * {_GA_MEAN} / {_GA_VAR}) AS BIGINT)"
+)
+_GA_SCALE = f"CAST(floor(1000.0 * {_GA_VAR} / {_GA_MEAN}) AS BIGINT)"
+
+_GA_ORACLE = f"""
+WITH k AS (
+    SELECT c.c_mktsegment AS segment,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) // 100000 AS x
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+s AS (
+    SELECT segment, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS s1,
+           CAST(SUM(x * x) AS BIGINT) AS s2
+    FROM k GROUP BY segment
+)
+SELECT segment, n, s1, s2,
+       {_GA_SHAPE} AS shape_milli,
+       {_GA_SCALE} AS scale_milli
+FROM s WHERE n >= 2 AND s1 > 0 AND n * s2 > s1 * s1
+ORDER BY segment
+"""
+
+
+@_staged(
+    "x302_gamma_mom",
+    "OP-G6-ext",
+    "Gamma method-of-moments fit of order value per segment "
+    "(kilodollar units, the x253 overflow trade): shape k = "
+    "mean^2/var and scale theta = var/mean from the exact BIGINT "
+    "moments through one shared IEEE chain in milli. The "
+    "positive-support two-parameter alternative to x288's lognormal "
+    "— when the two families disagree on the tail (they diverge "
+    "above the ~97th percentile), x287's POT fit referees. Shape "
+    "k ~ 1 means near-exponential spend (memoryless customers); "
+    "k >> 1 means a characteristic basket size. Scale: one "
+    "segment-keyed moment agg with map-side partials.",
+    _GA_ORACLE,
+)
+def x302_gamma_mom(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    k = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.expr(
+            "CAST(round(o_totalprice * 100) AS BIGINT) DIV 100000"
+        ).alias("x"),
+    )
+    s = k.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.expr("x * x")).cast("long").alias("s2"),
+    )
+    return (
+        s.filter(
+            (F.col("n") >= 2)
+            & (F.col("s1") > 0)
+            & (F.col("n") * F.col("s2") > F.col("s1") * F.col("s1"))
+        )
+        .select(
+            "segment", "n", "s1", "s2",
+            F.expr(_GA_SHAPE).alias("shape_milli"),
+            F.expr(_GA_SCALE).alias("scale_milli"),
+        )
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x303 — Hoover (Robin Hood) index of customer spend per region
+# ---------------------------------------------------------------------------
+
+# H = sum|x_i*n - T| / (2*T*n), per-customer terms exact BIGINT in
+# DOLLAR units (the x292 bound), the ratio one shared double chain.
+_HV_PPM = (
+    "CAST(floor(1000000.0 * CAST(num AS DOUBLE)"
+    " / (2.0 * CAST(t AS DOUBLE) * CAST(n AS DOUBLE))) AS BIGINT)"
+)
+
+_HV_ORACLE = f"""
+WITH cust AS (
+    SELECT r.r_name AS region, c.c_custkey AS ck,
+           COALESCE(CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT), 0) // 100 AS x
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+),
+tot AS (
+    SELECT region, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS t
+    FROM cust GROUP BY region
+),
+dev AS (
+    SELECT cust.region, tot.n, tot.t,
+           CAST(SUM(CASE WHEN cust.x * tot.n >= tot.t
+                    THEN cust.x * tot.n - tot.t
+                    ELSE tot.t - cust.x * tot.n END) AS BIGINT) AS num
+    FROM cust JOIN tot ON cust.region = tot.region
+    GROUP BY cust.region, tot.n, tot.t
+)
+SELECT region, n, t AS total_dollars, num,
+       {_HV_PPM} AS hoover_ppm
+FROM dev WHERE t > 0
+ORDER BY region
+"""
+
+
+@_staged(
+    "x303_hoover_index",
+    "OP-G6-ext",
+    "Hoover (Robin Hood) index of customer lifetime spend per "
+    "region: the share of total spend that would have to move to "
+    "equalize customers, sum|x_i*n - T|/(2*T*n) with per-customer "
+    "deviations exact BIGINT in DOLLAR units (the x292 overflow "
+    "bound; spend is nonnegative so the floor division is "
+    "engine-identical) and one shared IEEE ratio in ppm. The "
+    "plain-language inequality number next to x115's Gini and "
+    "x268's Theil — 'move 34% of revenue' briefs better than a "
+    "Lorenz integral, and it is the L1 statistic, so single whales "
+    "move it less than Gini. Scale: customer agg -> region totals "
+    "broadcast back -> one deviation agg; no windows.",
+    _HV_ORACLE,
+)
+def x303_hoover_index(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    cust = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("c_custkey").alias("ck"),
+        )
+        .agg(
+            F.expr(
+                "COALESCE(CAST(SUM(CAST(round(o_totalprice * 100) AS"
+                " BIGINT)) AS BIGINT), 0) DIV 100"
+            ).alias("x")
+        )
+    )
+    tot = cust.groupBy("region").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("t"),
+    )
+    dev = (
+        cust.join(F.broadcast(tot), "region")
+        .groupBy("region", "n", "t")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN x * n >= t THEN x * n - t"
+                    " ELSE t - x * n END"
+                )
+            )
+            .cast("long")
+            .alias("num")
+        )
+    )
+    return (
+        dev.filter(F.col("t") > 0)
+        .select(
+            "region",
+            "n",
+            F.col("t").alias("total_dollars"),
+            "num",
+            F.expr(_HV_PPM).alias("hoover_ppm"),
+        )
+        .orderBy("region")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x304 — interarrival CV^2 (queueing burstiness) per segment
+# ---------------------------------------------------------------------------
+
+_CV2_MILLI = (
+    "CAST(floor(1000.0 * ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)"
+    " * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))"
+    " / ((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))) AS BIGINT)"
+)
+
+_CV2_ORACLE = f"""
+WITH seq AS (
+    SELECT c.c_mktsegment AS segment,
+           date_diff('day',
+               lag(o.o_orderdate) OVER (PARTITION BY o.o_custkey
+                   ORDER BY o.o_orderdate, o.o_orderkey),
+               o.o_orderdate) AS gap
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+s AS (
+    SELECT segment, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(gap) AS BIGINT) AS s1,
+           CAST(SUM(gap * gap) AS BIGINT) AS s2
+    FROM seq WHERE gap IS NOT NULL AND gap > 0
+    GROUP BY segment
+)
+SELECT segment, n, s1, s2,
+       {_CV2_MILLI} AS cv2_milli
+FROM s WHERE n >= 2 AND s1 > 0
+ORDER BY segment
+"""
+
+
+@_staged(
+    "x304_interarrival_cv2",
+    "OP-W3/G6-ext",
+    "Interarrival CV^2 (squared coefficient of variation of same-"
+    "customer reorder gaps in days, zero-gap same-day pairs "
+    "excluded) per segment: exact BIGINT gap moments through one "
+    "shared IEEE chain in milli. THE queueing burstiness number — "
+    "CV^2 = 1 is Poisson, > 1 bursty (G/G/1 waiting time scales "
+    "with (CVa^2+CVs^2)/2, so this directly sizes fulfillment "
+    "buffers); x180's Fano measures COUNT dispersion, this measures "
+    "GAP dispersion, and they disagree exactly when bursts are "
+    "regular. Scale: customer-partitioned lag window -> one "
+    "segment-keyed moment agg.",
+    _CV2_ORACLE,
+)
+def x304_interarrival_cv2(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.datediff(
+                F.col("o_orderdate"),
+                F.lag("o_orderdate").over(w),
+            ).alias("gap"),
+        )
+    )
+    s = (
+        seq.filter(F.col("gap").isNotNull() & (F.col("gap") > 0))
+        .groupBy("segment")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("gap").cast("long").alias("s1"),
+            F.sum(F.expr("gap * gap")).cast("long").alias("s2"),
+        )
+    )
+    return (
+        s.filter((F.col("n") >= 2) & (F.col("s1") > 0))
+        .select(
+            "segment", "n", "s1", "s2",
+            F.expr(_CV2_MILLI).alias("cv2_milli"),
+        )
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x305 — records test (running maxima) of daily revenue
+# ---------------------------------------------------------------------------
+
+# E[records] = H_n and Var = H_n - H_n^(2), both accumulated as EXACT
+# nano-floored per-position integer sums (floor(1e9/t), floor(1e9/t^2))
+# so the data-dependent harmonic numbers are engine-identical.
+_RC_Z = (
+    "CAST(floor(1000.0 * (CAST(rec AS DOUBLE)"
+    " - CAST(h1_nano AS DOUBLE) / 1000000000.0)"
+    " / sqrt((CAST(h1_nano AS DOUBLE) - CAST(h2_nano AS DOUBLE))"
+    " / 1000000000.0)) AS BIGINT)"
+)
+
+_RC_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS d,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders GROUP BY 1
+),
+seq AS (
+    SELECT cents,
+           CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t,
+           max(cents) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+    FROM daily
+),
+s AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN prev_max IS NULL OR cents > prev_max
+                    THEN 1 ELSE 0 END) AS BIGINT) AS rec,
+           CAST(SUM(1000000000 // t) AS BIGINT) AS h1_nano,
+           CAST(SUM(1000000000 // (t * t)) AS BIGINT) AS h2_nano
+    FROM seq
+)
+SELECT n, rec, h1_nano, h2_nano,
+       {_RC_Z} AS z_milli
+FROM s WHERE n >= 2 AND h1_nano > h2_nano
+"""
+
+
+@_staged(
+    "x305_records_test",
+    "OP-W4/G6-ext",
+    "Records test of daily revenue: the count of running maxima "
+    "(strict new highs; day 1 counts) vs the i.i.d. expectation "
+    "E = H_n — with the data-dependent harmonic numbers H_n and "
+    "H_n^(2) accumulated as EXACT per-position integer sums "
+    "(floor(1e9/t), floor(1e9/t^2)), so no engine ever evaluates a "
+    "float series; z is the one shared chain. Way more records than "
+    "H_n = secular growth, fewer = an early spike that nothing beat "
+    "— the extreme-value-side stationarity check that complements "
+    "x289 (mean reversion) and x300 (local shape), and the base "
+    "rate behind any 'record day!' alert. Scale: day agg; running "
+    "max + rank windows over the bounded daily frame.",
+    _RC_ORACLE,
+)
+def x305_records_test(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr("unix_timestamp(o_orderdate) div 86400").alias("d")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+        ).alias("cents")
+    )
+    wd = Window.partitionBy().orderBy("d")
+    wprev = (
+        Window.partitionBy()
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = daily.select(
+        "cents",
+        F.row_number().over(wd).cast("long").alias("t"),
+        F.max("cents").over(wprev).alias("prev_max"),
+    )
+    s = seq.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            F.when(
+                F.col("prev_max").isNull()
+                | (F.col("cents") > F.col("prev_max")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("rec"),
+        F.sum(F.expr("1000000000 DIV t")).cast("long").alias("h1_nano"),
+        F.sum(F.expr("1000000000 DIV (t * t)")).cast("long").alias(
+            "h2_nano"
+        ),
+    )
+    return s.filter(
+        (F.col("n") >= 2) & (F.col("h1_nano") > F.col("h2_nano"))
+    ).select("n", "rec", "h1_nano", "h2_nano", F.expr(_RC_Z).alias("z_milli"))
+
+
+# ---------------------------------------------------------------------------
+# x306 — part skyline (Pareto-optimal price vs size)
+# ---------------------------------------------------------------------------
+
+_SKY_ORACLE = """
+WITH pp AS (
+    SELECT p_partkey, CAST(p_size AS BIGINT) AS size,
+           CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+    FROM part
+),
+persize AS (
+    SELECT size, CAST(MIN(price_cents) AS BIGINT) AS min_price
+    FROM pp GROUP BY size
+),
+frontier AS (
+    SELECT size,
+           CAST(MIN(min_price) OVER (ORDER BY size DESC
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cm
+    FROM persize
+)
+SELECT pp.p_partkey AS partkey, pp.size, pp.price_cents
+FROM pp JOIN frontier f ON pp.size = f.size
+WHERE pp.price_cents <= f.cm
+ORDER BY pp.size DESC, pp.price_cents, pp.p_partkey
+"""
+
+
+@_staged(
+    "x306_skyline_parts",
+    "OP-G6/W4-ext",
+    "Part skyline (Pareto frontier) on price-low/size-high: a part "
+    "survives iff NO part with size >= its size is strictly cheaper "
+    "— computed as a per-size min-price aggregate (<=50 rows) with a "
+    "size-descending cumulative min, then one broadcast probe back "
+    "(price <= frontier keeps exactly the non-dominated rows, "
+    "equal-price ties all kept, deterministically). The classic "
+    "SKYLINE operator the catalog lacked — 'best value at every "
+    "capacity' — expressed so the only window runs over the bounded "
+    "size domain, never the parts table (the naive formulation is "
+    "an all-pairs anti-join). Scale: size agg + <=50-row window + "
+    "one broadcast-frontier filter on the scan.",
+    _SKY_ORACLE,
+)
+def x306_skyline_parts(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    pp = p.select(
+        "p_partkey",
+        F.col("p_size").cast("long").alias("size"),
+        F.expr("CAST(round(p_retailprice * 100) AS BIGINT)").alias(
+            "price_cents"
+        ),
+    )
+    persize = pp.groupBy("size").agg(
+        F.min("price_cents").cast("long").alias("min_price")
+    )
+    wf = (
+        Window.partitionBy()
+        .orderBy(F.col("size").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    frontier = persize.select(
+        "size", F.min("min_price").over(wf).cast("long").alias("cm")
+    )
+    return (
+        pp.join(F.broadcast(frontier), "size")
+        .filter(F.col("price_cents") <= F.col("cm"))
+        .select(F.col("p_partkey").alias("partkey"), "size", "price_cents")
+        .orderBy(F.col("size").desc(), "price_cents", "partkey")
     )
 
 

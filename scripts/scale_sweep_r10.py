@@ -65,6 +65,15 @@ ENTRIES = [
     ("x295_keyness_llr", None),
     ("x296_fleiss_kappa", None),
     ("x297_cramers_v_matrix", None),
+    ("x298_poisson_dispersion", None),
+    ("x299_zipf_slope", None),
+    ("x300_turning_points", None),
+    ("x301_friedman_test", None),
+    ("x302_gamma_mom", None),
+    ("x303_hoover_index", None),
+    ("x304_interarrival_cv2", None),
+    ("x305_records_test", None),
+    ("x306_skyline_parts", None),
 ]
 
 

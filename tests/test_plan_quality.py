@@ -289,6 +289,15 @@ _SINGLE_PARTITION_OK = {
     "x295_keyness_llr": "corpus token-total scalar (1-row broadcast) + bounded TakeOrdered top-1k vocab broadcast",
     "x296_fleiss_kappa": "global 1-row judge agg over documents: one partial row per partition",
     "x297_cramers_v_matrix": "marginal windows over the bounded contingency cell frames (pair/av/bv partitions)",
+    "x298_poisson_dispersion": "nation-keyed moment agg; the (nation, day) count agg partial-aggregates map-side",
+    "x299_zipf_slope": "rank window over the bounded TakeOrdered top-1k vocab frame + 1-row OLS agg",
+    "x300_turning_points": "lag/lead windows over the bounded DAILY aggregate + 1-row test frame",
+    "x301_friedman_test": "1-row k scalar + 1-row Q frame; rank windows partition by MONTH over the <=|segments| frame",
+    "x302_gamma_mom": "segment-keyed moment agg: one partial row per partition per segment",
+    "x303_hoover_index": "region totals broadcast back into one deviation agg: one partial row per partition",
+    "x304_interarrival_cv2": "segment-keyed gap-moment agg after the customer-partitioned lag window",
+    "x305_records_test": "running-max + rank windows over the bounded DAILY aggregate + 1-row test frame",
+    "x306_skyline_parts": "frontier cumulative-min window over the <=50-row size-domain aggregate, broadcast back as a probe",
 }
 
 

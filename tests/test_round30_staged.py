@@ -39,7 +39,7 @@ def test_round30_not_yet_registered():
 
     leaked = set(STAGED) & set(REGISTRY)
     assert not leaked, f"staged entries registered early: {leaked}"
-    assert len(STAGED) == 23
+    assert len(STAGED) == 32
 
 
 # ---------------------------------------------------------------------------
@@ -166,7 +166,7 @@ def test_smd_three_covariates_near_zero_for_hash_split(spark):
     assert {r.covariate for r in rows} == {
         "acctbal_cents",
         "n_orders",
-        "spend_dollars",
+        "spend_kd",
     }
     for r in rows:
         # an md5 split is as-if random: |SMD| must be far below the 0.1
@@ -179,3 +179,75 @@ def test_grubbs_nonnegative_on_right_skewed_prices(spark):
         assert r.g_max_milli >= 0
         assert r.g_min_milli >= 0
         assert r.mx >= r.mn
+
+
+def test_zipf_slope_is_negative(spark):
+    row = STAGED["x299_zipf_slope"].spark(spark, SFS[1]).collect()[0]
+    assert row.zipf_slope_milli < 0  # frequency falls with rank, always
+
+
+def test_gamma_and_lognormal_agree_on_the_mean_order(spark):
+    """Both parametric fits must reproduce the same ordering of
+    segment means (shape*scale for Gamma vs the log-domain mu for
+    lognormal are monotone transforms of the same empirical mean)."""
+    ga = {
+        r.segment: r.shape_milli * r.scale_milli
+        for r in STAGED["x302_gamma_mom"].spark(spark, SFS[1]).collect()
+    }
+    ln = {
+        r.segment: r.mu_micro
+        for r in STAGED["x288_lognormal_fit"].spark(spark, SFS[1]).collect()
+    }
+    ga_rank = sorted(ga, key=ga.__getitem__)
+    ln_rank = sorted(ln, key=ln.__getitem__)
+    # weak agreement: top and bottom segments coincide
+    assert ga_rank[-1] == ln_rank[-1] or ga_rank[0] == ln_rank[0]
+
+
+def test_hoover_in_unit_range(spark):
+    for r in STAGED["x303_hoover_index"].spark(spark, SFS[1]).collect():
+        assert 0 <= r.hoover_ppm <= 1_000_000
+
+
+def test_records_at_least_one_and_bounded(spark):
+    row = STAGED["x305_records_test"].spark(spark, SFS[1]).collect()[0]
+    assert 1 <= row.rec <= row.n
+    assert row.h1_nano > row.h2_nano
+
+
+def test_skyline_is_mutually_nondominated(spark):
+    rows = STAGED["x306_skyline_parts"].spark(spark, SFS[1]).collect()
+    assert rows
+    # the defining property: no member has another member with
+    # size >= its size at a strictly lower price
+    for a in rows:
+        for b in rows:
+            assert not (
+                b.size >= a.size and b.price_cents < a.price_cents
+            ), (a, b)
+    # corollary: walking sizes downward, the frontier price descends
+    by_size = {}
+    for r in rows:
+        by_size.setdefault(r.size, []).append(r.price_cents)
+    prev = None
+    for s in sorted(by_size, reverse=True):
+        m = min(by_size[s])
+        if prev is not None:
+            assert m <= prev
+        prev = m
+
+
+def test_turning_points_fraction_sane(spark):
+    row = STAGED["x300_turning_points"].spark(spark, SFS[1]).collect()[0]
+    assert 0 <= row.t_cnt <= row.n - 2
+
+
+def test_friedman_q_nonnegative(spark):
+    row = STAGED["x301_friedman_test"].spark(spark, SFS[1]).collect()[0]
+    assert row.q_milli >= 0
+    assert row.n_treatments == 5
+
+
+def test_cv2_positive(spark):
+    for r in STAGED["x304_interarrival_cv2"].spark(spark, SFS[1]).collect():
+        assert r.cv2_milli > 0
