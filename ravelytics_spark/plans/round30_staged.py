@@ -2285,14 +2285,19 @@ LIMIT {_HITS_TOPK}
     _HITS_ORACLE,
 )
 def x278_hits_scores(spark, sf_dir):
+    from pyspark.storagelevel import StorageLevel
+
     li = load_table(spark, sf_dir, "lineitem")
-    e = (
-        li.select(
-            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # DISK_ONLY persist, not localCheckpoint: the edge list is the
+    # full distinct (order, part) relation (~60M rows at 100x sf0.1)
+    # and an in-memory checkpoint OOMed the 100x sweep; three
+    # consumers read the disk blocks instead of recomputing the
+    # distinct, and the lineage stays available if an executor dies.
+    e = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    e.persist(StorageLevel.DISK_ONLY)
+    e.count()  # eager materialization before the three join rounds
     h1 = e.groupBy("o").agg(F.count("*").cast("long").alias("h"))
     a1 = (
         e.join(h1, "o")
