@@ -123,6 +123,19 @@ Wave 6 — sequence/shape tests, parametric fits, inequality, skyline:
   (price vs size) via a bounded per-size frontier, not an all-pairs
   anti-join.
 
+Wave 7 — psychometrics + robust inference + Box-Jenkins completion:
+
+* ``x307_cronbach_alpha`` — internal consistency of the three-judge
+  battery as ONE exact rational in ppm (do the items measure one
+  construct — the coherence complement of x296's agreement).
+* ``x308_brown_forsythe`` — median-based Levene variance-homogeneity
+  F across segments: the equal-variance check x259 silently assumes.
+* ``x309_pacf`` — closed-form Durbin-Levinson PACF (lags 1..3) over
+  x171's exact ACF integers: where correlation is GENERATED, the
+  AR-order pick for x148.
+* ``x310_cohens_d`` — the pairwise effect-size matrix x259's F omits
+  and x182's power planner consumes.
+
 Hash-parity conventions as plans/queries.py: exact cents/BIGINT
 arithmetic until one shared IEEE expression, total ORDER BY, BIGINT
 casts on every count.
@@ -3540,6 +3553,547 @@ def x306_skyline_parts(spark, sf_dir):
         .filter(F.col("price_cents") <= F.col("cm"))
         .select(F.col("p_partkey").alias("partkey"), "size", "price_cents")
         .orderBy(F.col("size").desc(), "price_cents", "partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x307 — Cronbach's alpha of the three-judge quality battery
+# ---------------------------------------------------------------------------
+
+# alpha = k/(k-1) * (1 - sum_i var_i / var_total); with k=3 binary
+# items this is the EXACT rational 1.5 * (den - num) / den where
+#   num = sum_i a_i*(n-a_i)  (n^2-cleared item variances)
+#   den = n*sum(r^2) - (sum r)^2  (n^2-cleared total variance)
+# signed CASE division (alpha can be negative).
+_CR_NUM3 = "(3 * (den - num))"  # 2*den*alpha = 3*(den-num)
+_CR_PPM = (
+    f"CAST(CASE WHEN {_CR_NUM3} >= 0"
+    f" THEN {_CR_NUM3} * 500000 // den"
+    f" ELSE -((-{_CR_NUM3}) * 500000 // den) END AS BIGINT)"
+)
+
+_CR_ORACLE = f"""
+WITH judged AS (
+    SELECT CASE WHEN n_chars BETWEEN 200 AND 5000 THEN 1 ELSE 0 END AS a,
+           CASE WHEN length(text) - length(replace(text, ' ', '')) + 1
+                     BETWEEN 40 AND 1000 THEN 1 ELSE 0 END AS b,
+           CASE WHEN length(replace(replace(replace(text, '.', ''),
+                     ',', ''), '!', '')) * 100 >= length(text) * 95
+                THEN 1 ELSE 0 END AS c
+    FROM documents
+),
+s AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(a) AS BIGINT) AS a1,
+           CAST(SUM(b) AS BIGINT) AS b1,
+           CAST(SUM(c) AS BIGINT) AS c1,
+           CAST(SUM(a + b + c) AS BIGINT) AS sr,
+           CAST(SUM((a + b + c) * (a + b + c)) AS BIGINT) AS srr
+    FROM judged
+),
+v AS (
+    SELECT n, a1, b1, c1,
+           a1 * (n - a1) + b1 * (n - b1) + c1 * (n - c1) AS num,
+           n * srr - sr * sr AS den
+    FROM s
+)
+SELECT n, a1, b1, c1, num, den,
+       {_CR_PPM} AS alpha_ppm
+FROM v WHERE den > 0
+"""
+
+
+@_staged(
+    "x307_cronbach_alpha",
+    "OP-G5/X4-ext",
+    "Cronbach's alpha of the three-judge document-quality battery "
+    "(x296's judges as scale items): with binary items the item and "
+    "total variances clear to n^2-free integers, so alpha = "
+    "1.5*(den-num)/den is ONE exact rational in ppm with the x205 "
+    "signed-division CASE. The internal-consistency complement of "
+    "x296's agreement: kappa asks 'do raters agree per document', "
+    "alpha asks 'do the items measure ONE construct' — a high-kappa "
+    "low-alpha battery is consistent but incoherent. Bound: den <= "
+    "9n^2, x5e5 ppm factor stays under 2^63 past 1e6 docs per the "
+    "x205 rule. Scale: one map-side-combinable global agg.",
+    _CR_ORACLE,
+)
+def x307_cronbach_alpha(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    ja = F.when(F.col("n_chars").between(200, 5000), 1).otherwise(0)
+    jb = F.when(
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", " ", ""))
+            + 1
+        ).between(40, 1000),
+        1,
+    ).otherwise(0)
+    jc = F.when(
+        F.length(F.regexp_replace("text", r"[.,!]", "")) * 100
+        >= F.length("text") * 95,
+        1,
+    ).otherwise(0)
+    judged = d.select(ja.alias("a"), jb.alias("b"), jc.alias("c"))
+    s = judged.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("a").cast("long").alias("a1"),
+        F.sum("b").cast("long").alias("b1"),
+        F.sum("c").cast("long").alias("c1"),
+        F.sum(F.expr("a + b + c")).cast("long").alias("sr"),
+        F.sum(F.expr("(a + b + c) * (a + b + c)")).cast("long").alias(
+            "srr"
+        ),
+    )
+    v = s.select(
+        "n",
+        "a1",
+        "b1",
+        "c1",
+        F.expr(
+            "a1 * (n - a1) + b1 * (n - b1) + c1 * (n - c1)"
+        ).alias("num"),
+        F.expr("n * srr - sr * sr").alias("den"),
+    )
+    return v.filter(F.col("den") > 0).select(
+        "n",
+        "a1",
+        "b1",
+        "c1",
+        "num",
+        "den",
+        F.expr(_CR_PPM.replace("//", "DIV")).alias("alpha_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x308 — Brown-Forsythe variance-homogeneity test across segments
+# ---------------------------------------------------------------------------
+
+# One-way ANOVA F on z = |x - median_g| in kilodollars:
+#   SSB = sum S1_g^2/n_g - T^2/N,  SSW = sum S2_g - sum S1_g^2/n_g
+#   F = (SSB/(k-1)) / (SSW/(N-k))
+_BF_SSB = (
+    "(CAST(sq AS DOUBLE) - CAST(t AS DOUBLE) * CAST(t AS DOUBLE)"
+    " / CAST(nn AS DOUBLE))"
+)
+_BF_SSW = "(CAST(s2t AS DOUBLE) - CAST(sq AS DOUBLE))"
+_BF_F = (
+    f"CAST(floor(1000.0 * ({_BF_SSB} / CAST(k - 1 AS DOUBLE))"
+    f" / ({_BF_SSW} / CAST(nn - k AS DOUBLE))) AS BIGINT)"
+)
+
+_BF_ORACLE = f"""
+WITH k AS (
+    SELECT c.c_mktsegment AS segment,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+rk AS (
+    SELECT segment, cents,
+           row_number() OVER (PARTITION BY segment ORDER BY cents) AS r,
+           CAST(count(*) OVER (PARTITION BY segment) AS BIGINT) AS n
+    FROM k
+),
+med AS (
+    SELECT segment, cents AS med_cents FROM rk
+    WHERE r = (n + 1) // 2
+),
+z AS (
+    SELECT k.segment,
+           CASE WHEN k.cents >= m.med_cents
+                THEN (k.cents - m.med_cents) // 100000
+                ELSE (m.med_cents - k.cents) // 100000 END AS z
+    FROM k JOIN med m ON k.segment = m.segment
+),
+grp AS (
+    SELECT segment, CAST(count(*) AS BIGINT) AS n_g,
+           CAST(SUM(z) AS BIGINT) AS s1,
+           CAST(SUM(z * z) AS BIGINT) AS s2
+    FROM z GROUP BY segment
+),
+tot AS (
+    SELECT CAST(SUM(n_g) AS BIGINT) AS nn,
+           CAST(count(*) AS BIGINT) AS k,
+           CAST(SUM(s1) AS BIGINT) AS t,
+           CAST(SUM(s2) AS BIGINT) AS s2t,
+           SUM(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+               / CAST(n_g AS DOUBLE)) AS sq
+    FROM grp
+)
+SELECT nn, k, t, s2t,
+       CAST(floor(1000.0 * sq) AS BIGINT) AS sq_milli,
+       {_BF_F} AS f_milli
+FROM tot WHERE nn > k AND k >= 2 AND {_BF_SSW} > 0
+"""
+
+
+@_staged(
+    "x308_brown_forsythe",
+    "OP-G6/W2-ext",
+    "Brown-Forsythe variance-homogeneity test across segments: "
+    "per-segment deviations |x - median_g| in kilodollars (median by "
+    "exact rank pick (n+1) DIV 2, segment-partitioned — the "
+    "certifiable form, x219's bucketed rank is the scale path; "
+    "deviations nonnegative so the kd floor division is "
+    "engine-identical), then the one-way ANOVA F on the deviations "
+    "through one shared IEEE chain (the median-based Levene variant, "
+    "robust to the non-normality x276 demonstrates). THE "
+    "check x259's ANOVA silently assumes: equal variances. Scale: "
+    "rank window per segment + one broadcast median probe + "
+    "group-keyed moment aggs.",
+    _BF_ORACLE,
+)
+def x308_brown_forsythe(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    k = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    wr = Window.partitionBy("segment").orderBy("cents")
+    wn = Window.partitionBy("segment")
+    rk = k.select(
+        "segment",
+        "cents",
+        F.row_number().over(wr).alias("r"),
+        F.count("*").over(wn).cast("long").alias("n"),
+    )
+    med = rk.filter(
+        F.col("r") == F.expr("(n + 1) DIV 2")
+    ).select("segment", F.col("cents").alias("med_cents"))
+    z = k.join(F.broadcast(med), "segment").select(
+        "segment",
+        F.expr(
+            "CASE WHEN cents >= med_cents"
+            " THEN (cents - med_cents) DIV 100000"
+            " ELSE (med_cents - cents) DIV 100000 END"
+        ).alias("z"),
+    )
+    grp = z.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum("z").cast("long").alias("s1"),
+        F.sum(F.expr("z * z")).cast("long").alias("s2"),
+    )
+    tot = grp.agg(
+        F.sum("n_g").cast("long").alias("nn"),
+        F.count("*").cast("long").alias("k"),
+        F.sum("s1").cast("long").alias("t"),
+        F.sum("s2").cast("long").alias("s2t"),
+        F.sum(
+            F.expr(
+                "CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+                " / CAST(n_g AS DOUBLE)"
+            )
+        ).alias("sq"),
+    )
+    return tot.filter(
+        (F.col("nn") > F.col("k"))
+        & (F.col("k") >= 2)
+        & (F.expr(_BF_SSW) > 0)
+    ).select(
+        "nn",
+        "k",
+        "t",
+        "s2t",
+        F.expr("CAST(floor(1000.0 * sq) AS BIGINT)").alias("sq_milli"),
+        F.expr(_BF_F).alias("f_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x309 — partial autocorrelation (PACF, lags 1..3) per nation
+# ---------------------------------------------------------------------------
+
+# Durbin-Levinson over the exact ACF pair (num_k, den) from the x171
+# machinery:  r_k = num_k/den,
+#   phi11 = r1
+#   phi22 = (r2 - r1^2) / (1 - r1^2)
+#   phi21 = r1 * (1 - phi22)
+#   phi33 = (r3 - phi21*r2 - phi22*r1) / (1 - phi21*r1 - phi22*r2)
+_PACF_R = {
+    k: f"(CAST(n{k} AS DOUBLE) / CAST(den AS DOUBLE))" for k in (1, 2, 3)
+}
+_PACF_P11 = _PACF_R[1]
+_PACF_P22 = (
+    f"(({_PACF_R[2]} - {_PACF_R[1]} * {_PACF_R[1]})"
+    f" / (1.0 - {_PACF_R[1]} * {_PACF_R[1]}))"
+)
+_PACF_P21 = f"({_PACF_R[1]} * (1.0 - {_PACF_P22}))"
+_PACF_P33 = (
+    f"(({_PACF_R[3]} - {_PACF_P21} * {_PACF_R[2]}"
+    f" - {_PACF_P22} * {_PACF_R[1]})"
+    f" / (1.0 - {_PACF_P21} * {_PACF_R[1]} - {_PACF_P22} * {_PACF_R[2]}))"
+)
+
+_PACF_ORACLE = f"""
+WITH m AS (
+    SELECT c.c_nationkey AS nkey,
+           CAST(date_trunc('month', o.o_orderdate) AS DATE) AS mon,
+           CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT) // 100000 AS ykd
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey, CAST(date_trunc('month', o.o_orderdate) AS DATE)
+),
+s AS (
+    SELECT nkey, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(ykd) AS BIGINT) AS tot
+    FROM m GROUP BY nkey
+),
+d AS (
+    SELECT m.nkey, s.n, s.n * m.ykd - s.tot AS e,
+           row_number() OVER (PARTITION BY m.nkey ORDER BY m.mon) AS t
+    FROM m JOIN s ON m.nkey = s.nkey
+),
+lagged AS (
+    SELECT a.nkey, lag.k AS lag_k,
+           CAST(SUM(a.e * b.e) AS BIGINT) AS num
+    FROM d a
+    JOIN (SELECT unnest(range(1, 4)) AS k) lag ON TRUE
+    JOIN d b ON b.nkey = a.nkey AND b.t = a.t - lag.k
+    GROUP BY a.nkey, lag.k
+),
+den AS (
+    SELECT nkey, CAST(SUM(e * e) AS BIGINT) AS den FROM d GROUP BY nkey
+),
+piv AS (
+    SELECT l.nkey, den.den,
+           CAST(SUM(CASE WHEN l.lag_k = 1 THEN l.num ELSE 0 END)
+                AS BIGINT) AS n1,
+           CAST(SUM(CASE WHEN l.lag_k = 2 THEN l.num ELSE 0 END)
+                AS BIGINT) AS n2,
+           CAST(SUM(CASE WHEN l.lag_k = 3 THEN l.num ELSE 0 END)
+                AS BIGINT) AS n3
+    FROM lagged l JOIN den ON l.nkey = den.nkey
+    WHERE den.den > 0
+    GROUP BY l.nkey, den.den
+)
+SELECT nkey, n1, n2, n3, den,
+       CAST(floor(1000000.0 * {_PACF_P11}) AS BIGINT) AS pacf1_micro,
+       CAST(floor(1000000.0 * {_PACF_P22}) AS BIGINT) AS pacf2_micro,
+       CAST(floor(1000000.0 * {_PACF_P33}) AS BIGINT) AS pacf3_micro
+FROM piv
+WHERE 1.0 - {_PACF_R[1]} * {_PACF_R[1]} <> 0.0
+  AND 1.0 - {_PACF_P21} * {_PACF_R[1]} - {_PACF_P22} * {_PACF_R[2]} <> 0.0
+ORDER BY nkey
+"""
+
+
+@_staged(
+    "x309_pacf",
+    "OP-W3/G6-ext",
+    "Partial autocorrelation (lags 1..3) of monthly revenue per "
+    "nation via closed-form Durbin-Levinson over x171's EXACT "
+    "num/den ACF integers — every phi is one shared IEEE chain over "
+    "the same exact operands in both engines, micro-floored. "
+    "Completes the Box-Jenkins identification kit: x171's ACF says "
+    "how far correlation REACHES, PACF says where it's GENERATED "
+    "(an AR(p) series cuts off after lag p) — the plot a forecaster "
+    "reads to pick x148's model order, now a certified operator. "
+    "Scale: identical frame shape to x171/x275 — bounded monthly "
+    "series, lag equi-joins on the aggregate, a 25-row pivot.",
+    _PACF_ORACLE,
+)
+def x309_pacf(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    m = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_nationkey").alias("nkey"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("mon"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("nkey", "mon")
+        .agg(F.expr("sum(cents) div 100000").cast("long").alias("ykd"))
+    )
+    s = m.groupBy("nkey").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("ykd").cast("long").alias("tot"),
+    )
+    wT = Window.partitionBy("nkey").orderBy("mon")
+    d = (
+        m.join(s, "nkey")
+        .select(
+            "nkey",
+            "mon",
+            (F.col("n") * F.col("ykd") - F.col("tot"))
+            .cast("long")
+            .alias("e"),
+        )
+        .withColumn("t", F.row_number().over(wT))
+    )
+    lags = spark.range(1, 4).select(F.col("id").cast("long").alias("lag_k"))
+    a = d.select("nkey", "t", F.col("e").alias("e_t"))
+    b = d.select(
+        F.col("nkey").alias("nkb"),
+        F.col("t").alias("tb"),
+        F.col("e").alias("e_tk"),
+    )
+    lagged = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("nkey") == F.col("nkb"))
+            & (F.col("tb") == F.col("t") - F.col("lag_k")),
+        )
+        .groupBy("nkey", "lag_k")
+        .agg(F.sum(F.col("e_t") * F.col("e_tk")).cast("long").alias("num"))
+    )
+    den = d.groupBy("nkey").agg(
+        F.sum(F.col("e") * F.col("e")).cast("long").alias("den")
+    )
+    piv = (
+        lagged.join(den, "nkey")
+        .filter(F.col("den") > 0)
+        .groupBy("nkey", "den")
+        .agg(
+            F.sum(F.when(F.col("lag_k") == 1, F.col("num")).otherwise(0))
+            .cast("long")
+            .alias("n1"),
+            F.sum(F.when(F.col("lag_k") == 2, F.col("num")).otherwise(0))
+            .cast("long")
+            .alias("n2"),
+            F.sum(F.when(F.col("lag_k") == 3, F.col("num")).otherwise(0))
+            .cast("long")
+            .alias("n3"),
+        )
+    )
+    return (
+        piv.filter(
+            (
+                F.expr(f"1.0 - {_PACF_R[1]} * {_PACF_R[1]}") != 0.0
+            )
+            & (
+                F.expr(
+                    f"1.0 - {_PACF_P21} * {_PACF_R[1]}"
+                    f" - {_PACF_P22} * {_PACF_R[2]}"
+                )
+                != 0.0
+            )
+        )
+        .select(
+            "nkey",
+            "n1",
+            "n2",
+            "n3",
+            "den",
+            F.expr(
+                f"CAST(floor(1000000.0 * {_PACF_P11}) AS BIGINT)"
+            ).alias("pacf1_micro"),
+            F.expr(
+                f"CAST(floor(1000000.0 * {_PACF_P22}) AS BIGINT)"
+            ).alias("pacf2_micro"),
+            F.expr(
+                f"CAST(floor(1000000.0 * {_PACF_P33}) AS BIGINT)"
+            ).alias("pacf3_micro"),
+        )
+        .orderBy("nkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x310 — pairwise Cohen's d effect-size matrix across segments
+# ---------------------------------------------------------------------------
+
+# d = (m1 - m2) / s_pooled over the exact kilodollar moments;
+# s_pooled^2 = ((n1-1)v1 + (n2-1)v2) / (n1+n2-2), sample variances.
+_CD_V = (
+    "((CAST({p}s2 AS DOUBLE) - CAST({p}s1 AS DOUBLE)"
+    " * CAST({p}s1 AS DOUBLE) / CAST({p}n AS DOUBLE))"
+    " / CAST({p}n - 1 AS DOUBLE))"
+)
+_CD_POOLED = (
+    "(((CAST(an AS DOUBLE) - 1.0) * " + _CD_V.format(p="a")
+    + " + (CAST(bn AS DOUBLE) - 1.0) * " + _CD_V.format(p="b")
+    + ") / (CAST(an AS DOUBLE) + CAST(bn AS DOUBLE) - 2.0))"
+)
+_CD_D = (
+    "CAST(floor(1000.0 * (CAST(as1 AS DOUBLE) / CAST(an AS DOUBLE)"
+    " - CAST(bs1 AS DOUBLE) / CAST(bn AS DOUBLE))"
+    f" / sqrt({_CD_POOLED})) AS BIGINT)"
+)
+
+_CD_ORACLE = f"""
+WITH k AS (
+    SELECT c.c_mktsegment AS segment,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) // 100000 AS x
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+s AS (
+    SELECT segment, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS s1,
+           CAST(SUM(x * x) AS BIGINT) AS s2
+    FROM k GROUP BY segment
+)
+SELECT a.segment AS seg_a, b.segment AS seg_b,
+       a.n AS an, b.n AS bn, a.s1 AS as1, b.s1 AS bs1,
+       {_CD_D.replace('as2', 'a.s2').replace('bs2', 'b.s2')
+             .replace('as1', 'a.s1').replace('bs1', 'b.s1')
+             .replace('an', 'a.n').replace('bn', 'b.n')} AS d_milli
+FROM s a JOIN s b ON a.segment < b.segment
+WHERE a.n >= 2 AND b.n >= 2
+ORDER BY seg_a, seg_b
+"""
+
+
+@_staged(
+    "x310_cohens_d",
+    "OP-G6-ext",
+    "Pairwise Cohen's d effect-size matrix across the 5 customer "
+    "segments (10 pairs) on order value in exact kilodollar moments: "
+    "pooled-sd standardized mean difference through one shared IEEE "
+    "chain in milli. The magnitude layer x259's ANOVA omits — a "
+    "significant F with all |d| < 0.1 is a big-N nothing, and d is "
+    "the number x182's power planner consumes. Same estimator family "
+    "as x292's SMD (which audits an ALLOCATION; this ranks REAL "
+    "groups). Scale: one segment moment agg; the pair join is "
+    "5x5-bounded.",
+    _CD_ORACLE,
+)
+def x310_cohens_d(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    k = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.expr(
+            "CAST(round(o_totalprice * 100) AS BIGINT) DIV 100000"
+        ).alias("x"),
+    )
+    s = k.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.expr("x * x")).cast("long").alias("s2"),
+    )
+    a = s.select(
+        F.col("segment").alias("seg_a"),
+        F.col("n").alias("an"),
+        F.col("s1").alias("as1"),
+        F.col("s2").alias("as2"),
+    )
+    b = s.select(
+        F.col("segment").alias("seg_b"),
+        F.col("n").alias("bn"),
+        F.col("s1").alias("bs1"),
+        F.col("s2").alias("bs2"),
+    )
+    # broadcast the 5-row side: the inequality pair condition would
+    # otherwise plan a CartesianProduct (banned by the plan sweep even
+    # on bounded frames)
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("seg_a") < F.col("seg_b"))
+        .filter((F.col("an") >= 2) & (F.col("bn") >= 2))
+        .select(
+            "seg_a",
+            "seg_b",
+            "an",
+            "bn",
+            "as1",
+            "bs1",
+            F.expr(_CD_D).alias("d_milli"),
+        )
+        .orderBy("seg_a", "seg_b")
     )
 
 

@@ -74,6 +74,10 @@ ENTRIES = [
     ("x304_interarrival_cv2", None),
     ("x305_records_test", None),
     ("x306_skyline_parts", None),
+    ("x307_cronbach_alpha", None),
+    ("x308_brown_forsythe", None),
+    ("x309_pacf", None),
+    ("x310_cohens_d", None),
 ]
 
 

@@ -298,6 +298,10 @@ _SINGLE_PARTITION_OK = {
     "x304_interarrival_cv2": "segment-keyed gap-moment agg after the customer-partitioned lag window",
     "x305_records_test": "running-max + rank windows over the bounded DAILY aggregate + 1-row test frame",
     "x306_skyline_parts": "frontier cumulative-min window over the <=50-row size-domain aggregate, broadcast back as a probe",
+    "x307_cronbach_alpha": "one global judge agg over documents: one partial row per partition",
+    "x308_brown_forsythe": "segment-partitioned median rank pick (certifiable form; x219 bucketed rank is the scale path) + 1-row ANOVA frame",
+    "x309_pacf": "bounded per-nation monthly frames (the x171/x275 shape); the 25-row Durbin-Levinson pivot",
+    "x310_cohens_d": "segment moment agg + the 5x5-bounded pair join",
 }
 
 

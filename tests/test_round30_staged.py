@@ -39,7 +39,7 @@ def test_round30_not_yet_registered():
 
     leaked = set(STAGED) & set(REGISTRY)
     assert not leaked, f"staged entries registered early: {leaked}"
-    assert len(STAGED) == 32
+    assert len(STAGED) == 36
 
 
 # ---------------------------------------------------------------------------
@@ -251,3 +251,41 @@ def test_friedman_q_nonnegative(spark):
 def test_cv2_positive(spark):
     for r in STAGED["x304_interarrival_cv2"].spark(spark, SFS[1]).collect():
         assert r.cv2_milli > 0
+
+
+def test_cronbach_alpha_in_range(spark):
+    row = STAGED["x307_cronbach_alpha"].spark(spark, SFS[1]).collect()[0]
+    assert row.alpha_ppm <= 1_000_000
+    assert row.den > 0
+
+
+def test_brown_forsythe_f_nonnegative(spark):
+    row = STAGED["x308_brown_forsythe"].spark(spark, SFS[1]).collect()[0]
+    assert row.f_milli >= 0
+    assert row.k == 5 and row.nn > row.k
+
+
+def test_pacf_lag1_equals_acf_lag1(spark):
+    """Durbin-Levinson base case: phi11 IS r1 — cross-check the PACF
+    pivot against x171's certified ACF on the same frame."""
+    from ravelytics_spark.plans.queries import REGISTRY
+
+    acf = {
+        (r.nkey, r.lag_k): r.acf
+        for r in REGISTRY["x171_acf_lags"].spark(spark, SFS[1]).collect()
+    }
+    import math
+
+    for r in STAGED["x309_pacf"].spark(spark, SFS[1]).collect():
+        want = math.floor(1_000_000 * acf[(r.nkey, 1)])
+        assert abs(r.pacf1_micro - want) <= 1, (r.nkey, r.pacf1_micro, want)
+        for v in (r.pacf1_micro, r.pacf2_micro, r.pacf3_micro):
+            assert -1_000_000 <= v <= 1_000_000
+
+
+def test_cohens_d_antisymmetric_pairs_complete(spark):
+    rows = STAGED["x310_cohens_d"].spark(spark, SFS[1]).collect()
+    assert len(rows) == 10  # C(5,2) segment pairs
+    for r in rows:
+        assert r.seg_a < r.seg_b
+        assert abs(r.d_milli) < 2000  # overlapping TPC-H-ish segments
