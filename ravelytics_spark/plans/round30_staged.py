@@ -135,6 +135,9 @@ Wave 7 — psychometrics + robust inference + Box-Jenkins completion:
   AR-order pick for x148.
 * ``x310_cohens_d`` — the pairwise effect-size matrix x259's F omits
   and x182's power planner consumes.
+* ``x311_binary_segmentation`` — the changepoint LOCATOR: two-segment
+  SSE argmin over exact prefix sums on the bounded daily frame (x125
+  detects; this says WHERE).
 
 Hash-parity conventions as plans/queries.py: exact cents/BIGINT
 arithmetic until one shared IEEE expression, total ORDER BY, BIGINT
@@ -4095,6 +4098,118 @@ def x310_cohens_d(spark, sf_dir):
         )
         .orderBy("seg_a", "seg_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# x311 — binary-segmentation changepoint locator over daily revenue
+# ---------------------------------------------------------------------------
+
+# objective(t) = SSE(1..t) + SSE(t+1..n) from exact prefix sums,
+# through one shared double chain floored to milli; argmin by
+# (obj, t) total order.
+_BS_OBJ = (
+    "((CAST(css AS DOUBLE) - CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE)"
+    " / CAST(t AS DOUBLE))"
+    " + (CAST(tss - css AS DOUBLE)"
+    " - CAST(tt - cs AS DOUBLE) * CAST(tt - cs AS DOUBLE)"
+    " / CAST(nn - t AS DOUBLE)))"
+)
+_BS_OBJ_MILLI = f"CAST(floor(1000.0 * {_BS_OBJ}) AS BIGINT)"
+_BS_TOTAL = (
+    "(CAST(tss AS DOUBLE) - CAST(tt AS DOUBLE) * CAST(tt AS DOUBLE)"
+    " / CAST(nn AS DOUBLE))"
+)
+_BS_TOTAL_MILLI = f"CAST(floor(1000.0 * {_BS_TOTAL}) AS BIGINT)"
+_BS_VE_PPM = (
+    f"CAST(floor(1000000.0 * (1.0 - {_BS_OBJ} / {_BS_TOTAL})) AS BIGINT)"
+)
+
+_BS_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS d,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               // 100000 AS x
+    FROM orders GROUP BY 1
+),
+pre AS (
+    SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t,
+           CAST(SUM(x) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cs,
+           CAST(SUM(x * x) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS css,
+           CAST(count(*) OVER () AS BIGINT) AS nn,
+           CAST(SUM(x) OVER () AS BIGINT) AS tt,
+           CAST(SUM(x * x) OVER () AS BIGINT) AS tss
+    FROM daily
+),
+obj AS (
+    SELECT nn, t AS split_t,
+           {_BS_OBJ_MILLI} AS obj_milli,
+           {_BS_TOTAL_MILLI} AS total_sse_milli,
+           {_BS_VE_PPM} AS var_explained_ppm
+    FROM pre WHERE t >= 2 AND t <= nn - 2 AND {_BS_TOTAL} > 0.0
+)
+SELECT nn, split_t, obj_milli, total_sse_milli, var_explained_ppm
+FROM obj
+ORDER BY obj_milli, split_t
+LIMIT 1
+"""
+
+
+@_staged(
+    "x311_binary_segmentation",
+    "OP-W4/G6-ext",
+    "Binary-segmentation changepoint LOCATOR over daily revenue: for "
+    "every admissible split t the two-segment SSE objective comes "
+    "from exact BIGINT prefix sums (kilodollar units) through one "
+    "shared IEEE chain floored to milli, the best split is the "
+    "(objective, t) total-order minimum, and variance-explained ppm "
+    "says whether the break is real. x125's CUSUM DETECTS drift "
+    "against a fixed reference; this finds WHERE the level shifted "
+    "(the first recursion step of the binary-segmentation algorithm "
+    "every changepoint library runs). Scale: day agg -> prefix "
+    "windows over the bounded daily frame -> TakeOrdered(1); no "
+    "corpus-sized windows anywhere.",
+    _BS_ORACLE,
+)
+def x311_binary_segmentation(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr("unix_timestamp(o_orderdate) div 86400").alias("d")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+            " DIV 100000"
+        ).alias("x")
+    )
+    wcum = (
+        Window.partitionBy()
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy()
+    pre = daily.select(
+        F.row_number().over(Window.partitionBy().orderBy("d"))
+        .cast("long")
+        .alias("t"),
+        F.sum("x").over(wcum).cast("long").alias("cs"),
+        F.sum(F.expr("x * x")).over(wcum).cast("long").alias("css"),
+        F.count("*").over(wall).cast("long").alias("nn"),
+        F.sum("x").over(wall).cast("long").alias("tt"),
+        F.sum(F.expr("x * x")).over(wall).cast("long").alias("tss"),
+    )
+    obj = pre.filter(
+        (F.col("t") >= 2)
+        & (F.col("t") <= F.col("nn") - 2)
+        & (F.expr(_BS_TOTAL) > 0.0)
+    ).select(
+        "nn",
+        F.col("t").alias("split_t"),
+        F.expr(_BS_OBJ_MILLI).alias("obj_milli"),
+        F.expr(_BS_TOTAL_MILLI).alias("total_sse_milli"),
+        F.expr(_BS_VE_PPM).alias("var_explained_ppm"),
+    )
+    return obj.orderBy("obj_milli", "split_t").limit(1)
 
 
 # --- round-10 registration footer (commented until round 10) ---

@@ -55,6 +55,10 @@ SHOWCASE = [
     ("x265_clustering_coefficient", "oriented two-hop equi-join closed by LEFT SEMI; wedges pure degree agg; 1-row wedge broadcast"),
     ("x230b_hubness_bucketed", "SRP-code equi-join candidates (probe explode + per-bucket cap), WindowGroupLimit heaps before the qa shuffle; nz checkpointed once"),
     ("x245b_twonn_bucketed", "same bucketed candidate shape; top-2 heaps; single-row estimator agg (one partial row per partition)"),
+    # round-30 staged, pre-wired (skipped until the round-10 footer flips)
+    ("x278_hits_scores", "DISK_ONLY-persisted edge list (InMemoryTableScan); three equi join+agg rounds, no recomputed distinct"),
+    ("x283_abc_xyz_matrix", "part-level cumulative ABC window (certifiable global form) + XYZ moment compares; fact table scanned twice, aggregated immediately"),
+    ("x293_minhash_calibration", "x91 shape: checkpointed signature store, ONE banded equi-join, 11-row calibration rollup"),
 ]
 
 KEY_LINES = re.compile(
@@ -81,6 +85,8 @@ def main() -> None:
         "",
     ]
     for name, why in SHOWCASE:
+        if name not in REGISTRY:
+            continue  # pre-wired staged entry: activates on registration
         df = REGISTRY[name].spark(spark, SF_DIR)
         # execute so AQE finalizes the adaptive plan
         df.write.format("noop").mode("overwrite").save()

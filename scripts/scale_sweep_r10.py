@@ -78,6 +78,7 @@ ENTRIES = [
     ("x308_brown_forsythe", None),
     ("x309_pacf", None),
     ("x310_cohens_d", None),
+    ("x311_binary_segmentation", None),
 ]
 
 

@@ -302,6 +302,7 @@ _SINGLE_PARTITION_OK = {
     "x308_brown_forsythe": "segment-partitioned median rank pick (certifiable form; x219 bucketed rank is the scale path) + 1-row ANOVA frame",
     "x309_pacf": "bounded per-nation monthly frames (the x171/x275 shape); the 25-row Durbin-Levinson pivot",
     "x310_cohens_d": "segment moment agg + the 5x5-bounded pair join",
+    "x311_binary_segmentation": "prefix windows over the bounded DAILY aggregate + TakeOrdered(1) argmin",
 }
 
 

@@ -39,7 +39,7 @@ def test_round30_not_yet_registered():
 
     leaked = set(STAGED) & set(REGISTRY)
     assert not leaked, f"staged entries registered early: {leaked}"
-    assert len(STAGED) == 36
+    assert len(STAGED) == 37
 
 
 # ---------------------------------------------------------------------------
@@ -289,3 +289,12 @@ def test_cohens_d_antisymmetric_pairs_complete(spark):
     for r in rows:
         assert r.seg_a < r.seg_b
         assert abs(r.d_milli) < 2000  # overlapping TPC-H-ish segments
+
+
+def test_binary_segmentation_improves_on_no_split(spark):
+    row = (
+        STAGED["x311_binary_segmentation"].spark(spark, SFS[1]).collect()[0]
+    )
+    assert 2 <= row.split_t <= row.nn - 2
+    assert row.obj_milli <= row.total_sse_milli  # a split never hurts SSE
+    assert 0 <= row.var_explained_ppm <= 1_000_000
