@@ -112,6 +112,14 @@ HEADLINE = [
     # exact entry's absence here; its cost is documented in SCALING.md)
     "x230b_hubness_bucketed",
     "x245b_twonn_bucketed",
+    # round-30 staged heavies, pre-wired (runner skips names not in
+    # REGISTRY; these activate when the round-10 footer flips): the
+    # bipartite HITS rounds, the joint ABC/XYZ windows, the MinHash
+    # calibration join, the segment-median Brown-Forsythe ranks.
+    "x278_hits_scores",
+    "x283_abc_xyz_matrix",
+    "x293_minhash_calibration",
+    "x308_brown_forsythe",
 ]
 
 

@@ -79,6 +79,17 @@ ENTRIES = [
     ("x309_pacf", None),
     ("x310_cohens_d", None),
     ("x311_binary_segmentation", None),
+    # round-31 staged (targets the round-11 window)
+    ("x312_bigram_logprob", None),
+    ("x313_taylor_law", None),
+    ("x314_eoq", None),
+    ("x315_abc_migration", None),
+    ("x316_stl_strength", None),
+    ("x317_confusion_at_threshold", None),
+    ("x318_t_closeness", None),
+    ("x319_horvitz_thompson", None),
+    ("x320_qte_deciles", None),
+    ("x321_degree_powerlaw", None),
 ]
 
 
@@ -92,8 +103,9 @@ def main():
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     from ravelytics_spark.plans.queries import REGISTRY
     from ravelytics_spark.plans.round30_staged import STAGED
+    from ravelytics_spark.plans.round31_staged import STAGED as STAGED31
 
-    catalog = {**REGISTRY, **STAGED}
+    catalog = {**REGISTRY, **STAGED, **STAGED31}
     only = {n for n in os.environ.get("SWEEP_ONLY", "").split(",") if n}
     for factor in factors:
         d = build_dir(spark, factor)

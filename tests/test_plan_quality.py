@@ -303,6 +303,15 @@ _SINGLE_PARTITION_OK = {
     "x309_pacf": "bounded per-nation monthly frames (the x171/x275 shape); the 25-row Durbin-Levinson pivot",
     "x310_cohens_d": "segment moment agg + the 5x5-bounded pair join",
     "x311_binary_segmentation": "prefix windows over the bounded DAILY aggregate + TakeOrdered(1) argmin",
+    # round-31 staged batch (targets the round-11 window)
+    "x312_bigram_logprob": "corpus vocab scalar V: one partial row per partition, then broadcast into the LM join",
+    "x313_taylor_law": "nation moment agg -> 25-row log-log point frame -> 1-row OLS",
+    "x315_abc_migration": "two year-scoped part-level cumulative ABC windows (the x112/x283 certifiable form; x219 bucketed rank is the scale path)",
+    "x317_confusion_at_threshold": "three global confusion rollups: one partial row per partition each",
+    "x318_t_closeness": "1-row corpus total + bounded |qi| x |sens| lattice completion",
+    "x319_horvitz_thompson": "one global design-estimator agg: one partial row per partition",
+    "x320_qte_deciles": "arm-partitioned rank windows (2 partitions, certifiable form; x219 bucketed rank is the scale path) + 9-row decile join",
+    "x321_degree_powerlaw": "bounded TakeOrdered top-100 degree frame + 1-row Hill agg",
 }
 
 
@@ -312,13 +321,14 @@ def test_no_catalog_plan_single_partitions_or_goes_cartesian(spark, sf_dir):
     plan a CartesianProduct. This is the blanket guard that a future
     entry doesn't reintroduce the global-window anti-pattern."""
     from ravelytics_spark.plans.round30_staged import STAGED as _STAGED30
+    from ravelytics_spark.plans.round31_staged import STAGED as _STAGED31
 
     bad = {}
     # Sweep staged-but-unregistered entries too: an anti-pattern must
     # fail HERE, in the round that authors it, not in the round that
     # flips the registration footer. (The round-28 batch is live in
     # REGISTRY since round 9; round-30 is the currently-staged set.)
-    for name, qy in {**REGISTRY, **_STAGED30}.items():
+    for name, qy in {**REGISTRY, **_STAGED30, **_STAGED31}.items():
         plan = qy.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         if "CartesianProduct" in plan:
             bad[name] = "CartesianProduct"
