@@ -41,6 +41,35 @@ based estimation.
   one-number 'is seasonality worth modeling' gate in front of
   x120/x189.
 
+Second wave — eval operating points, governance closure, design-based
+estimation:
+
+* ``x317_confusion_at_threshold`` — TP/FP/FN/TN + precision/recall/F1
+  at literal spend thresholds: the operating-point layer x241/x277's
+  threshold-free metrics hide.
+* ``x318_t_closeness`` — variational-distance t per QI class, closing
+  the k (x194) / l (x203) / t anonymity trio in exact ppm.
+* ``x319_horvitz_thompson`` — HT total under deterministic
+  unequal-probability sampling, exact x2/x8 integer weights, signed
+  error vs truth.
+* ``x320_qte_deciles`` — quantile treatment effects at the nine
+  deciles for the md5 50% split; simultaneously estimator and
+  falsification harness.
+* ``x321_degree_powerlaw`` — Hill alpha of the co-order degree tail:
+  the scale-free diagnosis behind every graph-operator choice.
+
+Third wave — diversity, survival comparison, clustering effects,
+inequality dynamics:
+
+* ``x322_simpson_diversity`` — token collision probability per source
+  (the head-weighted boilerplate detector next to the entropy tier).
+* ``x323_logrank_test`` — the two-curve survival comparison x285
+  draws but cannot test (BUILDING vs rest reorder gaps).
+* ``x324_icc_design_effect`` — ICC(1) of order value within customers
+  + the design effect that inflates x182's sample sizes.
+* ``x325_inequality_trend`` — per-year spend Gini + the cross-year
+  OLS drift: is the business becoming whale-dependent.
+
 Hash-parity conventions as plans/queries.py: exact cents/BIGINT
 arithmetic until one shared IEEE expression, total ORDER BY, BIGINT
 casts on every count.
@@ -1172,6 +1201,474 @@ def x321_degree_powerlaw(spark, sf_dir):
             ).alias("alpha_milli"),
         )
         .filter(F.col("sum_ln_nano") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# x322 — Simpson diversity of the token distribution per source
+# ---------------------------------------------------------------------------
+
+# D = sum n_i(n_i-1) / (N(N-1)) — the collision probability; diversity
+# = 1 - D. Numerator*1e6 overflows BIGINT at scale, so the ratio is
+# one shared double chain floored to ppm over the exact sums.
+_SD_PPM = (
+    "CAST(floor(1000000.0 * CAST(coll AS DOUBLE)"
+    " / (CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE))) AS BIGINT)"
+)
+
+_SD_ORACLE = f"""
+WITH tok AS (
+    SELECT source, w FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ) WHERE w <> ''
+),
+wc AS (
+    SELECT source, w, CAST(count(*) AS BIGINT) AS c
+    FROM tok GROUP BY 1, 2
+),
+s AS (
+    SELECT source, CAST(SUM(c) AS BIGINT) AS nn,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(SUM(c * (c - 1)) AS BIGINT) AS coll
+    FROM wc GROUP BY source
+)
+SELECT source, nn AS n_tokens, n_types,
+       {_SD_PPM} AS simpson_d_ppm,
+       CAST(1000000 - {_SD_PPM} AS BIGINT) AS diversity_ppm
+FROM s WHERE nn >= 2
+ORDER BY source
+"""
+
+
+@_staged(
+    "x322_simpson_diversity",
+    "OP-X4-ext",
+    "Simpson diversity of the token distribution per source: the "
+    "collision probability D = sum n_i(n_i-1)/(N(N-1)) over exact "
+    "BIGINT token counts (one shared IEEE ratio in ppm — the "
+    "numerator is exact, only the final division is floating), "
+    "diversity = 1 - D. The dominance-weighted companion of the "
+    "entropy tier: x49/x121 weight all tokens log-equally, Simpson "
+    "is driven by the HEAD — a source whose top token eats 30% of "
+    "mass craters here first (boilerplate detector), and D is "
+    "exactly the probability two random tokens collide (the "
+    "dedup-relevant quantity). Scale: one (source, token) hash-agg "
+    "with map-side partials, then a source rollup.",
+    _SD_ORACLE,
+)
+def x322_simpson_diversity(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    wc = tok.groupBy("source", "w").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    s = wc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("nn"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.expr("c * (c - 1)")).cast("long").alias("coll"),
+    )
+    return (
+        s.filter(F.col("nn") >= 2)
+        .select(
+            "source",
+            F.col("nn").alias("n_tokens"),
+            "n_types",
+            F.expr(_SD_PPM).alias("simpson_d_ppm"),
+            F.expr(f"CAST(1000000 - {_SD_PPM} AS BIGINT)").alias(
+                "diversity_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x323 — log-rank test: reorder survival, BUILDING segment vs rest
+# ---------------------------------------------------------------------------
+
+# per gap bucket t: O-E = d1 - d*n1/n (nano-floored), hypergeometric
+# variance v = d*(n1/n)*(1-n1/n)*((n-d)/(n-1)) (nano-floored); both
+# sums exact BIGINT, z one shared chain.
+_LR_E = (
+    "CAST(floor(1000000000.0 * (CAST(d1 AS DOUBLE)"
+    " - CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)))"
+    " AS BIGINT)"
+)
+_LR_V = (
+    "CAST(floor(1000000000.0 * CAST(d AS DOUBLE)"
+    " * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * (1.0 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * (CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE))) AS BIGINT)"
+)
+_LR_Z = (
+    "CAST(floor(1000.0 * (CAST(oe_nano AS DOUBLE) / 1000000000.0)"
+    " / sqrt(CAST(v_nano AS DOUBLE) / 1000000000.0)) AS BIGINT)"
+)
+
+_LR_ORACLE = f"""
+WITH seq AS (
+    SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS grp,
+           o.o_orderdate,
+           lag(o.o_orderdate) OVER (PARTITION BY o.o_custkey
+               ORDER BY o.o_orderdate, o.o_orderkey) AS prev_d
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+gaps AS (
+    SELECT grp,
+           least(CAST(floor(date_diff('day', prev_d, o_orderdate) / 30)
+                 AS BIGINT), 12) AS bucket
+    FROM seq WHERE prev_d IS NOT NULL
+),
+ev AS (
+    SELECT bucket,
+           CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS d1,
+           CAST(count(*) AS BIGINT) AS d
+    FROM gaps GROUP BY bucket
+),
+risk AS (
+    SELECT bucket, d1, d,
+           CAST(SUM(d1) OVER (ORDER BY bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                AS BIGINT) AS n1,
+           CAST(SUM(d) OVER (ORDER BY bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                AS BIGINT) AS n
+    FROM ev
+),
+terms AS (
+    SELECT {_LR_E} AS e_nano, {_LR_V} AS vt_nano
+    FROM risk WHERE n > 1 AND d > 0
+),
+s AS (
+    SELECT CAST(SUM(e_nano) AS BIGINT) AS oe_nano,
+           CAST(SUM(vt_nano) AS BIGINT) AS v_nano
+    FROM terms
+)
+SELECT oe_nano, v_nano, {_LR_Z} AS z_milli
+FROM s WHERE v_nano > 0
+"""
+
+
+@_staged(
+    "x323_logrank_test",
+    "OP-W4/G6-ext",
+    "Log-rank test between the BUILDING segment's reorder-survival "
+    "curve and everyone else's, over x285's 30-day gap buckets: "
+    "per-bucket observed-minus-expected and hypergeometric variance "
+    "NANO-floored from exact at-risk/event integers (suffix sums "
+    "over the <=13-row bucket frame), both sums exact BIGINT, z one "
+    "shared chain in milli. THE two-curve comparison x285 draws but "
+    "cannot test — 'does this segment reorder slower' with censoring "
+    "handled by construction, the survival complement of x168's "
+    "Mann-Whitney. Scale: user-partitioned lag -> bucket agg; every "
+    "window runs over the bounded bucket frame.",
+    _LR_ORACLE,
+)
+def x323_logrank_test(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.when(F.col("c_mktsegment") == "BUILDING", 1)
+            .otherwise(0)
+            .alias("grp"),
+            "o_orderdate",
+            "o_custkey",
+            "o_orderkey",
+        )
+        .select(
+            "grp",
+            "o_orderdate",
+            F.lag("o_orderdate").over(w).alias("prev_d"),
+        )
+    )
+    gaps = seq.filter(F.col("prev_d").isNotNull()).select(
+        "grp",
+        F.least(
+            F.floor(
+                F.datediff(
+                    F.col("o_orderdate").cast("date"),
+                    F.col("prev_d").cast("date"),
+                )
+                / 30
+            ),
+            F.lit(12).cast("long"),
+        ).alias("bucket"),
+    )
+    ev = gaps.groupBy("bucket").agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.count("*").cast("long").alias("d"),
+    )
+    wS = Window.orderBy("bucket").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    risk = ev.select(
+        "bucket",
+        "d1",
+        "d",
+        F.sum("d1").over(wS).cast("long").alias("n1"),
+        F.sum("d").over(wS).cast("long").alias("n"),
+    )
+    terms = risk.filter((F.col("n") > 1) & (F.col("d") > 0)).select(
+        F.expr(_LR_E).alias("e_nano"), F.expr(_LR_V).alias("vt_nano")
+    )
+    s = terms.agg(
+        F.sum("e_nano").cast("long").alias("oe_nano"),
+        F.sum("vt_nano").cast("long").alias("v_nano"),
+    )
+    return s.filter(F.col("v_nano") > 0).select(
+        "oe_nano", "v_nano", F.expr(_LR_Z).alias("z_milli")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x324 — intraclass correlation + design effect (customers as clusters)
+# ---------------------------------------------------------------------------
+
+# one-way random-effects ICC(1) with unbalanced clusters:
+#   MSB = (sq - T^2/N)/(k-1), MSW = (S2 - sq)/(N-k),
+#   k0 = (N - sn2/N)/(k-1),  ICC = (MSB-MSW)/(MSB+(k0-1)*MSW),
+#   DEFF = 1 + (N/k - 1)*ICC
+_ICC_MSB = (
+    "((sq - CAST(t AS DOUBLE) * CAST(t AS DOUBLE) / CAST(nn AS DOUBLE))"
+    " / CAST(kk - 1 AS DOUBLE))"
+)
+_ICC_MSW = "((CAST(s2 AS DOUBLE) - sq) / CAST(nn - kk AS DOUBLE))"
+_ICC_K0 = (
+    "((CAST(nn AS DOUBLE) - CAST(sn2 AS DOUBLE) / CAST(nn AS DOUBLE))"
+    " / CAST(kk - 1 AS DOUBLE))"
+)
+_ICC_VAL = (
+    f"(({_ICC_MSB} - {_ICC_MSW})"
+    f" / ({_ICC_MSB} + ({_ICC_K0} - 1.0) * {_ICC_MSW}))"
+)
+_ICC_MILLI = f"CAST(floor(1000.0 * {_ICC_VAL}) AS BIGINT)"
+_ICC_DEFF = (
+    "CAST(floor(1000.0 * (1.0 + (CAST(nn AS DOUBLE) / CAST(kk AS DOUBLE)"
+    f" - 1.0) * {_ICC_VAL})) AS BIGINT)"
+)
+
+_ICC_ORACLE = f"""
+WITH y AS (
+    SELECT o_custkey AS ck,
+           CAST(round(o_totalprice * 100) AS BIGINT) // 100000 AS x
+    FROM orders
+),
+grp AS (
+    SELECT ck, CAST(count(*) AS BIGINT) AS n_i,
+           CAST(SUM(x) AS BIGINT) AS s1,
+           CAST(SUM(x * x) AS BIGINT) AS s2
+    FROM y GROUP BY ck
+),
+tot AS (
+    SELECT CAST(SUM(n_i) AS BIGINT) AS nn,
+           CAST(count(*) AS BIGINT) AS kk,
+           CAST(SUM(s1) AS BIGINT) AS t,
+           CAST(SUM(s2) AS BIGINT) AS s2,
+           CAST(SUM(n_i * n_i) AS BIGINT) AS sn2,
+           SUM(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+               / CAST(n_i AS DOUBLE)) AS sq
+    FROM grp
+)
+SELECT nn, kk, t, s2, sn2,
+       CAST(floor(1000.0 * sq) AS BIGINT) AS sq_milli,
+       {_ICC_MILLI} AS icc_milli,
+       {_ICC_DEFF} AS design_effect_milli
+FROM tot
+WHERE kk >= 2 AND nn > kk AND {_ICC_MSB} + ({_ICC_K0} - 1.0) * {_ICC_MSW}
+      > 0.0
+"""
+
+
+@_staged(
+    "x324_icc_design_effect",
+    "OP-G6-ext",
+    "Intraclass correlation ICC(1) of order value within customers "
+    "(one-way random effects, unbalanced-cluster k0 correction) plus "
+    "the design effect 1 + (avg cluster - 1)*ICC, from exact "
+    "kilodollar moment sums through one shared IEEE chain in milli. "
+    "THE clustering number every customer-randomized experiment "
+    "needs: x182 sizes tests assuming independent orders, but orders "
+    "cluster within customers — DEFF is exactly how much to inflate "
+    "x182's n, and a high ICC says order-level metrics are really "
+    "customer-level. Scale: one customer-keyed moment agg (map-side "
+    "partials), scalar algebra on the 1-row frame.",
+    _ICC_ORACLE,
+)
+def x324_icc_design_effect(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    y = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.expr(
+            "CAST(round(o_totalprice * 100) AS BIGINT) DIV 100000"
+        ).alias("x"),
+    )
+    grp = y.groupBy("ck").agg(
+        F.count("*").cast("long").alias("n_i"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.expr("x * x")).cast("long").alias("s2"),
+    )
+    tot = grp.agg(
+        F.sum("n_i").cast("long").alias("nn"),
+        F.count("*").cast("long").alias("kk"),
+        F.sum("s1").cast("long").alias("t"),
+        F.sum("s2").cast("long").alias("s2"),
+        F.sum(F.expr("n_i * n_i")).cast("long").alias("sn2"),
+        F.sum(
+            F.expr(
+                "CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+                " / CAST(n_i AS DOUBLE)"
+            )
+        ).alias("sq"),
+    )
+    return tot.filter(
+        (F.col("kk") >= 2)
+        & (F.col("nn") > F.col("kk"))
+        & (
+            F.expr(f"{_ICC_MSB} + ({_ICC_K0} - 1.0) * {_ICC_MSW}") > 0.0
+        )
+    ).select(
+        "nn",
+        "kk",
+        "t",
+        "s2",
+        "sn2",
+        F.expr("CAST(floor(1000.0 * sq) AS BIGINT)").alias("sq_milli"),
+        F.expr(_ICC_MILLI).alias("icc_milli"),
+        F.expr(_ICC_DEFF).alias("design_effect_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x325 — customer-spend Gini per year + inequality trend
+# ---------------------------------------------------------------------------
+
+# Gini by the rank formula over exact kilodollar spend:
+#   G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)),   x sorted asc.
+# The ppm scaling runs in DOUBLE (numerator * 1e6 overflows BIGINT at
+# 100x); double floor is sign-symmetric and engine-identical, unlike
+# integer floor-vs-truncate.
+_GT_GINI = (
+    "CAST(floor(1000000.0 * (2.0 * CAST(six AS DOUBLE)"
+    " - CAST(n + 1 AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT)"
+)
+_GT_SLOPE = (
+    "(CAST(ny AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sxx1 AS DOUBLE) * CAST(sy1 AS DOUBLE))"
+    " / (CAST(ny AS DOUBLE) * CAST(sxx2 AS DOUBLE)"
+    " - CAST(sxx1 AS DOUBLE) * CAST(sxx1 AS DOUBLE))"
+)
+
+_GT_ORACLE = f"""
+WITH spend AS (
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_custkey AS ck,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               // 100000 AS x
+    FROM orders GROUP BY 1, 2
+),
+rk AS (
+    SELECT yr, x,
+           CAST(row_number() OVER (PARTITION BY yr ORDER BY x, ck)
+                AS BIGINT) AS i
+    FROM spend
+),
+g AS (
+    SELECT yr, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(i * x) AS BIGINT) AS six
+    FROM rk GROUP BY yr
+),
+gin AS (
+    SELECT yr, n, {_GT_GINI} AS gini_ppm
+    FROM g WHERE sx > 0 AND n >= 2
+),
+sl AS (
+    SELECT CAST(count(*) AS BIGINT) AS ny,
+           CAST(SUM(yr) AS BIGINT) AS sxx1,
+           CAST(SUM(gini_ppm) AS BIGINT) AS sy1,
+           CAST(SUM(yr * yr) AS BIGINT) AS sxx2,
+           CAST(SUM(yr * gini_ppm) AS BIGINT) AS sxy
+    FROM gin
+)
+SELECT gin.yr, gin.n AS n_customers, gin.gini_ppm,
+       CAST(floor(1000.0 * ({_GT_SLOPE})) AS BIGINT)
+           AS trend_ppm_per_year_milli
+FROM gin CROSS JOIN sl
+WHERE sl.ny >= 2 AND sl.ny * sl.sxx2 > sl.sxx1 * sl.sxx1
+ORDER BY gin.yr
+"""
+
+
+@_staged(
+    "x325_inequality_trend",
+    "OP-G6/W2-ext",
+    "Customer-spend Gini per order-year (rank formula over exact "
+    "kilodollar spend, year-partitioned exact ranks, ppm through one "
+    "shared double chain — the integer ppm numerator overflows at "
+    "100x) plus the cross-year OLS inequality trend in "
+    "ppm-per-year (one shared chain over the <=7-point year frame, "
+    "broadcast onto every row). x115 gives ONE static Gini; revenue "
+    "concentration DRIFTING up is the early warning that the "
+    "business is becoming whale-dependent (and that x28-style caps "
+    "will bind). Scale: year-customer agg -> year-partitioned rank "
+    "windows over the customer aggregate (certifiable form; x219 "
+    "bucketed rank is the scale path) -> 7-row Gini frame + 1-row "
+    "slope broadcast.",
+    _GT_ORACLE,
+)
+def x325_inequality_trend(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.col("o_custkey").alias("ck"),
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+            " DIV 100000"
+        ).alias("x")
+    )
+    wr = Window.partitionBy("yr").orderBy("x", "ck")
+    rk = spend.select(
+        "yr", "x", F.row_number().over(wr).cast("long").alias("i")
+    )
+    g = rk.groupBy("yr").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.expr("i * x")).cast("long").alias("six"),
+    )
+    gin = g.filter((F.col("sx") > 0) & (F.col("n") >= 2)).select(
+        "yr", "n", F.expr(_GT_GINI).alias("gini_ppm")
+    )
+    sl = gin.agg(
+        F.count("*").cast("long").alias("ny"),
+        F.sum("yr").cast("long").alias("sxx1"),
+        F.sum("gini_ppm").cast("long").alias("sy1"),
+        F.sum(F.expr("yr * yr")).cast("long").alias("sxx2"),
+        F.sum(F.expr("yr * gini_ppm")).cast("long").alias("sxy"),
+    )
+    return (
+        gin.crossJoin(F.broadcast(sl))
+        .filter(
+            (F.col("ny") >= 2)
+            & (F.col("ny") * F.col("sxx2") > F.col("sxx1") * F.col("sxx1"))
+        )
+        .select(
+            "yr",
+            F.col("n").alias("n_customers"),
+            "gini_ppm",
+            F.expr(
+                f"CAST(floor(1000.0 * ({_GT_SLOPE})) AS BIGINT)"
+            ).alias("trend_ppm_per_year_milli"),
+        )
+        .orderBy("yr")
     )
 
 

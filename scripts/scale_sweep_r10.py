@@ -90,6 +90,10 @@ ENTRIES = [
     ("x319_horvitz_thompson", None),
     ("x320_qte_deciles", None),
     ("x321_degree_powerlaw", None),
+    ("x322_simpson_diversity", None),
+    ("x323_logrank_test", None),
+    ("x324_icc_design_effect", None),
+    ("x325_inequality_trend", None),
 ]
 
 

@@ -312,6 +312,10 @@ _SINGLE_PARTITION_OK = {
     "x319_horvitz_thompson": "one global design-estimator agg: one partial row per partition",
     "x320_qte_deciles": "arm-partitioned rank windows (2 partitions, certifiable form; x219 bucketed rank is the scale path) + 9-row decile join",
     "x321_degree_powerlaw": "bounded TakeOrdered top-100 degree frame + 1-row Hill agg",
+    "x322_simpson_diversity": "(source, token) hash-agg -> source rollup; no windows",
+    "x323_logrank_test": "suffix-sum windows over the <=13-row bucket frame + 1-row test agg",
+    "x324_icc_design_effect": "customer-keyed moment agg -> 1-row random-effects frame",
+    "x325_inequality_trend": "year-partitioned rank windows over the customer aggregate (certifiable form; x219 bucketed rank is the scale path) + 1-row slope broadcast",
 }
 
 

@@ -33,7 +33,7 @@ def test_round31_not_yet_registered():
 
     leaked = set(STAGED) & set(REGISTRY)
     assert not leaked, f"staged entries registered early: {leaked}"
-    assert len(STAGED) == 10
+    assert len(STAGED) == 14
 
 
 # ---------------------------------------------------------------------------
@@ -152,3 +152,35 @@ def test_degree_powerlaw_alpha_positive(spark):
     assert len(rows) == 1
     assert rows[0].alpha_milli > 0
     assert rows[0].n_terms <= 99
+
+
+def test_simpson_diversity_complements(spark):
+    for r in STAGED["x322_simpson_diversity"].spark(spark, SFS[1]).collect():
+        assert 0 <= r.simpson_d_ppm <= 1_000_000
+        assert r.simpson_d_ppm + r.diversity_ppm == 1_000_000
+        assert r.n_types <= r.n_tokens
+
+
+def test_logrank_variance_positive(spark):
+    row = STAGED["x323_logrank_test"].spark(spark, SFS[1]).collect()[0]
+    assert row.v_nano > 0
+    # O-E sums to ~0 across groups by construction; z is bounded sane
+    assert abs(row.z_milli) < 20_000
+
+
+def test_icc_and_deff_consistent(spark):
+    row = STAGED["x324_icc_design_effect"].spark(spark, SFS[1]).collect()[0]
+    assert -1000 <= row.icc_milli <= 1000
+    # DEFF = 1 + (nn/kk - 1) * ICC within rounding of the shared chain
+    approx = 1000 + (row.nn / row.kk - 1.0) * row.icc_milli
+    assert abs(row.design_effect_milli - approx) <= abs(row.icc_milli) + 2
+    assert row.design_effect_milli > 0
+
+
+def test_gini_rows_share_one_slope(spark):
+    rows = STAGED["x325_inequality_trend"].spark(spark, SFS[1]).collect()
+    assert len(rows) >= 5  # one row per order year
+    slopes = {r.trend_ppm_per_year_milli for r in rows}
+    assert len(slopes) == 1  # the broadcast slope is constant
+    for r in rows:
+        assert 0 <= r.gini_ppm <= 1_000_000
