@@ -738,64 +738,62 @@ def x102_srp_portable(spark, sf_dir):
             f"{limit:g} (saw {mx:g} over {dims} dims)"
         )
     scale = 1_000_000_000_000
-    elems = [
-        (F.element_at(vec, i + 1).cast("decimal(18,12)") * F.lit(scale))
-        .cast("long")
-        .alias(f"_e{i}")
-        for i in range(dims)
-    ]
     # norm elements at HALF scale (6 dp, *1e6 long): f^2 <= 2.5e11 per
     # term, 64-term sums ~1.6e13 — exact BIGINT with no decimal
-    # multiplies (the decimal-product form blew the 64 KB codegen
-    # method limit and fell back to interpreted evaluation)
+    # multiplies in the squared sum.
     norm_scale = 1_000_000
-    felems = [
-        (F.element_at(vec, i + 1).cast("decimal(9,6)") * F.lit(norm_scale))
-        .cast("long")
-        .alias(f"_f{i}")
-        for i in range(dims)
-    ]
+    # Array + HOF form (round-10 codegen fix): the flat unrolled form
+    # (129 scaled-long columns, 64-term tree sums per output) blew
+    # janino's 64 KB generated-method limit whenever the session
+    # attempts whole-stage codegen on the fused stage (maxFields=256,
+    # i.e. the bench/production config), silently dropping the query
+    # to interpreted evaluation. Packing the scaled elements into two
+    # long ARRAYS and expressing every per-plane / dot / norm sum as
+    # aggregate(zip_with(...)) against LITERAL sign/query arrays keeps
+    # the generated method tiny and makes plan size independent of the
+    # embedding width. Long sums are associative, so every value (and
+    # the oracle hash) is bit-identical to the unrolled form.
+    ev = F.transform(
+        vec, lambda x: (x.cast("decimal(18,12)") * F.lit(scale)).cast("long")
+    )
+    fv = F.transform(
+        vec,
+        lambda x: (x.cast("decimal(9,6)") * F.lit(norm_scale)).cast("long"),
+    )
     stage1 = e.filter(F.size("embedding") == dims).select(
-        "vec_id", *elems, *felems
+        "vec_id", ev.alias("_ev"), fv.alias("_f")
     )
 
-    def tree_sum(cols):
-        while len(cols) > 1:
-            nxt = [cols[k] + cols[k + 1] for k in range(0, len(cols) - 1, 2)]
-            if len(cols) % 2:
-                nxt.append(cols[-1])
-            cols = nxt
-        return cols[0]
+    zero = F.lit(0).cast("long")
+
+    def lsum(arr):
+        return F.aggregate(arr, zero, lambda acc, v: acc + v)
 
     code = None
     for j in range(_SRP_BITS):
-        terms = []
-        for i in range(dims):
-            s = _srp_sign(i, j)
-            if s == 1:
-                terms.append(F.col(f"_e{i}"))
-            elif s == -1:
-                terms.append(-F.col(f"_e{i}"))
-        if terms:
-            bit = F.when(tree_sum(terms) > 0, F.lit(1 << j)).otherwise(
-                F.lit(0)
-            )
-        else:  # plane with no support on this width: sum = 0 -> bit 0
-            bit = F.lit(0)
+        # plane with no support on this width: all-zero sign array ->
+        # sum 0 -> bit 0 (same as the unrolled form's empty-terms case)
+        sgn = F.array(
+            *[F.lit(_srp_sign(i, j)).cast("long") for i in range(dims)]
+        )
+        psum = lsum(F.zip_with(F.col("_ev"), sgn, lambda x, s: x * s))
+        bit = F.when(psum > 0, F.lit(1 << j)).otherwise(F.lit(0))
         code = bit if code is None else code + bit
-    dot_terms = [
-        F.col(f"_e{i}") * F.lit(q) for i, q in enumerate(_SRP_Q[:dims]) if q
-    ]
-    nrm_terms = [F.col(f"_f{i}") * F.col(f"_f{i}") for i in range(dims)]
+    # dot only over the query's support (min(dims, QDIM) leading
+    # elements — zip_with would NULL-pad a shorter literal array)
+    dq = min(dims, _SRP_QDIM)
+    qarr = F.array(*[F.lit(qv).cast("long") for qv in _SRP_Q[:dq]])
+    dot = lsum(
+        F.zip_with(F.slice(F.col("_ev"), 1, dq), qarr, lambda x, y: x * y)
+    )
+    nrm2 = lsum(F.zip_with(F.col("_f"), F.col("_f"), lambda x, y: x * y))
     # long norm sum / 1e12 is bit-identical to the oracle's
     # DECIMAL(.,12)->DOUBLE cast (both operands exactly representable,
     # one correctly-rounded IEEE divide — the x30 precedent)
     cosine = F.round(
-        (tree_sum(dot_terms).cast("double") / F.lit(float(scale)))
+        (dot.cast("double") / F.lit(float(scale)))
         / F.lit(_SRP_QNORM)
-        / F.sqrt(
-            tree_sum(nrm_terms).cast("double") / F.lit(float(scale))
-        ),
+        / F.sqrt(nrm2.cast("double") / F.lit(float(scale))),
         6,
     )
     out = (
