@@ -107,9 +107,10 @@ HEADLINE = [
     "x237_hurst_rs",
     # round 9: the SRP-bucketed production forms of the two all-pairs
     # embedding audits (the entries a 100 TB user would call) — the
-    # bench tracks the bucketed forms, the exact forms stay as
-    # certification oracles of the metric (x230 stays tracked via the
-    # exact entry's absence here; its cost is documented in SCALING.md)
+    # bench tracks the bucketed twins; the exact forms (x230/x245) are
+    # intentionally UNtracked here (their all-pairs cost is measured
+    # and documented in SCALING.md; they exist as certification
+    # oracles of the metric, not as production paths)
     "x230b_hubness_bucketed",
     "x245b_twonn_bucketed",
     # round-30 staged heavies, pre-wired (runner skips names not in
