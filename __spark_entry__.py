@@ -7,10 +7,13 @@ each with its DuckDB oracle).
 
 Catalog ordering: the driver verifies a bounded window of entries in
 dict order, so entries are emitted in certification-priority order —
-(0) oracle-backed entries NOT yet driver-certified in a prior round
-(including anything newly added), (1) harness-only entries (rows-only
-check), (2) entries already hash-certified in CORRECTNESS_r01.json.
-Within a tier, registration order is preserved.
+(0) oracle-backed entries NOT yet hash-certified in any prior round
+(including anything newly added), (1) harness-only entries the driver
+has NEVER recorded (rows-only check), (2) harness-only entries with a
+record, STALEST round first (so driver rows keep getting refreshed
+oldest-first instead of the same early-registered ones each round),
+(3) oracle entries already hash-certified in a prior round. Within a
+tier, registration order breaks ties.
 """
 
 from __future__ import annotations
@@ -53,15 +56,17 @@ _R1_CERTIFIED = frozenset(
 )
 
 
-def _correctness_records() -> tuple[frozenset[str], frozenset[str]]:
-    """(certified, seen): entries hash-certified in ANY prior round,
-    and entries with ANY driver-side record at all (including
-    harness-only ``no_oracle`` rows-checks). Parsed from the driver's
+def _correctness_records() -> tuple[frozenset[str], dict[str, str]]:
+    """(certified, last_seen): entries hash-certified in ANY prior
+    round, and — for every entry with ANY driver-side record at all
+    (including harness-only ``no_oracle`` rows-checks) — the LATEST
+    round tag ('r01'..'r99', zero-padded so string order is round
+    order) that recorded it. Parsed from the driver's
     CORRECTNESS_r*.json files next to this module, so the
     certification window self-adapts every round without editing the
     hardcoded round-1 floor."""
     certified = set(_R1_CERTIFIED)
-    seen = set(_R1_CERTIFIED)
+    last_seen = {name: "r01" for name in _R1_CERTIFIED}
     here = os.path.dirname(os.path.abspath(__file__))
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
@@ -69,10 +74,12 @@ def _correctness_records() -> tuple[frozenset[str], frozenset[str]]:
                 data = json.load(fh)
         except (OSError, ValueError):
             continue
+        tag = os.path.basename(path)[len("CORRECTNESS_"):-len(".json")]
         for name, rec in data.items():
             if not isinstance(rec, dict):
                 continue
-            seen.add(name)
+            if tag > last_seen.get(name, ""):
+                last_seen[name] = tag
             if (
                 rec.get("rows_match")
                 and rec.get("schema_match")
@@ -80,7 +87,7 @@ def _correctness_records() -> tuple[frozenset[str], frozenset[str]]:
                 and not rec.get("err")
             ):
                 certified.add(name)
-    return frozenset(certified), frozenset(seen)
+    return frozenset(certified), last_seen
 
 
 def _certified_names() -> frozenset[str]:
@@ -88,21 +95,25 @@ def _certified_names() -> frozenset[str]:
 
 
 def _ordered_names() -> list[str]:
-    certified, seen = _correctness_records()
-
-    def tier(name: str) -> int:
-        if REGISTRY[name].oracle is not None and name not in certified:
-            return 0  # oracle-backed, awaiting hash certification
-        if REGISTRY[name].oracle is None:
-            # harness-only: a rows-check is still signal — entries the
-            # driver has NEVER recorded (in any round) outrank ones
-            # with a stale r04-era record, so every registered entry
-            # eventually has a driver-side row (verdict r8 missing #3)
-            return 1 if name not in seen else 2
-        return 3  # already hash-certified in a prior round
-
+    certified, last_seen = _correctness_records()
     names = list(REGISTRY)
-    return sorted(names, key=lambda n: (tier(n), names.index(n)))
+
+    def key(name: str) -> tuple:
+        if REGISTRY[name].oracle is not None:
+            # (0) awaiting hash certification, (3) already certified
+            tier = 0 if name not in certified else 3
+            return (tier, "", names.index(name))
+        # harness-only: a rows-check is still signal — entries the
+        # driver has NEVER recorded (in any round) outrank recorded
+        # ones (verdict r8 missing #3), and recorded ones re-run
+        # STALEST first (verdict r9 missing #2: the r09 window re-ran
+        # 5 fresh-ish entries while 13 r04-era records stayed stale,
+        # because plain registration order ignored record age)
+        if name not in last_seen:
+            return (1, "", names.index(name))
+        return (2, last_seen[name], names.index(name))
+
+    return sorted(names, key=key)
 
 
 def entry(spark: SparkSession) -> DataFrame:

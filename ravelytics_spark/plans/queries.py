@@ -859,3 +859,10 @@ from ravelytics_spark.plans import round27 as _round27  # noqa: E402,F401
 # x230/x245 audit forms).
 from ravelytics_spark.plans import round28_staged as _round28  # noqa: E402,F401
 from ravelytics_spark.plans import round29 as _round29  # noqa: E402,F401
+
+# Round-30 entries (x275-x311) were STAGED in round 9 (the round-9
+# window was exactly full: the 40 round-28 registrations + the 2
+# round-29 bucketed twins + 8 harness rows); the round-10 footer in
+# the module registers the whole batch at import. round31_staged
+# (x312-x325) stays unregistered until the round-11 window.
+from ravelytics_spark.plans import round30_staged as _round30  # noqa: E402,F401

@@ -4212,10 +4212,10 @@ def x311_binary_segmentation(spark, sf_dir):
     return obj.orderBy("obj_milli", "split_t").limit(1)
 
 
-# --- round-10 registration footer (commented until round 10) ---
+# --- round-10 registration footer (flipped in round 10) ---
 # These two lines register the whole batch into the live catalog; they
 # must stay below the final @_staged definition so every entry is in
 # STAGED before the update (the round-25 footer-placement lesson).
-# from ravelytics_spark.plans.queries import REGISTRY as _REGISTRY
-#
-# _REGISTRY.update(STAGED)
+from ravelytics_spark.plans.queries import REGISTRY as _REGISTRY
+
+_REGISTRY.update(STAGED)

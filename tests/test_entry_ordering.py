@@ -101,6 +101,27 @@ def test_never_seen_harness_entries_lead_tier1():
         ), "a driver-recorded harness entry shadows a never-seen one"
 
 
+def test_recorded_harness_entries_rerun_stalest_first():
+    """Within the driver-recorded harness tier, entries re-run in
+    LATEST-RECORD order, oldest round first (verdict r9 missing #2:
+    the r09 window re-ran 5 freshly-recorded entries while 13 r04-era
+    records stayed stale, because plain registration order ignored
+    record age)."""
+    mod = _load_entry()
+    from ravelytics_spark.plans.queries import REGISTRY
+
+    names = mod._ordered_names()
+    _cert, last_seen = mod._correctness_records()
+    tags = [
+        last_seen[n]
+        for n in names
+        if REGISTRY[n].oracle is None and n in last_seen
+    ]
+    assert tags == sorted(tags), (
+        "a fresher-recorded harness entry precedes a staler one"
+    )
+
+
 # The round-9 certification-window pin. SELF-RETIRING (the round-7 and
 # round-8 pins both went red the moment their round's CORRECTNESS file
 # landed): while the pinned round's CORRECTNESS file is absent the pin
@@ -212,4 +233,133 @@ def test_round9_pin_survives_round_close(tmp_path, monkeypatch):
         n for n in names if REGISTRY[n].oracle is not None and n not in cert
     ]
     assert not set(still_uncertified) & set(expected)
+    sys.modules.pop("_entry_under_test", None)
+
+
+# The round-10 certification-window pin — same self-retiring contract
+# as the round-9 pin above. Window arithmetic source of truth:
+# COVERAGE.md 'Certification window'.
+_R10_CORRECTNESS = "/root/repo/CORRECTNESS_r10.json"
+
+# The 13 harness entries whose newest driver record was r04 when round
+# 10 opened — the exact tail of the round-10 window, stalest-first
+# then registration order.
+_R10_HARNESS_RERUNS = [
+    "x3_ivf_topk",
+    "x3_near_pairs",
+    "x10_curation_full",
+    "x9_stratified_sample",
+    "x7_approx_distinct",
+    "s8_stream_ingest",
+    "x5_multimodal",
+    "s3_s4_json_sources",
+    "s5_kafka_wire",
+    "x59_dedup_ingest_stream",
+    "x63_hll_rollup",
+    "x64_kmv_rollup",
+    "x62_pq_topk",
+]
+
+
+def _round10_expected_backlog():
+    """The 37 uncertified oracle entries of round 10: the round-30
+    staged batch (x275-x311), registration order."""
+    from ravelytics_spark.plans.round30_staged import STAGED as _S30
+
+    return [n for n, q in _S30.items() if q.oracle is not None]
+
+
+def test_round10_window_contents_pinned():
+    """Round-10 state: the 37 round-30 registrations lead; the
+    remaining 13 slots go to the r04-era harness re-runs (every
+    harness entry already has SOME driver record after r09, so tier 1
+    is empty and tier 2's staleness order fills the tail)."""
+    import os
+
+    mod = _load_entry()
+    from ravelytics_spark.plans.queries import REGISTRY
+
+    names = mod._ordered_names()
+    cert = mod._certified_names()
+    expected = _round10_expected_backlog()
+    assert len(expected) == 37
+
+    if os.path.exists(_R10_CORRECTNESS):
+        # round closed: certification must have succeeded for the
+        # oracle batch, and every harness re-run must now carry an
+        # r10-or-later record
+        missing = [n for n in expected if n not in cert]
+        assert not missing, (
+            f"round-10 window entries not certified after "
+            f"CORRECTNESS_r10.json landed: {missing}"
+        )
+        _cert, last_seen = mod._correctness_records()
+        stale = [
+            n for n in _R10_HARNESS_RERUNS if last_seen.get(n, "") < "r10"
+        ]
+        assert not stale, f"harness re-runs still pre-r10: {stale}"
+        return
+
+    uncertified_oracle = [
+        n for n in names if REGISTRY[n].oracle is not None and n not in cert
+    ]
+    assert uncertified_oracle == expected, (
+        "the round-10 uncertified-oracle backlog drifted — if new "
+        "entries were registered this round, extend the pin"
+    )
+    window = names[:50]
+    assert window[:37] == expected
+    assert window[37:] == _R10_HARNESS_RERUNS
+
+
+def test_round10_pin_survives_round_close(tmp_path, monkeypatch):
+    """Exercise the pin's post-certification branch BEFORE the driver
+    lands CORRECTNESS_r10.json: simulate the driver certifying the
+    round-10 window (oracle hashes pass, harness rows recorded) and
+    assert both post-close claims hold."""
+    mod = _load_entry()
+    expected = _round10_expected_backlog()
+
+    fake = {
+        n: {"rows_match": True, "schema_match": True, "hash_match": True,
+            "err": None}
+        for n in expected
+    }
+    for n in _R10_HARNESS_RERUNS:
+        fake[n] = {"rows_match": True, "schema_match": None,
+                   "hash_match": None, "err": None, "no_oracle": True}
+    p = tmp_path / "CORRECTNESS_r10.json"
+    p.write_text(json.dumps(fake))
+    import glob as _glob
+
+    real_glob = _glob.glob
+    monkeypatch.setattr(
+        mod.glob,
+        "glob",
+        lambda pattern: real_glob(pattern) + [str(p)]
+        if "CORRECTNESS_r" in pattern
+        else real_glob(pattern),
+    )
+    cert = mod._certified_names()
+    assert not [n for n in expected if n not in cert]
+    _c, last_seen = mod._correctness_records()
+    assert all(last_seen[n] == "r10" for n in _R10_HARNESS_RERUNS)
+    # the window moved on: no pinned entry occupies a tier-0 slot, and
+    # the freshly re-run harness entries rotated BEHIND the 8 whose
+    # newest record is now older (r09)
+    names = mod._ordered_names()
+    from ravelytics_spark.plans.queries import REGISTRY
+
+    still_uncertified = [
+        n for n in names if REGISTRY[n].oracle is not None and n not in cert
+    ]
+    assert not set(still_uncertified) & set(expected)
+    r09_recorded = [
+        n for n in names
+        if REGISTRY[n].oracle is None and last_seen.get(n) == "r09"
+    ]
+    if r09_recorded:
+        assert max(names.index(n) for n in r09_recorded) < min(
+            names.index(n) for n in _R10_HARNESS_RERUNS
+        )
     sys.modules.pop("_entry_under_test", None)

@@ -31,15 +31,15 @@ def test_round30_staged_matches_oracle(spark, name, sf_dir):
     assert not problems, problems
 
 
-def test_round30_not_yet_registered():
-    """The registration footer stays commented until round 10: no
-    round-30 name may leak into the live catalog early (it would
-    displace the round-9 certification window the pin test froze)."""
+def test_round30_registered_in_round10():
+    """The registration footer flipped live in round 10: every staged
+    entry is in the catalog, IS the same object (no divergent copy),
+    and the batch kept its size."""
     from ravelytics_spark.plans.queries import REGISTRY
 
-    leaked = set(STAGED) & set(REGISTRY)
-    assert not leaked, f"staged entries registered early: {leaked}"
     assert len(STAGED) == 37
+    for name, entry in STAGED.items():
+        assert REGISTRY.get(name) is entry, name
 
 
 # ---------------------------------------------------------------------------
