@@ -343,14 +343,15 @@ def x230b_hubness_bucketed(spark, sf_dir):
 def x245b_twonn_bucketed(spark, sf_dir):
     got = _bucketed_candidates(spark, sf_dir)
     if got is None:
+        # degenerate empty table: mirror the oracle's UNGROUPED
+        # aggregate over an empty mu — ONE (0, NULL, NULL) row, not
+        # zero rows (ADVICE r9: filter(lit(False)) would rows-mismatch
+        # the oracle on an empty dataset)
         e = load_table(spark, sf_dir, "embeddings")
-        return (
-            e.select(
-                F.lit(0).cast("long").alias("n_points"),
-                F.lit(0).cast("long").alias("sum_lnmu_nano"),
-                F.lit(0).cast("long").alias("intrinsic_dim_milli"),
-            )
-            .filter(F.lit(False))
+        return e.limit(0).agg(
+            F.count("*").cast("long").alias("n_points"),
+            F.max(F.lit(None).cast("long")).alias("sum_lnmu_nano"),
+            F.max(F.lit(None).cast("long")).alias("intrinsic_dim_milli"),
         )
     _nz, pairs = got
     dsq = (

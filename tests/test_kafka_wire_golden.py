@@ -160,3 +160,98 @@ def test_no_nulls_reach_the_wire_by_construction(spark):
     )
     row = to_kafka_records(df, key_col="artist_id", keep_key_in_value=True).collect()[0]
     assert json.loads(row.value) == {"artist_id": "a1"}
+
+
+def test_artists_keyed_bytes_default_drops_key_from_value(spark):
+    """keep_key_in_value=False (our default, for consumers that read
+    the key column): key bytes are still the UTF-8 artist_id, and the
+    value is the compact encoding of the record WITHOUT artist_id,
+    remaining fields in schema order. Pins the exact byte layout of
+    the no-duplication wire so a field-order or separator change can't
+    slip through."""
+    rows = _spark_wire(
+        spark, ARTIST_RECS, ARTISTS_WIRE_SCHEMA,
+        key_col="artist_id", keep_key=False,
+    )
+    for row, rec in zip(rows, ARTIST_RECS):
+        assert bytes(row.key) == rec["artist_id"].encode("utf-8")
+        stripped = {k: v for k, v in rec.items() if k != "artist_id"}
+        assert bytes(row.value) == _canonical(stripped)
+
+
+# Multi-update stream for one artist: the compaction / latest-state
+# case. Same artist_id, three ingest batches; genres and popularity
+# evolve. Produce order == ingest_ts order (the reference DAG runs
+# once per ingest_ts and produces sequentially).
+ARTIST_UPDATES = [
+    {
+        "ingest_ts": "2025-07-28T09:00:00Z",
+        "artist_id": "a1",
+        "artist_name": "Björk",
+        "genres": ["art pop"],
+        "popularity": 70,
+        "followers_total": 5864000,
+    },
+    {
+        "ingest_ts": "2025-07-29T09:00:00Z",
+        "artist_id": "a1",
+        "artist_name": "Björk",
+        "genres": ["art pop", "electronic"],
+        "popularity": 74,
+        "followers_total": 5864200,
+    },
+    {
+        "ingest_ts": "2025-07-30T09:00:00Z",
+        "artist_id": "a1",
+        "artist_name": "Björk",
+        "genres": ["art pop", "electronic", "experimental"],
+        "popularity": 75,
+        "followers_total": 5864310,
+    },
+    {
+        "ingest_ts": "2025-07-30T09:00:00Z",
+        "artist_id": "a2",
+        "artist_name": "Мумий Тролль",
+        "genres": ["russian rock"],
+        "popularity": 55,
+        "followers_total": 120000,
+    },
+]
+
+
+def test_keyed_topic_compaction_keeps_reference_latest_state(spark):
+    """The keyed-topic compaction contract (verdict r9 ask #7): a
+    log-compacted artists topic retains, per key, the message with the
+    HIGHEST OFFSET. Keying by artist_id puts all of one artist's
+    updates in one partition, so offset order within the key == our
+    produce order (the reference DAG produces sequentially per run,
+    runs in ingest_ts order). Simulate the broker's compaction over
+    the exact wire bytes — keep the last (key, value) per key — and
+    assert the surviving values parse to the same latest state the
+    reference's v_artist_latest view computes over the FULL history
+    (002_views_techno.sql:9-15: argMax(..., ingest_ts) GROUP BY
+    artist_id). If that equivalence broke — e.g. produce order stopped
+    following ingest_ts — compaction would silently serve stale
+    state."""
+    rows = _spark_wire(
+        spark, ARTIST_UPDATES, ARTISTS_WIRE_SCHEMA,
+        key_col="artist_id", keep_key=True,
+    )
+    # broker-side log compaction: last offset per key survives
+    compacted: dict[bytes, bytes] = {}
+    for row in rows:  # collect() preserves the input (produce) order
+        compacted[bytes(row.key)] = bytes(row.value)
+
+    # reference consumer semantics: argMax by ingest_ts over history
+    expected = {}
+    for rec in ARTIST_UPDATES:
+        cur = expected.get(rec["artist_id"])
+        if cur is None or rec["ingest_ts"] >= cur["ingest_ts"]:
+            expected[rec["artist_id"]] = rec
+
+    assert {
+        k.decode("utf-8"): json.loads(v) for k, v in compacted.items()
+    } == expected
+    # and each surviving value is still the exact canonical bytes
+    for key, rec in expected.items():
+        assert compacted[key.encode("utf-8")] == _canonical(rec)

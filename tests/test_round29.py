@@ -132,3 +132,32 @@ def test_twonn_bucketed_detects_planted_low_dim(spark, tmp_path):
     assert row.n_points > 0
     assert row.sum_lnmu_nano > 0
     assert 0 < row.intrinsic_dim_milli < 200_000
+
+
+def test_twonn_empty_table_matches_oracle_shape(spark, tmp_path):
+    """ADVICE r9: on a degenerate EMPTY embeddings table the oracle's
+    ungrouped aggregate returns ONE (0, NULL, NULL) row — the Spark
+    side must match that shape, not return zero rows. Covers both the
+    exact form (x245) and the bucketed twin (x245b)."""
+    import duckdb as _duckdb
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    sf = str(tmp_path)
+    empty = _pa.table(
+        {
+            "vec_id": _pa.array([], type=_pa.int64()),
+            "embedding": _pa.array([], type=_pa.list_(_pa.float32())),
+        }
+    )
+    _pq.write_table(empty, f"{sf}/embeddings.parquet")
+
+    for name in ("x245_twonn_intrinsic_dim", "x245b_twonn_bucketed"):
+        q = REGISTRY[name]
+        got = [tuple(r) for r in q.spark(spark, sf).collect()]
+        con = _duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+        )
+        exp = [tuple(r) for r in con.execute(q.oracle).fetchall()]
+        assert got == exp == [(0, None, None)], (name, got, exp)
