@@ -507,3 +507,520 @@ def x329_microbatch_profile(spark, sf_dir):
             "mean_batch_milli"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# x330 — Neyman vs proportional sample allocation across segments
+# ---------------------------------------------------------------------------
+
+# per-row order value in exact DOLLARS (cents DIV 100): squares stay
+# far under 2^63 through the 100x sweep (6e5^2 * 1.5e6 rows ~ 5e17)
+_DOLLARS = "CAST(round(o_totalprice * 100) AS BIGINT) / 100"
+_DOLLARS_SPARK = "CAST(round(o_totalprice * 100) AS BIGINT) DIV 100"
+
+# stratum sd through one shared IEEE chain (exact integer moments in,
+# one divide/sqrt order), then the N_h * S_h Neyman weight milli-floored
+_NY_SD = (
+    "sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)"
+    " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+)
+_NY_W = f"CAST(floor(1000.0 * CAST(n AS DOUBLE) * {_NY_SD}) AS BIGINT)"
+_NY_SAMPLE = 10_000
+
+_NY_ORACLE = f"""
+WITH mo AS (
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM({_DOLLARS.replace("/ 100", "// 100")}) AS BIGINT) AS s1,
+           CAST(SUM(({_DOLLARS.replace("/ 100", "// 100")})
+                    * ({_DOLLARS.replace("/ 100", "// 100")})) AS BIGINT)
+               AS s2
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+),
+w AS (
+    SELECT segment, n, CAST(floor(1000.0 * {_NY_SD}) AS BIGINT) AS sd_milli,
+           {_NY_W} AS wgt,
+           CAST(SUM({_NY_W}) OVER () AS BIGINT) AS wtot,
+           CAST(SUM(n) OVER () AS BIGINT) AS ntot
+    FROM mo WHERE n >= 2
+)
+SELECT segment, n AS n_pop, sd_milli,
+       CAST({_NY_SAMPLE} * wgt // wtot AS BIGINT) AS neyman_n,
+       CAST({_NY_SAMPLE} * n // ntot AS BIGINT) AS proportional_n
+FROM w ORDER BY segment
+"""
+
+
+@_staged(
+    "x330_neyman_allocation",
+    "OP-X9/G6-ext",
+    "Neyman optimal allocation of a literal 10k-order sample across "
+    "market segments vs the proportional allocation: per-stratum "
+    "exact dollar moments (BIGINT), population sd through one shared "
+    "IEEE chain, Neyman weight N_h*S_h milli-floored ONCE so the "
+    "final allocations are exact BIGINT floor divisions. Strata with "
+    "high value-variance get oversampled — the design layer that "
+    "makes x9_stratified_sample's strata COUNTS principled, and the "
+    "variance-minimizing counterpart of x319's inclusion-probability "
+    "estimator. Scale: one segment hash-agg (5 rows), windows over "
+    "the 5-row frame (whitelisted SinglePartition).",
+    _NY_ORACLE,
+)
+def x330_neyman_allocation(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    d = F.expr(_DOLLARS_SPARK)
+    mo = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(d).cast("long").alias("s1"),
+            F.sum(d * d).cast("long").alias("s2"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    wall = Window.partitionBy()
+    w = mo.select(
+        "segment",
+        "n",
+        F.expr(f"CAST(floor(1000.0 * {_NY_SD}) AS BIGINT)").alias(
+            "sd_milli"
+        ),
+        F.expr(_NY_W).alias("wgt"),
+    ).select(
+        "segment",
+        "n",
+        "sd_milli",
+        "wgt",
+        F.sum("wgt").over(wall).cast("long").alias("wtot"),
+        F.sum("n").over(wall).cast("long").alias("ntot"),
+    )
+    return w.select(
+        "segment",
+        F.col("n").alias("n_pop"),
+        "sd_milli",
+        F.expr(f"CAST({_NY_SAMPLE} * wgt DIV wtot AS BIGINT)").alias(
+            "neyman_n"
+        ),
+        F.expr(f"CAST({_NY_SAMPLE} * n DIV ntot AS BIGINT)").alias(
+            "proportional_n"
+        ),
+    ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# x331 — Benjamini-Hochberg FDR over per-nation mean-value z-tests
+# ---------------------------------------------------------------------------
+
+
+def _phi_inv(q: float) -> float:
+    """Standard normal quantile via bisection on math.erf — pure
+    Python, no scipy; called at import to bake literal thresholds
+    into BOTH engines' plans (the x102 literal idiom), so neither
+    engine needs a normal CDF at query time."""
+    lo, hi = 0.0, 10.0
+    for _ in range(200):
+        mid = (lo + hi) / 2.0
+        if 0.5 * (1.0 + math.erf(mid / math.sqrt(2.0))) < q:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2.0
+
+
+_BH_M = 25  # nations
+_BH_ALPHA = 0.05
+# critical |z| for BH rank i: reject p_(i) <= i*alpha/m  <=>
+# |z|_(i) >= Phi^-1(1 - i*alpha/(2m)); micro-floored literals
+_BH_CRIT = [
+    int(math.floor(1e6 * _phi_inv(1.0 - (i * _BH_ALPHA) / (2 * _BH_M))))
+    for i in range(1, _BH_M + 1)
+]
+_BH_CRIT_VALUES = ", ".join(
+    f"({i + 1}, {c})" for i, c in enumerate(_BH_CRIT)
+)
+
+# z = (m_h - m_g) * sqrt(n_h) / sd_g through ONE shared IEEE chain
+_BH_Z = (
+    "((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)"
+    " - CAST(gs1 AS DOUBLE) / CAST(gn AS DOUBLE))"
+    " * sqrt(CAST(n AS DOUBLE)))"
+    " / sqrt((CAST(gn AS DOUBLE) * CAST(gs2 AS DOUBLE)"
+    " - CAST(gs1 AS DOUBLE) * CAST(gs1 AS DOUBLE))"
+    " / (CAST(gn AS DOUBLE) * CAST(gn AS DOUBLE)))"
+)
+_BH_ZMICRO = f"CAST(floor(1000000.0 * ({_BH_Z})) AS BIGINT)"
+_BH_AZ = f"CAST(abs({_BH_ZMICRO}) AS BIGINT)"
+
+_BH_ORACLE = f"""
+WITH mo AS (
+    SELECT c.c_nationkey AS nkey,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM({_DOLLARS.replace("/ 100", "// 100")}) AS BIGINT) AS s1,
+           CAST(SUM(({_DOLLARS.replace("/ 100", "// 100")})
+                    * ({_DOLLARS.replace("/ 100", "// 100")})) AS BIGINT)
+               AS s2
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+),
+g AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS gn, CAST(SUM(s1) AS BIGINT) AS gs1,
+           CAST(SUM(s2) AS BIGINT) AS gs2
+    FROM mo
+),
+z AS (
+    SELECT mo.nkey, mo.n, {_BH_ZMICRO} AS z_micro, {_BH_AZ} AS az
+    FROM mo CROSS JOIN g WHERE mo.n >= 2
+),
+rk AS (
+    SELECT nkey, n, z_micro, az,
+           CAST(row_number() OVER (ORDER BY az DESC, nkey) AS BIGINT) AS i
+    FROM z
+),
+crit(i, crit_micro) AS (VALUES {_BH_CRIT_VALUES}),
+hit AS (
+    SELECT rk.*, crit.crit_micro,
+           CAST(coalesce(max(CASE WHEN rk.az >= crit.crit_micro
+                                  THEN rk.i END) OVER (), 0) AS BIGINT)
+               AS k_max
+    FROM rk JOIN crit ON crit.i = rk.i
+)
+SELECT nkey, n AS n_orders, z_micro, i AS bh_rank, crit_micro,
+       CAST(CASE WHEN i <= k_max THEN 1 ELSE 0 END AS BIGINT) AS rejected
+FROM hit ORDER BY bh_rank
+"""
+
+
+@_staged(
+    "x331_bh_fdr",
+    "OP-G6-ext",
+    "Benjamini-Hochberg FDR control over the 25 per-nation "
+    "mean-order-value z-tests (vs the global mean, global sd): |z| "
+    "micro-floored once from exact dollar moments, ranked "
+    "descending, and the BH step-up comparison p_(i) <= i*alpha/m "
+    "runs ENTIRELY in |z| space against Python-computed literal "
+    "normal quantiles Phi^-1(1 - i*alpha/(2m)) (bisection on "
+    "math.erf at import — identical compile-time constants in both "
+    "engines, the x102 literal-probe idiom). Every hypothesis up to "
+    "the largest qualifying rank is rejected. The multiple-testing "
+    "closure x160/x259/x271 all lack: 25 marginal tests at alpha "
+    "produce ~1.25 false flags by construction. Scale: one nation "
+    "hash-agg, everything after runs on the 25-row frame "
+    "(whitelisted SinglePartition).",
+    _BH_ORACLE,
+)
+def x331_bh_fdr(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    d = F.expr(_DOLLARS_SPARK)
+    mo = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nkey"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(d).cast("long").alias("s1"),
+            F.sum(d * d).cast("long").alias("s2"),
+        )
+    )
+    g = mo.agg(
+        F.sum("n").cast("long").alias("gn"),
+        F.sum("s1").cast("long").alias("gs1"),
+        F.sum("s2").cast("long").alias("gs2"),
+    )
+    z = (
+        mo.filter(F.col("n") >= 2)
+        .crossJoin(F.broadcast(g))
+        .select(
+            "nkey",
+            "n",
+            F.expr(_BH_ZMICRO).alias("z_micro"),
+            F.expr(_BH_AZ).alias("az"),
+        )
+    )
+    wr = Window.partitionBy().orderBy(F.col("az").desc(), "nkey")
+    rk = z.withColumn("i", F.row_number().over(wr).cast("long"))
+    crit = spark.createDataFrame(
+        [(i + 1, c) for i, c in enumerate(_BH_CRIT)], "i long, crit_micro long"
+    )
+    wall = Window.partitionBy()
+    hit = rk.join(F.broadcast(crit), "i").withColumn(
+        "k_max",
+        F.coalesce(
+            F.max(
+                F.when(F.col("az") >= F.col("crit_micro"), F.col("i"))
+            ).over(wall),
+            F.lit(0),
+        ).cast("long"),
+    )
+    return hit.select(
+        "nkey",
+        F.col("n").alias("n_orders"),
+        "z_micro",
+        F.col("i").alias("bh_rank"),
+        "crit_micro",
+        F.when(F.col("i") <= F.col("k_max"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("rejected"),
+    ).orderBy("bh_rank")
+
+
+# ---------------------------------------------------------------------------
+# x333 — Haar wavelet detail energy of daily revenue at 2/4/8/16 days
+# ---------------------------------------------------------------------------
+
+# daily revenue in exact KILODOLLARS (the x311 unit: dollar-squared
+# detail sums would graze 2^63 at 100x); share through one shared
+# IEEE chain (the ppm integer multiply overflows on energy sums)
+_HA_ORACLE = """
+WITH daily AS (
+    SELECT o_orderdate AS d,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) // 100000 AS x
+    FROM orders GROUP BY 1
+),
+t0 AS (
+    SELECT CAST(row_number() OVER (ORDER BY d) - 1 AS BIGINT) AS i, x
+    FROM daily
+),
+l1 AS (
+    SELECT i // 2 AS i, CAST(SUM(x) AS BIGINT) AS a,
+           CAST(SUM(CASE WHEN i % 2 = 0 THEN x ELSE -x END) AS BIGINT) AS dd
+    FROM t0 GROUP BY i // 2 HAVING count(*) = 2
+),
+l2 AS (
+    SELECT i // 2 AS i, CAST(SUM(a) AS BIGINT) AS a,
+           CAST(SUM(CASE WHEN i % 2 = 0 THEN a ELSE -a END) AS BIGINT) AS dd
+    FROM l1 GROUP BY i // 2 HAVING count(*) = 2
+),
+l3 AS (
+    SELECT i // 2 AS i, CAST(SUM(a) AS BIGINT) AS a,
+           CAST(SUM(CASE WHEN i % 2 = 0 THEN a ELSE -a END) AS BIGINT) AS dd
+    FROM l2 GROUP BY i // 2 HAVING count(*) = 2
+),
+l4 AS (
+    SELECT i // 2 AS i, CAST(SUM(a) AS BIGINT) AS a,
+           CAST(SUM(CASE WHEN i % 2 = 0 THEN a ELSE -a END) AS BIGINT) AS dd
+    FROM l3 GROUP BY i // 2 HAVING count(*) = 2
+),
+e AS (
+    SELECT 1 AS lvl, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(dd * dd) AS BIGINT) AS raw FROM l1
+    UNION ALL
+    SELECT 2, CAST(count(*) AS BIGINT), CAST(SUM(dd * dd) AS BIGINT) FROM l2
+    UNION ALL
+    SELECT 3, CAST(count(*) AS BIGINT), CAST(SUM(dd * dd) AS BIGINT) FROM l3
+    UNION ALL
+    SELECT 4, CAST(count(*) AS BIGINT), CAST(SUM(dd * dd) AS BIGINT) FROM l4
+),
+nrm AS (
+    SELECT lvl, n_pairs, raw,
+           CAST(raw // (1 << lvl) AS BIGINT) AS norm_energy
+    FROM e WHERE raw IS NOT NULL
+)
+SELECT CAST(lvl AS BIGINT) AS lvl,
+       CAST(1 << lvl AS BIGINT) AS scale_days,
+       n_pairs, raw AS detail_energy, norm_energy,
+       CAST(floor(1000000.0 * CAST(norm_energy AS DOUBLE)
+            / CAST(SUM(norm_energy) OVER () AS DOUBLE)) AS BIGINT)
+           AS share_ppm
+FROM nrm
+ORDER BY lvl
+"""
+
+
+def _haar_level(df):
+    """One Haar pair step: (i, a[, dd]) -> (i//2, a', dd') over
+    complete pairs only; exact BIGINT throughout."""
+    return (
+        df.groupBy(F.expr("i DIV 2").alias("p"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("a").cast("long").alias("na"),
+            F.sum(
+                F.when(F.expr("i % 2 = 0"), F.col("a")).otherwise(-F.col("a"))
+            )
+            .cast("long")
+            .alias("dd"),
+        )
+        .filter(F.col("cnt") == 2)
+        .select(F.col("p").alias("i"), F.col("na").alias("a"), "dd")
+    )
+
+
+@_staged(
+    "x333_haar_energy",
+    "OP-W3/G6-ext",
+    "Haar wavelet detail energy of daily revenue at scales 2/4/8/16 "
+    "days: four fixed pair-sum/pair-diff levels over the bounded "
+    "daily frame (complete pairs only), detail energies exact "
+    "kilodollar BIGINT (the x311 overflow unit), normalized by 2^level (the orthonormal Haar scaling, "
+    "floor division) so levels are comparable, shares in ppm. Says "
+    "WHICH timescale carries the volatility — day-to-day noise vs "
+    "week-scale cycles vs fortnight drift — where x138's bands give "
+    "one pooled sigma and x120/x135 assume the calendar period. "
+    "Scale: day hash-agg, one bounded row_number window, then four "
+    "halving hash-aggs on the daily frame (whitelisted "
+    "SinglePartition on the bounded frame).",
+    _HA_ORACLE,
+)
+def x333_haar_energy(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.expr(
+            "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+            " DIV 100000"
+        ).alias("a")
+    )
+    t0 = daily.select(
+        (F.row_number().over(Window.partitionBy().orderBy("d")) - 1)
+        .cast("long")
+        .alias("i"),
+        "a",
+    )
+    levels = []
+    cur = t0
+    for lvl in (1, 2, 3, 4):
+        cur = _haar_level(cur)
+        levels.append(
+            cur.agg(
+                F.lit(lvl).cast("long").alias("lvl"),
+                F.lit(1 << lvl).cast("long").alias("scale_days"),
+                F.count("*").cast("long").alias("n_pairs"),
+                F.sum(F.expr("dd * dd")).cast("long").alias("detail_energy"),
+            )
+        )
+    e = levels[0]
+    for nxt in levels[1:]:
+        e = e.unionAll(nxt)
+    nrm = e.filter(F.col("detail_energy").isNotNull()).select(
+        "lvl",
+        "scale_days",
+        "n_pairs",
+        "detail_energy",
+        F.expr("CAST(detail_energy DIV (1 << lvl) AS BIGINT)").alias(
+            "norm_energy"
+        ),
+    )
+    wall = Window.partitionBy()
+    return nrm.select(
+        "lvl",
+        "scale_days",
+        "n_pairs",
+        "detail_energy",
+        "norm_energy",
+        F.expr(
+            "CAST(floor(1000000.0 * CAST(norm_energy AS DOUBLE)"
+            " / CAST(SUM(norm_energy) OVER () AS DOUBLE)) AS BIGINT)"
+        ).alias("share_ppm"),
+    ).orderBy("lvl")
+
+
+# ---------------------------------------------------------------------------
+# x334 — exact periodogram power at candidate periods 7/14/30/91 days
+# ---------------------------------------------------------------------------
+
+_PG_PERIODS = (7, 14, 30, 91)
+# angle reduced to t mod p => cos/sin become CENTI-floored literal
+# integer tables (no engine trig; C,S sums stay exact BIGINT with
+# C <= 365 * daily_count * 100 even at 100x)
+_PG_TRIG = [
+    (p, k,
+     int(math.floor(100.0 * math.cos(2.0 * math.pi * k / p))),
+     int(math.floor(100.0 * math.sin(2.0 * math.pi * k / p))))
+    for p in _PG_PERIODS
+    for k in range(p)
+]
+_PG_VALUES = ", ".join(f"({p}, {k}, {c}, {s})" for p, k, c, s in _PG_TRIG)
+
+_PG_ORACLE = f"""
+WITH daily AS (
+    SELECT o_orderdate AS d, CAST(count(*) AS BIGINT) AS x
+    FROM orders GROUP BY 1
+),
+t0 AS (
+    SELECT CAST(row_number() OVER (ORDER BY d) - 1 AS BIGINT) AS t, x
+    FROM daily
+),
+trig(p, k, c_centi, s_centi) AS (VALUES {_PG_VALUES}),
+cs AS (
+    SELECT trig.p,
+           CAST(SUM(t0.x * trig.c_centi) AS BIGINT) AS cc,
+           CAST(SUM(t0.x * trig.s_centi) AS BIGINT) AS ss
+    FROM t0 JOIN trig ON trig.k = t0.t % trig.p
+    GROUP BY trig.p
+),
+pw AS (
+    SELECT CAST(p AS BIGINT) AS period_days,
+           CAST(cc * cc + ss * ss AS BIGINT) AS power_centi2
+    FROM cs
+)
+SELECT period_days, power_centi2,
+       CAST(power_centi2 * 1000000
+            // (CAST(SUM(power_centi2) OVER () AS BIGINT)) AS BIGINT)
+           AS share_ppm,
+       CAST(row_number() OVER (ORDER BY power_centi2 DESC, period_days)
+            AS BIGINT) AS power_rank
+FROM pw
+ORDER BY period_days
+"""
+
+
+@_staged(
+    "x334_periodogram_peak",
+    "OP-W3/G6-ext",
+    "Exact periodogram power of daily order counts at candidate "
+    "periods 7/14/30/91 days: the phase angle reduces to t mod p, so "
+    "cos/sin become Python-computed CENTI-floored literal integer "
+    "tables (the x102 literal idiom — no engine trig, both engines "
+    "run identical integer arithmetic); C and S are exact BIGINT "
+    "weighted sums and power = C^2 + S^2 is exact. FINDS the cycle "
+    "length x120/x135 assume from the calendar; DC leakage from "
+    "partial final cycles is bounded by mean * p * 100 per literal "
+    "table and irrelevant to the cross-period ranking. Scale: day "
+    "hash-agg -> bounded row_number window -> broadcast join against "
+    "the 142-row literal table -> 4-row frame.",
+    _PG_ORACLE,
+)
+def x334_periodogram_peak(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    t0 = daily.select(
+        (F.row_number().over(Window.partitionBy().orderBy("d")) - 1)
+        .cast("long")
+        .alias("t"),
+        "x",
+    )
+    trig = spark.createDataFrame(
+        list(_PG_TRIG), "p long, k long, c_centi long, s_centi long"
+    )
+    cs = (
+        t0.join(F.broadcast(trig), F.expr("k = t % p"))
+        .groupBy("p")
+        .agg(
+            F.sum(F.expr("x * c_centi")).cast("long").alias("cc"),
+            F.sum(F.expr("x * s_centi")).cast("long").alias("ss"),
+        )
+    )
+    pw = cs.select(
+        F.col("p").cast("long").alias("period_days"),
+        F.expr("CAST(cc * cc + ss * ss AS BIGINT)").alias("power_centi2"),
+    )
+    wall = Window.partitionBy()
+    wr = Window.partitionBy().orderBy(
+        F.col("power_centi2").desc(), "period_days"
+    )
+    return pw.select(
+        "period_days",
+        "power_centi2",
+        F.expr(
+            "CAST(power_centi2 * 1000000 DIV (SUM(power_centi2) OVER ())"
+            " AS BIGINT)"
+        ).alias("share_ppm"),
+        F.row_number().over(wr).cast("long").alias("power_rank"),
+    ).orderBy("period_days")
