@@ -1024,3 +1024,727 @@ def x334_periodogram_peak(spark, sf_dir):
         ).alias("share_ppm"),
         F.row_number().over(wr).cast("long").alias("power_rank"),
     ).orderBy("period_days")
+
+
+# ---------------------------------------------------------------------------
+# x335 — month-end open-order backlog (placed but not fully received)
+# ---------------------------------------------------------------------------
+
+_BL_ORACLE = """
+WITH oc AS (
+    SELECT o.o_orderkey,
+           CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1
+                AS BIGINT) AS mi_open,
+           CAST(year(max(l.l_shipdate)) * 12
+                + month(max(l.l_shipdate)) - 1 AS BIGINT) AS mi_close,
+           CAST(round(max(o.o_totalprice) * 100) AS BIGINT) AS cents
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_orderdate
+),
+open_m AS (
+    SELECT mm.m, CAST(count(*) AS BIGINT) AS n_open,
+           CAST(SUM(oc.cents) AS BIGINT) AS open_value_cents
+    FROM oc
+    CROSS JOIN LATERAL (
+        SELECT unnest(range(oc.mi_open, oc.mi_close)) AS m
+    ) mm
+    GROUP BY mm.m
+)
+SELECT CAST((m // 12) * 100 + (m % 12) + 1 AS BIGINT) AS yyyymm,
+       n_open, open_value_cents
+FROM open_m
+ORDER BY yyyymm
+"""
+
+
+@_staged(
+    "x335_open_order_backlog",
+    "OP-W4/G6-ext",
+    "Month-end open-order backlog: an order is open at month-end m "
+    "if it was placed in or before m and its LAST lineitem ship date "
+    "lands after m, so each order explodes to exactly the months "
+    "[order month, last-ship month) it spans; per month the count "
+    "and exact cents value of open orders. The WIP/liability curve "
+    "that sits under x228's stockout projection and x133's per-item "
+    "latency: how much booked value is in flight at each close. "
+    "Scale: one order-keyed agg over lineitem (natural key), month "
+    "explode bounded by each order's real shelf life (TPC-H ~3-5 "
+    "months), month hash-agg — no windows, no unbounded joins.",
+    _BL_ORACLE,
+)
+def x335_open_order_backlog(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    oc = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.expr(
+                "CAST(year(max(l_shipdate)) * 12"
+                " + month(max(l_shipdate)) - 1 AS BIGINT)"
+            ).alias("mi_close"),
+            F.expr(
+                "CAST(round(max(o_totalprice) * 100) AS BIGINT)"
+            ).alias("cents"),
+        )
+        .select(
+            F.expr(
+                "CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1"
+                " AS BIGINT)"
+            ).alias("mi_open"),
+            "mi_close",
+            "cents",
+        )
+        .filter(F.col("mi_close") > F.col("mi_open"))
+    )
+    open_m = (
+        oc.select(
+            F.explode(
+                F.sequence(F.col("mi_open"), F.col("mi_close") - 1)
+            ).alias("m"),
+            "cents",
+        )
+        .groupBy("m")
+        .agg(
+            F.count("*").cast("long").alias("n_open"),
+            F.sum("cents").cast("long").alias("open_value_cents"),
+        )
+    )
+    return open_m.select(
+        F.expr("CAST((m DIV 12) * 100 + (m % 12) + 1 AS BIGINT)").alias(
+            "yyyymm"
+        ),
+        "n_open",
+        "open_value_cents",
+    ).orderBy("yyyymm")
+
+
+# ---------------------------------------------------------------------------
+# x336 — deterministic permutation test for the md5 A/B mean-spend diff
+# ---------------------------------------------------------------------------
+
+_PT_R = 64  # null replicates; replicate 0 is the observed md5 split
+
+# replicate diff of mean customer spend (dollars), one shared chain
+_PT_D = (
+    "(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)"
+    " - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))"
+)
+
+_PT_ORACLE = f"""
+WITH cust AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT) // 100)
+                AS BIGINT) AS dollars
+    FROM orders GROUP BY o_custkey
+),
+reps AS (
+    SELECT r.r, c.o_custkey, c.dollars,
+           CASE WHEN substr(md5(CAST(c.o_custkey AS VARCHAR) || ':'
+                                || CAST(r.r AS VARCHAR)), 1, 1)
+                     IN ('0','1','2','3','4','5','6','7')
+                THEN 1 ELSE 0 END AS in_a
+    FROM cust c
+    CROSS JOIN (SELECT unnest(range(0, {_PT_R + 1})) AS r) r
+),
+agg AS (
+    SELECT r,
+           CAST(SUM(in_a) AS BIGINT) AS na,
+           CAST(count(*) - SUM(in_a) AS BIGINT) AS nb,
+           CAST(SUM(CASE WHEN in_a = 1 THEN dollars ELSE 0 END)
+                AS BIGINT) AS sa,
+           CAST(SUM(CASE WHEN in_a = 0 THEN dollars ELSE 0 END)
+                AS BIGINT) AS sb
+    FROM reps GROUP BY r
+),
+d AS (
+    SELECT r, CAST(floor(1000.0 * abs({_PT_D})) AS BIGINT) AS ad_milli
+    FROM agg WHERE na > 0 AND nb > 0
+),
+obs AS (SELECT ad_milli AS obs_milli FROM d WHERE r = 0)
+SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+       CAST(max(obs.obs_milli) AS BIGINT) AS obs_abs_diff_milli,
+       CAST(1 + SUM(CASE WHEN d.ad_milli >= obs.obs_milli
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_as_extreme,
+       CAST((1 + SUM(CASE WHEN d.ad_milli >= obs.obs_milli
+                          THEN 1 ELSE 0 END)) * 1000000
+            // (count(*) + 1) AS BIGINT) AS p_value_ppm
+FROM d CROSS JOIN obs
+WHERE d.r > 0
+"""
+
+
+@_staged(
+    "x336_permutation_test",
+    "OP-G6-ext",
+    "Deterministic permutation test for the md5 A/B mean-spend "
+    "difference: customer spend aggregated ONCE (exact dollars), "
+    "then 64 md5-salted re-assignments of customers to arms "
+    "(substr(md5(custkey || ':' || r),1,1) — replicate 0 is the "
+    "observed x220/x320 split), each replicate's |mean A - mean B| "
+    "milli-floored through one shared IEEE chain, and "
+    "p = (1 + #{{|d_r| >= |d_obs|}}) / (R + 1) in exact ppm. The "
+    "distribution-free companion of x160's z-test — and since the "
+    "observed split is itself as-if-random, p must be ~uniform, "
+    "making the op its own falsification harness. Scale: the 65x "
+    "explode runs on the CUSTOMER aggregate, never the fact table; "
+    "everything after is a 65-row frame.",
+    _PT_ORACLE,
+)
+def x336_permutation_test(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.expr(
+            "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT) DIV 100)"
+            " AS BIGINT)"
+        ).alias("dollars")
+    )
+    reps = cust.select(
+        "o_custkey",
+        "dollars",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(_PT_R).cast("long"))
+        ).alias("r"),
+    ).withColumn(
+        "in_a",
+        F.when(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_custkey").cast("string"),
+                        F.lit(":"),
+                        F.col("r").cast("string"),
+                    )
+                ),
+                1,
+                1,
+            ).isin(*"01234567"),
+            1,
+        ).otherwise(0),
+    )
+    agg = reps.groupBy("r").agg(
+        F.sum("in_a").cast("long").alias("na"),
+        (F.count("*") - F.sum("in_a")).cast("long").alias("nb"),
+        F.sum(F.when(F.col("in_a") == 1, F.col("dollars")).otherwise(0))
+        .cast("long")
+        .alias("sa"),
+        F.sum(F.when(F.col("in_a") == 0, F.col("dollars")).otherwise(0))
+        .cast("long")
+        .alias("sb"),
+    )
+    d = agg.filter((F.col("na") > 0) & (F.col("nb") > 0)).select(
+        "r",
+        F.expr(f"CAST(floor(1000.0 * abs({_PT_D})) AS BIGINT)").alias(
+            "ad_milli"
+        ),
+    )
+    obs = d.filter(F.col("r") == 0).select(
+        F.col("ad_milli").alias("obs_milli")
+    )
+    return (
+        d.filter(F.col("r") > 0)
+        .crossJoin(F.broadcast(obs))
+        .agg(
+            F.count("*").cast("long").alias("n_replicates"),
+            F.max("obs_milli").cast("long").alias("obs_abs_diff_milli"),
+            F.expr(
+                "CAST(1 + SUM(CASE WHEN ad_milli >= obs_milli"
+                " THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_as_extreme"),
+            F.expr(
+                "CAST((1 + SUM(CASE WHEN ad_milli >= obs_milli"
+                " THEN 1 ELSE 0 END)) * 1000000 DIV (count(*) + 1)"
+                " AS BIGINT)"
+            ).alias("p_value_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x337 — Wilson 95% score interval for the urgent-order share per segment
+# ---------------------------------------------------------------------------
+
+_WI_Z = 1.959964  # literal two-sided 95% normal quantile
+# Wilson center/halfwidth through ONE shared IEEE chain over exact
+# (k, n) counts; ppm floors at the very end
+_WI_P = "(CAST(k AS DOUBLE) / CAST(n AS DOUBLE))"
+_WI_DEN = f"(1.0 + {_WI_Z!r} * {_WI_Z!r} / CAST(n AS DOUBLE))"
+_WI_CTR = (
+    f"(({_WI_P} + {_WI_Z!r} * {_WI_Z!r} / (2.0 * CAST(n AS DOUBLE)))"
+    f" / {_WI_DEN})"
+)
+_WI_HALF = (
+    f"({_WI_Z!r} * sqrt({_WI_P} * (1.0 - {_WI_P}) / CAST(n AS DOUBLE)"
+    f" + {_WI_Z!r} * {_WI_Z!r}"
+    f" / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / {_WI_DEN})"
+)
+
+_WI_ORACLE = f"""
+WITH kn AS (
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN o.o_orderpriority = '1-URGENT'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS k
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+)
+SELECT segment, n, k,
+       CAST(floor(1000000.0 * {_WI_P}) AS BIGINT) AS share_ppm,
+       CAST(floor(1000000.0 * ({_WI_CTR} - {_WI_HALF})) AS BIGINT)
+           AS wilson_lo_ppm,
+       CAST(floor(1000000.0 * ({_WI_CTR} + {_WI_HALF})) AS BIGINT)
+           AS wilson_hi_ppm
+FROM kn WHERE n > 0
+ORDER BY segment
+"""
+
+
+@_staged(
+    "x337_wilson_intervals",
+    "OP-G5/G6-ext",
+    "Wilson 95% score interval for the urgent-order share per "
+    "segment: exact (k, n) counts, the Wilson center/halfwidth "
+    "through one shared IEEE chain with the literal z = 1.959964, "
+    "ppm floors at the end. The per-rate CI that stays valid at "
+    "extreme shares and small strata where the Wald interval "
+    "collapses — the per-segment companion of x269's corpus-level "
+    "DKW bands and the uncertainty x116/x291's point tests need. "
+    "Scale: one segment hash-agg (5 rows), scalar algebra after.",
+    _WI_ORACLE,
+)
+def x337_wilson_intervals(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    kn = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("k"),
+        )
+        .filter(F.col("n") > 0)
+    )
+    return kn.select(
+        "segment",
+        "n",
+        "k",
+        F.expr(f"CAST(floor(1000000.0 * {_WI_P}) AS BIGINT)").alias(
+            "share_ppm"
+        ),
+        F.expr(
+            f"CAST(floor(1000000.0 * ({_WI_CTR} - {_WI_HALF})) AS BIGINT)"
+        ).alias("wilson_lo_ppm"),
+        F.expr(
+            f"CAST(floor(1000000.0 * ({_WI_CTR} + {_WI_HALF})) AS BIGINT)"
+        ).alias("wilson_hi_ppm"),
+    ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# x332 — per-dimension variance spectrum of the embedding table
+# ---------------------------------------------------------------------------
+
+# 3-dp fixed point: f3^2 <= 1e8 for |x| <= 10, so n*s2 stays under
+# 2^63 through the 100x sweep (the 6-dp x107 scale would overflow the
+# n*s2 - s1^2 variance key there)
+_EE_ORACLE = """
+WITH wd AS (
+    SELECT max(len(embedding)) AS d FROM embeddings
+),
+ex AS (
+    SELECT e.vec_id, generate_subscripts(e.embedding, 1) - 1 AS i,
+           CAST(CAST(CAST(unnest(e.embedding) AS DOUBLE) AS DECIMAL(9,3))
+                * 1000 AS BIGINT) AS f
+    FROM embeddings e CROSS JOIN wd
+    WHERE len(e.embedding) = wd.d
+),
+mo AS (
+    SELECT CAST(i AS BIGINT) AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(f) AS BIGINT) AS s1,
+           CAST(SUM(f * f) AS BIGINT) AS s2,
+           CAST(count(*) * SUM(f * f) - SUM(f) * SUM(f) AS BIGINT) AS vkey
+    FROM ex GROUP BY i
+),
+rk AS (
+    SELECT dim, n, vkey,
+           CAST(floor(1000.0 * CAST(vkey AS DOUBLE)
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS BIGINT)
+               AS var_nano,
+           CAST(row_number() OVER (ORDER BY vkey DESC, dim) AS BIGINT)
+               AS energy_rank,
+           CAST(SUM(vkey) OVER (ORDER BY vkey DESC, dim
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+           CAST(SUM(vkey) OVER () AS BIGINT) AS tot
+    FROM mo
+)
+SELECT dim, n, var_nano, energy_rank,
+       CAST(floor(1000000.0 * CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE))
+            AS BIGINT) AS cum_energy_ppm
+FROM rk WHERE tot > 0
+ORDER BY energy_rank
+"""
+
+
+@_staged(
+    "x332_embedding_energy",
+    "OP-X3-ext",
+    "Per-dimension variance spectrum of the embedding table "
+    "(full-width rows): exact 3-dp fixed-point moments per "
+    "dimension, the integer variance key n*s2 - s1^2 ordering the "
+    "dims EXACTLY, variance in nano and descending cumulative energy "
+    "share in ppm through one shared IEEE chain. Dead dimensions "
+    "(var ~ 0) waste ANN bits and dominant ones break the isotropy "
+    "x30/x102's random projections assume — the geometry audit "
+    "x188's null/dims/zero gate never looks at. Scale: posexplode is "
+    "a 64x linear map, one dim hash-agg (64 rows), windows over the "
+    "64-row frame (whitelisted SinglePartition).",
+    _EE_ORACLE,
+)
+def x332_embedding_energy(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    wd = e.agg(F.max(F.size("embedding")).alias("d"))
+    vec = F.col("embedding").cast("array<double>")
+    f3 = F.transform(
+        vec, lambda x: (x.cast("decimal(9,3)") * F.lit(1000)).cast("long")
+    )
+    ex = (
+        e.crossJoin(F.broadcast(wd))
+        .filter(F.size("embedding") == F.col("d"))
+        .select(F.posexplode(f3).alias("i", "f"))
+    )
+    mo = ex.groupBy(F.col("i").cast("long").alias("dim")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("f").cast("long").alias("s1"),
+        F.sum(F.expr("f * f")).cast("long").alias("s2"),
+        F.expr(
+            "CAST(count(*) * SUM(f * f) - SUM(f) * SUM(f) AS BIGINT)"
+        ).alias("vkey"),
+    )
+    wr = Window.partitionBy().orderBy(F.col("vkey").desc(), "dim")
+    wc = wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    rk = mo.select(
+        "dim",
+        "n",
+        F.expr(
+            "CAST(floor(1000.0 * CAST(vkey AS DOUBLE)"
+            " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS BIGINT)"
+        ).alias("var_nano"),
+        F.row_number().over(wr).cast("long").alias("energy_rank"),
+        F.sum("vkey").over(wc).cast("long").alias("cum"),
+        F.sum("vkey").over(wall).cast("long").alias("tot"),
+    )
+    return (
+        rk.filter(F.col("tot") > 0)
+        .select(
+            "dim",
+            "n",
+            "var_nano",
+            "energy_rank",
+            F.expr(
+                "CAST(floor(1000000.0 * CAST(cum AS DOUBLE)"
+                " / CAST(tot AS DOUBLE)) AS BIGINT)"
+            ).alias("cum_energy_ppm"),
+        )
+        .orderBy("energy_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x339 — pairwise correlation among the top-8 variance dimensions
+# ---------------------------------------------------------------------------
+
+_DR_TOP = 8
+_DR_MOM_CACHE: dict = {}
+
+
+def _dr_corr_expr(n, si, sj, vki, vkj) -> str:
+    """corr_milli through one shared IEEE chain; the integer inputs
+    (Python ints from the exact BIGINT moment collect) embed as
+    literals — CAST of the same value is the same double either way,
+    so the oracle computing them in SQL lands on identical bits."""
+    return (
+        f"CAST(floor(1000.0 * (CAST({n} AS DOUBLE) * CAST(sij AS DOUBLE)"
+        f" - CAST({si} AS DOUBLE) * CAST({sj} AS DOUBLE))"
+        f" / (sqrt(CAST({vki} AS DOUBLE)) * sqrt(CAST({vkj} AS DOUBLE))))"
+        f" AS BIGINT)"
+    )
+
+
+_DR_ORACLE = f"""
+WITH wd AS (
+    SELECT max(len(embedding)) AS d FROM embeddings
+),
+ex AS (
+    SELECT e.vec_id, generate_subscripts(e.embedding, 1) - 1 AS i,
+           CAST(CAST(CAST(unnest(e.embedding) AS DOUBLE) AS DECIMAL(9,3))
+                * 1000 AS BIGINT) AS f
+    FROM embeddings e CROSS JOIN wd
+    WHERE len(e.embedding) = wd.d
+),
+mo AS (
+    SELECT CAST(i AS BIGINT) AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(f) AS BIGINT) AS s1,
+           CAST(count(*) * SUM(f * f) - SUM(f) * SUM(f) AS BIGINT) AS vkey
+    FROM ex GROUP BY i
+),
+top8 AS (
+    SELECT dim, n, s1, vkey FROM mo
+    WHERE vkey > 0
+    ORDER BY vkey DESC, dim LIMIT {_DR_TOP}
+),
+pr AS (
+    SELECT a.dim AS da, b.dim AS db, a.n AS n,
+           a.s1 AS sa, b.s1 AS sb, a.vkey AS vka, b.vkey AS vkb
+    FROM top8 a JOIN top8 b ON a.dim < b.dim
+),
+xm AS (
+    SELECT pr.da, pr.db, pr.n, pr.sa, pr.sb, pr.vka, pr.vkb,
+           CAST(SUM(ea.f * eb.f) AS BIGINT) AS sij
+    FROM pr
+    JOIN ex ea ON ea.i = pr.da
+    JOIN ex eb ON eb.i = pr.db AND eb.vec_id = ea.vec_id
+    GROUP BY pr.da, pr.db, pr.n, pr.sa, pr.sb, pr.vka, pr.vkb
+)
+SELECT da AS dim_a, db AS dim_b,
+       CAST(floor(1000.0 * (CAST(n AS DOUBLE) * CAST(sij AS DOUBLE)
+            - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+            / (sqrt(CAST(vka AS DOUBLE)) * sqrt(CAST(vkb AS DOUBLE))))
+            AS BIGINT) AS corr_milli
+FROM xm
+ORDER BY abs(corr_milli) DESC, dim_a, dim_b
+"""
+
+
+@_staged(
+    "x339_dim_redundancy",
+    "OP-X3-ext",
+    "Pairwise correlation among the top-8 variance dimensions of the "
+    "embedding table: the dims are chosen by the EXACT integer "
+    "variance key (n*s2 - s1^2, ties by dim) and pulled to the "
+    "driver as plan literals (the bounded-collect centroid idiom — "
+    "64 rows), then all 28 cross-moment sums run in ONE scan as "
+    "element_at products over the 3-dp fixed-point array; corr "
+    "milli-floored through one shared IEEE chain whose integer "
+    "inputs embed as literals (CAST of the same value is the same "
+    "double, so the SQL-computed oracle lands on identical bits). "
+    "Highly correlated dimensions mean the table's effective "
+    "dimension is lower than its width — wasted ANN bits and an "
+    "x245b intrinsic-dim cross-check. Scale: two scans (one 64-row "
+    "agg, one 28-product agg), no joins, no windows.",
+    _DR_ORACLE,
+)
+def x339_dim_redundancy(spark, sf_dir):
+    from ravelytics_spark.sources.tables import dataset_fingerprint
+
+    e = load_table(spark, sf_dir, "embeddings")
+    fp = dataset_fingerprint(sf_dir, "embeddings")
+    cached = _DR_MOM_CACHE.get(sf_dir)
+    if cached is not None and cached[0] == fp:
+        rows = cached[1]
+    else:
+        vec0 = F.col("embedding").cast("array<double>")
+        f30 = F.transform(
+            vec0,
+            lambda x: (x.cast("decimal(9,3)") * F.lit(1000)).cast("long"),
+        )
+        wd = e.agg(F.max(F.size("embedding")).alias("d"))
+        mo = (
+            e.crossJoin(F.broadcast(wd))
+            .filter(F.size("embedding") == F.col("d"))
+            .select(F.posexplode(f30).alias("i", "f"))
+            .groupBy(F.col("i").cast("long").alias("dim"))
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum("f").cast("long").alias("s1"),
+                F.expr(
+                    "CAST(count(*) * SUM(f * f) - SUM(f) * SUM(f)"
+                    " AS BIGINT)"
+                ).alias("vkey"),
+            )
+            .collect()  # bounded: one row per embedding dimension
+        )
+        rows = sorted(
+            (
+                (r.dim, r.n, r.s1, r.vkey)
+                for r in mo
+                if r.vkey is not None and r.vkey > 0
+            ),
+            key=lambda t: (-t[3], t[0]),
+        )[:_DR_TOP]
+        _DR_MOM_CACHE[sf_dir] = (fp, rows)
+    if len(rows) < 2:
+        return e.limit(0).select(
+            F.lit(0).cast("long").alias("dim_a"),
+            F.lit(0).cast("long").alias("dim_b"),
+            F.lit(0).cast("long").alias("corr_milli"),
+        )
+    vec = F.col("embedding").cast("array<double>")
+    f3 = F.transform(
+        vec, lambda x: (x.cast("decimal(9,3)") * F.lit(1000)).cast("long")
+    )
+    dmax = max(r[0] for r in rows) + 1
+    base = e.filter(F.size("embedding") >= dmax).select(f3.alias("f3"))
+    pair_sums = []
+    meta = []
+    for ai in range(len(rows)):
+        for bi in range(ai + 1, len(rows)):
+            da, n, sa, vka = rows[ai]
+            db, _, sb, vkb = rows[bi]
+            if da > db:  # rows are variance-ordered; pairs dim-ordered
+                da, sa, vka, db, sb, vkb = db, sb, vkb, da, sa, vka
+            col = f"sij_{da}_{db}"
+            pair_sums.append(
+                F.sum(
+                    F.expr(f"element_at(f3, {da + 1})")
+                    * F.expr(f"element_at(f3, {db + 1})")
+                )
+                .cast("long")
+                .alias(col)
+            )
+            meta.append((da, db, n, sa, sb, vka, vkb, col))
+    sums = base.agg(*pair_sums)
+    outs = []
+    for da, db, n, sa, sb, vka, vkb, col in meta:
+        outs.append(
+            sums.select(
+                F.lit(da).cast("long").alias("dim_a"),
+                F.lit(db).cast("long").alias("dim_b"),
+                F.expr(
+                    _dr_corr_expr(n, sa, sb, vka, vkb).replace("sij", col)
+                ).alias("corr_milli"),
+            )
+        )
+    out = outs[0]
+    for nxt in outs[1:]:
+        out = out.unionAll(nxt)
+    return out.orderBy(
+        F.abs(F.col("corr_milli")).desc(), "dim_a", "dim_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# x340 — calibration slope/intercept of a price-proportional urgency score
+# ---------------------------------------------------------------------------
+
+# slope/intercept of y (urgent 0/1) on score p through one shared
+# IEEE chain over exact integer sums; p enters as ppm / 1e6
+_CS_P = "(CAST(sp AS DOUBLE) / 1000000.0)"
+_CS_PP = "(CAST(spp AS DOUBLE) / 1000000.0 / 1000000.0)"
+_CS_PY = "(CAST(spy AS DOUBLE) / 1000000.0)"
+_CS_SLOPE = (
+    f"((CAST(n AS DOUBLE) * {_CS_PY} - {_CS_P} * CAST(sy AS DOUBLE))"
+    f" / (CAST(n AS DOUBLE) * {_CS_PP} - {_CS_P} * {_CS_P}))"
+)
+_CS_ICPT = (
+    f"((CAST(sy AS DOUBLE) - {_CS_SLOPE} * {_CS_P}) / CAST(n AS DOUBLE))"
+)
+
+_CS_ORACLE = f"""
+WITH mx AS (
+    SELECT CAST(max(CAST(round(o_totalprice * 100) AS BIGINT) // 100)
+                AS BIGINT) AS m
+    FROM orders
+),
+sc AS (
+    SELECT CAST(least(999999,
+               (CAST(round(o_totalprice * 100) AS BIGINT) // 100)
+               * 1000000 // (mx.m + 1)) AS BIGINT) AS p_ppm,
+           CAST(CASE WHEN o_orderpriority = '1-URGENT'
+                     THEN 1 ELSE 0 END AS BIGINT) AS y
+    FROM orders CROSS JOIN mx
+),
+s AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(p_ppm) AS BIGINT) AS sp,
+           CAST(SUM(p_ppm * p_ppm) AS BIGINT) AS spp,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(p_ppm * y) AS BIGINT) AS spy
+    FROM sc
+)
+SELECT n, CAST(sp // n AS BIGINT) AS mean_score_ppm,
+       CAST(sy * 1000000 // n AS BIGINT) AS base_rate_ppm,
+       CAST(floor(1000.0 * {_CS_SLOPE}) AS BIGINT) AS slope_milli,
+       CAST(floor(1000000.0 * ({_CS_ICPT})) AS BIGINT) AS intercept_ppm
+FROM s
+WHERE n >= 2 AND CAST(n AS DOUBLE) * {_CS_PP} > {_CS_P} * {_CS_P}
+"""
+
+
+@_staged(
+    "x340_calibration_slope",
+    "OP-G6-ext",
+    "Calibration slope/intercept of the urgent-order outcome against "
+    "a deterministic price-proportional score (p = dollars scaled to "
+    "[0, 1) ppm by the corpus max): exact ppm-integer score moments "
+    "(spp <= 1e12 * rows stays under 2^63 through the 100x sweep), "
+    "OLS slope/intercept through one shared IEEE chain. Slope ~ 0 "
+    "here is the NEGATIVE control (price should not predict urgency "
+    "in TPC-H-like data) — on a real scored table slope < 1 reads "
+    "'overconfident', slope > 1 'underconfident'; the one-number "
+    "companion of x215's binned ECE. Scale: one 1-row max broadcast "
+    "+ one global moment agg (one partial row per partition).",
+    _CS_ORACLE,
+)
+def x340_calibration_slope(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(
+        F.expr(
+            "CAST(max(CAST(round(o_totalprice * 100) AS BIGINT) DIV 100)"
+            " AS BIGINT)"
+        ).alias("m")
+    )
+    sc = o.crossJoin(F.broadcast(mx)).select(
+        F.expr(
+            "CAST(least(999999,"
+            " (CAST(round(o_totalprice * 100) AS BIGINT) DIV 100)"
+            " * 1000000 DIV (m + 1)) AS BIGINT)"
+        ).alias("p_ppm"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("y"),
+    )
+    s = sc.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("p_ppm").cast("long").alias("sp"),
+        F.sum(F.expr("p_ppm * p_ppm")).cast("long").alias("spp"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("p_ppm * y")).cast("long").alias("spy"),
+    )
+    return s.filter(
+        (F.col("n") >= 2)
+        & (
+            F.expr(f"CAST(n AS DOUBLE) * {_CS_PP}")
+            > F.expr(f"{_CS_P} * {_CS_P}")
+        )
+    ).select(
+        "n",
+        F.expr("CAST(sp DIV n AS BIGINT)").alias("mean_score_ppm"),
+        F.expr("CAST(sy * 1000000 DIV n AS BIGINT)").alias(
+            "base_rate_ppm"
+        ),
+        F.expr(f"CAST(floor(1000.0 * {_CS_SLOPE}) AS BIGINT)").alias(
+            "slope_milli"
+        ),
+        F.expr(f"CAST(floor(1000000.0 * ({_CS_ICPT})) AS BIGINT)").alias(
+            "intercept_ppm"
+        ),
+    )
+
+
+# --- round-11 registration footer (commented until round 11) ---
+# These two lines register the whole batch into the live catalog; they
+# must stay below the final @_staged definition so every entry is in
+# STAGED before the update (the round-25 footer-placement lesson).
+# from ravelytics_spark.plans.queries import REGISTRY as _REGISTRY
+#
+# _REGISTRY.update(STAGED)
