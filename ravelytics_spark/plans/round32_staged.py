@@ -959,8 +959,8 @@ pw AS (
     FROM cs
 )
 SELECT period_days, power_centi2,
-       CAST(power_centi2 * 1000000
-            // (CAST(SUM(power_centi2) OVER () AS BIGINT)) AS BIGINT)
+       CAST(floor(1000000.0 * CAST(power_centi2 AS DOUBLE)
+            / CAST(SUM(power_centi2) OVER () AS DOUBLE)) AS BIGINT)
            AS share_ppm,
        CAST(row_number() OVER (ORDER BY power_centi2 DESC, period_days)
             AS BIGINT) AS power_rank
@@ -1019,8 +1019,8 @@ def x334_periodogram_peak(spark, sf_dir):
         "period_days",
         "power_centi2",
         F.expr(
-            "CAST(power_centi2 * 1000000 DIV (SUM(power_centi2) OVER ())"
-            " AS BIGINT)"
+            "CAST(floor(1000000.0 * CAST(power_centi2 AS DOUBLE)"
+            " / CAST(SUM(power_centi2) OVER () AS DOUBLE)) AS BIGINT)"
         ).alias("share_ppm"),
         F.row_number().over(wr).cast("long").alias("power_rank"),
     ).orderBy("period_days")
@@ -1739,6 +1739,96 @@ def x340_calibration_slope(spark, sf_dir):
             "intercept_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# x338 — character-class composition profile per source
+# ---------------------------------------------------------------------------
+
+# counts via length-difference after class removal; identical ASCII
+# class patterns in both engines (Java regex and DuckDB RE2 agree on
+# plain ASCII bracket classes; '-' sits last so it stays literal)
+_UC_CLASSES = (
+    ("letters", "[A-Za-z]"),
+    ("digits", "[0-9]"),
+    ("spaces", "[ ]"),
+    ("punct", "[.,;:!?()-]"),
+)
+
+_UC_SEL_SQL = ",\n           ".join(
+    f"CAST(SUM(length(text) - length(regexp_replace(text,"
+    f" '{pat}', '', 'g'))) AS BIGINT) AS n_{name}"
+    for name, pat in _UC_CLASSES
+)
+
+_UC_ORACLE = f"""
+WITH cc AS (
+    SELECT source,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+           {_UC_SEL_SQL}
+    FROM documents
+    GROUP BY source
+)
+SELECT source, n_chars,
+       CAST(n_letters * 1000000 // n_chars AS BIGINT) AS letters_ppm,
+       CAST(n_digits * 1000000 // n_chars AS BIGINT) AS digits_ppm,
+       CAST(n_spaces * 1000000 // n_chars AS BIGINT) AS spaces_ppm,
+       CAST(n_punct * 1000000 // n_chars AS BIGINT) AS punct_ppm,
+       CAST((n_chars - n_letters - n_digits - n_spaces - n_punct)
+            * 1000000 // n_chars AS BIGINT) AS other_ppm
+FROM cc WHERE n_chars > 0
+ORDER BY source
+"""
+
+
+@_staged(
+    "x338_unicode_class_profile",
+    "OP-X4-ext",
+    "Character-class composition per source in exact ppm: letters / "
+    "digits / spaces / ASCII punctuation / other, counted as the "
+    "length difference after class removal (identical ASCII bracket "
+    "classes in both engines — Java regex and RE2 agree there). A "
+    "source whose class mix shifts (digit floods, punctuation-free "
+    "scrapes, non-ASCII drift into 'other') is the first corpus-"
+    "composition smell before x4_quality_score's per-doc gates and "
+    "x49's entropy run; per-source ppm rows make it alertable. "
+    "Scale: one source hash-agg; the regex work is map-side and "
+    "linear in corpus bytes, no joins, no windows.",
+    _UC_ORACLE,
+)
+def x338_unicode_class_profile(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    aggs = [F.sum(F.length("text")).cast("long").alias("n_chars")]
+    for cname, pat in _UC_CLASSES:
+        aggs.append(
+            F.sum(
+                F.length("text")
+                - F.length(F.regexp_replace("text", pat, ""))
+            )
+            .cast("long")
+            .alias(f"n_{cname}")
+        )
+    cc = d.groupBy("source").agg(*aggs).filter(F.col("n_chars") > 0)
+    return cc.select(
+        "source",
+        "n_chars",
+        F.expr("CAST(n_letters * 1000000 DIV n_chars AS BIGINT)").alias(
+            "letters_ppm"
+        ),
+        F.expr("CAST(n_digits * 1000000 DIV n_chars AS BIGINT)").alias(
+            "digits_ppm"
+        ),
+        F.expr("CAST(n_spaces * 1000000 DIV n_chars AS BIGINT)").alias(
+            "spaces_ppm"
+        ),
+        F.expr("CAST(n_punct * 1000000 DIV n_chars AS BIGINT)").alias(
+            "punct_ppm"
+        ),
+        F.expr(
+            "CAST((n_chars - n_letters - n_digits - n_spaces - n_punct)"
+            " * 1000000 DIV n_chars AS BIGINT)"
+        ).alias("other_ppm"),
+    ).orderBy("source")
 
 
 # --- round-11 registration footer (commented until round 11) ---

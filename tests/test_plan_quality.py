@@ -303,6 +303,18 @@ _SINGLE_PARTITION_OK = {
     "x309_pacf": "bounded per-nation monthly frames (the x171/x275 shape); the 25-row Durbin-Levinson pivot",
     "x310_cohens_d": "segment moment agg + the 5x5-bounded pair join",
     "x311_binary_segmentation": "prefix windows over the bounded DAILY aggregate + TakeOrdered(1) argmin",
+    # round-32 staged batch (tops the round-11 window off at 50)
+    "x326_state_ttl_projection": "1-row hour-span broadcast + global max/avg over the bounded hour frame: one partial row per partition",
+    "x327_gap_sensitivity": "4-row gap-limit agg: one partial row per partition per gap",
+    "x329_microbatch_profile": "cumulative windows over the bounded DISTINCT-batch-size frame + 1-row quantile agg",
+    "x330_neyman_allocation": "weight-total windows over the 5-row segment frame",
+    "x331_bh_fdr": "1-row global-moment broadcast; rank + k_max windows over the 25-row nation frame",
+    "x332_embedding_energy": "rank/cumulative windows over the 64-row dimension frame",
+    "x333_haar_energy": "bounded daily row_number + share window over the 4-row level frame",
+    "x334_periodogram_peak": "bounded daily row_number + share/rank windows over the 4-row period frame",
+    "x336_permutation_test": "65-row replicate frame -> 1-row p-value agg: one partial row per partition",
+    "x339_dim_redundancy": "28 one-row cross-moment aggs off one scan: one partial row per partition each",
+    "x340_calibration_slope": "1-row max broadcast + global moment agg: one partial row per partition",
     # round-31 staged batch (targets the round-11 window)
     "x312_bigram_logprob": "corpus vocab scalar V: one partial row per partition, then broadcast into the LM join",
     "x313_taylor_law": "nation moment agg -> 25-row log-log point frame -> 1-row OLS",
@@ -324,15 +336,15 @@ def test_no_catalog_plan_single_partitions_or_goes_cartesian(spark, sf_dir):
     whitelist may funnel through Exchange SinglePartition, and none may
     plan a CartesianProduct. This is the blanket guard that a future
     entry doesn't reintroduce the global-window anti-pattern."""
-    from ravelytics_spark.plans.round30_staged import STAGED as _STAGED30
     from ravelytics_spark.plans.round31_staged import STAGED as _STAGED31
+    from ravelytics_spark.plans.round32_staged import STAGED as _STAGED32
 
     bad = {}
     # Sweep staged-but-unregistered entries too: an anti-pattern must
     # fail HERE, in the round that authors it, not in the round that
-    # flips the registration footer. (The round-28 batch is live in
-    # REGISTRY since round 9; round-30 is the currently-staged set.)
-    for name, qy in {**REGISTRY, **_STAGED30, **_STAGED31}.items():
+    # flips the registration footer. (The round-30 batch is live in
+    # REGISTRY since round 10; rounds 31/32 are the staged sets.)
+    for name, qy in {**REGISTRY, **_STAGED31, **_STAGED32}.items():
         plan = qy.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         if "CartesianProduct" in plan:
             bad[name] = "CartesianProduct"
