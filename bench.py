@@ -121,6 +121,12 @@ HEADLINE = [
     "x283_abc_xyz_matrix",
     "x293_minhash_calibration",
     "x308_brown_forsythe",
+    # round-32 staged heavies, pre-wired (runner skips names not in
+    # REGISTRY; these activate when the round-11 footer flips): the
+    # TTL state-projection explode+distinct and the two-scan
+    # dimension-redundancy audit.
+    "x326_state_ttl_projection",
+    "x339_dim_redundancy",
 ]
 
 

@@ -152,3 +152,81 @@ def partition_for_assets(
     n = assets.count()
     num = max(1, (n + rows_per_partition - 1) // rows_per_partition)
     return assets.repartition(num)
+
+
+RESIZED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("src_width", T.IntegerType()),
+        T.StructField("src_height", T.IntegerType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def _encode_resized_impl(content: bytes, out_w: int, out_h: int) -> bytes:
+    """STUB encode — deterministic fake payload keyed on (content,
+    dims). Production: ``img.resize((out_w, out_h)).save(buf, 'JPEG')``
+    and return ``buf.getvalue()``."""
+    return hashlib.sha256(
+        content + out_w.to_bytes(4, "big") + out_h.to_bytes(4, "big")
+    ).digest()
+
+
+def fit_box(w: int, h: int, max_w: int, max_h: int) -> tuple[int, int]:
+    """Aspect-preserving fit into (max_w, max_h), never upscaling —
+    the REAL resize geometry (integer floor like PIL.thumbnail), kept
+    engine-side-testable and separate from the stubbed codec."""
+    if w <= max_w and h <= max_h:
+        return w, h
+    scale = min(max_w / w, max_h / h)
+    return max(1, int(w * scale)), max(1, int(h * scale))
+
+
+def resize_images(
+    assets: DataFrame,
+    max_w: int = 256,
+    max_h: int = 256,
+    decode=None,
+    encode=None,
+) -> DataFrame:
+    """Resize the image column into a bounding box (OP-X5 resize):
+    Arrow-batched mapInPandas, one output row per input row, binary in
+    → binary out, so the op composes with the same
+    ``partition_for_assets`` sizing as the other asset maps. The fit
+    geometry (aspect-preserving, never upscaling) is real; ``decode``
+    / ``encode`` are the codec seams (same drop-in contract as
+    ``image_features``: a real PIL decoder/encoder changes nothing in
+    the distributed plan). At 100 TB this is the thumbnail stage of a
+    vision-data pipeline: map-only, no shuffle, output partitions
+    shrink with the payload."""
+    decode = decode or _decode_image_impl
+    encode = encode or _encode_resized_impl
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "path": [],
+                "src_width": [],
+                "src_height": [],
+                "out_width": [],
+                "out_height": [],
+                "content": [],
+            }
+            for path, content in zip(pdf["path"], pdf["content"]):
+                raw = bytes(content)
+                w, h, _ch, _luma, _ph = decode(raw)
+                ow, oh = fit_box(w, h, max_w, max_h)
+                rows["path"].append(path)
+                rows["src_width"].append(w)
+                rows["src_height"].append(h)
+                rows["out_width"].append(ow)
+                rows["out_height"].append(oh)
+                rows["content"].append(encode(raw, ow, oh))
+            yield pd.DataFrame(rows)
+
+    return assets.select("path", "content").mapInPandas(
+        run, RESIZED_IMAGE_SCHEMA
+    )

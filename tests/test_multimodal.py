@@ -199,3 +199,66 @@ def test_real_decoder_seam(spark):
     assert a.duration_s == pytest.approx(1.0)
     assert a.sample_rate == 8000
     assert a.rms == pytest.approx(16384 / 32768, abs=1e-6)
+
+
+def test_resize_images_fit_geometry_and_plumbing(spark, asset_dir):
+    """resize_images: aspect-preserving fit-box geometry is REAL (never
+    upscales, respects the box, preserves ratio within integer floor),
+    the stubbed encode is deterministic, one output row per asset, and
+    the plan stays a map-only mapInPandas (no shuffle)."""
+    from ravelytics_spark.operators.multimodal import (
+        _decode_image_impl,
+        fit_box,
+        resize_images,
+    )
+
+    # unit geometry: no upscale, box respected, ratio preserved
+    assert fit_box(100, 50, 256, 256) == (100, 50)
+    assert fit_box(512, 256, 256, 256) == (256, 128)
+    assert fit_box(300, 900, 100, 100) == (33, 100)
+    w, h = fit_box(4000, 3000, 256, 256)
+    assert w <= 256 and h <= 256
+    assert abs(w / h - 4000 / 3000) < 0.05
+
+    assets = read_binary_assets(spark, str(asset_dir / "*.mp3"))
+    out = resize_images(assets, max_w=96, max_h=96)
+    rows = out.orderBy("path").collect()
+    assert len(rows) == 5
+    for r in rows:
+        sw, sh, _c, _l, _p = _decode_image_impl(
+            bytes([int(r.path[-5])]) * (1000 + int(r.path[-5]))
+        )
+        assert (r.src_width, r.src_height) == (sw, sh)
+        assert (r.out_width, r.out_height) == fit_box(sw, sh, 96, 96)
+        assert r.out_width <= 96 and r.out_height <= 96
+        assert len(bytes(r.content)) == 32  # stub payload, deterministic
+    # determinism across runs
+    again = resize_images(assets, max_w=96, max_h=96).orderBy("path").collect()
+    assert [bytes(r.content) for r in again] == [bytes(r.content) for r in rows]
+    # map-only plan: no exchange anywhere
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_resize_images_real_codec_seam(spark, asset_dir):
+    """The codec seam contract: a caller-supplied decode/encode pair
+    flows through the same distributed plan (here: a 'real' encoder
+    that emits a parseable header instead of the stub hash)."""
+    import struct
+
+    from ravelytics_spark.operators.multimodal import resize_images
+
+    def decode(content):
+        return 400, 200, 3, 0.5, "00"  # fixed dims: every asset 400x200
+
+    def encode(content, ow, oh):
+        return struct.pack(">II", ow, oh) + content[:4]
+
+    assets = read_binary_assets(spark, str(asset_dir / "*.mp3"))
+    rows = resize_images(
+        assets, max_w=100, max_h=100, decode=decode, encode=encode
+    ).collect()
+    for r in rows:
+        ow, oh = struct.unpack(">II", bytes(r.content)[:8])
+        assert (ow, oh) == (100, 50) == (r.out_width, r.out_height)
