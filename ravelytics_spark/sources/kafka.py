@@ -110,3 +110,30 @@ def parse_tracks_wire(kafka_df: DataFrame) -> DataFrame:
     return kafka_df.select(
         F.from_json(F.col("value").cast("string"), TRACKS_WIRE_SCHEMA).alias("r")
     ).select("r.*")
+
+
+def parse_artists_wire(kafka_df: DataFrame, key_in_value: bool = True) -> DataFrame:
+    """Inverse of ``to_kafka_records`` for the keyed artists topic: the
+    Kafka-engine table's JSONEachRow parse of the value, with the
+    artist_id recovered from the VALUE when the producer duplicated it
+    (the reference layout, spotify_artist_genres_to_kafka.py:126-127)
+    or from the message KEY for the no-duplication layout
+    (``keep_key_in_value=False``), so either wire round-trips to the
+    same typed rows."""
+    from ravelytics_spark.schemas import ARTISTS_WIRE_SCHEMA
+
+    parsed = kafka_df.select(
+        F.col("key").cast("string").alias("_key"),
+        F.from_json(
+            F.col("value").cast("string"), ARTISTS_WIRE_SCHEMA
+        ).alias("r"),
+    )
+    if key_in_value:
+        return parsed.select("r.*")
+    cols = [
+        F.coalesce(F.col("r.artist_id"), F.col("_key")).alias("artist_id")
+        if f.name == "artist_id"
+        else F.col(f"r.{f.name}")
+        for f in ARTISTS_WIRE_SCHEMA.fields
+    ]
+    return parsed.select(*cols)

@@ -255,3 +255,37 @@ def test_keyed_topic_compaction_keeps_reference_latest_state(spark):
     # and each surviving value is still the exact canonical bytes
     for key, rec in expected.items():
         assert compacted[key.encode("utf-8")] == _canonical(rec)
+
+
+def test_artists_wire_roundtrips_both_layouts(spark):
+    """Consumer-side closure: to_kafka_records -> parse_artists_wire
+    recovers the exact typed rows for BOTH layouts — artist_id from
+    the duplicated value (the reference layout) and from the message
+    key when keep_key_in_value=False."""
+    from ravelytics_spark.sources.kafka import parse_artists_wire
+
+    df = spark.createDataFrame(
+        [tuple(r[f.name] for f in ARTISTS_WIRE_SCHEMA.fields) for r in ARTIST_RECS],
+        ARTISTS_WIRE_SCHEMA,
+    )
+    for keep in (True, False):
+        wire = to_kafka_records(df, key_col="artist_id", keep_key_in_value=keep)
+        back = parse_artists_wire(wire, key_in_value=keep)
+        got = sorted(
+            (tuple(r) for r in back.collect()), key=lambda t: str(t)
+        )
+        exp = sorted(
+            (
+                tuple(
+                    tuple(rec[f.name]) if isinstance(rec[f.name], list) else rec[f.name]
+                    for f in ARTISTS_WIRE_SCHEMA.fields
+                )
+                for rec in ARTIST_RECS
+            ),
+            key=lambda t: str(t),
+        )
+        got = [
+            tuple(tuple(v) if isinstance(v, list) else v for v in row)
+            for row in got
+        ]
+        assert got == exp, (keep, got, exp)
