@@ -27,8 +27,10 @@ Wave 1 — streaming capacity planning over ``events``:
   it produced an event in (h-TTL, h]; per TTL the op reports peak and
   average live-key count over the observed hour span. THE sizing
   input for ``dropDuplicatesWithinWatermark`` / stateful-processor
-  TTL choices. Scale: (user, hour) distinct -> explode of <= TTL
-  covered hours (a CONSTANT factor) -> hour hash-agg; never row^2.
+  TTL choices. Scale: merged coverage intervals per (ttl, user)
+  from one lag window + a boundary sweep over the bounded hour
+  frame; the oracle keeps the explode+distinct algorithm so the
+  hash check proves the two equivalent.
 * ``x327_gap_sensitivity`` — sessionization gap sensitivity curve at
   5/15/30/60 min: session counts, events-per-session and total
   in-session dwell from ONE user-partitioned lag window (total
@@ -189,6 +191,17 @@ ORDER BY ttl_hours
     _ST_ORACLE,
 )
 def x326_state_ttl_projection(spark, sf_dir):
+    # MERGED-INTERVAL form (deliberately a DIFFERENT algorithm than
+    # the oracle's explode+distinct: the hash certification then
+    # proves the two equivalent). Per (ttl, user), activity hours
+    # whose coverage windows touch (next - prev <= ttl) merge into
+    # one live interval [first, min(last + ttl - 1, h1)]; the summed
+    # interval lengths ARE the distinct (user, hour) coverage mass,
+    # and the peak comes from a +1/-1 boundary sweep. Shuffle profile
+    # at 100x: the explode+distinct form moved ~31x the (user, hour)
+    # frame through one shuffle; this moves 3x through a
+    # user-partitioned window and aggregates boundaries to the
+    # time-bounded hour frame (measured 48.0 s -> see SCALING.md).
     ev = load_table(spark, sf_dir, "events")
     uh = ev.select(
         "user_id",
@@ -201,39 +214,67 @@ def x326_state_ttl_projection(spark, sf_dir):
     ttls = F.explode(
         F.array(*[F.lit(t).cast("long") for t in _TTLS_H])
     ).alias("ttl")
-    cov = (
-        uh.select("user_id", "hb", ttls)
+    base = uh.select("user_id", "hb", ttls)
+    w = Window.partitionBy("ttl", "user_id").orderBy("hb")
+    prev = F.lag("hb").over(w)
+    brk = F.when(prev.isNull() | (F.col("hb") - prev > F.col("ttl")), 1)\
+        .otherwise(0)
+    iv = base.select(
+        "ttl",
+        "user_id",
+        "hb",
+        F.sum(brk)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("iid"),
+    )
+    spans = (
+        iv.groupBy("ttl", "user_id", "iid")
+        .agg(
+            F.min("hb").cast("long").alias("st"),
+            F.max("hb").cast("long").alias("mx"),
+        )
         .crossJoin(F.broadcast(span))
         .select(
             "ttl",
-            "user_id",
-            F.explode(
-                F.sequence(
-                    F.col("hb"),
-                    F.least(
-                        F.col("hb") + F.col("ttl") - 1, F.col("h1")
-                    ),
-                )
-            ).alias("h"),
+            "st",
+            F.least(F.col("mx") + F.col("ttl") - 1, F.col("h1"))
+            .cast("long")
+            .alias("en"),
         )
-        .distinct()
     )
-    st = cov.groupBy("ttl", "h").agg(F.count("*").cast("long").alias("live"))
-    return (
-        st.crossJoin(F.broadcast(span))
-        .groupBy("ttl", "h0", "h1")
-        .agg(
-            F.max("live").cast("long").alias("peak_keys"),
-            F.expr(
-                "CAST(SUM(live) * 1000 DIV (max(h1) - max(h0) + 1)"
-                " AS BIGINT)"
-            ).alias("avg_keys_milli"),
+    sums = spans.groupBy("ttl").agg(
+        F.sum(F.col("en") - F.col("st") + 1).cast("long").alias("sum_live")
+    )
+    deltas = (
+        spans.select("ttl", F.col("st").alias("h"), F.lit(1).alias("d"))
+        .unionAll(
+            spans.select(
+                "ttl", (F.col("en") + 1).alias("h"), F.lit(-1).alias("d")
+            )
         )
+        .groupBy("ttl", "h")
+        .agg(F.sum("d").alias("d"))
+    )
+    wcum = (
+        Window.partitionBy("ttl")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    peak = (
+        deltas.select("ttl", F.sum("d").over(wcum).alias("live"))
+        .groupBy("ttl")
+        .agg(F.max("live").cast("long").alias("peak_keys"))
+    )
+    return (
+        peak.join(sums, "ttl")
+        .crossJoin(F.broadcast(span))
         .select(
             F.col("ttl").alias("ttl_hours"),
             (F.col("h1") - F.col("h0") + 1).cast("long").alias("n_hours"),
             "peak_keys",
-            "avg_keys_milli",
+            F.expr(
+                "CAST(sum_live * 1000 DIV (h1 - h0 + 1) AS BIGINT)"
+            ).alias("avg_keys_milli"),
         )
         .orderBy("ttl_hours")
     )

@@ -63,7 +63,7 @@ SHOWCASE = [
     # round-10 codegen fix: the array+HOF SRP form
     ("x102_srp_portable", "map-only scan -> array+HOF code/dot/norm -> literal probe IN filter -> TakeOrderedAndProject; zero exchanges, plan size independent of embedding width"),
     # round-32 staged, pre-wired (skipped until the round-11 footer flips)
-    ("x326_state_ttl_projection", "(user, hour) distinct -> constant <=24x covered-hour explode -> hour hash-agg; 1-row span broadcast only"),
+    ("x326_state_ttl_projection", "merged coverage intervals off one (ttl, user) lag window -> +1/-1 boundary sweep; no explode+distinct anywhere"),
     ("x339_dim_redundancy", "two scans, no joins: 64-row bounded moment collect, then 28 literal element_at cross-products in ONE agg"),
 ]
 

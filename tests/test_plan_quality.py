@@ -304,7 +304,7 @@ _SINGLE_PARTITION_OK = {
     "x310_cohens_d": "segment moment agg + the 5x5-bounded pair join",
     "x311_binary_segmentation": "prefix windows over the bounded DAILY aggregate + TakeOrdered(1) argmin",
     # round-32 staged batch (tops the round-11 window off at 50)
-    "x326_state_ttl_projection": "1-row hour-span broadcast + global max/avg over the bounded hour frame: one partial row per partition",
+    "x326_state_ttl_projection": "1-row hour-span broadcasts; interval windows ride (ttl, user) partitioning; boundary cumsum partitions by ttl over the time-bounded hour frame",
     "x327_gap_sensitivity": "4-row gap-limit agg: one partial row per partition per gap",
     "x329_microbatch_profile": "cumulative windows over the bounded DISTINCT-batch-size frame + 1-row quantile agg",
     "x330_neyman_allocation": "weight-total windows over the 5-row segment frame",
