@@ -46,9 +46,15 @@ def validate(df: DataFrame, checks: list[Check]) -> DataFrame:
     # A NULL predicate (e.g. NULL BETWEEN 0 AND 1) means the expectation
     # did NOT hold — coalesce to false so nulls count as violations
     # instead of silently passing through three-valued logic.
+    # outer coalesce: SUM over an EMPTY table is NULL, but the report
+    # contract (and the SQL-subquery oracle shape) is 0 violations of
+    # 0 rows (round-10 empty-input sweep)
     aggs = [
-        F.sum(
-            F.when(~F.coalesce(c.predicate, F.lit(False)), 1).otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(~F.coalesce(c.predicate, F.lit(False)), 1).otherwise(0)
+            ),
+            F.lit(0),
         ).cast("long").alias(c.name)
         for c in checks
     ]

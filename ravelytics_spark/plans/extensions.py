@@ -678,6 +678,11 @@ def x10_curation_full(spark, sf_dir):
     "CASE WHEN GROUPING(o_orderpriority) = 1 THEN 1 ELSE 0 END AS g_prio, "
     "count(*) AS n, " + _dsum_sql("o_totalprice") + " AS sum_price "
     "FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus) "
+    # HAVING is a no-op on non-empty input (every materialized group
+    # has >= 1 row) and removes ONLY the synthetic grand-total row SQL
+    # engines emit over an EMPTY table, where Spark's rollup emits no
+    # rows (round-10 empty-input sweep)
+    "HAVING count(*) > 0 "
     "ORDER BY prio, status, g_prio",
 )
 def x8_rollup(spark, sf_dir):
@@ -1150,6 +1155,7 @@ def x7_approx_distinct(spark, sf_dir):
     "SELECT o_orderstatus, o_orderpriority, count(*) AS n, "
     + _dsum_sql("o_totalprice")
     + " AS total FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) "
+    + " HAVING count(*) > 0 "  # empty-input grand-row parity (see x8)
     "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST",
 )
 def x12_cube(spark, sf_dir):

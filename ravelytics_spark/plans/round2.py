@@ -103,6 +103,9 @@ def g7_multi_count_distinct(spark, sf_dir):
     + _dsum_sql("l_quantity")
     + " AS sum_qty FROM lineitem "
     "GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ()) "
+    # no-op on non-empty input; drops only the synthetic ()-set row SQL
+    # emits over an EMPTY table, where Spark emits none (round-10 sweep)
+    "HAVING count(*) > 0 "
     "ORDER BY gid, rflag, lstatus",
 )
 def x14_grouping_sets(spark, sf_dir):

@@ -1101,6 +1101,15 @@ def x146_mmr_select(spark, sf_dir):
     # One corpus-scale pass: quantize -> relevance agg -> top-20.
     pool_rows = rel.orderBy(F.desc("rel"), "vec_id").limit(_MMR_POOL).collect()
     assert len(pool_rows) <= _MMR_POOL, "pool must be literal-bounded"
+    if not pool_rows:
+        # degenerate empty table: the oracle's CTE chain yields zero
+        # rows — match it instead of max()-ing an empty pool
+        # (round-10 empty-input sweep)
+        return spark.createDataFrame(
+            [],
+            "pick_round LONG, vec_id LONG, rel_e12 LONG, maxsim_e12 LONG, "
+            "score_e12 LONG",
+        )
     rels = {r["vec_id"]: r["rel"] for r in pool_rows}
     # Second pass fetches ONLY the 20 pool vectors: the literal IN
     # list pushes to the parquet scan, so the embedding column is
@@ -1120,6 +1129,8 @@ def x146_mmr_select(spark, sf_dir):
     picks = [(1, seed, rels[seed] * 1_000_000, 0)]
     remaining.remove(seed)
     for r in range(2, _MMR_PICKS + 1):
+        if not remaining:  # pool smaller than the pick budget
+            break
         chosen = [p[1] for p in picks]
         best = max(
             remaining,

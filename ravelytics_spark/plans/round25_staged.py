@@ -1385,22 +1385,38 @@ def x177_ann_recall_eval(spark, sf_dir):
                 continue
             term = F.col(f"_e{i}") * F.lit(sgn)
             s = term if s is None else s + term
-        bit = F.when(s > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        # plane with no support (dims == 0 on an empty table): bit 0,
+        # the x102 no-support-plane convention
+        bit = (
+            F.when(s > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            if s is not None
+            else F.lit(0)
+        )
         code = bit if code is None else code + bit
     # division ORDER mirrors the oracle exactly: (dot/1e12) is the
     # correctly-rounded double of the exact rational (dot_long < 2^53),
     # then / QNORM, then / sqrt(nrm2/1e12) — IEEE divides in the same
     # sequence on the same doubles are bit-identical across engines
-    scored = stage1.select(
-        "vec_id",
-        F.round(
-            (dot.cast("double") / F.lit(float(scale)))
-            / F.lit(_SRP_QNORM)
-            / F.sqrt(nrm2.cast("double") / F.lit(float(norm_scale**2))),
-            6,
-        ).alias("cosine"),
-        code.cast("long").alias("code"),
-    )
+    if dims == 0:
+        # degenerate empty table: no projection expressions exist; an
+        # empty score table flows through the eval and reproduces the
+        # oracle's zero-recall k-frame (round-10 empty-input sweep)
+        scored = e.select(
+            "vec_id",
+            F.lit(0.0).alias("cosine"),
+            F.lit(0).cast("long").alias("code"),
+        ).filter(F.lit(False))
+    else:
+        scored = stage1.select(
+            "vec_id",
+            F.round(
+                (dot.cast("double") / F.lit(float(scale)))
+                / F.lit(_SRP_QNORM)
+                / F.sqrt(nrm2.cast("double") / F.lit(float(norm_scale**2))),
+                6,
+            ).alias("cosine"),
+            code.cast("long").alias("code"),
+        )
     # Lineage barrier (lazy — no action here): the eval has FOUR
     # consumers of the score table (exact top-k, candidate top-k,
     # candidate count, overlap join); without the barrier Catalyst
@@ -1429,8 +1445,10 @@ def x177_ann_recall_eval(spark, sf_dir):
         F.col("id").cast("long").alias("k")
     )
     overlap = e10.join(c10, e10.vec_id == F.col("cid"), "left")
+    # LEFT join on TRUE (not crossJoin): every k row must survive an
+    # EMPTY overlap so the zero-recall frame still has its 3 rows
     hits = (
-        ks.crossJoin(F.broadcast(overlap))
+        ks.join(F.broadcast(overlap), F.lit(True), "left")
         .groupBy("k")
         .agg(
             F.coalesce(

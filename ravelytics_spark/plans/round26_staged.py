@@ -1438,7 +1438,10 @@ def x206_gdpr_erasure(spark, sf_dir):
                 "n_total",
                 "n_deleted",
                 F.expr(
-                    "CAST(n_deleted * 1000000 DIV n_total AS BIGINT)"
+                    # NULL on an empty table (DuckDB's x // 0 is NULL;
+                    # Spark's ANSI DIV throws — round-10 sweep)
+                    "CAST(CASE WHEN n_total = 0 THEN NULL"
+                    " ELSE n_deleted * 1000000 DIV n_total END AS BIGINT)"
                 ).alias("deleted_ppm"),
             )
         )
@@ -2638,7 +2641,11 @@ def x217_contamination_width_curve(spark, sf_dir):
             "n_eval_docs",
             "n_contaminated",
             F.expr(
-                "CAST(n_contaminated * 1000000 DIV n_eval_docs AS BIGINT)"
+                # NULL on an empty corpus (DuckDB's x // 0 is NULL;
+                # Spark's ANSI DIV throws — round-10 sweep)
+                "CAST(CASE WHEN n_eval_docs = 0 THEN NULL"
+                " ELSE n_contaminated * 1000000 DIV n_eval_docs END"
+                " AS BIGINT)"
             ).alias("contam_ppm"),
         )
         out = one if out is None else out.unionAll(one)

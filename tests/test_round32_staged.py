@@ -289,3 +289,37 @@ def test_unicode_class_shares_sum_to_ppm(spark):
         )
         assert 1_000_000 - 5 <= total <= 1_000_000
         assert r.letters_ppm > r.digits_ppm  # prose corpus sanity
+
+
+@pytest.fixture(scope="module")
+def empty_sf(spark, tmp_path_factory):
+    """A dataset directory with every table present but EMPTY — the
+    degenerate input that exposed the x245 fallback asymmetry (ADVICE
+    r9): an ungrouped SQL aggregate returns one NULL-ish row where a
+    filter(lit(False)) Spark side returns zero."""
+    import pyarrow.parquet as _pq
+
+    d = str(tmp_path_factory.mktemp("empty_sf"))
+    from ravelytics_spark.sources.tables import TABLE_NAMES
+
+    for name in TABLE_NAMES:
+        t = _pq.read_table(f"{SFS[0]}/{name}.parquet")
+        _pq.write_table(t.slice(0, 0), f"{d}/{name}.parquet")
+    return d
+
+
+@pytest.mark.parametrize("name", sorted(STAGED))
+def test_round32_empty_tables_match_oracle(spark, name, empty_sf):
+    """Every round-32 entry agrees with its oracle on fully EMPTY
+    tables — row count, schema and values — so no fallback/ungrouped-
+    aggregate shape asymmetry is latent in the batch."""
+    entry = STAGED[name]
+    con = duckdb_connection(empty_sf)
+    problems = compare(
+        entry.spark(spark, empty_sf),
+        con,
+        entry.oracle,
+        name,
+        strict_row_order=True,
+    )
+    assert not problems, problems
