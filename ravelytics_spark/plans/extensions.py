@@ -12,7 +12,7 @@ from ravelytics_spark.functions import text as TX
 from ravelytics_spark.functions.vectors import cosine, dot
 from ravelytics_spark.operators import dedup as DD
 from ravelytics_spark.operators import similarity as SIM
-from ravelytics_spark.plans.queries import REGISTRY, Query, _dsum, _dsum_sql, q
+from ravelytics_spark.plans.registry import REGISTRY, Query, _dsum, _dsum_sql, q
 from ravelytics_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------

@@ -13,7 +13,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
-from ravelytics_spark.plans.queries import q
+from ravelytics_spark.plans.registry import q
 from ravelytics_spark.sources.tables import load_table
 
 _WIRE_FIXTURE = [

@@ -23,45 +23,22 @@ Performance notes are attached per query where the plan shape matters at
 
 from __future__ import annotations
 
-from collections.abc import Callable
-from dataclasses import dataclass
-
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Window  # noqa: F401 (re-export surface)
 from pyspark.sql import functions as F
 
+# Query/REGISTRY/q/_dsum live in the LEAF registry module so plan
+# modules can import them without touching this module's import footer
+# (which loads every plan module — the round-10 circular-import fix).
+# Re-exported here: importing REGISTRY from queries additionally
+# guarantees the catalog is fully populated.
+from ravelytics_spark.plans.registry import (  # noqa: F401
+    REGISTRY,
+    Query,
+    _dsum,
+    _dsum_sql,
+    q,
+)
 from ravelytics_spark.sources.tables import load_table
-
-
-@dataclass(frozen=True)
-class Query:
-    name: str
-    op_id: str  # SURVEY §2 operator id(s) this query certifies
-    doc: str
-    spark: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # DuckDB SQL; None → harness-only (rows check)
-
-
-REGISTRY: dict[str, Query] = {}
-
-
-def q(name: str, op_id: str, doc: str, oracle: str | None = None):
-    def deco(fn):
-        REGISTRY[name] = Query(name, op_id, doc, fn, oracle)
-        return fn
-
-    return deco
-
-
-def _dsum(col: Column | str, scale: int = 4) -> Column:
-    """Hash-stable SUM of a double column: exact decimal accumulation,
-    one IEEE-rounded cast back to double at the end."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(f"decimal(28,{scale})")).cast("double")
-
-
-# DuckDB spelling of the same thing.
-def _dsum_sql(expr: str, scale: int = 4) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,{scale}))) AS DOUBLE)"
 
 
 # ---------------------------------------------------------------------------

@@ -31,7 +31,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ravelytics_spark.operators.fuzzy import fuzzy_self_pairs
-from ravelytics_spark.plans.queries import q
+from ravelytics_spark.plans.registry import q
 from ravelytics_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ravelytics_spark.plans.queries import q
+from ravelytics_spark.plans.registry import q
 from ravelytics_spark.sources.tables import load_table
 
 _PROFILE_COLS = [

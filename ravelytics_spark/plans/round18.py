@@ -48,7 +48,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ravelytics_spark.plans.queries import Query, _dsum, _dsum_sql
+from ravelytics_spark.plans.registry import Query, _dsum, _dsum_sql
 from ravelytics_spark.sources.tables import load_table
 
 STAGED: dict[str, Query] = {}
@@ -961,6 +961,6 @@ def x90_benford_deviation(spark, sf_dir):
 # queries.py touching STAGED) keeps the import acyclic whichever
 # module loads first: by the time this line runs, queries.REGISTRY
 # exists even when queries.py itself is mid-import.
-from ravelytics_spark.plans.queries import REGISTRY as _REGISTRY  # noqa: E402
+from ravelytics_spark.plans.registry import REGISTRY as _REGISTRY  # noqa: E402
 
 _REGISTRY.update(STAGED)

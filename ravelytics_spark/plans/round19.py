@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 
 from ravelytics_spark.functions import text as TX
 from ravelytics_spark.functions.vectors import cosine
-from ravelytics_spark.plans.queries import q
+from ravelytics_spark.plans.registry import q
 from ravelytics_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------

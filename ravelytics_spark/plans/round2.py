@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ravelytics_spark.functions import text as TX
 from ravelytics_spark.plans.extensions import _LANGID_ORACLE, _PROBE, _PROBE_SQL
-from ravelytics_spark.plans.queries import _dsum, _dsum_sql, q
+from ravelytics_spark.plans.registry import _dsum, _dsum_sql, q
 from ravelytics_spark.sources.tables import load_table, load_tables
 
 # ---------------------------------------------------------------------------

@@ -63,7 +63,7 @@ import math
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ravelytics_spark.plans.queries import q
+from ravelytics_spark.plans.registry import q
 from ravelytics_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------

@@ -75,7 +75,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ravelytics_spark.plans.queries import q
+from ravelytics_spark.plans.registry import q
 from ravelytics_spark.sources.tables import load_table
 from ravelytics_spark.operators.ranks import (  # noqa: F401
     global_ntile,

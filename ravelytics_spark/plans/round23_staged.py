@@ -84,7 +84,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ravelytics_spark.plans.queries import Query
+from ravelytics_spark.plans.registry import Query
 from ravelytics_spark.sources.tables import load_table
 
 STAGED: dict[str, Query] = {}
@@ -964,7 +964,7 @@ ORDER BY disc_pct
     _DISCOUNT_ORACLE,
 )
 def x136_discount_bands(spark, sf_dir):
-    from ravelytics_spark.plans.queries import _dsum
+    from ravelytics_spark.plans.registry import _dsum
 
     li = load_table(spark, sf_dir, "lineitem")
     gross = _dsum(F.col("l_extendedprice"))
@@ -1483,7 +1483,7 @@ FROM att GROUP BY touch_type ORDER BY touch_type
 )
 def x142_last_touch_attribution(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
-    from ravelytics_spark.plans.queries import _dsum
+    from ravelytics_spark.plans.registry import _dsum
 
     p = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
@@ -1638,6 +1638,6 @@ def x143_qhist_portable(spark, sf_dir):
 # round18.py precedent) keeps the import acyclic whichever module
 # loads first: by the time this line runs, queries.REGISTRY exists
 # even when queries.py itself is mid-import.
-from ravelytics_spark.plans.queries import REGISTRY as _REGISTRY  # noqa: E402
+from ravelytics_spark.plans.registry import REGISTRY as _REGISTRY  # noqa: E402
 
 _REGISTRY.update(STAGED)

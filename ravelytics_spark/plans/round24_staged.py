@@ -120,7 +120,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ravelytics_spark.plans.queries import Query
+from ravelytics_spark.plans.registry import Query
 from ravelytics_spark.sources.tables import load_table
 
 STAGED: dict[str, Query] = {}
@@ -2922,6 +2922,6 @@ def x167_cdc_apply(spark, sf_dir):
 # Registered in round 7 (the round-6 certification window was
 # oversubscribed; CORRECTNESS_r06 cleared the backlog). The staging
 # contract: see module docstring.
-from ravelytics_spark.plans.queries import REGISTRY as _REGISTRY  # noqa: E402
+from ravelytics_spark.plans.registry import REGISTRY as _REGISTRY  # noqa: E402
 
 _REGISTRY.update(STAGED)

@@ -136,7 +136,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ravelytics_spark.plans.queries import Query
+from ravelytics_spark.plans.registry import Query
 from ravelytics_spark.sources.tables import load_table
 from ravelytics_spark.operators.ranks import (
     global_ntile,
@@ -1693,7 +1693,7 @@ ORDER BY tau_milli
     "against the (small) surviving pair set.",
 )
 def x179_neardup_threshold_curve(spark, sf_dir):
-    from ravelytics_spark.plans.queries import REGISTRY
+    from ravelytics_spark.plans.registry import REGISTRY
 
     pairs = REGISTRY["x107_embed_neardup_portable"].spark(spark, sf_dir)
     taus = spark.createDataFrame(
@@ -3298,6 +3298,6 @@ def x193_vocab_growth(spark, sf_dir, rank_method: str = "window"):
 # oversubscribed; CORRECTNESS_r06 cleared the backlog). Placed after
 # the final @_staged entry so every x168-x193 definition above is in
 # STAGED before the update. The staging contract: see module docstring.
-from ravelytics_spark.plans.queries import REGISTRY as _REGISTRY  # noqa: E402
+from ravelytics_spark.plans.registry import REGISTRY as _REGISTRY  # noqa: E402
 
 _REGISTRY.update(STAGED)

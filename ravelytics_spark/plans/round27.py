@@ -70,7 +70,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ravelytics_spark.functions import text as TX
-from ravelytics_spark.plans.queries import q
+from ravelytics_spark.plans.registry import q
 from ravelytics_spark.plans.round19 import (
     _MH_A,
     _MH_B,

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ravelytics_spark.plans.queries import _dsum, _dsum_sql, q
+from ravelytics_spark.plans.registry import _dsum, _dsum_sql, q
 from ravelytics_spark.sources.tables import dataset_fingerprint, load_table
 
 # ---------------------------------------------------------------------------

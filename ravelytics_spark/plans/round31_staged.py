@@ -80,7 +80,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ravelytics_spark.plans.queries import Query
+from ravelytics_spark.plans.registry import Query
 from ravelytics_spark.sources.tables import load_table
 
 STAGED: dict[str, Query] = {}
@@ -1673,6 +1673,6 @@ def x325_inequality_trend(spark, sf_dir):
 
 
 # --- round-11 registration footer (commented until round 11) ---
-# from ravelytics_spark.plans.queries import REGISTRY as _REGISTRY
+# from ravelytics_spark.plans.registry import REGISTRY as _REGISTRY
 #
 # _REGISTRY.update(STAGED)

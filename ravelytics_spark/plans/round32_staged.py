@@ -115,7 +115,7 @@ import math
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ravelytics_spark.plans.queries import Query
+from ravelytics_spark.plans.registry import Query
 from ravelytics_spark.sources.tables import load_table
 
 STAGED: dict[str, Query] = {}
@@ -1876,6 +1876,6 @@ def x338_unicode_class_profile(spark, sf_dir):
 # These two lines register the whole batch into the live catalog; they
 # must stay below the final @_staged definition so every entry is in
 # STAGED before the update (the round-25 footer-placement lesson).
-# from ravelytics_spark.plans.queries import REGISTRY as _REGISTRY
+# from ravelytics_spark.plans.registry import REGISTRY as _REGISTRY
 #
 # _REGISTRY.update(STAGED)
