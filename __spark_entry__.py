@@ -56,17 +56,18 @@ _R1_CERTIFIED = frozenset(
 )
 
 
-def _correctness_records() -> tuple[frozenset[str], dict[str, str]]:
+def _correctness_records() -> tuple[frozenset[str], dict[str, int]]:
     """(certified, last_seen): entries hash-certified in ANY prior
     round, and — for every entry with ANY driver-side record at all
     (including harness-only ``no_oracle`` rows-checks) — the LATEST
-    round tag ('r01'..'r99', zero-padded so string order is round
-    order) that recorded it. Parsed from the driver's
+    round NUMBER (int — parsed from the 'rNN' tag so ordering stays
+    correct past round 99, where zero-padded string order would rank
+    'r100' < 'r99') that recorded it. Parsed from the driver's
     CORRECTNESS_r*.json files next to this module, so the
     certification window self-adapts every round without editing the
     hardcoded round-1 floor."""
     certified = set(_R1_CERTIFIED)
-    last_seen = {name: "r01" for name in _R1_CERTIFIED}
+    last_seen = {name: 1 for name in _R1_CERTIFIED}
     here = os.path.dirname(os.path.abspath(__file__))
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
@@ -75,11 +76,15 @@ def _correctness_records() -> tuple[frozenset[str], dict[str, str]]:
         except (OSError, ValueError):
             continue
         tag = os.path.basename(path)[len("CORRECTNESS_"):-len(".json")]
+        try:
+            rnum = int(tag.lstrip("r"))
+        except ValueError:
+            continue
         for name, rec in data.items():
             if not isinstance(rec, dict):
                 continue
-            if tag > last_seen.get(name, ""):
-                last_seen[name] = tag
+            if rnum > last_seen.get(name, 0):
+                last_seen[name] = rnum
             if (
                 rec.get("rows_match")
                 and rec.get("schema_match")
@@ -102,7 +107,7 @@ def _ordered_names() -> list[str]:
         if REGISTRY[name].oracle is not None:
             # (0) awaiting hash certification, (3) already certified
             tier = 0 if name not in certified else 3
-            return (tier, "", names.index(name))
+            return (tier, 0, names.index(name))
         # harness-only: a rows-check is still signal — entries the
         # driver has NEVER recorded (in any round) outrank recorded
         # ones (verdict r8 missing #3), and recorded ones re-run
@@ -110,7 +115,7 @@ def _ordered_names() -> list[str]:
         # 5 fresh-ish entries while 13 r04-era records stayed stale,
         # because plain registration order ignored record age)
         if name not in last_seen:
-            return (1, "", names.index(name))
+            return (1, 0, names.index(name))
         return (2, last_seen[name], names.index(name))
 
     return sorted(names, key=key)

@@ -840,6 +840,12 @@ from ravelytics_spark.plans import round29 as _round29  # noqa: E402,F401
 # Round-30 entries (x275-x311) were STAGED in round 9 (the round-9
 # window was exactly full: the 40 round-28 registrations + the 2
 # round-29 bucketed twins + 8 harness rows); the round-10 footer in
-# the module registers the whole batch at import. round31_staged
-# (x312-x325) stays unregistered until the round-11 window.
+# the module registers the whole batch at import.
 from ravelytics_spark.plans import round30_staged as _round30  # noqa: E402,F401
+
+# Round-31/32 entries (x312-x325, x326-x340) were STAGED in round 10
+# (the round-10 window was exactly full: 37 round-30 registrations +
+# 13 harness re-runs); their round-11 footers register both batches
+# at import — catalog 421 -> 450.
+from ravelytics_spark.plans import round31_staged as _round31  # noqa: E402,F401
+from ravelytics_spark.plans import round32_staged as _round32  # noqa: E402,F401

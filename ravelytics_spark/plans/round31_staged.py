@@ -1672,7 +1672,7 @@ def x325_inequality_trend(spark, sf_dir):
     )
 
 
-# --- round-11 registration footer (commented until round 11) ---
-# from ravelytics_spark.plans.registry import REGISTRY as _REGISTRY
-#
-# _REGISTRY.update(STAGED)
+# --- round-11 registration footer (flipped at round-11 open) ---
+from ravelytics_spark.plans.registry import REGISTRY as _REGISTRY
+
+_REGISTRY.update(STAGED)

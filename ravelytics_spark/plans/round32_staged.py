@@ -205,7 +205,10 @@ def x326_state_ttl_projection(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     uh = ev.select(
         "user_id",
-        F.expr("unix_timestamp(ts) DIV 3600").cast("long").alias("hb"),
+        # FLOOR(x / 3600), not DIV: DuckDB's // floors while Spark's
+        # DIV truncates toward zero — they diverge on pre-1970
+        # (negative-epoch) timestamps (ADVICE r10 low).
+        F.expr("FLOOR(unix_timestamp(ts) / 3600)").cast("long").alias("hb"),
     ).distinct()
     span = uh.agg(
         F.min("hb").cast("long").alias("h0"),
@@ -438,8 +441,10 @@ def x328_peak_concurrency(spark, sf_dir):
         F.sum(brk).over(wsum).cast("long").alias("sid"),
     )
     spans = s.groupBy("user_id", "sid").agg(
-        F.expr("CAST(min(es) DIV 3600 AS BIGINT)").alias("h_start"),
-        F.expr("CAST(max(es) DIV 3600 AS BIGINT)").alias("h_end"),
+        # FLOOR / not DIV: floor semantics match DuckDB's // on
+        # negative epochs (pre-1970 ts) — same guard as x326's hb.
+        F.expr("CAST(FLOOR(min(es) / 3600) AS BIGINT)").alias("h_start"),
+        F.expr("CAST(FLOOR(max(es) / 3600) AS BIGINT)").alias("h_end"),
     )
     conc = (
         spans.select(
@@ -1590,7 +1595,7 @@ def x339_dim_redundancy(spark, sf_dir):
     fp = dataset_fingerprint(sf_dir, "embeddings")
     cached = _DR_MOM_CACHE.get(sf_dir)
     if cached is not None and cached[0] == fp:
-        rows = cached[1]
+        rows, d = cached[1], cached[2]
     else:
         vec0 = F.col("embedding").cast("array<double>")
         f30 = F.transform(
@@ -1598,9 +1603,9 @@ def x339_dim_redundancy(spark, sf_dir):
             lambda x: (x.cast("decimal(9,3)") * F.lit(1000)).cast("long"),
         )
         wd = e.agg(F.max(F.size("embedding")).alias("d"))
+        d = wd.collect()[0][0]  # bounded: one row (table max width)
         mo = (
-            e.crossJoin(F.broadcast(wd))
-            .filter(F.size("embedding") == F.col("d"))
+            e.filter(F.size("embedding") == F.lit(d))
             .select(F.posexplode(f30).alias("i", "f"))
             .groupBy(F.col("i").cast("long").alias("dim"))
             .agg(
@@ -1621,7 +1626,7 @@ def x339_dim_redundancy(spark, sf_dir):
             ),
             key=lambda t: (-t[3], t[0]),
         )[:_DR_TOP]
-        _DR_MOM_CACHE[sf_dir] = (fp, rows)
+        _DR_MOM_CACHE[sf_dir] = (fp, rows, d)
     if len(rows) < 2:
         return e.limit(0).select(
             F.lit(0).cast("long").alias("dim_a"),
@@ -1632,8 +1637,11 @@ def x339_dim_redundancy(spark, sf_dir):
     f3 = F.transform(
         vec, lambda x: (x.cast("decimal(9,3)") * F.lit(1000)).cast("long")
     )
-    dmax = max(r[0] for r in rows) + 1
-    base = e.filter(F.size("embedding") >= dmax).select(f3.alias("f3"))
+    # == d (the table max width), not >= dmax: the oracle's ex CTE
+    # keeps only full-width rows, so a mixed-width table must feed the
+    # cross-moment sums the SAME row set as the n/s1/vkey moments
+    # (ADVICE r10 medium: |corr| could exceed 1000 otherwise).
+    base = e.filter(F.size("embedding") == F.lit(d)).select(f3.alias("f3"))
     pair_sums = []
     meta = []
     for ai in range(len(rows)):
@@ -1872,10 +1880,10 @@ def x338_unicode_class_profile(spark, sf_dir):
     ).orderBy("source")
 
 
-# --- round-11 registration footer (commented until round 11) ---
+# --- round-11 registration footer (flipped at round-11 open) ---
 # These two lines register the whole batch into the live catalog; they
 # must stay below the final @_staged definition so every entry is in
 # STAGED before the update (the round-25 footer-placement lesson).
-# from ravelytics_spark.plans.registry import REGISTRY as _REGISTRY
-#
-# _REGISTRY.update(STAGED)
+from ravelytics_spark.plans.registry import REGISTRY as _REGISTRY
+
+_REGISTRY.update(STAGED)

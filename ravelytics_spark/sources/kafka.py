@@ -112,14 +112,17 @@ def parse_tracks_wire(kafka_df: DataFrame) -> DataFrame:
     ).select("r.*")
 
 
-def parse_artists_wire(kafka_df: DataFrame, key_in_value: bool = True) -> DataFrame:
+def parse_artists_wire(kafka_df: DataFrame, key_in_value: bool = False) -> DataFrame:
     """Inverse of ``to_kafka_records`` for the keyed artists topic: the
     Kafka-engine table's JSONEachRow parse of the value, with the
     artist_id recovered from the VALUE when the producer duplicated it
     (the reference layout, spotify_artist_genres_to_kafka.py:126-127)
     or from the message KEY for the no-duplication layout
     (``keep_key_in_value=False``), so either wire round-trips to the
-    same typed rows."""
+    same typed rows. The default mirrors ``to_kafka_records``'s
+    ``keep_key_in_value=False`` so producing and parsing with defaults
+    agree on the layout (ADVICE r10: the old ``True`` default silently
+    yielded NULL artist_id against a default-produced wire)."""
     from ravelytics_spark.schemas import ARTISTS_WIRE_SCHEMA
 
     parsed = kafka_df.select(

@@ -295,7 +295,7 @@ def test_round10_window_contents_pinned():
         )
         _cert, last_seen = mod._correctness_records()
         stale = [
-            n for n in _R10_HARNESS_RERUNS if last_seen.get(n, "") < "r10"
+            n for n in _R10_HARNESS_RERUNS if last_seen.get(n, 0) < 10
         ]
         assert not stale, f"harness re-runs still pre-r10: {stale}"
         return
@@ -343,7 +343,7 @@ def test_round10_pin_survives_round_close(tmp_path, monkeypatch):
     cert = mod._certified_names()
     assert not [n for n in expected if n not in cert]
     _c, last_seen = mod._correctness_records()
-    assert all(last_seen[n] == "r10" for n in _R10_HARNESS_RERUNS)
+    assert all(last_seen[n] == 10 for n in _R10_HARNESS_RERUNS)
     # the window moved on: no pinned entry occupies a tier-0 slot, and
     # the freshly re-run harness entries rotated BEHIND the 8 whose
     # newest record is now older (r09)
@@ -356,7 +356,7 @@ def test_round10_pin_survives_round_close(tmp_path, monkeypatch):
     assert not set(still_uncertified) & set(expected)
     r09_recorded = [
         n for n in names
-        if REGISTRY[n].oracle is None and last_seen.get(n) == "r09"
+        if REGISTRY[n].oracle is None and last_seen.get(n) == 9
     ]
     if r09_recorded:
         assert max(names.index(n) for n in r09_recorded) < min(

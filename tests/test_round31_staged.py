@@ -28,12 +28,15 @@ def test_round31_staged_matches_oracle(spark, name, sf_dir):
     assert not problems, problems
 
 
-def test_round31_not_yet_registered():
+def test_round31_registered_in_round11():
+    """The registration footer flipped live in round 11: every staged
+    entry is in the catalog, IS the same object (no divergent copy),
+    and the batch kept its size."""
     from ravelytics_spark.plans.queries import REGISTRY
 
-    leaked = set(STAGED) & set(REGISTRY)
-    assert not leaked, f"staged entries registered early: {leaked}"
     assert len(STAGED) == 14
+    for name, entry in STAGED.items():
+        assert REGISTRY.get(name) is entry, name
 
 
 # ---------------------------------------------------------------------------

@@ -38,18 +38,25 @@ def test_round32_staged_matches_oracle(spark, name, sf_dir):
     assert not problems, problems
 
 
-def test_round32_not_yet_registered():
+def test_round32_registered_in_round11():
+    """The registration footer flipped live in round 11: every staged
+    entry is in the catalog, IS the same object (no divergent copy),
+    and the batch kept its size."""
     from ravelytics_spark.plans.queries import REGISTRY
 
-    leaked = set(STAGED) & set(REGISTRY)
-    assert not leaked, f"staged entries registered early: {leaked}"
     assert len(STAGED) == 15
+    for name, entry in STAGED.items():
+        assert REGISTRY.get(name) is entry, name
 
 
-def test_round11_window_tops_off_at_fifty():
-    """The staging arithmetic this batch exists for: 14 round-31 +
-    15 round-32 uncertified oracle entries + the 21 harness re-runs
-    == exactly the driver's 50-entry round-11 window."""
+def test_round11_window_arithmetic():
+    """The staging arithmetic this batch exists for: 14 round-31 + 15
+    round-32 uncertified oracle entries + the 21 harness entries would
+    have filled the driver's 50-entry round-11 window exactly; the 4
+    round-33 portable twins (registered live in round 11 so they
+    certify THIS round, per the r10 verdict's item #2) push the 4
+    freshest-recorded harness entries (all re-recorded in r10) out of
+    the tail — the window stays 50 with 33 oracle + 17 harness."""
     from ravelytics_spark.plans.queries import REGISTRY
     from ravelytics_spark.plans.round31_staged import STAGED as S31
 
