@@ -127,6 +127,12 @@ HEADLINE = [
     # dimension-redundancy audit.
     "x326_state_ttl_projection",
     "x339_dim_redundancy",
+    # round-33 portable ANN twins (registered live in round 11): the
+    # map-only centroid-argmin IVF and the PQ encode+ADC scan — both
+    # certify the serving-path math the production similarity.py
+    # operators run, so their steady-state cost belongs on the board.
+    "x342_ivf_portable",
+    "x343_pq_portable",
 ]
 
 

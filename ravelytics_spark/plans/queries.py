@@ -849,3 +849,10 @@ from ravelytics_spark.plans import round30_staged as _round30  # noqa: E402,F401
 # at import — catalog 421 -> 450.
 from ravelytics_spark.plans import round31_staged as _round31  # noqa: E402,F401
 from ravelytics_spark.plans import round32_staged as _round32  # noqa: E402,F401
+
+# Round-33 entries (x342-x344) registered LIVE in round 11: portable
+# oracle twins for the harness-only entries the x96-x99/x105 twin set
+# leaves uncovered (data-derived IVF centroids / PQ codebooks, the HLL
+# day->month merge route), registered un-staged so they certify in the
+# round-11 window (r10 verdict item #2) — catalog 450 -> 453.
+from ravelytics_spark.plans import round33 as _round33  # noqa: E402,F401

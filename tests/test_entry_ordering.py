@@ -363,3 +363,66 @@ def test_round10_pin_survives_round_close(tmp_path, monkeypatch):
             names.index(n) for n in _R10_HARNESS_RERUNS
         )
     sys.modules.pop("_entry_under_test", None)
+
+
+# The round-11 certification-window pin — same self-retiring contract
+# as the round-9/round-10 pins above. Window arithmetic source of
+# truth: COVERAGE.md 'Certification window'.
+_R11_CORRECTNESS = "/root/repo/CORRECTNESS_r11.json"
+
+
+def _round11_expected_backlog():
+    """The 32 uncertified oracle entries of round 11: the round-31 and
+    round-32 staged batches plus the 3 round-33 portable twins, driver
+    (registration) order."""
+    import importlib
+
+    names = []
+    for m in ("round31_staged", "round32_staged"):
+        mod = importlib.import_module(f"ravelytics_spark.plans.{m}")
+        names += [n for n, q in mod.STAGED.items() if q.oracle is not None]
+    names += ["x342_ivf_portable", "x343_pq_portable", "x344_hll_portable"]
+    return names
+
+
+def test_round11_window_contents_pinned():
+    """Round-11 state: the 29 round-31/32 registrations + 3 round-33
+    twins lead; the remaining 18 slots go to harness re-runs
+    stalest-first (the 8 r09-recorded entries, then 10 of the 13
+    r10-recorded ones — the 3 freshest-by-registration drop out, all
+    holding fresh r10 records)."""
+    import os
+
+    mod = _load_entry()
+    from ravelytics_spark.plans.queries import REGISTRY
+
+    names = mod._ordered_names()
+    cert = mod._certified_names()
+    expected = _round11_expected_backlog()
+    assert len(expected) == 32
+
+    if os.path.exists(_R11_CORRECTNESS):
+        # round closed: certification must have succeeded for the
+        # oracle batch
+        missing = [n for n in expected if n not in cert]
+        assert not missing, (
+            f"round-11 window entries not certified after "
+            f"CORRECTNESS_r11.json landed: {missing}"
+        )
+        return
+
+    uncertified_oracle = [
+        n for n in names if REGISTRY[n].oracle is not None and n not in cert
+    ]
+    assert uncertified_oracle == expected, (
+        "the round-11 uncertified-oracle backlog drifted — if new "
+        "entries were registered this round, extend the pin"
+    )
+    window = names[:50]
+    assert window[:32] == expected
+    # tail: 18 harness entries, r09-recorded before r10-recorded
+    _c, last_seen = mod._correctness_records()
+    tail = window[32:]
+    assert all(REGISTRY[n].oracle is None for n in tail)
+    tags = [last_seen[n] for n in tail]
+    assert tags == sorted(tags)

@@ -52,11 +52,11 @@ def test_round32_registered_in_round11():
 def test_round11_window_arithmetic():
     """The staging arithmetic this batch exists for: 14 round-31 + 15
     round-32 uncertified oracle entries + the 21 harness entries would
-    have filled the driver's 50-entry round-11 window exactly; the 4
+    have filled the driver's 50-entry round-11 window exactly; the 3
     round-33 portable twins (registered live in round 11 so they
-    certify THIS round, per the r10 verdict's item #2) push the 4
+    certify THIS round, per the r10 verdict's item #2) push the 3
     freshest-recorded harness entries (all re-recorded in r10) out of
-    the tail — the window stays 50 with 33 oracle + 17 harness."""
+    the tail — the window stays 50 with 32 oracle + 18 harness."""
     from ravelytics_spark.plans.queries import REGISTRY
     from ravelytics_spark.plans.round31_staged import STAGED as S31
 
