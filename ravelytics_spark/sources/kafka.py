@@ -140,3 +140,95 @@ def parse_artists_wire(kafka_df: DataFrame, key_in_value: bool = False) -> DataF
         for f in ARTISTS_WIRE_SCHEMA.fields
     ]
     return parsed.select(*cols)
+
+
+class WireProducer(Protocol):
+    """The slice of a Kafka producer that delivery accounting needs
+    (confluent_kafka.Producer shape: produce with a delivery callback,
+    flush returning the count still undelivered)."""
+
+    def produce(
+        self, topic: str, value: bytes, key: bytes | None = None, callback=None
+    ) -> None: ...  # pragma: no cover - protocol
+
+    def flush(self, timeout: float) -> int: ...  # pragma: no cover - protocol
+
+
+def produce_records(
+    producer: WireProducer,
+    records: list[tuple[bytes | None, bytes]],
+    topic: str,
+    flush_timeout: float = 10.0,
+    max_retries: int = 0,
+) -> dict:
+    """Driver-side produce with the reference's delivery-callback
+    accounting and fail-on-error contract
+    (spotify_metadata_to_kafka.py:52-70: count deliveries via callback,
+    flush, raise RuntimeError listing the first 3 errors), hardened on
+    the two paths the reference leaves silent:
+
+    - **partial flush**: the reference ignores ``flush``'s return value,
+      so messages still queued after the timeout are neither counted
+      delivered nor raised — a silent undercount. Here any pending
+      count > 0 after the final flush raises, and the pending number is
+      part of the accounting.
+    - **retry accounting**: transient per-message failures can be
+      retried up to ``max_retries`` full passes; every attempt is
+      counted (``attempts``), and only messages that fail their final
+      attempt raise. The reference's implicit librdkafka retries are
+      invisible to its counter; this makes them auditable.
+
+    ``records`` are (key, value) byte pairs — the wire layout
+    ``to_kafka_records`` produces. Returns the accounting dict
+    ``{"delivered": n, "attempts": n, "retried": n}`` on full success.
+    This is the DAG-task analog for bounded driver-side batches (the
+    reference produces one fetched playlist page per run); the
+    distributed path stays ``write_batch`` (the Spark connector owns
+    delivery accounting there).
+    """
+    delivered = 0
+    attempts = 0
+    retried = 0
+    pending = list(records)
+    last_errors: list[str] = []
+    for attempt in range(max_retries + 1):
+        failed: list[tuple[bytes | None, bytes]] = []
+        errors: list[str] = []
+
+        def _cb(err, rec):
+            nonlocal delivered
+            if err is None:
+                delivered += 1
+            else:
+                errors.append(str(err))
+                failed.append(rec)
+
+        for rec in pending:
+            key, value = rec
+            attempts += 1
+            producer.produce(
+                topic,
+                value,
+                key=key,
+                callback=(lambda err, msg, rec=rec: _cb(err, rec)),
+            )
+        still_queued = producer.flush(flush_timeout)
+        if still_queued:
+            raise RuntimeError(
+                f"Kafka flush timeout: {still_queued} message(s) still "
+                f"undelivered after {flush_timeout}s (delivered "
+                f"{delivered}, failed {len(failed)})"
+            )
+        last_errors = errors
+        if not failed:
+            return {
+                "delivered": delivered,
+                "attempts": attempts,
+                "retried": retried,
+            }
+        retried += len(failed)
+        pending = failed
+    raise RuntimeError(
+        f"Kafka delivery errors after {max_retries + 1} attempt(s) "
+        f"({len(pending)} message(s) undeliverable): {last_errors[:3]}"
+    )
