@@ -1,0 +1,301 @@
+"""Oracle-comparison + semantic tests for the round-34 STAGED batch
+(x345-x355, registration deferred to round 12): warehouse
+data-engineering mechanics (z-order keys, compaction planning,
+weighted sampling, RI scorecard, incremental dedup, split+leakage)
+plus the nonparametric test tier (Mann-Kendall, Kruskal-Wallis,
+Wilcoxon signed-rank, Kendall tau, doc repetition)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ravelytics_spark.plans.round34_staged import (
+    _COMPACT_TARGET,
+    STAGED,
+)
+from ravelytics_spark.sources.tables import load_table
+from ravelytics_spark.testing import compare, duckdb_connection
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+
+@pytest.mark.parametrize("name", sorted(STAGED))
+@pytest.mark.parametrize("sf_dir", SFS)
+def test_round34_staged_matches_oracle(spark, name, sf_dir):
+    entry = STAGED[name]
+    assert entry.oracle is not None
+    con = duckdb_connection(sf_dir)
+    problems = compare(
+        entry.spark(spark, sf_dir),
+        con,
+        entry.oracle,
+        name,
+        strict_row_order=True,
+    )
+    assert not problems, problems
+
+
+def test_round34_not_yet_registered():
+    from ravelytics_spark.plans.queries import REGISTRY
+
+    leaked = set(STAGED) & set(REGISTRY)
+    assert not leaked, f"staged entries registered early: {leaked}"
+    assert len(STAGED) == 11
+
+
+# ---------------------------------------------------------------------------
+# Semantic properties the oracle twin cannot express
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_blocks_are_tighter_than_one_dim_sort(spark):
+    """The point of z-ordering: block envelopes bound BOTH dims. Every
+    block's envelope area is a small fraction of the full domain, and
+    block count stays bounded at 64 (16-bit key / 1024)."""
+    rows = STAGED["x345_zorder_keys"].spark(spark, SFS[1]).collect()
+    assert 1 <= len(rows) <= 64
+    domain = 256 * 256
+    total_envelope = sum(
+        (r.a_max - r.a_min + 1) * (r.b_max - r.b_min + 1) for r in rows
+    )
+    # envelopes cover far less than |blocks| x full-domain: each block
+    # is a 32x32 z-square (1024 keys), so the bound is 1024 per block
+    for r in rows:
+        assert (r.a_max - r.a_min + 1) * (r.b_max - r.b_min + 1) <= 1024
+    assert total_envelope <= len(rows) * 1024 < domain * len(rows)
+
+
+def test_compaction_bins_hit_target_size(spark):
+    """Every bin except the last per source lands in
+    [target, target + max_file): the property that makes the plan a
+    compaction (no undersized bins mid-partition), plus conservation
+    of files and bytes."""
+    sf = SFS[1]
+    rows = STAGED["x346_compaction_plan"].spark(spark, sf).collect()
+    docs = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("n_chars").isNotNull())
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("bytes"),
+            F.max("n_chars").alias("mx"),
+        )
+        .collect()[0]
+    )
+    assert sum(r.n_files for r in rows) == docs.n
+    assert sum(r.bytes for r in rows) == docs.bytes
+    by_source: dict = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for source, bins in by_source.items():
+        bins.sort(key=lambda r: r.bin)
+        for r in bins[:-1]:
+            assert _COMPACT_TARGET <= r.bytes < _COMPACT_TARGET + docs.mx, (
+                source,
+                r.bin,
+                r.bytes,
+            )
+
+
+def test_weighted_sample_biases_toward_heavy_docs(spark):
+    """Selection probability rises with weight: the kept set's mean
+    n_chars exceeds the corpus mean (priority = h/w shrinks with w)."""
+    sf = SFS[1]
+    kept = STAGED["x351_weighted_sample"].spark(spark, sf).collect()
+    corpus_mean = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("n_chars") > 0)
+        .agg(F.avg("n_chars"))
+        .collect()[0][0]
+    )
+    kept_mean = sum(r.n_chars for r in kept) / len(kept)
+    assert kept_mean > corpus_mean
+    # rerun-stability: the selection is a pure function of the keys
+    again = STAGED["x351_weighted_sample"].spark(spark, sf).collect()
+    assert [r.doc_id for r in kept] == [r.doc_id for r in again]
+
+
+def test_ri_scorecard_flags_planted_orphans(spark, tmp_path):
+    """On a corpus with planted orphan keys the probe counts them; on
+    the shipped data all three probes certify zero."""
+    sf = SFS[0]
+    clean = {
+        r.fk: r for r in STAGED["x354_ri_scorecard"].spark(spark, sf).collect()
+    }
+    assert all(r.n_orphans == 0 for r in clean.values())
+    # plant: copy tables, add 2 lineitem rows with an unknown orderkey
+    out = str(tmp_path / "planted")
+    for t in ["lineitem", "orders", "customer", "part"]:
+        df = load_table(spark, sf, t)
+        if t == "lineitem":
+            extra = df.limit(2).withColumn(
+                "l_orderkey", F.lit(999_999_999).cast(df.schema["l_orderkey"].dataType)
+            )
+            df = df.unionByName(extra)
+        df.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    planted = {
+        r.fk: r
+        for r in STAGED["x354_ri_scorecard"].spark(spark, out).collect()
+    }
+    assert planted["lineitem->orders"].n_orphans == 2
+    assert planted["lineitem->part"].n_orphans == 0
+    assert planted["orders->customer"].n_orphans == 0
+
+
+def test_incremental_dedup_matches_full_dedup_on_the_batch(spark):
+    """The incremental contract: kept-new == (full-corpus keep-min
+    winners that happen to fall in the new generation AND whose hash
+    is absent from the old generation). Verified against a direct
+    full recomputation."""
+    sf = SFS[1]
+    kept = {
+        r.doc_id
+        for r in STAGED["x355_incremental_dedup"].spark(spark, sf).collect()
+    }
+    d = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    g = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":gen"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(10),
+    )
+    rows = d.select("doc_id", F.md5("text").alias("h"), g.alias("g")).collect()
+    old_hashes = {r.h for r in rows if r.g < 7}
+    batch = [r for r in rows if r.g >= 7]
+    expect: dict = {}
+    for r in batch:
+        if r.h in old_hashes:
+            continue
+        if r.h not in expect or r.doc_id < expect[r.h]:
+            expect[r.h] = r.doc_id
+    assert kept == set(expect.values())
+    assert kept  # the 30% batch is non-trivial on shipped data
+
+
+def test_split_fractions_and_leakage_bounds(spark):
+    """Split fractions concentrate near 80/10/10 and leakage is
+    bounded by the total near-dup pair count."""
+    sf = SFS[1]
+    row = STAGED["x352_split_leakage"].spark(spark, sf).collect()[0]
+    n = row.n_train + row.n_val + row.n_test
+    assert abs(row.n_train / n - 0.8) < 0.05
+    assert abs(row.n_val / n - 0.1) < 0.04
+    assert abs(row.n_test / n - 0.1) < 0.04
+    from ravelytics_spark.plans.round19 import portable_minhash_pairs
+
+    total_pairs = portable_minhash_pairs(
+        spark, load_table(spark, sf, "documents")
+    ).count()
+    assert 0 <= row.leak_pairs <= total_pairs
+
+
+def test_mann_kendall_detects_planted_trend(spark, tmp_path):
+    """A strictly increasing monthly series drives S to its maximum
+    n(n-1)/2 and z far positive; the shipped corpus (flat by
+    construction) stays near zero."""
+    sf = SFS[1]
+    base = STAGED["x347_mann_kendall"].spark(spark, sf).collect()[0]
+    assert abs(base.s) < base.n * (base.n - 1) // 2
+    # planted: month m gets m orders (strict up-trend)
+    out = str(tmp_path / "trend")
+    o = load_table(spark, sf, "orders")
+    ym = F.date_format("o_orderdate", "yyyyMM")
+    ranked = o.select(
+        "o_orderkey", "o_orderdate", "o_totalprice", "o_custkey",
+        "o_orderpriority", "o_orderstatus",
+        F.dense_rank().over(Window.orderBy(ym)).alias("mrank"),
+        F.row_number().over(
+            Window.partitionBy(ym).orderBy("o_orderkey")
+        ).alias("rn"),
+    )
+    planted = ranked.filter(F.col("rn") <= F.col("mrank")).drop("mrank", "rn")
+    planted.write.mode("overwrite").parquet(f"{out}/orders.parquet")
+    # expected S recomputed directly from the planted per-month counts
+    # (a thin final month can hold fewer rows than its rank, so the
+    # series is increasing but not necessarily STRICTLY at the edge)
+    counts = [
+        r["c"]
+        for r in planted.groupBy(
+            F.date_format("o_orderdate", "yyyyMM").alias("m")
+        )
+        .agg(F.count("*").alias("c"))
+        .orderBy("m")
+        .collect()
+    ]
+    expect_s = sum(
+        (cj > ci) - (cj < ci)
+        for i, ci in enumerate(counts)
+        for cj in counts[i + 1 :]
+    )
+    trend = STAGED["x347_mann_kendall"].spark(spark, out).collect()[0]
+    assert trend.s == expect_s
+    assert trend.s > 0.9 * trend.n * (trend.n - 1) // 2
+    assert trend.z_milli > 5000  # way past any significance bar
+
+
+def test_kruskal_wallis_rank_identities(spark):
+    """Exact-rank identities: the doubled rank sums over all groups
+    equal N(N+1) (sum of all doubled ranks), and H is near zero on the
+    shipped data (priorities are assigned independently of price)."""
+    row = STAGED["x348_kruskal_wallis"].spark(spark, SFS[1]).collect()[0]
+    groups = ["urgent", "high", "medium", "notspec", "low"]
+    assert sum(row[f"n_{g}"] for g in groups) == row.n
+    assert sum(row[f"r2_{g}"] for g in groups) == row.n * (row.n + 1)
+    # 5 groups -> chi2(4); anything under ~9.49 is 'no effect' at 5%
+    assert row.h_milli is not None and row.h_milli < 9_490
+
+
+def test_wilcoxon_rank_identities(spark):
+    """W2+ is bounded by the total doubled rank mass n(n+1), and the
+    shipped data's first->second deltas are near-symmetric (|z| small
+    relative to a planted one-sided shift)."""
+    row = STAGED["x349_wilcoxon_signed_rank"].spark(spark, SFS[1]).collect()[0]
+    assert 0 <= row.w2p <= row.n * (row.n + 1)
+    assert row.var12 > 0
+    assert abs(row.z_milli) < 10_000
+
+
+def test_kendall_tau_agrees_with_spearman_sign(spark):
+    """tau and the count-revenue association share a sign and tau is
+    strongly positive: monthly revenue rises with monthly order count
+    mechanically."""
+    row = STAGED["x350_kendall_tau"].spark(spark, SFS[1]).collect()[0]
+    assert row.nc + row.nd <= row.n0
+    assert row.tau_milli > 500  # strong positive association
+
+
+def test_doc_repetition_flags_planted_loop(spark, tmp_path):
+    """A document that is one sentence repeated 50 times scores near
+    10^6 ppm on both signals; normal docs sit far lower."""
+    sf = SFS[0]
+    base = STAGED["x353_doc_repetition"].spark(spark, sf)
+    base_max = base.agg(F.max("dup5_ppm")).collect()[0][0]
+    out = str(tmp_path / "looped")
+    d = load_table(spark, sf, "documents")
+    loop_text = " ".join(["the quick brown fox jumps"] * 50)
+    planted = d.limit(1).select(
+        F.lit(999_999).cast("long").alias("doc_id"),
+        F.lit(loop_text).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("planted").alias("source"),
+        F.length(F.lit(loop_text)).cast("long").alias("n_chars"),
+    )
+    d.unionByName(planted).write.mode("overwrite").parquet(
+        f"{out}/documents.parquet"
+    )
+    rows = {
+        r.doc_id: r
+        for r in STAGED["x353_doc_repetition"].spark(spark, out).collect()
+    }
+    loop = rows[999_999]
+    assert loop.dup_token_ppm > 950_000
+    assert loop.dup5_ppm > 950_000
+    assert loop.dup5_ppm > base_max
