@@ -7,6 +7,10 @@ so this batch targets the ROUND-12 window — built, oracle-twinned and
 pytest-tested now, registered when its window opens. The
 round-23..33 staging contract, one round further ahead.
 
+Batch: 10 entries (x345-x353 + x355; an eleventh, an RI scorecard,
+was built and then dropped pre-commit as a duplicate of the already-
+certified x181_fk_integrity).
+
 Theme: warehouse data-engineering mechanics (the layer every 100 TB
 deployment runs between queries) plus the nonparametric test tier the
 x168/x169/x155 entries started:
@@ -33,12 +37,6 @@ x168/x169/x155 entries started:
   across engines, partitionings and reruns — the weighted companion
   of x99's uniform hash membership. Selection itself is
   hash-certified.
-* ``x354_ri_scorecard`` — referential-integrity scorecard in one
-  result: orphan counts + ppm for lineitem->orders,
-  orders->customer, lineitem->part (left-anti probes). The
-  cross-table data-quality gate a warehouse runs after every load;
-  scale shape is three independent anti-joins, each broadcastable on
-  its dim side at real scale.
 * ``x355_incremental_dedup`` — the append-only dedup contract: a
   deterministic hash split carves the corpus into an already-ingested
   generation and a new batch; the new batch dedups against (corpus +
@@ -305,104 +303,6 @@ def x351_weighted_sample(spark, sf_dir):
             .alias("priority_micro"),
         )
     )
-
-
-# ---------------------------------------------------------------------------
-# x354 — referential-integrity scorecard (orphan probes)
-# ---------------------------------------------------------------------------
-
-_RI_ORACLE = """
-WITH probes AS (
-    SELECT 'lineitem->orders' AS fk,
-           (SELECT count(*) FROM lineitem) AS n_rows,
-           (SELECT count(*) FROM lineitem
-            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
-                                     WHERE o_orderkey IS NOT NULL)) AS n_orphans
-    UNION ALL
-    SELECT 'lineitem->part',
-           (SELECT count(*) FROM lineitem),
-           (SELECT count(*) FROM lineitem
-            WHERE l_partkey NOT IN (SELECT p_partkey FROM part
-                                    WHERE p_partkey IS NOT NULL))
-    UNION ALL
-    SELECT 'orders->customer',
-           (SELECT count(*) FROM orders),
-           (SELECT count(*) FROM orders
-            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
-                                    WHERE c_custkey IS NOT NULL))
-)
-SELECT fk, CAST(n_rows AS BIGINT) AS n_rows,
-       CAST(n_orphans AS BIGINT) AS n_orphans,
-       CAST(CASE WHEN n_rows > 0
-                 THEN n_orphans * 1000000 // n_rows ELSE 0 END AS BIGINT)
-           AS orphan_ppm
-FROM probes ORDER BY fk
-"""
-
-
-@_staged(
-    "x354_ri_scorecard",
-    "OP-J4-ext",
-    "Referential-integrity scorecard: orphan row counts + ppm for the "
-    "three warehouse foreign keys (lineitem->orders, lineitem->part, "
-    "orders->customer) as LEFT ANTI probes, one result. The "
-    "post-load data-quality gate every warehouse runs; on the shipped "
-    "TPC-H-shaped data all three rows certify 0 orphans, and the "
-    "entry's empty/violation behavior is property-tested on planted "
-    "orphans. Plan: three independent anti-joins (each "
-    "dim side broadcastable at real scale — customer/part are the "
-    "small sides; lineitem->orders rides AQE sort-merge), counts "
-    "map-side combined, 3-row output. 100 TB: runs as three parallel "
-    "probe jobs touching only the key columns (column pruning reaches "
-    "every scan).",
-    _RI_ORACLE,
-)
-def x354_ri_scorecard(spark, sf_dir):
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    p = load_table(spark, sf_dir, "part")
-
-    def probe(fact, key, dim, dim_key, fk):
-        n = fact.select(key)
-        dimk = (
-            dim.select(F.col(dim_key).alias(key))
-            .filter(F.col(key).isNotNull())
-            .distinct()
-        )
-        # NULL fact keys are excluded from the orphan probe (the
-        # oracle's NOT IN yields NULL for them — excluded — while a
-        # bare anti-join would KEEP them; they still count in n_rows)
-        orphans = n.filter(F.col(key).isNotNull()).join(
-            dimk, key, "left_anti"
-        )
-        return (
-            n.agg(F.count("*").cast("long").alias("n_rows"))
-            .crossJoin(
-                orphans.agg(
-                    F.count("*").cast("long").alias("n_orphans")
-                )
-            )
-            .select(
-                F.lit(fk).alias("fk"),
-                "n_rows",
-                "n_orphans",
-                F.when(
-                    F.col("n_rows") > 0,
-                    F.expr("n_orphans * 1000000 DIV n_rows"),
-                )
-                .otherwise(F.lit(0))
-                .cast("long")
-                .alias("orphan_ppm"),
-            )
-        )
-
-    out = (
-        probe(li, "l_orderkey", o, "o_orderkey", "lineitem->orders")
-        .unionAll(probe(li, "l_partkey", p, "p_partkey", "lineitem->part"))
-        .unionAll(probe(o, "o_custkey", c, "c_custkey", "orders->customer"))
-    )
-    return out.orderBy("fk")
 
 
 # ---------------------------------------------------------------------------

@@ -21,7 +21,15 @@ SF_ORACLE = os.environ.get("RAVELYTICS_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="ravelytics_tests", master="local[8]", shuffle_partitions=8)
+    # RAVELYTICS_TEST_CPUS lets scripts/run_suite.py split the box
+    # across parallel pytest workers (each worker gets 32/N threads);
+    # a plain `pytest tests/` keeps the historical local[8].
+    cpus = int(os.environ.get("RAVELYTICS_TEST_CPUS", "8"))
+    s = get_spark(
+        app_name="ravelytics_tests",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
     s.sparkContext.setLogLevel("ERROR")
     yield s
 
