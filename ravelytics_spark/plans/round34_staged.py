@@ -799,13 +799,14 @@ agg AS (
                 AS BIGINT) AS tie3
     FROM rk
 )
-SELECT n, w2p,
-       CAST(2 * n * (n + 1) * (2 * n + 1) - tie3 AS BIGINT) AS var12,
-       CAST(CASE WHEN 2 * n * (n + 1) * (2 * n + 1) - tie3 > 0
+SELECT n, w2p, CAST(tie3 AS BIGINT) AS tie3,
+       CAST(CASE WHEN 2.0 * CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)
+                      * CAST(2 * n + 1 AS DOUBLE) - CAST(tie3 AS DOUBLE) > 0.0
             THEN floor(1000.0
                  * CAST(w2p - n * (n + 1) // 2 AS DOUBLE)
-                 / sqrt(CAST(2 * n * (n + 1) * (2 * n + 1) - tie3
-                             AS DOUBLE) / 12.0))
+                 / sqrt((2.0 * CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)
+                         * CAST(2 * n + 1 AS DOUBLE)
+                         - CAST(tie3 AS DOUBLE)) / 12.0))
             END AS BIGINT) AS z_milli
 FROM agg
 """
@@ -898,17 +899,25 @@ def x349_wilcoxon_signed_rank(spark, sf_dir):
         .cast("long")
         .alias("tie3"),
     )
-    var12 = F.expr("2 * n * (n + 1) * (2 * n + 1) - tie3")
+    # the 12*Var product 2n(n+1)(2n+1) overflows BIGINT past n ~ 1.3M
+    # (the 100x sweep caught it pre-registration), so the variance
+    # chain runs in DOUBLE with a pinned op order — every *, -, /,
+    # sqrt is correctly rounded, so both engines land on the same
+    # bits; tie3 stays an exact BIGINT output
+    var12d = F.expr(
+        "2.0 * CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)"
+        " * CAST(2 * n + 1 AS DOUBLE) - CAST(tie3 AS DOUBLE)"
+    )
     return agg.select(
         "n",
         "w2p",
-        var12.cast("long").alias("var12"),
+        F.col("tie3").cast("long").alias("tie3"),
         F.when(
-            var12 > 0,
+            var12d > 0.0,
             F.floor(
                 F.lit(1000.0)
                 * (F.col("w2p") - F.expr("n * (n + 1) DIV 2")).cast("double")
-                / F.sqrt(var12.cast("double") / F.lit(12.0))
+                / F.sqrt(var12d / F.lit(12.0))
             ),
         )
         .cast("long")

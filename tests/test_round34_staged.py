@@ -232,7 +232,7 @@ def test_wilcoxon_rank_identities(spark):
     relative to a planted one-sided shift)."""
     row = STAGED["x349_wilcoxon_signed_rank"].spark(spark, SFS[1]).collect()[0]
     assert 0 <= row.w2p <= row.n * (row.n + 1)
-    assert row.var12 > 0
+    assert row.tie3 >= 0
     assert abs(row.z_milli) < 10_000
 
 
