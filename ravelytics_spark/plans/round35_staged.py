@@ -13,16 +13,17 @@ decide how to touch it — plus two analytics closers:
   false positives and the measured FPR in ppm. This is the runtime-
   filter / semi-join-pushdown primitive (Spark's own
   spark.sql.optimizer.runtimeFilter.bloomFilter) with its mathematics
-  hash-certified end to end — build, probe and error rate. The fill
-  ratio is an output, so the m-vs-n sizing story is visible, not
-  assumed.
+  hash-certified end to end — build, probe and error rate
+  (x42_bloom_prune_join certifies the soundness side by join
+  equality; this one measures precision). The fill ratio is an
+  output, so the m-vs-n sizing story is visible, not assumed.
 * ``x357_file_skipping`` — min/max-statistics file pruning measured:
   documents chunked into 100-row 'files' under two layouts (natural
   doc_id order vs sorted by n_chars), a literal n_chars range
   predicate, and per-layout files_total / files_touched. Certifies
   the planner arithmetic behind every parquet row-group skip and
-  QUANTIFIES why sort order is a pruning decision, complementing
-  x345's 2-D z-order envelopes with the 1-D comparison.
+  QUANTIFIES why sort order is a pruning decision (x41_zorder_layout
+  holds the 2-D Morton bucket-stats side).
 * ``x358_wasserstein_w1`` — exact-integer 1-D Wasserstein-1 (earth-
   mover) distance between BUILDING-segment and other customers' order
   values on a $100 grid: W1 = sum over grid gaps of
@@ -136,7 +137,9 @@ SELECT CAST((SELECT count(*) FROM members) AS BIGINT) AS n_members,
     "and the measured FPR in ppm (Bloom 1970, public method; Spark's "
     "runtimeFilter.bloomFilter and every semi-join pushdown run this "
     "construction). The fill ratio is visible in bits_set/m, so the "
-    "m-vs-n sizing tradeoff is measured, not assumed. Plan: member "
+    "m-vs-n sizing tradeoff is measured, not assumed — the "
+    "PRECISION side of x42_bloom_prune_join, which certifies "
+    "soundness (no dropped matches) by join equality. Plan: member "
     "agg -> 1024-word bit_or (bounded), broadcast to a map-side "
     "3-lookup probe, scalar counts. 100 TB: the word table is ~8 KB "
     "regardless of corpus size — exactly why Bloom prefilters are "
@@ -282,8 +285,10 @@ ORDER BY layout
     "data-skipping decision runs — and the sorted row quantifies why "
     "layout is a pruning decision (touched files collapse to the "
     "range's quantile span, vs nearly all files under natural "
-    "order). Complements x345's 2-D z-order envelopes with the 1-D "
-    "comparison. Plan: two rank windows + two bounded per-file aggs; "
+    "order). Complements x41_zorder_layout: x41 builds the 2-D "
+    "Morton bucket stats, this MEASURES files_touched for a "
+    "predicate under competing 1-D layouts. "
+    "Plan: two rank windows + two bounded per-file aggs; "
     "at 100 TB the window becomes the write-path sort the layout "
     "already pays.",
     _FS_ORACLE,
