@@ -268,9 +268,11 @@ FROM agg
     "Wilcoxon signed-rank test on each repeat customer's first->second "
     "order spend delta: zero deltas dropped per the estimator, |d| "
     "ranks kept exact as doubled integers, W+ as the doubled BIGINT "
-    "rank sum over positive deltas, tie-corrected variance as the "
-    "exact integer 12*Var, continuity-free z through one shared IEEE "
-    "chain in milli (Wilcoxon 1945, public method). The PAIRED "
+    "rank sum over positive deltas, the exact BIGINT tie term "
+    "emitted, and the tie-corrected variance + z through a "
+    "pinned-order double chain in milli (the exact-integer 12*Var "
+    "form overflowed BIGINT at the 100x sweep; Wilcoxon 1945, public "
+    "method). The PAIRED "
     "location test the independent-sample x168/x271 tier cannot "
     "express — 'do customers spend more on their second order' with "
     "each customer as their own control. Plan: one per-customer "
