@@ -338,7 +338,6 @@ def x343_pq_portable(spark, sf_dir):
         sl = d // _PQ_NSUB
         if sl == 0:
             return _empty_ann(e)
-        width = sl * _PQ_NSUB  # dims beyond the subspace grid are unused
         probe = cents[0][1]
 
         # driver-side ADC lookup: exact probe->entry distance per
@@ -379,12 +378,13 @@ def x343_pq_portable(spark, sf_dir):
             .orderBy("ad2", "vec_id")
             .limit(_PQ_SHORTLIST)
         )
+        # exact re-rank over ALL d dims (full f3 vs full probe, the
+        # x342 form) — the oracle's rr CTE joins fx on every i, so a
+        # width-sliced re-rank would diverge whenever d % 8 != 0
         return (
             shortlist.select(
                 F.col("vec_id").cast("long").alias("vec_id"),
-                _d2_to_lits(F.slice(F.col("f3"), 1, width), probe[:width])
-                .cast("long")
-                .alias("d2"),
+                _d2_to_lits(F.col("f3"), probe).cast("long").alias("d2"),
             )
             .orderBy("d2", "vec_id")
             .limit(10)

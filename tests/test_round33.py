@@ -140,3 +140,57 @@ def test_hll_registers_merge_invariant(spark):
     a = REGISTRY["x344_hll_portable"].spark(spark, sf)
     b = a.repartition(3)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# ---------------------------------------------------------------------------
+# non-multiple-of-8 width: the re-rank domain must be ALL d dims
+# ---------------------------------------------------------------------------
+
+
+def _odd_width_corpus(tmp_path):
+    """A 40-vector corpus of width 60 (60 % 8 == 4): the PQ subspace
+    grid covers only 56 dims, so any re-rank that slices to the grid
+    width diverges from the oracle's full-width rr CTE. Values are
+    multiples of 0.25 — exact in float32 AND at 3-dp fixed point, so
+    the decimal(9,3) chain is bit-identical across engines."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n, d = 40, 60
+    vecs = [
+        [((i * 7 + j * 13) % 41) * 0.25 for j in range(d)] for i in range(n)
+    ]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([i % 5 for i in range(n)], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE OR REPLACE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", ["x342_ivf_portable", "x343_pq_portable"])
+def test_ann_twins_survive_non_multiple_of_8_width(spark, tmp_path, name):
+    """Regression for the round-11 ADVICE finding: x343's exact re-rank
+    sliced f3 to (d//8)*8 dims while the oracle re-ranked over all d —
+    hash parity held only because shipped embeddings are width 64. Both
+    twins must now agree with their oracles on a width-60 corpus."""
+    con = _odd_width_corpus(tmp_path)
+    entry = REGISTRY[name]
+    problems = compare(
+        entry.spark(spark, str(tmp_path)),
+        con,
+        entry.oracle,
+        name,
+        strict_row_order=True,
+    )
+    assert not problems, problems
