@@ -79,11 +79,16 @@ def _correctness_records() -> tuple[frozenset[str], dict[str, int]]:
         try:
             rnum = int(tag.lstrip("r"))
         except ValueError:
-            continue
+            # unexpected filename (e.g. CORRECTNESS_rfinal.json): its
+            # hash certifications still count — skipping the whole file
+            # would silently DE-certify entries and reshuffle the
+            # window (round-11 ADVICE). Only the last_seen ordering
+            # update needs a parsable round number.
+            rnum = None
         for name, rec in data.items():
             if not isinstance(rec, dict):
                 continue
-            if rnum > last_seen.get(name, 0):
+            if rnum is not None and rnum > last_seen.get(name, 0):
                 last_seen[name] = rnum
             if (
                 rec.get("rows_match")

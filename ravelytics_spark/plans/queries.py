@@ -856,3 +856,10 @@ from ravelytics_spark.plans import round32_staged as _round32  # noqa: E402,F401
 # day->month merge route), registered un-staged so they certify in the
 # round-11 window (r10 verdict item #2) — catalog 450 -> 453.
 from ravelytics_spark.plans import round33 as _round33  # noqa: E402,F401
+
+# Round-34/35 entries (x345-x349, x350-x354 + x355) were STAGED in
+# round 11 (the round-11 window was exactly full: 32 uncertified
+# oracle entries + 18 harness re-runs); their round-12 footers
+# register both batches at import — catalog 453 -> 463.
+from ravelytics_spark.plans import round34_staged as _round34  # noqa: E402,F401
+from ravelytics_spark.plans import round35_staged as _round35  # noqa: E402,F401

@@ -587,10 +587,10 @@ def x352_split_leakage(spark, sf_dir):
     return cnt.crossJoin(F.broadcast(leak))
 
 
-# --- round-12 registration footer (commented until round 12) ---
+# --- round-12 registration footer (flipped in round 12) ---
 # These two lines register the whole batch into the live catalog; they
 # must stay below the final @_staged definition so every entry is in
 # STAGED before the update (the round-25 footer-placement lesson).
-# from ravelytics_spark.plans.registry import REGISTRY as _REGISTRY
-#
-# _REGISTRY.update(STAGED)
+from ravelytics_spark.plans.registry import REGISTRY as _REGISTRY
+
+_REGISTRY.update(STAGED)

@@ -288,9 +288,12 @@ ORDER BY layout
     "order). Complements x41_zorder_layout: x41 builds the 2-D "
     "Morton bucket stats, this MEASURES files_touched for a "
     "predicate under competing 1-D layouts. "
-    "Plan: two rank windows + two bounded per-file aggs; "
-    "at 100 TB the window becomes the write-path sort the layout "
-    "already pays.",
+    "Plan: per layout, the x349 two-level bucket-prefix ranking "
+    "(per-bucket counts -> prefix sums over the bounded bucket frame "
+    "-> bucket-partitioned row_number) assigns global file ids with "
+    "NO corpus-sized single-partition window, then two bounded "
+    "per-file aggs; at 100 TB the write path pays this as the "
+    "repartitionByRange sort the layout already requires.",
     _FS_ORACLE,
 )
 def x357_file_skipping(spark, sf_dir):
@@ -298,13 +301,31 @@ def x357_file_skipping(spark, sf_dir):
         F.col("n_chars").isNotNull()
     )
 
-    def layout(order_cols, name):
-        w = Window.orderBy(*order_cols)
-        f = (
-            (F.row_number().over(w) - 1) / F.lit(_FS_ROWS_PER_FILE)
-        ).cast("long")
+    def layout(name, bucket_expr, order_cols):
+        # global rank = rows in earlier buckets (bounded-frame prefix
+        # sum) + bucket-partitioned row_number; the bucket key is DIV
+        # on the leading sort column, so it is monotone in the sort
+        # order and the two-level rank equals the global one
+        b = base.withColumn("b", F.expr(bucket_expr))
+        bt = b.groupBy("b").agg(F.count("*").alias("bcnt"))
+        wprev = Window.orderBy("b").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        bprev = bt.select(
+            "b",
+            F.coalesce(F.sum("bcnt").over(wprev), F.lit(0)).alias("bless"),
+        )
+        win = Window.partitionBy("b").orderBy(*order_cols)
+        ranked = b.withColumn("rn", F.row_number().over(win)).join(
+            F.broadcast(bprev), "b"
+        )
         files = (
-            base.select("n_chars", f.alias("f"))
+            ranked.select(
+                "n_chars",
+                F.expr(
+                    f"(bless + rn - 1) DIV {_FS_ROWS_PER_FILE}"
+                ).alias("f"),
+            )
             .groupBy("f")
             .agg(
                 F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi")
@@ -323,8 +344,10 @@ def x357_file_skipping(spark, sf_dir):
         )
 
     return (
-        layout(["doc_id"], "natural")
-        .unionAll(layout(["n_chars", "doc_id"], "sorted"))
+        layout("natural", "doc_id DIV 4096", ["doc_id"])
+        .unionAll(
+            layout("sorted", "n_chars DIV 64", ["n_chars", "doc_id"])
+        )
         .orderBy("layout")
     )
 
@@ -692,10 +715,10 @@ def x360_join_cardinality(spark, sf_dir):
     )
 
 
-# --- round-12 registration footer (commented until round 12) ---
+# --- round-12 registration footer (flipped in round 12) ---
 # These two lines register the whole batch into the live catalog; they
 # must stay below the final @_staged definition so every entry is in
 # STAGED before the update (the round-25 footer-placement lesson).
-# from ravelytics_spark.plans.registry import REGISTRY as _REGISTRY
-#
-# _REGISTRY.update(STAGED)
+from ravelytics_spark.plans.registry import REGISTRY as _REGISTRY
+
+_REGISTRY.update(STAGED)

@@ -115,14 +115,19 @@ def main() -> int:
         if p.returncode != 0:
             rc = p.returncode
         # fold per-module wall times back into the balance file:
-        # pytest --durations=0 lines look like "12.34s call  tests/x.py::t"
+        # pytest --durations=0 lines look like "12.34s call  tests/x.py::t".
+        # Only 'call' lines count — the session-scoped Spark fixture's
+        # startup (tens of seconds) lands on the FIRST test's 'setup'
+        # line, so summing setup/teardown attributed it to whichever
+        # module a worker happened to run first and skewed the LPT
+        # weights across runs (round-11 ADVICE).
         per_mod: dict[str, float] = {}
         for line in text.splitlines():
             parts = line.split()
             if (
                 len(parts) >= 3
                 and parts[0].endswith("s")
-                and parts[1] in ("call", "setup", "teardown")
+                and parts[1] == "call"
                 and "::" in parts[2]
             ):
                 try:

@@ -22,6 +22,34 @@ def _load_entry():
     return mod
 
 
+def _isolate_rounds_before(mod, monkeypatch, sim_round, fake_path):
+    """Monkeypatch the entry module's glob so a round-N simulation sees
+    ONLY the real CORRECTNESS files from rounds < N plus its fake
+    CORRECTNESS_rN.json — full isolation from rounds the driver lands
+    LATER. The round-10 simulation originally read the real files too,
+    so its `last_seen == 10` claim went red the moment the driver
+    dropped CORRECTNESS_r11.json (round-11 verdict 'What's wrong' #1):
+    the same close-time time-bomb the round-7/8 pins had. Under
+    isolation the stronger `== N` claim stays provable forever."""
+    import glob as _glob
+    import os as _os
+    import re as _re
+
+    real_glob = _glob.glob
+
+    def patched(pattern):
+        if "CORRECTNESS_r" not in pattern:
+            return real_glob(pattern)
+        keep = []
+        for path in real_glob(pattern):
+            m = _re.search(r"CORRECTNESS_r(\d+)\.json$", _os.path.basename(path))
+            if m and int(m.group(1)) < sim_round:
+                keep.append(path)
+        return keep + [str(fake_path)]
+
+    monkeypatch.setattr(mod.glob, "glob", patched)
+
+
 def test_tier_ordering_invariants():
     mod = _load_entry()
     from ravelytics_spark.plans.queries import REGISTRY
@@ -212,16 +240,7 @@ def test_round9_pin_survives_round_close(tmp_path, monkeypatch):
     }
     p = tmp_path / "CORRECTNESS_r09.json"
     p.write_text(json.dumps(fake))
-    import glob as _glob
-
-    real_glob = _glob.glob
-    monkeypatch.setattr(
-        mod.glob,
-        "glob",
-        lambda pattern: real_glob(pattern) + [str(p)]
-        if "CORRECTNESS_r" in pattern
-        else real_glob(pattern),
-    )
+    _isolate_rounds_before(mod, monkeypatch, 9, p)
     cert = mod._certified_names()
     missing = [n for n in expected if n not in cert]
     assert not missing, missing
@@ -330,16 +349,7 @@ def test_round10_pin_survives_round_close(tmp_path, monkeypatch):
                    "hash_match": None, "err": None, "no_oracle": True}
     p = tmp_path / "CORRECTNESS_r10.json"
     p.write_text(json.dumps(fake))
-    import glob as _glob
-
-    real_glob = _glob.glob
-    monkeypatch.setattr(
-        mod.glob,
-        "glob",
-        lambda pattern: real_glob(pattern) + [str(p)]
-        if "CORRECTNESS_r" in pattern
-        else real_glob(pattern),
-    )
+    _isolate_rounds_before(mod, monkeypatch, 10, p)
     cert = mod._certified_names()
     assert not [n for n in expected if n not in cert]
     _c, last_seen = mod._correctness_records()
@@ -426,3 +436,111 @@ def test_round11_window_contents_pinned():
     assert all(REGISTRY[n].oracle is None for n in tail)
     tags = [last_seen[n] for n in tail]
     assert tags == sorted(tags)
+
+
+# ---------------------------------------------------------------------------
+# Close-time robustness: the suite must stay green AFTER the driver
+# drops the next round's CORRECTNESS file (round-11 verdict #1)
+# ---------------------------------------------------------------------------
+
+
+def test_pins_survive_a_synthetic_future_round_drop(tmp_path, monkeypatch):
+    """Append a synthetic CORRECTNESS_r12-style file (fresh records for
+    every currently-recorded entry, certifying everything it touches)
+    on TOP of the real files and assert every still-live claim in this
+    module holds: certification is monotone, tier ordering stays
+    contiguous, and each closed round's post-close branch (pinned
+    entries certified; round-10 harness re-runs at last_seen >= 10)
+    is insensitive to future drops."""
+    mod = _load_entry()
+    from ravelytics_spark.plans.queries import REGISTRY
+
+    cert_before, seen_before = mod._correctness_records()
+    future = max(seen_before.values()) + 1
+    fake = {}
+    for n in seen_before:
+        if n not in REGISTRY:
+            continue
+        if REGISTRY[n].oracle is None:
+            fake[n] = {"rows_match": True, "schema_match": None,
+                       "hash_match": None, "err": None, "no_oracle": True}
+        else:
+            fake[n] = {"rows_match": True, "schema_match": True,
+                       "hash_match": True, "err": None}
+    p = tmp_path / f"CORRECTNESS_r{future:02d}.json"
+    p.write_text(json.dumps(fake))
+    import glob as _glob
+
+    real_glob = _glob.glob
+    monkeypatch.setattr(
+        mod.glob,
+        "glob",
+        lambda pattern: real_glob(pattern) + [str(p)]
+        if "CORRECTNESS_r" in pattern
+        else real_glob(pattern),
+    )
+    cert_after, seen_after = mod._correctness_records()
+    assert cert_before <= cert_after, "a future drop DE-certified entries"
+    for pinned in (
+        _round9_expected_backlog(mod),
+        _round10_expected_backlog(),
+        _round11_expected_backlog(),
+    ):
+        assert not [n for n in pinned if n not in cert_after]
+    assert all(seen_after[n] >= 10 for n in _R10_HARNESS_RERUNS)
+    names = mod._ordered_names()
+
+    def tier(n):
+        if REGISTRY[n].oracle is not None and n not in cert_after:
+            return 0
+        return 1 if REGISTRY[n].oracle is None else 2
+
+    tiers = [tier(n) for n in names]
+    assert tiers == sorted(tiers)
+    sys.modules.pop("_entry_under_test", None)
+
+
+def test_unparsable_round_tag_still_certifies(tmp_path, monkeypatch):
+    """Regression for the round-11 ADVICE finding: a stray
+    CORRECTNESS_rfinal.json must still contribute its hash
+    certifications (previously the whole file was skipped, silently
+    de-certifying its entries); only the last_seen ordering update —
+    which needs a parsable round number — is skipped."""
+    mod = _load_entry()
+    from ravelytics_spark.plans.queries import REGISTRY
+
+    target = next(
+        n for n in REGISTRY
+        if REGISTRY[n].oracle is not None
+        and n not in mod._certified_names()
+    ) if any(
+        REGISTRY[n].oracle is not None
+        and n not in mod._certified_names()
+        for n in REGISTRY
+    ) else None
+    if target is None:
+        # everything already certified: invent the claim on a
+        # certified entry and check last_seen is untouched instead
+        target = next(n for n in REGISTRY if REGISTRY[n].oracle is not None)
+    p = tmp_path / "CORRECTNESS_rfinal.json"
+    p.write_text(json.dumps({
+        target: {"rows_match": True, "schema_match": True,
+                 "hash_match": True, "err": None}
+    }))
+    import glob as _glob
+
+    real_glob = _glob.glob
+    monkeypatch.setattr(
+        mod.glob,
+        "glob",
+        lambda pattern: real_glob(pattern) + [str(p)]
+        if "CORRECTNESS_r" in pattern
+        else real_glob(pattern),
+    )
+    cert, last_seen = mod._correctness_records()
+    assert target in cert
+    # last_seen must equal the real-files-only value (no bogus round)
+    monkeypatch.setattr(mod.glob, "glob", real_glob)
+    _real_cert, real_seen = mod._correctness_records()
+    assert last_seen == real_seen
+    sys.modules.pop("_entry_under_test", None)

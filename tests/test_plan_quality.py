@@ -328,6 +328,15 @@ _SINGLE_PARTITION_OK = {
     "x323_logrank_test": "suffix-sum windows over the <=13-row bucket frame + 1-row test agg",
     "x324_icc_design_effect": "customer-keyed moment agg -> 1-row random-effects frame",
     "x325_inequality_trend": "year-partitioned rank windows over the customer aggregate (certifiable form; x219 bucketed rank is the scale path) + 1-row slope broadcast",
+    # round-34/35 registrations (round 12): reviewed in the sweep's
+    # first pass over the glob-discovered staged batches.
+    "x349_wilcoxon_signed_rank": "bucket-prefix window over the bounded ~96-row |d|-bucket frame + final scalar agg; corpus-sized ranking is bucket-partitioned",
+    "x352_split_leakage": "leak_pairs + split-count scalars: one partial row per partition, then broadcast crossJoin",
+    "x356_bloom_prefilter": "scalar member/probe/FPR aggs + the bounded 2048-word filter table: one partial row per partition, then broadcast",
+    "x357_file_skipping": "bucket-prefix window over the bounded per-bucket count frame + per-layout scalar aggs; file ids assign with bucket-partitioned row_number, never a global window",
+    "x358_wasserstein_w1": "cumulative/lead windows over the bounded <=~5000-cell value-domain grid + n1/n2/W1 scalars broadcast",
+    "x359_sequence_match": "n_users/n_with_both/n_matched scalars: one partial row per partition, then broadcast crossJoin",
+    "x360_join_cardinality": "TakeOrdered(100) top slice + three scalar aggs over the key histogram; the estimated join never executes",
 }
 
 
@@ -336,15 +345,29 @@ def test_no_catalog_plan_single_partitions_or_goes_cartesian(spark, sf_dir):
     whitelist may funnel through Exchange SinglePartition, and none may
     plan a CartesianProduct. This is the blanket guard that a future
     entry doesn't reintroduce the global-window anti-pattern."""
-    from ravelytics_spark.plans.round31_staged import STAGED as _STAGED31
-    from ravelytics_spark.plans.round32_staged import STAGED as _STAGED32
+    import glob as _glob
+    import importlib
+    import os as _os
 
-    bad = {}
     # Sweep staged-but-unregistered entries too: an anti-pattern must
     # fail HERE, in the round that authors it, not in the round that
-    # flips the registration footer. (The round-30 batch is live in
-    # REGISTRY since round 10; rounds 31/32 are the staged sets.)
-    for name, qy in {**REGISTRY, **_STAGED31, **_STAGED32}.items():
+    # flips the registration footer. Staged modules are GLOB-discovered
+    # (the gen_coverage idiom) so a future round*_staged.py batch is
+    # swept automatically — the round-11 verdict caught rounds 34/35
+    # escaping a hardcoded module list.
+    plans_dir = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "ravelytics_spark",
+        "plans",
+    )
+    staged: dict = {}
+    for path in sorted(_glob.glob(_os.path.join(plans_dir, "round*_staged.py"))):
+        mod_name = _os.path.splitext(_os.path.basename(path))[0]
+        mod = importlib.import_module(f"ravelytics_spark.plans.{mod_name}")
+        staged.update(getattr(mod, "STAGED", {}))
+
+    bad = {}
+    for name, qy in {**staged, **REGISTRY}.items():
         plan = qy.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         if "CartesianProduct" in plan:
             bad[name] = "CartesianProduct"

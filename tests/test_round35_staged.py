@@ -38,12 +38,14 @@ def test_round35_staged_matches_oracle(spark, name, sf_dir):
     assert not problems, problems
 
 
-def test_round35_not_yet_registered():
+def test_round35_registered_in_round12():
+    """The round-12 registration footer flipped: the whole batch is
+    live in REGISTRY (same Query objects, not copies)."""
     from ravelytics_spark.plans.queries import REGISTRY
 
-    leaked = set(STAGED) & set(REGISTRY)
-    assert not leaked, f"staged entries registered early: {leaked}"
     assert len(STAGED) == 5
+    for n, qy in STAGED.items():
+        assert REGISTRY.get(n) is qy, f"{n} not registered"
 
 
 # ---------------------------------------------------------------------------
