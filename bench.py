@@ -133,6 +133,17 @@ HEADLINE = [
     # operators run, so their steady-state cost belongs on the board.
     "x342_ivf_portable",
     "x343_pq_portable",
+    # round-34/35 heavies (registered in round 12): the cross-split
+    # near-dup leakage audit (x91 pair pipeline + split map), the
+    # Gopher dup-mass tokenizer (posexplode + per-doc 5-gram windows),
+    # the bucket-prefix file-skipping measurement, and the CBO
+    # join-cardinality histogram (lineitem-sized key agg). The scalar
+    # planner-arithmetic entries (x349/x356/x358/x359) stay untracked:
+    # their cost is the one agg the heavies already measure.
+    "x352_split_leakage",
+    "x353_doc_repetition",
+    "x357_file_skipping",
+    "x360_join_cardinality",
 ]
 
 

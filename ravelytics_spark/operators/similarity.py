@@ -306,7 +306,10 @@ def ivf_topk(
     ``ivf_centroids`` and ``ivf_assign``, materialized — ideally
     partitioned by cell_id): pass both and a probe touches only the
     centroid table plus the probed cells' rows, never re-deriving the
-    assignment (the build/serve split; build is one corpus pass)."""
+    assignment (the build/serve split; build is one corpus pass). The
+    probe is a literal ``cell_id IN (...)`` filter (bounded collect of
+    the <= n_probe ranked cells), so a cell_id-partitioned scan prunes
+    STATICALLY — PartitionFilters at the scan, no join."""
     if (centroids is None) != (assigned is None):
         raise ValueError("pass centroids and assigned together (both halves of the index)")
     if centroids is not None:
@@ -320,13 +323,25 @@ def ivf_topk(
         cents = built.sparkSession.createDataFrame(built.collect(), built.schema)
     assigned = assigned if assigned is not None else ivf_assign(df, cents, vec_col, id_col)
     q = _as_query_lit(query_vec)
-    probe_cells = (
-        cents.select("cell_id", cosine(F.col("cell_vec"), q).alias("__qs"))
-        .orderBy(F.desc("__qs"), F.col("cell_id"))
-        .limit(n_probe)
-        .select("cell_id")
+    # Rank cells in Spark (the centroid table is bounded at n_cells
+    # rows by construction), then collect the <= n_probe winning ids —
+    # a bounded collect — and prune with a LITERAL isin. On a
+    # cell_id-partitioned assignment table this is STATIC partition
+    # pruning (PartitionFilters at the scan, no join, no dynamic
+    # pruning subquery to hope for): only the probed cells' files are
+    # ever listed or read. tests/test_plan_quality.py pins the shape.
+    probe_ids = [
+        r["cell_id"]
+        for r in (
+            cents.select("cell_id", cosine(F.col("cell_vec"), q).alias("__qs"))
+            .orderBy(F.desc("__qs"), F.col("cell_id"))
+            .limit(n_probe)
+            .collect()
+        )
+    ]
+    candidates = assigned.filter(
+        F.col("cell_id").isin(probe_ids) if probe_ids else F.lit(False)
     )
-    candidates = assigned.join(F.broadcast(probe_cells), "cell_id")
     return (
         candidates.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.col(id_col))

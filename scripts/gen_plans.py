@@ -33,7 +33,7 @@ SHOWCASE = [
     ("x47_fuzzy_pairs", "variant-hash equi-join, no CartesianProduct/BroadcastNestedLoop"),
     ("x48_ann_batch", "broadcast queries + Arrow map-side prune; ONE hashpartitioning"),
     ("x58_connected_components", "per-round join+min-agg, integer-only label math"),
-    ("x3_ivf_topk", "map-only unrolled centroid argmin (no join/window in assignment) + broadcast probe-cell semi + TakeOrderedAndProject"),
+    ("x3_ivf_topk", "map-only unrolled centroid argmin (no join/window in assignment) + literal probe-cell IN filter + TakeOrderedAndProject"),
     ("x22_centroid_assign", "unrolled least-over-structs argmin: no join/window/explode; only the k x k confusion agg + output sort exchange"),
     ("x30_rp_projection", "sign matrix unrolled to +-long addition trees: no join, no aggregate, single range-partitioning sort exchange"),
     ("x110_source_pair_jaccard", "bottom-K per source via WindowGroupLimit: partial top-K heaps BEFORE the shuffle, never a full per-group sort"),
@@ -89,8 +89,24 @@ def main() -> None:
         "Each section lists the scale-relevant plan fragments — the full",
         "assertions live in tests/test_plan_quality.py.",
         "",
+        "Coverage invariant: every bench.py HEADLINE query has a section",
+        "here (the drift protocol's first triage step is diffing a",
+        "flagged query's plan against its pin), plus the curated",
+        "SHOWCASE set. Enforced by tests/test_plan_quality.py.",
+        "",
     ]
-    for name, why in SHOWCASE:
+    # SHOWCASE (curated annotations) ∪ bench HEADLINE (every headline
+    # query needs a pin for the bench-drift protocol's plan-diff
+    # triage — round-11 verdict found x342/x343 on the board unpinned)
+    import bench as _bench
+
+    pinned = dict(SHOWCASE)
+    queries = list(SHOWCASE) + [
+        (n, "headline query (auto-pinned); see entry docstring for the plan contract")
+        for n in _bench.HEADLINE
+        if n not in pinned
+    ]
+    for name, why in queries:
         if name not in REGISTRY:
             continue  # pre-wired staged entry: activates on registration
         df = REGISTRY[name].spark(spark, SF_DIR)
@@ -114,7 +130,7 @@ def main() -> None:
         out += ["```", ""]
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as fh:
         fh.write("\n".join(out))
-    print(f"wrote PLANS.md: {len(SHOWCASE)} plans")
+    print(f"wrote PLANS.md: {len(queries)} plans")
 
 
 if __name__ == "__main__":

