@@ -375,3 +375,145 @@ def test_enriched_ingest_sees_dim_updates_between_batches(spark, tmp_path):
 
     got = {r.event_id: r.genre for r in spark.read.parquet(str(out)).collect()}
     assert got == {1: "Detroit Techno", 2: "Minimal Techno"}
+
+
+# ---------------------------------------------------------------------------
+# Consumer-side failure injection: the upsert sink's replay contract
+# (round-11 verdict item 8 — the producer side got delivery-callback
+# failure tests in round 11; this is the ingest half)
+# ---------------------------------------------------------------------------
+
+
+def _upsert_rows(spark, wh):
+    return {
+        r["track_id"]: (r["popularity"], r["ingest_month"])
+        for r in spark.read.parquet(wh).collect()
+    }
+
+
+def _write_json(src, fname, rows):
+    import json as _json
+
+    (src / fname).write_text(
+        "\n".join(_json.dumps(r) for r in rows), encoding="utf-8"
+    )
+
+
+_UPSERT_SCHEMA = (
+    "track_id string, popularity long, ts timestamp, ingest_month string"
+)
+
+
+def test_upsert_sink_replay_after_crash_before_commit(spark, tmp_path, monkeypatch):
+    """foreachBatch is at-least-once: crash AFTER the merge fully
+    applied but BEFORE the checkpoint commit, restart over the same
+    checkpoint — Spark replays batch 0 with the same data, the merge
+    runs twice, and the table must converge to exactly one row per key
+    with the winning values (the idempotence the docstring promises,
+    now executed instead of assumed)."""
+    from ravelytics_spark.operators import maintenance as MNT
+    from ravelytics_spark.streaming.pipeline import start_latest_state_upsert
+
+    src = tmp_path / "src"
+    src.mkdir()
+    wh = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    _write_json(
+        src,
+        "b1.json",
+        [
+            {"track_id": "a", "popularity": 10, "ts": "2025-01-01T00:00:00", "ingest_month": "202501"},
+            {"track_id": "a", "popularity": 55, "ts": "2025-01-05T00:00:00", "ingest_month": "202501"},
+            {"track_id": "b", "popularity": 20, "ts": "2025-01-02T00:00:00", "ingest_month": "202501"},
+            {"track_id": "c", "popularity": 30, "ts": "2025-02-01T00:00:00", "ingest_month": "202502"},
+        ],
+    )
+
+    real = MNT.upsert_partitioned
+
+    def crash_after_apply(*a, **kw):
+        real(*a, **kw)
+        raise RuntimeError("injected: crashed before checkpoint commit")
+
+    monkeypatch.setattr(MNT, "upsert_partitioned", crash_after_apply)
+    stream = spark.readStream.schema(_UPSERT_SCHEMA).json(str(src))
+    q = start_latest_state_upsert(
+        stream, wh, ckpt, key="track_id", ts="ts", partition_col="ingest_month"
+    )
+    with pytest.raises(Exception, match="injected"):
+        q.awaitTermination(120)
+        raise q.exception() or AssertionError("query should have failed")
+
+    # the merge DID land before the crash (at-least-once, not at-most)
+    assert _upsert_rows(spark, wh) == {
+        "a": (55, "202501"),
+        "b": (20, "202501"),
+        "c": (30, "202502"),
+    }
+
+    # restart clean over the SAME checkpoint: batch 0 replays
+    monkeypatch.setattr(MNT, "upsert_partitioned", real)
+    stream2 = spark.readStream.schema(_UPSERT_SCHEMA).json(str(src))
+    q2 = start_latest_state_upsert(
+        stream2, wh, ckpt, key="track_id", ts="ts", partition_col="ingest_month"
+    )
+    q2.awaitTermination(120)
+    assert _upsert_rows(spark, wh) == {
+        "a": (55, "202501"),
+        "b": (20, "202501"),
+        "c": (30, "202502"),
+    }, "replayed merge must be a no-op, not a duplicate"
+
+
+def test_upsert_sink_replay_after_mid_merge_crash(spark, tmp_path, monkeypatch):
+    """Harsher: the crash lands MID-merge — one touched partition
+    rewritten, the other not. The restart's replay must repair the
+    un-applied partition and leave the applied one unchanged (the
+    rename-swap per partition plus idempotent fold make partial
+    application safe)."""
+    from pyspark.sql import functions as F
+
+    from ravelytics_spark.operators import maintenance as MNT
+    from ravelytics_spark.streaming.pipeline import start_latest_state_upsert
+
+    src = tmp_path / "src"
+    src.mkdir()
+    wh = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    _write_json(
+        src,
+        "b1.json",
+        [
+            {"track_id": "a", "popularity": 10, "ts": "2025-01-01T00:00:00", "ingest_month": "202501"},
+            {"track_id": "c", "popularity": 30, "ts": "2025-02-01T00:00:00", "ingest_month": "202502"},
+        ],
+    )
+
+    real = MNT.upsert_partitioned
+
+    def crash_mid_merge(spark_, path, delta, **kw):
+        # apply only the 202501 slice, then die — a crash between
+        # per-partition rename-swaps
+        real(spark_, path, delta.filter(F.col("ingest_month") == "202501"), **kw)
+        raise RuntimeError("injected: crashed mid-merge")
+
+    monkeypatch.setattr(MNT, "upsert_partitioned", crash_mid_merge)
+    stream = spark.readStream.schema(_UPSERT_SCHEMA).json(str(src))
+    q = start_latest_state_upsert(
+        stream, wh, ckpt, key="track_id", ts="ts", partition_col="ingest_month"
+    )
+    with pytest.raises(Exception, match="injected"):
+        q.awaitTermination(120)
+        raise q.exception() or AssertionError("query should have failed")
+    assert _upsert_rows(spark, wh) == {"a": (10, "202501")}
+
+    monkeypatch.setattr(MNT, "upsert_partitioned", real)
+    stream2 = spark.readStream.schema(_UPSERT_SCHEMA).json(str(src))
+    q2 = start_latest_state_upsert(
+        stream2, wh, ckpt, key="track_id", ts="ts", partition_col="ingest_month"
+    )
+    q2.awaitTermination(120)
+    assert _upsert_rows(spark, wh) == {
+        "a": (10, "202501"),
+        "c": (30, "202502"),
+    }, "replay must repair the unapplied partition without duping the applied one"
