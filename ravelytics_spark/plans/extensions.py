@@ -315,7 +315,11 @@ def x3_ivf_topk(spark, sf_dir):
     "x3_near_pairs",
     "OP-X2/OP-X3",
     "Embedding-cosine near-dup pairs: SRP bucket self-join + exact "
-    "verification. Harness rows-check.",
+    "verification. Harness rows-check; certified twins: "
+    "x107_embed_neardup_portable (banded-SRP algebra over organic "
+    "candidates) + x362_planted_near_pairs (end-to-end recall on a "
+    "deterministic planted corpus — the shipped data has zero organic "
+    "cos>=0.9 pairs, so only planting exercises the find path).",
     None,
 )
 def x3_near_pairs(spark, sf_dir):

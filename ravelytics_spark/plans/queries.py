@@ -863,3 +863,10 @@ from ravelytics_spark.plans import round33 as _round33  # noqa: E402,F401
 # register both batches at import — catalog 453 -> 463.
 from ravelytics_spark.plans import round34_staged as _round34  # noqa: E402,F401
 from ravelytics_spark.plans import round35_staged as _round35  # noqa: E402,F401
+
+# Round-36 entries (x361, x362) registered LIVE in round 12: portable
+# twins that keep shrinking the harness-only class (round-11 verdict
+# item 7): the x192 compression-quality metric with a DuckDB-able
+# codec proxy, and the x3_near_pairs pipeline over a deterministic
+# planted corpus — catalog 463 -> 465.
+from ravelytics_spark.plans import round36 as _round36  # noqa: E402,F401

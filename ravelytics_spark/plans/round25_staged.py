@@ -3114,7 +3114,10 @@ def x191_apriori_triples(spark, sf_dir):
     "repetition-score (x4) lexical signals with a whole-document "
     "Kolmogorov proxy. HARNESS entry: DuckDB has no DEFLATE, so the "
     "oracle is pytest-pinned byte lengths (zlib output is fully "
-    "deterministic for a fixed level) plus rows-only driver checks. "
+    "deterministic for a fixed level) plus rows-only driver checks; "
+    "certified twin: x361_lz78_quality_portable hash-certifies the "
+    "metric plumbing (per-source aggregation, ratio ppm, template "
+    "floor) with a distinct-4-gram codec proxy both engines compute. "
     "Spark shape: ONE mapInPandas pass (the only Python is the zlib "
     "C call over Arrow-delivered batches), then a map-side-combinable "
     "hash-agg — the multimodal decode-batch pattern applied to text.",

@@ -544,3 +544,93 @@ def test_unparsable_round_tag_still_certifies(tmp_path, monkeypatch):
     _real_cert, real_seen = mod._correctness_records()
     assert last_seen == real_seen
     sys.modules.pop("_entry_under_test", None)
+
+
+# The round-12 certification-window pin — same self-retiring contract
+# as the round-9..11 pins above, with the round-12 hardening: the
+# simulation branch is glob-ISOLATED from future CORRECTNESS drops.
+# Window arithmetic source of truth: COVERAGE.md 'Certification
+# window'.
+_R12_CORRECTNESS = "/root/repo/CORRECTNESS_r12.json"
+
+
+def _round12_expected_backlog():
+    """The 12 uncertified oracle entries of round 12: the round-34 and
+    round-35 staged batches (footers flipped this round) plus the 2
+    round-36 live twins, driver (registration) order."""
+    import importlib
+
+    names = []
+    for m in ("round34_staged", "round35_staged"):
+        mod = importlib.import_module(f"ravelytics_spark.plans.{m}")
+        names += [n for n, q in mod.STAGED.items() if q.oracle is not None]
+    names += ["x361_lz78_quality_portable", "x362_planted_near_pairs"]
+    return names
+
+
+def test_round12_window_contents_pinned():
+    """Round-12 state: the 10 round-34/35 registrations + 2 round-36
+    twins lead; the remaining 38 slots go to harness re-runs
+    stalest-first, then tier-3 re-verifications."""
+    import os
+
+    mod = _load_entry()
+    from ravelytics_spark.plans.queries import REGISTRY
+
+    names = mod._ordered_names()
+    cert = mod._certified_names()
+    expected = _round12_expected_backlog()
+    assert len(expected) == 12
+
+    if os.path.exists(_R12_CORRECTNESS):
+        missing = [n for n in expected if n not in cert]
+        assert not missing, (
+            f"round-12 window entries not certified after "
+            f"CORRECTNESS_r12.json landed: {missing}"
+        )
+        return
+
+    uncertified_oracle = [
+        n for n in names if REGISTRY[n].oracle is not None and n not in cert
+    ]
+    assert uncertified_oracle == expected, (
+        "the round-12 uncertified-oracle backlog drifted — if new "
+        "entries were registered this round, extend the pin"
+    )
+    window = names[:50]
+    assert window[:12] == expected
+    # tail: harness entries stalest-first, then (if slots remain after
+    # all 21 recorded harness entries) tier-3 certified re-runs
+    _c, last_seen = mod._correctness_records()
+    tail = window[12:]
+    harness_tail = [n for n in tail if REGISTRY[n].oracle is None]
+    tags = [last_seen[n] for n in harness_tail if n in last_seen]
+    assert tags == sorted(tags)
+
+
+def test_round12_pin_survives_round_close(tmp_path, monkeypatch):
+    """Simulate the driver certifying the round-12 window under full
+    glob isolation (only real rounds < 12 + the fake r12 visible) and
+    assert the post-close claims."""
+    mod = _load_entry()
+    expected = _round12_expected_backlog()
+
+    fake = {
+        n: {"rows_match": True, "schema_match": True, "hash_match": True,
+            "err": None}
+        for n in expected
+    }
+    p = tmp_path / "CORRECTNESS_r12.json"
+    p.write_text(json.dumps(fake))
+    _isolate_rounds_before(mod, monkeypatch, 12, p)
+    cert = mod._certified_names()
+    missing = [n for n in expected if n not in cert]
+    assert not missing, missing
+    names = mod._ordered_names()
+    from ravelytics_spark.plans.queries import REGISTRY
+
+    still_uncertified = [
+        n for n in names if REGISTRY[n].oracle is not None and n not in cert
+    ]
+    assert not set(still_uncertified) & set(expected)
+    sys.modules.pop("_entry_under_test", None)
