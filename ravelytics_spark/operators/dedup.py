@@ -772,7 +772,12 @@ def winnow_fingerprints(
 
     Returns (id_col, fp). Cost: one hash per char position (linear in
     corpus chars, partition-local), one window-min sort per document.
+    Under-parallel inputs are fanned out before the expansion so the
+    per-char hashing never serializes onto a few cores (r12).
     """
+    from ravelytics_spark.operators.skew import fan_out_scan
+
+    df = fan_out_scan(df)
     npos = F.length(text_col) - F.lit(k - 1)
     pos = df.select(
         F.col(id_col).alias("__id"),

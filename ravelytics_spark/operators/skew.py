@@ -24,6 +24,55 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def fan_out_scan(df: DataFrame, min_factor: int = 2) -> DataFrame:
+    """Fix an under-parallel input before a CPU-dense expansion stage.
+
+    The winnowing/shingling pipelines explode each document into one row
+    per char/word position and hash every row; when the upstream scan
+    has few partitions (one unsplittable file, a single row group), that
+    whole expansion serializes onto a handful of cores while the rest of
+    the cluster idles — the classic input-skew case. A round-robin
+    ``repartition(defaultParallelism)`` of the RAW rows moves the
+    expansion behind a shuffle of the un-exploded bytes (strictly
+    smaller than the exploded exchange that follows it) and restores
+    full parallelism.
+
+    No-op when the scan already has >= defaultParallelism/min_factor
+    partitions — i.e. on any well-laid-out warehouse input at scale, so
+    a 100 TB corpus in 128 MB-1 GB files never pays the extra shuffle.
+    Round-robin (not keyed) so the pipeline's own downstream exchange
+    (window/groupBy on the doc key) survives as the ReusedExchange point
+    deduping the expansion across self-join branches.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if _scan_partitions(df, sc) * min_factor > target:
+        return df
+    return df.repartition(target)
+
+
+# (applicationId, analyzed-plan semanticHash) -> scan partition count.
+# Materializing df.rdd just to read its partition count costs ~0.15 s
+# per call; the count is a pure plan property (input file layout ×
+# split config), so probing it once per plan per session is safe — a
+# re-read of the same path re-resolves to the same analyzed plan, and a
+# wrong entry could only mis-size parallelism, never change results.
+_SCAN_PARTITIONS_MEMO: dict[tuple, int] = {}
+
+
+def _scan_partitions(df: DataFrame, sc) -> int:
+    try:
+        key = (sc.applicationId, df._jdf.queryExecution().analyzed().semanticHash())
+    except Exception:
+        key = None
+    if key is not None and key in _SCAN_PARTITIONS_MEMO:
+        return _SCAN_PARTITIONS_MEMO[key]
+    n = df.rdd.getNumPartitions()
+    if key is not None:
+        _SCAN_PARTITIONS_MEMO[key] = n
+    return n
+
+
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],

@@ -747,7 +747,14 @@ ORDER BY doc_a, doc_b
     _WINNOW_ORACLE,
 )
 def x150_winnow_dup_spans(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    from ravelytics_spark.operators.skew import fan_out_scan
+
+    # Round-robin fan-out of the raw docs when the scan is under-
+    # parallel (r12: the single-row-group local file serialized the
+    # explode+md5 pipeline onto one core — 2.1 s of the query's 3.5 s;
+    # measured 3.16 s -> 1.39 s). The expansion's own window exchange
+    # stays the ReusedExchange point, so the md5 pass still runs once.
+    d = fan_out_scan(load_table(spark, sf_dir, "documents"))
     # positions 1 .. len-k+1; Spark sequence(a, b) DESCENDS when a > b,
     # so short docs must yield an empty array, not [1, 0, ...]
     npos = F.length("text") - F.lit(_WIN_K - 1)

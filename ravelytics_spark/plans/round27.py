@@ -133,7 +133,12 @@ def winnow_fingerprints(docs):
     """(doc_id, fp) distinct winnowing fingerprints of a (doc_id, text)
     frame — the x150 pipeline through its fingerprint set (k-gram md5
     window-min, density ~2/(w+1)); shared by the uncapped (x150) and
-    capped (x227) pair generators."""
+    capped (x227) pair generators. The raw docs are fanned out first
+    when the scan is under-parallel (r12: one local row group
+    serialized the explode+md5 expansion onto one core)."""
+    from ravelytics_spark.operators.skew import fan_out_scan
+
+    docs = fan_out_scan(docs)
     npos = F.length("text") - F.lit(_WIN_K - 1)
     pos = docs.select(
         "doc_id",

@@ -38,9 +38,16 @@ sys.path.insert(0, REPO)
 def main() -> int:
     argv = sys.argv[1:]
     window = None
+    only = None
     if "--window" in argv:
         i = argv.index("--window")
         window = int(argv[i + 1])
+        del argv[i : i + 2]
+    if "--only" in argv:
+        # comma-separated entry names: gate just those (r12 optimization
+        # loop — verify a touched entry without the full-catalog pass)
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
 
@@ -74,6 +81,13 @@ def main() -> int:
 
     con = duckdb_connection(sf_dir)
     qs, osql = mod.queries(), mod.oracle_sql()
+    if only is not None:
+        missing = only - set(qs)
+        if missing:
+            print(f"unknown entries: {sorted(missing)}")
+            return 1
+        qs = {n: qs[n] for n in qs if n in only}
+        osql = {n: osql[n] for n in osql if n in only}
     if window is not None:
         kept = list(qs)[:window]
         qs = {n: qs[n] for n in kept}
