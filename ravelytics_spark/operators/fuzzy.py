@@ -111,6 +111,38 @@ def _bucket_ids(v: DataFrame, max_bucket_size: int | None) -> DataFrame:
 _PAIR_STREAM_THRESHOLD = 1024
 
 
+def _attachable_by_broadcast(names: DataFrame) -> bool:
+    """Whether the (id, string) dictionary side is provably small enough
+    to broadcast for the verification joins.
+
+    The candidate side's size estimate is garbage (agg → in-bucket
+    explode → distinct wildly undershoots), so the planner can't be
+    trusted to pick a strategy on its own — but the DICTIONARY side is a
+    pruned scan of the input whose optimizer estimate is reliable.
+    Broadcasting it turns both verification joins map-side (the
+    candidate stream is never shuffled or sorted; r12 measured
+    x47 3.55 s -> 2.95 s), while a large dictionary (100 TB corpus:
+    tens of GB of keys) falls back to the pinned spillable sort-merge.
+    The bar is the session's own autoBroadcastJoinThreshold so
+    deployment tuning is respected; <= 0 (auto-broadcast disabled)
+    forces the sort-merge path."""
+    threshold_str = names.sparkSession.conf.get(
+        "spark.sql.autoBroadcastJoinThreshold", "10485760"
+    )
+    try:
+        threshold = int(threshold_str)
+    except ValueError:  # e.g. '10MB' form
+        units = {"k": 1024, "m": 1024**2, "g": 1024**3}
+        s = threshold_str.strip().lower().rstrip("b")
+        threshold = (
+            int(float(s[:-1]) * units[s[-1]]) if s[-1] in units else int(s)
+        )
+    if threshold <= 0:
+        return False
+    size = names._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    return size <= threshold
+
+
 def fuzzy_self_pairs(
     df: DataFrame,
     id_col: str,
@@ -165,19 +197,27 @@ def fuzzy_self_pairs(
         )
     )
     cand = small_pairs.unionByName(large_pairs).distinct()
-    # MERGE hint: Catalyst's static size estimate of the candidate side
-    # (agg → in-bucket explode → distinct) wildly undershoots its true
-    # pair volume, so the planner tried to BROADCAST tens of millions of
-    # pairs (driver OOM at the 1.5M-name sweep). Candidates are
-    # unbounded (corpus-dependent), so pin the spillable sort-merge
-    # join; AQE skew splitting still applies.
-    cand = cand.hint("merge")
     names = df.select(F.col(id_col).alias("__nid"), F.col(str_col).alias("__ns"))
-    with_a = (
-        cand.join(names, cand.id_a == names.__nid)
-        .select("id_a", "id_b", F.col("__ns").alias("s_a"))
-        .hint("merge")  # hints are consumed per join: re-pin for the second
-    )
+    # Join strategy is chosen HERE, deliberately: Catalyst's static size
+    # estimate of the candidate side (agg → in-bucket explode →
+    # distinct) wildly undershoots its true pair volume, so left alone
+    # the planner tried to BROADCAST tens of millions of pairs (driver
+    # OOM at the 1.5M-name sweep). A provably-small dictionary side is
+    # broadcast instead (both verification joins go map-side — the
+    # candidate stream is never shuffled); otherwise pin the spillable
+    # sort-merge join on both — AQE skew splitting still applies.
+    if _attachable_by_broadcast(names):
+        names = F.broadcast(names)
+        with_a = cand.join(names, cand.id_a == names.__nid).select(
+            "id_a", "id_b", F.col("__ns").alias("s_a")
+        )
+    else:
+        cand = cand.hint("merge")
+        with_a = (
+            cand.join(names, cand.id_a == names.__nid)
+            .select("id_a", "id_b", F.col("__ns").alias("s_a"))
+            .hint("merge")  # hints are consumed per join: re-pin for the second
+        )
     return (
         with_a.join(names, F.col("id_b") == names.__nid)
         .select(
@@ -227,10 +267,23 @@ def fuzzy_join(
         .distinct()
     )
     # same static-stats hazard as fuzzy_self_pairs: never broadcast the
-    # unbounded candidate side — pin spillable sort-merge joins.
-    cand = cand.hint("merge")
+    # unbounded candidate side — broadcast a provably-small dictionary
+    # side, else pin spillable sort-merge joins.
     ln = left.select(F.col(left_id).alias("__lid"), F.col(left_str).alias("__ls"))
     rn = right.select(F.col(right_id).alias("__rid"), F.col(right_str).alias("__rs"))
+    if _attachable_by_broadcast(ln) and _attachable_by_broadcast(rn):
+        ln, rn = F.broadcast(ln), F.broadcast(rn)
+        return (
+            cand.join(ln, cand.left_id == ln.__lid)
+            .join(rn, cand.right_id == rn.__rid)
+            .select(
+                "left_id",
+                "right_id",
+                F.levenshtein("__ls", "__rs").cast("long").alias("dist"),
+            )
+            .filter(F.col("dist") <= 1)
+        )
+    cand = cand.hint("merge")
     return (
         cand.join(ln, cand.left_id == ln.__lid)
         .hint("merge")
