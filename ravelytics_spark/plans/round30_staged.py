@@ -2304,16 +2304,21 @@ def x278_hits_scores(spark, sf_dir):
     from pyspark.storagelevel import StorageLevel
 
     li = load_table(spark, sf_dir, "lineitem")
-    # DISK_ONLY persist, not localCheckpoint: the edge list is the
-    # full distinct (order, part) relation (~60M rows at 100x sf0.1)
-    # and an in-memory checkpoint OOMed the 100x sweep; three
-    # consumers read the disk blocks instead of recomputing the
-    # distinct, and the lineage stays available if an executor dies.
-    e = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    e.persist(StorageLevel.DISK_ONLY)
-    e.count()  # eager materialization before the three join rounds
+    # DISK_ONLY lineage cut: the edge list is the full distinct
+    # (order, part) relation (~60M rows at 100x sf0.1) and an in-memory
+    # cut OOMed the 100x sweep; three consumers read the disk blocks
+    # instead of recomputing the distinct. r12: localCheckpoint, not
+    # persist() — a persisted plan is matched by CANONICAL EQUALITY in
+    # the CacheManager, so a later identical invocation in the same
+    # session would silently reuse the previous run's materialized
+    # blocks (cross-run intermediate caching, which both the bench
+    # contract and honest measurement forbid); a checkpoint is keyed to
+    # this build's RDD identity and dies with it.
+    e = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
     h1 = e.groupBy("o").agg(F.count("*").cast("long").alias("h"))
     a1 = (
         e.join(h1, "o")

@@ -536,15 +536,19 @@ def test_x233_bucket_balance_partial_mins_no_joins(spark, sf_dir):
 
 
 def test_x246_lpa_round_is_one_join_off_checkpoints(spark, sf_dir):
-    """Each label-propagation round must read the CHECKPOINTED edge
-    list and previous-label frame (Scan ExistingRDD), never re-derive
-    them: the final plan shows exactly ONE label join (the visible
-    last round) and at least two checkpoint scans — the whole edge
-    build and every earlier round are cut away behind checkpoints."""
+    """Every label-propagation round must read the CHECKPOINTED edge
+    list (Scan ExistingRDD), never re-derive it: the final plan holds
+    exactly one label join PER ROUND (the rounds are lazy — linear
+    lineage, r12), the edge build is fully cut away (no parquet scan
+    survives the checkpoint), and each round's edge read comes off the
+    checkpoint blocks."""
+    from ravelytics_spark.plans.round28_staged import _LPA_ROUNDS
+
     plan = _final_plan(REGISTRY["x246_label_propagation"].spark(spark, sf_dir))
     assert "CartesianProduct" not in plan
-    assert plan.count("Join") == 1, plan.count("Join")
-    assert plan.count("Scan ExistingRDD") >= 2
+    assert plan.count("Join") == _LPA_ROUNDS, plan.count("Join")
+    assert plan.count("Scan ExistingRDD") >= _LPA_ROUNDS
+    assert "Scan parquet" not in plan  # edge build cut by the checkpoint
 
 
 def test_x262_modularity_tags_off_checkpointed_labels(spark, sf_dir):
