@@ -150,17 +150,22 @@ def global_row_number(
     # 1. quantile boundaries of the leading key (per group if grouped)
     qs = [i / buckets for i in range(1, buckets)]
     if parts:
-        # persist: the count below and the broadcast join both consume
-        # this tiny (guarded ≤ _MAX_BOUNDARY_ROWS) frame — without it
-        # the grouped percentile scan over the FULL input runs twice
+        # localCheckpoint (NOT persist): the count below and the
+        # broadcast join both consume this tiny (guarded ≤
+        # _MAX_BOUNDARY_ROWS) frame — without the cut the grouped
+        # percentile scan over the FULL input runs twice. A persist()
+        # here would be matched by canonical plan equality in the
+        # CacheManager, silently reusing the materialized scan across
+        # REBUILDS of the same query in one session (cross-run
+        # intermediate caching, which the bench contract forbids); the
+        # checkpoint is keyed to this build's RDD identity.
         bounds = (
             keyed.groupBy(*parts)
             .agg(F.percentile_approx("__rnk_key", qs).alias("__bnds"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         n_groups = bounds.count()
         if n_groups * buckets > _MAX_BOUNDARY_ROWS:
-            bounds.unpersist()
             raise RuntimeError(
                 f"grouped bucketed rank: {n_groups} groups x {buckets} "
                 f"buckets exceeds the {_MAX_BOUNDARY_ROWS}-row boundary "

@@ -1347,52 +1347,58 @@ def x177_ann_recall_eval(spark, sf_dir):
     dims = row["d"] or 0
     scale = 1_000_000_000_000
     norm_scale = 1_000_000
+    # Unrolled fixed-point expressions are built as SQL STRINGS parsed
+    # by one expr() each (r12): the per-term Column form costs one py4j
+    # round-trip per operator — ~1,300 JVM calls for 64 dims x (encode
+    # + dot + norm + 8 SRP planes), measured 2.7 s of driver time per
+    # BUILD, re-paid on every bench rebuild. String assembly is
+    # microseconds and parses to the IDENTICAL expression tree
+    # (schema- and oracle-hash-verified); execution is unchanged.
+    vec_sql = "CAST(embedding AS ARRAY<DOUBLE>)"
     elems = [
-        (F.element_at(vec, i + 1).cast("decimal(18,12)") * F.lit(scale))
-        .cast("long")
-        .alias(f"_e{i}")
+        f"CAST(CAST(element_at({vec_sql}, {i + 1}) AS DECIMAL(18,12))"
+        f" * {scale} AS BIGINT) AS _e{i}"
         for i in range(dims)
     ]
     felems = [
-        (F.element_at(vec, i + 1).cast("decimal(9,6)") * F.lit(norm_scale))
-        .cast("long")
-        .alias(f"_f{i}")
+        f"CAST(CAST(element_at({vec_sql}, {i + 1}) AS DECIMAL(9,6))"
+        f" * {norm_scale} AS BIGINT) AS _f{i}"
         for i in range(dims)
     ]
-    stage1 = e.filter(F.size("embedding") == dims).select(
+    stage1 = e.filter(F.size("embedding") == dims).selectExpr(
         "vec_id", *elems, *felems
     )
     # exact dot with the literal query (scale-12 longs x small ints);
     # dims beyond the literal query's length contribute zero, matching
     # the oracle's qv equi-join
-    dot = None
-    for i in range(min(dims, len(_SRP_Q))):
-        if _SRP_Q[i] == 0:
-            continue
-        term = F.col(f"_e{i}") * F.lit(_SRP_Q[i])
-        dot = term if dot is None else dot + term
-    nrm2 = None
-    for i in range(dims):
-        term = F.col(f"_f{i}") * F.col(f"_f{i}")
-        nrm2 = term if nrm2 is None else nrm2 + term
+    dot_terms = [
+        f"_e{i} * {_SRP_Q[i]}"
+        for i in range(min(dims, len(_SRP_Q)))
+        if _SRP_Q[i] != 0
+    ]
+    dot = F.expr(" + ".join(dot_terms)) if dot_terms else None
+    nrm2 = (
+        F.expr(" + ".join(f"_f{i} * _f{i}" for i in range(dims)))
+        if dims
+        else None
+    )
     # SRP projection sums: sign-weighted scale-12 longs (x102 idiom)
-    code = None
+    planes = []
     for j in range(_SRP_BITS):
-        s = None
-        for i in range(dims):
-            sgn = _srp_sign(i, j)
-            if sgn == 0:
-                continue
-            term = F.col(f"_e{i}") * F.lit(sgn)
-            s = term if s is None else s + term
+        terms = [
+            f"-_e{i}" if _srp_sign(i, j) == -1 else f"_e{i}"
+            for i in range(dims)
+            if _srp_sign(i, j) != 0
+        ]
         # plane with no support (dims == 0 on an empty table): bit 0,
         # the x102 no-support-plane convention
-        bit = (
-            F.when(s > 0, F.lit(1 << j)).otherwise(F.lit(0))
-            if s is not None
-            else F.lit(0)
+        planes.append(
+            f"(CASE WHEN ({' + '.join(terms)}) > 0"
+            f" THEN {1 << j} ELSE 0 END)"
+            if terms
+            else "0"
         )
-        code = bit if code is None else code + bit
+    code = F.expr(" + ".join(planes))
     # division ORDER mirrors the oracle exactly: (dot/1e12) is the
     # correctly-rounded double of the exact rational (dot_long < 2^53),
     # then / QNORM, then / sqrt(nrm2/1e12) — IEEE divides in the same

@@ -186,49 +186,49 @@ def _bucketed_candidates(spark, sf_dir):
     dims = row["d"]
     if dims is None:
         return None
-    vec = F.col("embedding").cast("array<double>")
-    felems = [
-        (F.element_at(vec, i + 1).cast("decimal(9,6)") * F.lit(1_000_000))
-        .cast("long")
+    # Unrolled fixed-point expressions as SQL STRINGS parsed by one
+    # expr() each (r12, the x177 lesson): the Column form pays one py4j
+    # round-trip per operator — ~600 JVM calls for the 64-element
+    # encode + 8 SRP planes, ~1 s of driver time per BUILD, re-paid on
+    # every bench rebuild. Same expression tree (oracle-hash-verified),
+    # same execution; integer addition is associative, so the flat
+    # left-assoc sum equals the old balanced tree_sum exactly.
+    vec_sql = "CAST(embedding AS ARRAY<DOUBLE>)"
+    f_sql = ", ".join(
+        f"CAST(CAST(element_at({vec_sql}, {i + 1}) AS DECIMAL(9,6))"
+        " * 1000000 AS BIGINT)"
         for i in range(dims)
-    ]
+    )
     dot_ff = "aggregate(zip_with(f, f, (x, y) -> x * y), 0L, (a, v) -> a + v)"
     nz = (
         e.filter(F.size("embedding") == dims)
-        .select("vec_id", F.array(*felems).alias("f"))
+        .selectExpr("vec_id", f"array({f_sql}) AS f")
         .withColumn("n2", F.expr(dot_ff).cast("long"))
         .filter(F.col("n2") > 0)
         .localCheckpoint(eager=True)
     )
 
-    def tree_sum(cols):
-        while len(cols) > 1:
-            nxt = [cols[k] + cols[k + 1] for k in range(0, len(cols) - 1, 2)]
-            if len(cols) % 2:
-                nxt.append(cols[-1])
-            cols = nxt
-        return cols[0]
-
     # 8-bit SRP code: sign of the exact integer +-element sum per plane
     # (sparse Achlioptas family, density 1/4 — the x102 machinery over
     # the 6-dp array representation).
-    code = None
+    planes = []
     for j in range(_SRP_BITS):
-        terms = []
-        for i in range(dims):
-            s = _srp_sign(i, j)
-            if s == 1:
-                terms.append(F.element_at(F.col("f"), i + 1))
-            elif s == -1:
-                terms.append(-F.element_at(F.col("f"), i + 1))
-        if terms:
-            bit = F.when(tree_sum(terms) > 0, F.lit(1 << j)).otherwise(
-                F.lit(0)
-            )
-        else:  # plane with no support on this width: sum = 0 -> bit 0
-            bit = F.lit(0)
-        code = bit if code is None else code + bit
-    coded = nz.withColumn("code", code.cast("long"))
+        terms = [
+            f"-element_at(f, {i + 1})"
+            if _srp_sign(i, j) == -1
+            else f"element_at(f, {i + 1})"
+            for i in range(dims)
+            if _srp_sign(i, j) != 0
+        ]
+        planes.append(
+            f"(CASE WHEN ({' + '.join(terms)}) > 0"
+            f" THEN {1 << j} ELSE 0 END)"
+            if terms
+            else "0"  # plane with no support on this width: bit 0
+        )
+    coded = nz.withColumn(
+        "code", F.expr(" + ".join(planes)).cast("long")
+    )
 
     qa = coded.select(
         F.col("code"),

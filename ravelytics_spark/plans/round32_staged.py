@@ -1652,29 +1652,23 @@ def x339_dim_redundancy(spark, sf_dir):
                 da, sa, vka, db, sb, vkb = db, sb, vkb, da, sa, vka
             col = f"sij_{da}_{db}"
             pair_sums.append(
-                F.sum(
-                    F.expr(f"element_at(f3, {da + 1})")
-                    * F.expr(f"element_at(f3, {db + 1})")
-                )
-                .cast("long")
-                .alias(col)
+                f"CAST(SUM(element_at(f3, {da + 1})"
+                f" * element_at(f3, {db + 1})) AS BIGINT) AS {col}"
             )
             meta.append((da, db, n, sa, sb, vka, vkb, col))
-    sums = base.agg(*pair_sums)
-    outs = []
-    for da, db, n, sa, sb, vka, vkb, col in meta:
-        outs.append(
-            sums.select(
-                F.lit(da).cast("long").alias("dim_a"),
-                F.lit(db).cast("long").alias("dim_b"),
-                F.expr(
-                    _dr_corr_expr(n, sa, sb, vka, vkb).replace("sij", col)
-                ).alias("corr_milli"),
-            )
-        )
-    out = outs[0]
-    for nxt in outs[1:]:
-        out = out.unionAll(nxt)
+    sums = base.selectExpr(*pair_sums)
+    # ONE inline(array(named_struct...)) projection instead of a
+    # 28-branch unionAll of single-row selects (r12): each unionAll
+    # re-analyzed the growing plan — quadratic driver time, ~1.4 s per
+    # build — while the inline form is one analysis pass producing the
+    # identical rows (same literals, same IEEE corr chain per pair).
+    structs = ", ".join(
+        f"named_struct('dim_a', CAST({da} AS BIGINT),"
+        f" 'dim_b', CAST({db} AS BIGINT),"
+        f" 'corr_milli', {_dr_corr_expr(n, sa, sb, vka, vkb).replace('sij', col)})"
+        for da, db, n, sa, sb, vka, vkb, col in meta
+    )
+    out = sums.selectExpr(f"inline(array({structs}))")
     return out.orderBy(
         F.abs(F.col("corr_milli")).desc(), "dim_a", "dim_b"
     )
