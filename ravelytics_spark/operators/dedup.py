@@ -217,34 +217,37 @@ def minhash_signatures(
     the explode+hash-agg form is the scale path.)
     """
     hashed = _hashed_shingles(df, id_col, text_col, n)
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("__shash"))).alias(f"__m{i}")
-        for i in range(num_hashes)
-    ]
+    # One parsed-SQL expression instead of 64 × (min∘xxhash64∘lit∘col∘alias)
+    # Column objects: each F.* call is a py4j round-trip, and the chatter
+    # (~320 JVM calls) dominated plan-build time for the whole minhash
+    # family (guide §7.3 — driver-side work). An int literal in SQL text is
+    # IntegerType exactly like F.lit(i), so the seeded hashes are bit-equal.
+    return hashed.groupBy("__id").agg(F.expr(_sig_array_sql(num_hashes)).alias("__sig"))
+
+
+def _sig_array_sql(num_hashes: int) -> str:
+    """SQL text for the k-min signature array aggregate (see
+    ``minhash_signatures`` for why parsed SQL rather than Column chains)."""
     return (
-        hashed.groupBy("__id")
-        .agg(*mins)
-        .select(
-            "__id",
-            F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("__sig"),
-        )
+        "array("
+        + ",".join(f"min(xxhash64({i}, __shash))" for i in range(num_hashes))
+        + ")"
     )
 
 
 def _banded(signatures: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
     """(id, band, bucket) rows: bucket per band = hash of that band's
     signature slice. Literal index access unrolled at plan-build time —
-    plain codegen'd expressions, not interpreted higher-order lambdas."""
-    buckets = F.array(
-        *[
-            F.hash(
-                *[F.col("__sig")[b * rows_per_band + j] for j in range(rows_per_band)]
-            )
-            for b in range(bands)
-        ]
+    plain codegen'd expressions, not interpreted higher-order lambdas;
+    built as one parsed-SQL string (one py4j call, not ~bands×rows)."""
+    buckets = ",".join(
+        "hash("
+        + ",".join(f"__sig[{b * rows_per_band + j}]" for j in range(rows_per_band))
+        + ")"
+        for b in range(bands)
     )
     return signatures.select(
-        "__id", F.posexplode(buckets).alias("__band", "__bucket")
+        "__id", F.expr(f"posexplode(array({buckets}))").alias("__band", "__bucket")
     )
 
 
@@ -375,24 +378,14 @@ def minhash_dedup_pairs(
         .agg(F.lit(1).alias("__one"))
         .drop("__one")
     )
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("__shash"))).alias(f"__m{i}")
-        for i in range(num_hashes)
-    ]
+    # Parsed-SQL signature aggregate (see minhash_signatures): one py4j
+    # call instead of ~320 for the 64-min Column chain.
+    sig_agg = F.expr(_sig_array_sql(num_hashes)).alias("__sig")
     n_par = df.sparkSession.sparkContext.defaultParallelism
 
     if verify == "inverted":
         sh = sh.repartition(n_par, "__id")
-        sigs = (
-            sh.groupBy("__id")
-            .agg(*mins)
-            .select(
-                "__id",
-                F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias(
-                    "__sig"
-                ),
-            )
-        )
+        sigs = sh.groupBy("__id").agg(sig_agg)
         cand = minhash_lsh_candidates(
             sigs, bands, rows_per_band, max_bucket_size
         )
@@ -449,13 +442,10 @@ def minhash_dedup_pairs(
     doc = (
         sh.repartition(n_par, "__id")
         .groupBy("__id")
-        .agg(F.collect_set("__shash").alias("__hset"), *mins)
+        .agg(F.collect_set("__shash").alias("__hset"), sig_agg)
         .localCheckpoint(eager=True)
     )
-    sigs = doc.select(
-        "__id",
-        F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("__sig"),
-    )
+    sigs = doc.select("__id", "__sig")
     cand = minhash_lsh_candidates(sigs, bands, rows_per_band, max_bucket_size)
     sa = doc.select(F.col("__id").alias("id_a"), F.col("__hset").alias("__sa"))
     sb = doc.select(F.col("__id").alias("id_b"), F.col("__hset").alias("__sb"))

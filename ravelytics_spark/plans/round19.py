@@ -66,10 +66,14 @@ _MH_JACCARD_MIN = 0.35
 _MH_HASH_SQL = (
     "CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) % 536870912"
 )
-_MH_MINS_SQL = ",\n           ".join(
+# Shared by the DuckDB oracle (joined into the CTE) and the Spark side
+# (each parsed with one F.expr): the SAME SQL text drives both engines,
+# and parsing beats ~85 py4j Column round-trips of the equivalent chain.
+_MH_MIN_EXPRS = [
     f"min(({_MH_A[i]} * h + {_MH_B[i]}) % {_MH_P}) AS m{i}"
     for i in range(_MH_K)
-)
+]
+_MH_MINS_SQL = ",\n           ".join(_MH_MIN_EXPRS)
 _MH_BAND_JOINS_SQL = "\n    UNION\n".join(
     "    SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b\n"
     "      ON a.doc_id < b.doc_id AND "
@@ -192,33 +196,22 @@ def portable_minhash_pairs(spark, docs):
         base.groupBy("doc_id")
         .agg(
             F.collect_set("h").alias("hset"),
-            *[
-                F.min(
-                    (F.lit(_MH_A[i]) * F.col("h") + F.lit(_MH_B[i])) % _MH_P
-                ).alias(f"m{i}")
-                for i in range(_MH_K)
-            ],
+            *[F.expr(e) for e in _MH_MIN_EXPRS],
         )
         .localCheckpoint(eager=True)
     )
     # band key = struct of the band's R minhashes; ONE equi-join on
     # (band, key) — the banded-bucket shuffle of dedup.py, not B
-    # separate self-joins
+    # separate self-joins. One parsed expression, not B×R Column calls.
+    band_array = ",".join(
+        "named_struct("
+        + ",".join(f"'k{r}', m{b * _MH_R + r}" for r in range(_MH_R))
+        + ")"
+        for b in range(_MH_K // _MH_R)
+    )
     bands = sig.select(
         "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.struct(
-                        *[
-                            F.col(f"m{b * _MH_R + r}").alias(f"k{r}")
-                            for r in range(_MH_R)
-                        ]
-                    )
-                    for b in range(_MH_K // _MH_R)
-                ]
-            )
-        ).alias("band", "key"),
+        F.expr(f"posexplode(array({band_array}))").alias("band", "key"),
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
