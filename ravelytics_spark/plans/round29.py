@@ -170,6 +170,31 @@ FROM mu
 """
 
 
+# The slim-multiprobe crossover (bytes of the ×9 probe explode above
+# which shuffling full vectors through the ≤256-key cap window costs
+# more than the extra id-keyed re-attach join). Interleaved A/B at
+# sf0.1 (18k probe rows ≈ 10 MB): old 3.19/2.78 s vs slim 4.13/4.73 s —
+# below the threshold the two extra stages dominate, so small inputs
+# keep the direct form; at 100 TB (9N vector rows vs 16-byte id rows
+# through the funnel) slim wins by construction. Overridable per
+# deployment, same pattern as fuzzy._attachable_by_broadcast.
+_SLIM_MULTIPROBE_BYTES = 256 * 1024 * 1024
+
+
+def _slim_multiprobe(e) -> bool:
+    """True when the ×9 multiprobe explode of the embeddings scan is
+    estimated big enough that the cap window must not carry vectors.
+    The scan's optimizer estimate is reliable (plain pruned parquet
+    read); 9× it approximates the probe-side exchange bytes."""
+    import os
+
+    override = os.environ.get("RVL_R29_SLIM")
+    if override is not None:
+        return override == "1"
+    size = e._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    return int(size) * 9 > _SLIM_MULTIPROBE_BYTES
+
+
 def _bucketed_candidates(spark, sf_dir):
     """Shared Spark-side candidate generation for x230b/x245b.
 
@@ -247,18 +272,45 @@ def _bucketed_candidates(spark, sf_dir):
             for b in range(_SRP_BITS)
         ],
     )
-    np_ = coded.select(
-        F.col("vec_id").alias("nb"),
-        F.col("f").alias("fb"),
-        F.col("n2").alias("nb2"),
-        F.explode(probes).alias("pcode"),
-    )
-    wcap = Window.partitionBy("pcode").orderBy("nb")
-    ncap = (
-        np_.withColumn("rn", F.row_number().over(wcap))
-        .filter(F.col("rn") <= _BK_CAP)
-        .drop("rn")
-    )
+    if _slim_multiprobe(e):
+        # Slim multiprobe (r12, guide §2.3/§8): the cap window's exchange
+        # hash-partitions on pcode — an 8-bit code space, so AT MOST 256
+        # distinct keys — and previously carried the full fixed-point
+        # vector (64×8 B) on every one of the 9N probe rows through that
+        # funnel. The cap's semantics need only (nb, pcode); shuffle
+        # those 16-byte rows, cap, then re-attach (fb, nb2) from the
+        # checkpointed nz by one id-keyed join — the capped output is
+        # bounded by 256 buckets × _BK_CAP rows, so the re-attached
+        # vector bytes are O(cap), not O(9N). Identical result set: the
+        # cap keeps the same first-N-by-nb members either way.
+        np_ = coded.select(
+            F.col("vec_id").alias("nb"), F.explode(probes).alias("pcode")
+        )
+        wcap = Window.partitionBy("pcode").orderBy("nb")
+        ncap_ids = (
+            np_.withColumn("rn", F.row_number().over(wcap))
+            .filter(F.col("rn") <= _BK_CAP)
+            .drop("rn")
+        )
+        nbv = nz.select(
+            F.col("vec_id").alias("nb"),
+            F.col("f").alias("fb"),
+            F.col("n2").alias("nb2"),
+        )
+        ncap = ncap_ids.join(nbv, "nb")
+    else:
+        np_ = coded.select(
+            F.col("vec_id").alias("nb"),
+            F.col("f").alias("fb"),
+            F.col("n2").alias("nb2"),
+            F.explode(probes).alias("pcode"),
+        )
+        wcap = Window.partitionBy("pcode").orderBy("nb")
+        ncap = (
+            np_.withColumn("rn", F.row_number().over(wcap))
+            .filter(F.col("rn") <= _BK_CAP)
+            .drop("rn")
+        )
     pairs = qa.join(
         ncap, on=[qa["code"] == ncap["pcode"], qa["qa"] != ncap["nb"]]
     ).select("qa", "fa", "na", "nb", "fb", "nb2")

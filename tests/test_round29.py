@@ -161,3 +161,23 @@ def test_twonn_empty_table_matches_oracle_shape(spark, tmp_path):
         )
         exp = [tuple(r) for r in con.execute(q.oracle).fetchall()]
         assert got == exp == [(0, None, None)], (name, got, exp)
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_slim_multiprobe_path_is_result_identical(spark, name):
+    """The r12 slim-multiprobe form (cap window over (nb, pcode) id
+    rows + vector re-attach join) must produce byte-identical results
+    to the direct form (vectors carried through the cap window) — the
+    size-gated plan choice in _slim_multiprobe may pick either
+    depending on input scale, so both must be the same query."""
+    sf = SFS[0]
+    out = {}
+    for variant in ("0", "1"):
+        os.environ["RVL_R29_SLIM"] = variant
+        try:
+            out[variant] = [
+                tuple(r) for r in REGISTRY[name].spark(spark, sf).collect()
+            ]
+        finally:
+            os.environ.pop("RVL_R29_SLIM", None)
+    assert out["0"] == out["1"]
