@@ -173,29 +173,22 @@ ORDER BY part
     _KCORE_ORACLE,
 )
 def x127_kcore_peel(spark, sf_dir, early_exit: bool = True):
+    from ravelytics_spark.operators.graph import coorder_edges, maybe_broadcast
+
     li = load_table(spark, sf_dir, "lineitem")
-    pk = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a, b = pk.alias("a"), pk.alias("b")
-    e = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-        .agg(F.count("*").alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("u", "v")
-    )
+    e = coorder_edges(li, min_weight=2)
     und = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)  # referenced 2x per round x 12 rounds
+    ).localCheckpoint(eager=True)  # referenced every round x 12 rounds
     alive = und.select(F.col("u").alias("n")).distinct()
     deg = None
     prev_n = None
     for _ in range(_KCORE_ROUNDS):
-        # checkpoint the (tiny) alive set: it feeds two semi-joins per
-        # round — without the cut the lineage doubles every round
-        # (the x101 lesson).
-        alive = alive.localCheckpoint(eager=True)
+        # checkpoint the (tiny) alive set: it feeds both joins of the
+        # round — without the cut the lineage doubles every round (the
+        # x101 lesson). With early_exit the checkpoint is LAZY and the
+        # count() materializes it — one job per round, not two.
+        alive = alive.localCheckpoint(eager=not early_exit)
         if early_exit:
             n = alive.count()
             if prev_n is not None and n == prev_n:
@@ -204,16 +197,25 @@ def x127_kcore_peel(spark, sf_dir, early_exit: bool = True):
                 # remaining round would reproduce.
                 break
             prev_n = n
-        deg = (
-            und.join(alive, und.u == alive.n, "left_semi")
-            .join(
-                alive.select(F.col("n").alias("n2")),
-                F.col("v") == F.col("n2"),
-                "left_semi",
-            )
+            # n is exact, so the join strategy is picked from data, not
+            # estimates (guide §3.1): below the budget the alive set
+            # broadcasts and the round's edge pass is map-only.
+            al = maybe_broadcast(alive, 16 * n)
+        else:
+            al = alive
+        # r12 one-pass round (guide §2.3/§2.4): count v-alive neighbors
+        # per u over the FULL edge list, then keep u-alive rows by one
+        # semi-join on the NODE-sized aggregate — identical d table to
+        # the old both-sides-first form (rows with dead u are the only
+        # ones dropped, and they were dropped before aggregation), but
+        # the 2·|E| frame is probed once per round instead of twice and
+        # never re-exchanged when the alive set broadcasts.
+        cnt = (
+            und.join(al, und.v == al["n"], "left_semi")
             .groupBy("u")
             .agg(F.count("*").cast("long").alias("d"))
         )
+        deg = cnt.join(al, cnt["u"] == al["n"], "left_semi")
         alive = deg.filter(F.col("d") >= _KCORE_K).select(F.col("u").alias("n"))
     return (
         deg.filter(F.col("d") >= _KCORE_K)
