@@ -62,9 +62,16 @@ def deletion_variants(col: str) -> F.Column:
 
 
 def _variant_rows(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
+    from ravelytics_spark.operators.skew import fan_out_scan
+
     # (id, variant-hash) ONLY — the strings do not ride through the
     # candidate shuffle; they re-join after pair dedup (measured ~40%
     # of the operator's wall-clock at sf0.1 when carried through).
+    # fan_out_scan: the L+1 deletion expansion is CPU-dense; an
+    # under-parallel dictionary scan (one small file) serializes it on
+    # one core (r12 stage trace: 1 task, 0.6 s) — no-op on any
+    # well-partitioned input.
+    df = fan_out_scan(df)
     return df.filter(F.col(str_col).isNotNull()).select(
         F.col(id_col).alias("__fid"),
         F.explode(F.array_distinct(deletion_variants(str_col))).alias("__v"),

@@ -63,6 +63,13 @@ def x47_fuzzy_pairs(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
     return (
         fuzzy_self_pairs(c, "c_custkey", "c_name")
+        # Hash-repartition BEFORE the global sort: range partitioning
+        # samples its child with a separate job, and without a shuffle
+        # boundary here that sample pass re-executes the whole
+        # candidates→levenshtein pipeline (r12 stage trace: two ~4.6 s
+        # stages doing identical work). One cheap exchange of the
+        # verified pairs makes the sample job a shuffle re-read.
+        .repartition(F.col("id_a"))
         .orderBy("id_a", "id_b")
     )
 
