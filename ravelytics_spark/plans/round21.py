@@ -173,8 +173,33 @@ def x108_cms_heavy_hitters(spark, sf_dir):
     # explode CPU (the round-19 hash-stage idiom).
     n_par = spark.sparkContext.defaultParallelism
     keys = li.select("l_partkey").repartition(n_par)
-    rows = keys.select(F.explode(F.array(*buckets())).alias("s")).select(
-        "s.d", "s.b"
+    # r12: materialize the md5 digest ONCE per row in a projection below
+    # the explode — inside the Generate's array input the 4 bucket
+    # structs each re-evaluate their digest subexpression (codegen CSE
+    # does not reach Generate inputs; interleaved noop A/B on this
+    # stage: 1.18 -> 0.89 s at sf0.1). Values are unchanged — the
+    # buckets() expressions are identical, only evaluated against a
+    # projected column.
+    def buckets_of(dig):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    (
+                        F.conv(F.substring(dig, 1 + 3 * d, 3), 16, 10).cast(
+                            "long"
+                        )
+                        % _CMS_W
+                    ).alias("b"),
+                )
+                for d in range(_CMS_D)
+            ]
+        )
+
+    rows = (
+        keys.select(digest.alias("__dig"))
+        .select(F.explode(buckets_of(F.col("__dig"))).alias("s"))
+        .select("s.d", "s.b")
     )
     counters = rows.groupBy("d", "b").agg(F.count("*").cast("long").alias("cnt"))
 

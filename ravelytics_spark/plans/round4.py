@@ -475,8 +475,16 @@ def x31_window_dedup(spark, sf_dir):
         F.concat_ws(" ", *parts).alias("wstr"),
         F.lead("w", _WIN - 1).over(w).alias("last"),
     )
-    rows = win.filter(F.col("last").isNotNull()).select(
-        "doc_id", F.md5("wstr").alias("key")
+    rows = (
+        win.filter(F.col("last").isNotNull())
+        .select("doc_id", F.md5("wstr").alias("key"))
+        # r12 lineage cut: three consumers key this frame differently
+        # (hash(key) agg, hash(key) join probe, hash(doc_id) totals), so
+        # no single exchange can be the reuse point and the lead-window
+        # + md5 expansion re-executed per branch (stage trace: two
+        # identical 3.2 MB exchange writes). The materialized frame is
+        # (doc_id, md5) — ~40 B/row. Interleaved A/B: 1.69 -> 1.51 s.
+        .localCheckpoint(eager=True)
     )
     shared = (
         rows.groupBy("key")
