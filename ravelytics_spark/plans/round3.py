@@ -646,6 +646,14 @@ def x22_centroid_assign(spark, sf_dir):
     e = e.filter(
         F.col("embedding").isNotNull() & (F.size("embedding") == n_dims)
     )
+    # r12 (guide §2.5 input skew): the unrolled argmin is CPU-dense and
+    # the test corpus is one parquet split — without a fan-out the whole
+    # scoring pass serializes on one core (stage trace: 1 task, ~1.0 s
+    # CPU). No-op on any well-partitioned corpus; interleaved A/B at
+    # sf0.1: 1.04 -> 0.65 s, confusion matrix identical.
+    from ravelytics_spark.operators.skew import fan_out_scan
+
+    e = fan_out_scan(e)
     # decimal(32,18): scale matches the oracle's DECIMAL(38,18) cast
     # (same 18-place rounding of each double term), while the 14
     # integral digits of headroom keep (acc + v).cast back to (32,18)

@@ -353,9 +353,16 @@ def x343_pq_portable(spark, sf_dir):
             for s in range(_PQ_NSUB)
         }
 
-        base = e.filter(F.size("embedding") == F.lit(d)).select(
-            "vec_id", _f3().alias("f3")
-        )
+        from ravelytics_spark.operators.skew import fan_out_scan
+
+        # r12 (guide §2.5 input skew): the 8-subspace unrolled encode is
+        # CPU-dense and the test corpus is one parquet split — fan out
+        # so it doesn't serialize on one core (stage trace: 1 task,
+        # 1.2 s CPU; interleaved A/B 0.77 -> 0.48 s, output identical).
+        # No-op on any well-partitioned corpus.
+        base = fan_out_scan(
+            e.filter(F.size("embedding") == F.lit(d))
+        ).select("vec_id", _f3().alias("f3"))
         # per subspace: least() over (encode_d2, code, adc_d2) structs;
         # lexicographic min on the first two fields IS the encode
         # argmin with the oracle's tie-break, and .getField('pd2')
