@@ -245,30 +245,53 @@ _BEST_PATH = os.path.join(_HERE, "BENCH_BEST.json")
 _DETAIL_PATH = os.path.join(_HERE, "BENCH_DETAIL.json")
 
 # Hard budget for the single stdout line. The driver keeps the last
-# ~2000 chars of the MERGED stdout+stderr and parses the JSON out of
-# that tail; 1700 leaves slack for shell/progress residue ahead of it.
-_LINE_BUDGET = 1700
+# 2000 chars of the MERGED stdout+stderr (every BENCH_r*.json tail is
+# exactly 2000 chars) and parses the JSON out of that tail. This line
+# is the process's final output (Spark is stopped first, nothing prints
+# after it), so the only hard requirement is len(line) + trailing
+# newline <= 2000; 1980 leaves 19 chars of slack.
+_LINE_BUDGET = 1980
+
+
+def _fmt_queries(timings: dict, ndec: int, int_collapse: bool) -> dict:
+    """Round timings for the line; full 3-decimal values live in
+    BENCH_DETAIL.json. int_collapse additionally renders whole-second
+    values and anything >=10s as ints ("12" not "12.3"), the densest
+    encoding that is still plain JSON numbers in seconds."""
+    q = {}
+    for k, v in timings.items():
+        r = round(v, ndec)
+        if int_collapse and (r >= 10.0 or r == int(r)):
+            r = int(round(v))
+        q[k] = r
+    return q
 
 
 def _emit_line(out: dict) -> str:
-    """Serialize the driver-facing JSON line under _LINE_BUDGET chars.
+    """Serialize the driver-facing JSON line under _LINE_BUDGET chars
+    WITHOUT shedding queries.
 
-    Values are rounded to 2 decimals (full precision lives in
-    BENCH_DETAIL.json). If the line still overflows — e.g. a future
-    headline-set growth or a mass-regression run — the FASTEST queries
-    are dropped first (the slow ones are the signal) and regressions
-    are capped at 3 examples + a count, so the line can never push its
-    own head out of the driver's tail window again."""
+    The 76-name queries dict alone is ~1.95k chars at 2-decimal
+    precision (the names are a fixed 1.35k of it), so precision
+    degrades stepwise — 2-decimal, then 1-decimal, then 1-decimal with
+    whole-second/>=10s values as ints — until the line fits. Even the
+    pathological all-queries->=10s case fits the third rung, so the
+    historical drop-the-fastest fallback (which shed 15 of 76 entries
+    from the r12 line and made the driver record phantom
+    "dropped_from_bench" queries) is kept only as an unreachable
+    last resort. Regressions are capped at 3 examples + a count."""
     out = dict(out)
-    out["queries"] = {k: round(v, 2) for k, v in out["queries"].items()}
+    timings = dict(out["queries"])
     if "regressions" in out and len(out["regressions"]) > 3:
         out["regressions_total"] = len(out["regressions"])
         worst = sorted(out["regressions"])[:3]
         out["regressions"] = {k: out["regressions"][k] for k in worst}
 
-    line = json.dumps(out, separators=(",", ":"))
-    if len(line) <= _LINE_BUDGET:
-        return line
+    for ndec, int_collapse in ((2, False), (1, False), (1, True)):
+        out["queries"] = _fmt_queries(timings, ndec, int_collapse)
+        line = json.dumps(out, separators=(",", ":"))
+        if len(line) <= _LINE_BUDGET:
+            return line
     by_time = sorted(out["queries"], key=out["queries"].__getitem__)
     dropped = 0
     while len(line) > _LINE_BUDGET and by_time:

@@ -82,6 +82,10 @@ def main() -> int:
         env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
         # worker Spark sessions split the box: local[threads] each
         env["RAVELYTICS_TEST_CPUS"] = str(threads)
+        # this is the builder's FULL gate: run every catalog-sweep
+        # parametrization (a bare `pytest tests/` runs the driver-facing
+        # fast tier — see conftest.tier)
+        env.setdefault("RAVELYTICS_FULL", "1")
         out = open(os.path.join(scratch, "out.log"), "w")
         p = subprocess.Popen(
             [

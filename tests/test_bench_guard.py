@@ -84,6 +84,40 @@ def test_bench_json_line_fits_driver_tail_window():
     assert parsed["regressions_total"] == len(bench.HEADLINE)
 
 
+def test_emit_line_carries_all_headline_names():
+    """r12 PERF recorded two phantom 'dropped_from_bench' queries
+    because the old emitter shed the fastest 15 entries once the line
+    outgrew its budget. The precision ladder (2-dec → 1-dec → ints for
+    whole/>=10s values) must carry ALL headline names with zero drops,
+    at today's timings AND at a 10x-slower mass-regression run, inside
+    the driver's hard 2000-char tail window."""
+    bench = _load_bench()
+    assert bench._LINE_BUDGET <= 1999  # line + newline inside the window
+    detail_path = os.path.join(os.path.dirname(__file__), "..", "BENCH_DETAIL.json")
+    real = json.load(open(detail_path))["timings"] if os.path.exists(detail_path) else {}
+    for case in (
+        {n: real.get(n, 1.5) for n in bench.HEADLINE},  # today's shape
+        {n: 9.99 for n in bench.HEADLINE},              # everything 5-10x slower
+        {n: 99.9 for n in bench.HEADLINE},              # pathological
+    ):
+        out = {
+            "metric": "headline_queries_total",
+            "value": round(sum(case.values()), 3),
+            "unit": "sec",
+            "queries": case,
+            "sf": 0.1,
+        }
+        line = bench._emit_line(out)
+        assert len(line) <= bench._LINE_BUDGET
+        parsed = json.loads(line)
+        assert set(parsed["queries"]) == set(bench.HEADLINE)
+        assert "queries_dropped" not in parsed
+        # contract keys intact, values still plain seconds
+        assert parsed["unit"] == "sec" and parsed["metric"] and parsed["sf"]
+        for name, v in parsed["queries"].items():
+            assert abs(v - case[name]) <= 0.5 + 0.05 * case[name]
+
+
 def test_emit_line_drops_fastest_queries_first():
     """Over-budget lines shed the FASTEST queries (slow ones are the
     perf signal) and record how many were dropped."""

@@ -11,12 +11,14 @@ half) so scripts/run_suite.py can run the halves on different workers
 from __future__ import annotations
 
 import pytest
+from conftest import tier
 
 from ravelytics_spark.plans.queries import REGISTRY
 from ravelytics_spark.testing import _normalize
 
 _ALL = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
-_NAMES = _ALL[1::2]
+# Fast tier: deterministic quarter (RAVELYTICS_FULL=1 restores all).
+_NAMES = tier(_ALL[1::2], salt="determinism")
 
 
 @pytest.mark.parametrize("name", _NAMES)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import pyarrow.parquet as pq
 import pytest
+from conftest import tier
 
 from ravelytics_spark.plans.queries import REGISTRY
 from ravelytics_spark.testing import compare, duckdb_connection
@@ -40,8 +41,16 @@ def test_every_oracle_entry_matches_on_empty_tables(spark, empty_sf):
     would re-pay session fixture accounting 400x)."""
     con = duckdb_connection(empty_sf)
     bad: dict[str, str] = {}
+    # Fast tier: deterministic quarter (RAVELYTICS_FULL=1 sweeps all) —
+    # the class-level pin stays, the per-entry sweep is the full gate's.
+    names = set(
+        tier(
+            sorted(n for n, q in REGISTRY.items() if q.oracle is not None),
+            salt="empty",
+        )
+    )
     for name, q in REGISTRY.items():
-        if q.oracle is None:
+        if q.oracle is None or name not in names:
             continue  # harness entries build their own inputs
         try:
             problems = compare(q.spark(spark, empty_sf), con, q.oracle, name)

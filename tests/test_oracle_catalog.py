@@ -5,11 +5,18 @@ RAVELYTICS_TEST_SF_DIR=/root/testdata/sf0.01 for the driver SF)."""
 from __future__ import annotations
 
 import pytest
+from conftest import tier
 
 from ravelytics_spark.plans.queries import REGISTRY
 from ravelytics_spark.testing import compare, duckdb_connection
 
-_ORACLE_QUERIES = [n for n, q in REGISTRY.items() if q.oracle is not None]
+# Fast tier: deterministic quarter of the catalog (RAVELYTICS_FULL=1
+# sweeps everything — scripts/run_suite.py sets it; scripts/gate.py
+# oracle-checks the full catalog regardless).
+_ORACLE_QUERIES = tier(
+    sorted(n for n, q in REGISTRY.items() if q.oracle is not None),
+    salt="oracle",
+)
 
 
 @pytest.fixture(scope="module")
