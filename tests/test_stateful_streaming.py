@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import json
 import tempfile
+import time
 from pathlib import Path
 
 import pytest
@@ -27,6 +28,7 @@ def _write(src: Path, name: str, rows):
 def _run_batch(spark, src, ckpt, qname):
     from ravelytics_spark.streaming.stateful import user_session_stats
 
+    n_before = _count_commits(ckpt)
     stream = spark.readStream.schema("user_id long, ts_epoch double").json(str(src))
     out = user_session_stats(stream, gap_s=1800.0)
     collected = []
@@ -43,8 +45,33 @@ def _run_batch(spark, src, ckpt, qname):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # availableNow + ProcessingTimeTimeout never self-terminates: once the
+    # data batch commits, the engine loops "No new data but cleaning up
+    # state" running timeout-eviction batches forever (probed 200s+ with
+    # no termination; processAllAvailable blocks on the same loop), so a
+    # bare awaitTermination(120) burned its full timeout TWICE per test
+    # (~4 min). Wait for the data batch's entry in the checkpoint COMMIT
+    # log instead — rows are collected by foreachBatch before the commit
+    # is written, and a committed batch is all the cross-restart
+    # assertion needs — then stop the cleanup loop.
+    _await_new_commit(ckpt, n_before)
+    q.stop()
+    q.awaitTermination(60)
     return {r.user_id: (r.session_count, r.current_len) for r in collected}
+
+
+def _count_commits(ckpt: Path) -> int:
+    commits = ckpt / "commits"
+    return len(list(commits.glob("*"))) if commits.exists() else 0
+
+
+def _await_new_commit(ckpt: Path, n_before: int, deadline_s: float = 120.0):
+    t0 = time.time()
+    while time.time() - t0 < deadline_s:
+        if _count_commits(ckpt) > n_before:
+            return
+        time.sleep(0.2)
+    raise AssertionError("streaming batch never committed")
 
 
 def test_state_carries_across_microbatches(spark, dirs):
@@ -99,6 +126,8 @@ def test_timeout_evicts_idle_user_state():
 def _run_batch_tws(spark, src, ckpt):
     from ravelytics_spark.streaming.stateful import user_session_stats_tws
 
+    n_before = _count_commits(ckpt)
+
     # transformWithState requires the RocksDB state store provider
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
@@ -118,7 +147,10 @@ def _run_batch_tws(spark, src, ckpt):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # same non-termination as the applyInPandasWithState twin above
+    _await_new_commit(ckpt, n_before)
+    q.stop()
+    q.awaitTermination(60)
     return {r.user_id: (r.session_count, r.current_len) for r in collected}
 
 
