@@ -370,20 +370,20 @@ def minhash_dedup_pairs(
             f"verify must be 'sets' or 'inverted', got {verify!r}"
         )
     rows_per_band = num_hashes // bands
-    # Deduped (id, shingle-hash): MinHash over a set == over its multiset,
-    # and exact-Jaccard needs set semantics — dedup once for both.
-    sh = (
-        _hashed_shingles(df, id_col, text_col, n)
-        .groupBy("__id", "__shash")
-        .agg(F.lit(1).alias("__one"))
-        .drop("__one")
-    )
     # Parsed-SQL signature aggregate (see minhash_signatures): one py4j
     # call instead of ~320 for the 64-min Column chain.
     sig_agg = F.expr(_sig_array_sql(num_hashes)).alias("__sig")
     n_par = df.sparkSession.sparkContext.defaultParallelism
 
     if verify == "inverted":
+        # Deduped (id, shingle-hash): MinHash over a set == over its
+        # multiset, and the inverted-index Jaccard needs set semantics.
+        sh = (
+            _hashed_shingles(df, id_col, text_col, n)
+            .groupBy("__id", "__shash")
+            .agg(F.lit(1).alias("__one"))
+            .drop("__one")
+        )
         sh = sh.repartition(n_par, "__id")
         sigs = sh.groupBy("__id").agg(sig_agg)
         cand = minhash_lsh_candidates(
@@ -432,18 +432,29 @@ def minhash_dedup_pairs(
     # dedup pipeline re-executed per branch. The checkpoint stores the
     # doc-level frame (ids + signatures + hash sets — the signature
     # store a production dedup service persists anyway, ~per-doc
-    # shingle count × 8 bytes). EAGER like x101's pair graph: a lazy
-    # checkpoint materializes mid-action and its pre-checkpoint stage
-    # metrics race the driver's accumulator registry (observed
-    # DAGScheduler 'non-existent accumulator' noise); eager runs the
-    # pipeline as its own job at build, which is also the honest cost
-    # model — this call site is where a cluster pipeline would write
-    # its signature store.
+    # shingle count × 8 bytes).
+    #
+    # Shape (r13, interleaved A/B, all byte-identical):
+    # - NO pre-agg (__id,__shash) dedup pass: the window exchange
+    #   already clusters by __id so the dedup agg was shuffle-free, and
+    #   collect_set dedups its input anyway (MinHash over a multiset ==
+    #   over the set) — the extra hash-agg layer only re-walked the
+    #   shingle rows.
+    # - NO explicit repartition: it was the pre-checkpoint reuse point;
+    #   with the checkpoint as the reuse point it was a pure extra
+    #   exchange (hash(id) -> hash(id) of the same rows).
+    # - LAZY checkpoint, materialized by the first consumer: eager ran
+    #   the signature pipeline as its own driver-blocking job before
+    #   the main action (r12's "honest cost model" argument); measured
+    #   A/B says the single-job form is ~10% faster end-to-end and the
+    #   blocks land in the same persist-backed store either way. The
+    #   r12-era DAGScheduler accumulator noise is WARN-level log chatter
+    #   under lazy materialization, not a correctness signal.
     doc = (
-        sh.repartition(n_par, "__id")
+        _hashed_shingles(df, id_col, text_col, n)
         .groupBy("__id")
         .agg(F.collect_set("__shash").alias("__hset"), sig_agg)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     sigs = doc.select("__id", "__sig")
     cand = minhash_lsh_candidates(sigs, bands, rows_per_band, max_bucket_size)

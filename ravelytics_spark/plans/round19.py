@@ -185,20 +185,24 @@ def portable_minhash_pairs(spark, docs):
     # rationale of operators/dedup.py). The verify's Jaccard is over
     # the 29-bit hash sets — identical in both engines; hash-merge
     # collisions perturb it at ~|set|^2/2^29 odds per pair.
-    # The eager lineage cut makes the signature store a single shared
+    # The lineage cut makes the signature store a single shared
     # RDD: its three consumers (banding, both verify sides) prune
     # DIFFERENT columns (mins vs hset), so Catalyst pushes divergent
     # projections below any exchange and ReusedExchange dies — the
     # 10x scale sweep measured the shingle+md5 pipeline executing 3x
     # (29.7s) before the cut vs once after (the operators/dedup.py
     # minhash_dedup_pairs rationale, applied to the portable twin).
+    # LAZY (r13): the first consumer materializes it inside the main
+    # action instead of a separate driver-blocking eager job — measured
+    # interleaved A/B on the dedup.py twin: lazy is ~5-10% faster
+    # end-to-end with byte-identical output.
     sig = (
         base.groupBy("doc_id")
         .agg(
             F.collect_set("h").alias("hset"),
             *[F.expr(e) for e in _MH_MIN_EXPRS],
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # band key = struct of the band's R minhashes; ONE equi-join on
     # (band, key) — the banded-bucket shuffle of dedup.py, not B
