@@ -201,14 +201,15 @@ def main() -> None:
     # the whole case for "regression"). More samples beats a looser
     # threshold: the factor keeps its sensitivity to real plan changes.
     best = _load_best(sf)
-    flagged = _check_regressions(best, timings)
+    phase = _phase_factor(best, timings)
+    flagged = _check_regressions(best, timings, phase)
     for name in list(flagged):
         for _ in range(2):
             timings[name] = min(timings[name], run_one(name))
             samples[name] += 1
-            if not _check_regressions(best, {name: timings[name]}):
+            if not _check_regressions(best, {name: timings[name]}, phase):
                 break
-    regressions = _check_regressions(best, timings) if flagged else {}
+    regressions = _check_regressions(best, timings, phase) if flagged else {}
     # Persist improved bests ONCE, after the final regression pass —
     # checking and persisting were previously one helper, so every retry
     # iteration rewrote BENCH_BEST.json and a noisy improved sample
@@ -333,25 +334,51 @@ def _load_best(sf: str) -> dict[str, float]:
         return {}
 
 
-def _check_regressions(
+def _phase_factor(
     best: dict[str, float], timings: dict[str, float]
+) -> float:
+    """Ambient machine-phase factor: the MEDIAN now/best ratio across
+    the whole run. The box has documented multi-minute slow phases that
+    inflate EVERY query by a common 1.3-3x factor (BENCH_NOTES.md;
+    re-measured r13: x246 swung 2.3s -> 3.7s within an hour on
+    identical code), while a plan regression inflates ONE query. Since
+    bests are minima over all historical runs they skew to fast phases,
+    so a slow-phase run would otherwise flag innocent queries — the
+    guard's retry samples land in the same phase and can't save it.
+    Needs >= 8 comparable queries to be meaningful (else 1.0), and is
+    clamped to >= 1.0 so a fast phase never loosens the guard."""
+    ratios = sorted(
+        t / best[name]
+        for name, t in timings.items()
+        if best.get(name)
+    )
+    if len(ratios) < 8:
+        return 1.0
+    return max(1.0, ratios[len(ratios) // 2])
+
+
+def _check_regressions(
+    best: dict[str, float], timings: dict[str, float], phase: float = 1.0
 ) -> dict[str, str]:
     """Pure comparison against the best snapshot — no persistence.
-    Returns {query: 'now vs best'} for >1.5× regressions. Sub-second
-    timings are exempt (JVM/GC noise dominates there)."""
+    Returns {query: 'now vs best'} for queries >1.5× their
+    phase-adjusted best. Sub-second timings are exempt (JVM/GC noise
+    dominates there)."""
     regressions: dict[str, str] = {}
     for name, t in timings.items():
         prev = best.get(name)
         if (
             prev is not None
-            and t > prev * REGRESSION_FACTOR
+            and t > prev * phase * REGRESSION_FACTOR
             and t > 1.0
-            and t - prev > 0.75
+            and t - prev * phase > 0.75
         ):
             # ratio AND absolute slack: 1-2s queries swing ±0.5s from
             # scheduler/page-cache noise alone (s11 measured 1.14-1.75s
             # across clean runs), which a pure ratio test would flag.
-            regressions[name] = f"{t:.2f}s vs best {prev:.2f}s"
+            regressions[name] = (
+                f"{t:.2f}s vs best {prev:.2f}s (phase {phase:.2f})"
+            )
     return regressions
 
 

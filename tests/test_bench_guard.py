@@ -38,6 +38,33 @@ def test_check_regressions_is_pure_and_thresholded(tmp_path, monkeypatch):
     assert best == {"q1": 2.0, "q2": 0.4, "q3": 2.0}
 
 
+def test_phase_factor_normalizes_machine_wide_slowdowns():
+    """BENCH_NOTES.md documents 1.3-3x multi-minute machine phases that
+    inflate EVERY query; bests are minima over history so they skew to
+    fast phases. The guard must flag the query that regressed RELATIVE
+    to the run's own median ratio, not every query in a slow phase."""
+    bench = _load_bench()
+    best = {f"q{i}": 2.0 for i in range(12)}
+    # machine-wide 1.4x slow phase, one genuine 2.5x plan regression
+    slow = {f"q{i}": 2.8 for i in range(12)}
+    slow["q3"] = 5.0
+    phase = bench._phase_factor(best, slow)
+    assert abs(phase - 1.4) < 0.01
+    flagged = bench._check_regressions(best, slow, phase)
+    assert set(flagged) == {"q3"}
+    # neutral phase: a lone 1.7x/1s+ regression still flags
+    neutral = {f"q{i}": 2.1 for i in range(12)}
+    neutral["q5"] = 3.4
+    phase_n = bench._phase_factor(best, neutral)
+    assert bench._phase_factor(best, neutral) < 1.1
+    assert set(bench._check_regressions(best, neutral, phase_n)) == {"q5"}
+    # fewer than 8 comparable queries: no phase estimate, factor 1.0
+    assert bench._phase_factor({"a": 1.0}, {"a": 3.0}) == 1.0
+    # a fast phase never tightens the guard below the plain 1.5x rule
+    fast = {f"q{i}": 1.9 for i in range(12)}
+    assert bench._phase_factor(best, fast) == 1.0
+
+
 def test_persist_best_single_write_keeps_minima(tmp_path, monkeypatch):
     bench = _load_bench()
     best_path = tmp_path / "BENCH_BEST.json"
