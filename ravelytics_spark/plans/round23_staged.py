@@ -366,17 +366,31 @@ def x129_cohort_ltv(spark, sf_dir):
         F.countDistinct("o_custkey").cast("long").alias("n_active"),
         F.sum("cents").cast("long").alias("revenue_cents"),
     )
-    size = f.groupBy("cohort").agg(F.count("*").cast("long").alias("cohort_size"))
     wC = Window.partitionBy("cohort").orderBy("age").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    cum = cell.withColumn("cum_cents", F.sum("revenue_cents").over(wC))
+    # cohort_size == n_active at age 0: a customer's FIRST order is by
+    # construction in their cohort month, so every cohort member is
+    # active in the age-0 cell (and every cohort has one). first() over
+    # the same cohort-ordered window that builds cum_cents therefore
+    # yields the cohort size from the triangle itself — one Window
+    # operator computes both, replacing the r12 plan's SECOND
+    # consumption of f (the orders scan + first-order agg subtree ran
+    # twice: once under the base join, once under the broadcast
+    # cohort-size agg) and the broadcast join that re-attached it.
+    # Oracle-verified byte-identical (the DuckDB twin keeps the
+    # explicit size_ CTE).
+    cum = cell.select(
+        "*",
+        F.sum("revenue_cents").over(wC).alias("cum_cents"),
+        F.first("n_active").over(wC).alias("cohort_size"),
+    )
     ltv = F.expr(
         "CAST((cum_cents DIV cohort_size) * 1000000"
         " + ((cum_cents % cohort_size) * 1000000) DIV cohort_size AS BIGINT)"
     )
     return (
-        cum.join(F.broadcast(size), "cohort")
+        cum
         .select(
             "cohort",
             "age",
