@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ravelytics_spark.operators.skew import fan_out_scan
 from ravelytics_spark.plans import views
 from ravelytics_spark.sources.tables import load_table
 
@@ -55,6 +56,18 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """v_track_is_techno over the synthetic domain, output serialized for
     hash-stable comparison (arrays sorted + joined)."""
     tracks = synth_tracks(spark, sf_dir)
+    # r13: the tracks side runs explode -> broadcast-probe ->
+    # partial collect_list entirely inside the scan's task layout, and a
+    # single-file orders scan serialized all of it onto ONE task (stage
+    # trace: 1 task, 603 ms, writing the 5 MB pre-agg exchange while 31
+    # cores idled). Round-robin fan-out of the projected 4-column frame
+    # restores parallelism; self-gating no-op when the scan already has
+    # enough partitions (any well-laid-out input at scale). Interleaved
+    # A/B x7: med 1.73 s -> 1.50 s, byte-identical. (A pre-sort hash
+    # barrier for the range-sampling double-read was also measured:
+    # neutral alone, within noise on top of the fan-out — not taken, it
+    # adds a result-sized exchange at scale.)
+    tracks = fan_out_scan(tracks)
     artists = synth_artists(spark, sf_dir)
     out = views.v_track_is_techno(tracks, artists, needle="c")
     return out.select(
