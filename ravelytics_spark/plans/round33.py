@@ -222,9 +222,28 @@ def x342_ivf_portable(spark, sf_dir):
         ]
         probe_cells = {cid for _, cid in sorted(pd2)[:4]}
 
-        base = e.filter(F.size("embedding") == F.lit(d)).select(
-            "vec_id", _f3().alias("f3")
-        )
+        from ravelytics_spark.operators.skew import fan_out_scan
+
+        # r13 (guide §2.5 input skew): the 16-centroid argmin lives in
+        # a FILTER, and a single-split scan serialized it onto ONE task
+        # (stage trace: 1 task, 1.25 s of interpreted HOF evaluation,
+        # zero shuffle, 31 cores idle). fan_out_scan alone measured
+        # neutral here in r12 because predicate pushdown sinks the
+        # filter straight through the round-robin exchange back into
+        # the scan — so the always-false spark_partition_id() < 0
+        # disjunct below pins it above the exchange (a
+        # partition-dependent predicate cannot be pushed across a
+        # repartition; Spark has no public "don't push" hint). With the
+        # pin the argmin runs on all cores: interleaved A/B x6,
+        # steady-state 1.32 s med -> 0.31 s, byte-identical. On a
+        # well-partitioned corpus fan_out_scan no-ops and the pin
+        # merely keeps the filter out of DataFilters, same stage as
+        # the scan. (An unrolled-codegen rewrite of the HOF sums was
+        # also measured: 1.95 s med, WORSE - the 1024-term tree defeats
+        # codegen; the packed HOF form stands.)
+        base = fan_out_scan(
+            e.filter(F.size("embedding") == F.lit(d))
+        ).select("vec_id", _f3().alias("f3"))
         structs = [
             F.struct(
                 _d2_to_lits(F.col("f3"), vec).alias("ad2"),
@@ -233,8 +252,11 @@ def x342_ivf_portable(spark, sf_dir):
             for cid, vec in cents
         ]
         assigned = F.least(*structs).getField("cell_id")
+        keep = assigned.isin(*sorted(probe_cells)) | (
+            F.spark_partition_id() < F.lit(0)
+        )
         return (
-            base.filter(assigned.isin(*sorted(probe_cells)))
+            base.filter(keep)
             .select(
                 F.col("vec_id").cast("long").alias("vec_id"),
                 _d2_to_lits(F.col("f3"), probe).cast("long").alias("d2"),
