@@ -70,9 +70,13 @@ def _variant_rows(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
     # fan_out_scan: the L+1 deletion expansion is CPU-dense; an
     # under-parallel dictionary scan (one small file) serializes it on
     # one core (r12 stage trace: 1 task, 0.6 s) — no-op on any
-    # well-partitioned input.
-    df = fan_out_scan(df)
-    return df.filter(F.col(str_col).isNotNull()).select(
+    # well-partitioned input. Project to the two surviving columns and
+    # drop null strings FIRST so the round-robin exchange shuffles
+    # 2-column rows, not full dictionary rows (r12 ADVICE).
+    df = fan_out_scan(
+        df.filter(F.col(str_col).isNotNull()).select(id_col, str_col)
+    )
+    return df.select(
         F.col(id_col).alias("__fid"),
         F.explode(F.array_distinct(deletion_variants(str_col))).alias("__v"),
     ).select("__fid", F.xxhash64("__v").alias("__vh"))

@@ -415,8 +415,10 @@ def test_x22_centroid_assign_argmin_is_map_only(spark, sf_dir):
     assert "Generate" not in plan  # no posexplode of the vectors
     # confusion agg + output sort, plus fan_out_scan's round-robin of
     # the single-split test corpus (r12 — a no-op exchange on any
-    # well-partitioned input, so the 100 TB plan stays at 2)
-    assert plan.count("Exchange") == 3
+    # well-partitioned input, so the 100 TB plan stays at 2; under a
+    # local[1] session fan_out_scan is a no-op too, hence 2 or 3 —
+    # ADVICE r12)
+    assert plan.count("Exchange") in (2, 3)
 
 
 def test_x30_rp_projection_has_no_agg_shuffle(spark, sf_dir):
