@@ -443,18 +443,18 @@ def minhash_dedup_pairs(
     # - NO explicit repartition: it was the pre-checkpoint reuse point;
     #   with the checkpoint as the reuse point it was a pure extra
     #   exchange (hash(id) -> hash(id) of the same rows).
-    # - LAZY checkpoint, materialized by the first consumer: eager ran
-    #   the signature pipeline as its own driver-blocking job before
-    #   the main action (r12's "honest cost model" argument); measured
-    #   A/B says the single-job form is ~10% faster end-to-end and the
-    #   blocks land in the same persist-backed store either way. The
-    #   r12-era DAGScheduler accumulator noise is WARN-level log chatter
-    #   under lazy materialization, not a correctness signal.
+    # - Checkpoint stays EAGER. A lazy checkpoint measured ~5% faster
+    #   still (med 1.151 vs 1.207) but the r12 warning proved right at
+    #   scale: the three consumer stages race to materialize it inside
+    #   one job and the sf1 sweep logged hundreds of ERROR-level
+    #   "attempted to access non-existent accumulator" DAGScheduler
+    #   stack traces (driver-facing stderr noise + duplicated partition
+    #   compute in the race) — reverted after measuring both.
     doc = (
         _hashed_shingles(df, id_col, text_col, n)
         .groupBy("__id")
         .agg(F.collect_set("__shash").alias("__hset"), sig_agg)
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     sigs = doc.select("__id", "__sig")
     cand = minhash_lsh_candidates(sigs, bands, rows_per_band, max_bucket_size)

@@ -192,17 +192,18 @@ def portable_minhash_pairs(spark, docs):
     # 10x scale sweep measured the shingle+md5 pipeline executing 3x
     # (29.7s) before the cut vs once after (the operators/dedup.py
     # minhash_dedup_pairs rationale, applied to the portable twin).
-    # LAZY (r13): the first consumer materializes it inside the main
-    # action instead of a separate driver-blocking eager job — measured
-    # interleaved A/B on the dedup.py twin: lazy is ~5-10% faster
-    # end-to-end with byte-identical output.
+    # EAGER stands (r13): lazy measured ~5% faster on the dedup.py twin
+    # but its consumer stages race the materialization inside one job —
+    # the sf1 sweep logged ERROR-level "non-existent accumulator"
+    # DAGScheduler traces (and duplicate partition compute); reverted
+    # after measuring both.
     sig = (
         base.groupBy("doc_id")
         .agg(
             F.collect_set("h").alias("hset"),
             *[F.expr(e) for e in _MH_MIN_EXPRS],
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     # band key = struct of the band's R minhashes; ONE equi-join on
     # (band, key) — the banded-bucket shuffle of dedup.py, not B
