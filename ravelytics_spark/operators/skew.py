@@ -60,6 +60,9 @@ def fan_out_scan(df: DataFrame, min_factor: int = 2) -> DataFrame:
 _SCAN_PARTITIONS_MEMO: dict[tuple, int] = {}
 
 
+_SCAN_PARTITIONS_MEMO_CAP = 4096  # a long-lived session must not grow it unboundedly
+
+
 def _scan_partitions(df: DataFrame, sc) -> int:
     try:
         key = (sc.applicationId, df._jdf.queryExecution().analyzed().semanticHash())
@@ -69,6 +72,11 @@ def _scan_partitions(df: DataFrame, sc) -> int:
         return _SCAN_PARTITIONS_MEMO[key]
     n = df.rdd.getNumPartitions()
     if key is not None:
+        if len(_SCAN_PARTITIONS_MEMO) >= _SCAN_PARTITIONS_MEMO_CAP:
+            # FIFO eviction (dicts preserve insertion order): a stale
+            # entry only mis-sizes parallelism on re-probe, never
+            # changes results, so simple is fine here.
+            _SCAN_PARTITIONS_MEMO.pop(next(iter(_SCAN_PARTITIONS_MEMO)))
         _SCAN_PARTITIONS_MEMO[key] = n
     return n
 

@@ -31,9 +31,9 @@ import pyarrow.parquet as pq
 FACT_KEYS = {
     "orders": {"o_orderkey": "key", "o_custkey": "ck"},
     "lineitem": {"l_orderkey": "ok", "l_partkey": "pk", "l_suppkey": "sk"},
-    "customer": {"c_custkey": "ck"},
+    "customer": {"c_custkey": "ck", "c_name": "text"},
     "part": {"p_partkey": "pk", "p_name": "text"},
-    "supplier": {"s_suppkey": "sk"},
+    "supplier": {"s_suppkey": "sk", "s_name": "text"},
     "documents": {"doc_id": "key", "text": "text", "n_chars": "chars"},
     "embeddings": {"vec_id": "key", "embedding": "vec"},
     "events": {"event_id": "key", "user_id": "uk"},
@@ -86,13 +86,19 @@ def main() -> None:
                 elif kind in SHARED:
                     col = pc.add(col, k * offsets[kind])
                 elif kind == "text" and k > 0:
+                    # triple-digit suffix: any two copies' suffixes are
+                    # >= 3 edits apart, so the deletion-variant fuzzy
+                    # join (edit distance <= 2) does NOT pair a name
+                    # with its 9 other copies — a " c1"/" c2" suffix is
+                    # edit-distance-1 cross-copy and inflated x47's sf1
+                    # candidate set ~45 pairs per name (measured 34 s).
                     col = pc.binary_join_element_wise(
                         col.combine_chunks().cast(pa.string()),
-                        pa.array([f"c{k}"] * len(t), pa.string()),
+                        pa.array([f"c{k}{k}{k}"] * len(t), pa.string()),
                         " ",
                     )
                 elif kind == "chars" and k > 0:
-                    col = pc.add(col, len(f" c{k}"))
+                    col = pc.add(col, len(f" c{k}{k}{k}"))
                 elif kind == "vec" and k > 0:
                     flat = col.combine_chunks()
                     values = pc.list_flatten(flat)
