@@ -200,7 +200,8 @@ def main() -> None:
     # exactly the guard threshold, so one noisy sample must never be
     # the whole case for "regression"). More samples beats a looser
     # threshold: the factor keeps its sensitivity to real plan changes.
-    best = _load_best(sf)
+    cpus = spark.sparkContext.defaultParallelism
+    best = _load_best(sf, cpus)
     phase = _phase_factor(best, timings)
     flagged = _check_regressions(best, timings, phase)
     for name in list(flagged):
@@ -214,7 +215,7 @@ def main() -> None:
     # checking and persisting were previously one helper, so every retry
     # iteration rewrote BENCH_BEST.json and a noisy improved sample
     # could be committed as the new best mid-loop.
-    _persist_best(sf, best, timings)
+    _persist_best(sf, best, timings, cpus)
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total",
@@ -325,11 +326,25 @@ def _write_detail(
         pass  # read-only checkout: the stdout line still carries the result
 
 
-def _load_best(sf: str) -> dict[str, float]:
-    """Best recorded per-query times for this sf (read-only snapshot)."""
+_LEGACY_CPUS = 32  # every pre-r13 best was measured on local[32]
+
+
+def _best_key(sf: str, cpus: int) -> str:
+    """Bests are per (sf, core count): an 8-core run is INTENTIONALLY
+    slower on parallel queries, and comparing it against 32-core bests
+    flags exactly the queries that scale best (measured at sf1: the
+    8-core leg of the scaling sweep flagged x150/x227/x245b at 1.8-2.4x
+    their 32-core bests and exited nonzero). The driver's own low-core
+    bench run only survived this at sf0.1 because everything there is
+    overhead-bound."""
+    return sf if cpus == _LEGACY_CPUS else f"{sf}@c{cpus}"
+
+
+def _load_best(sf: str, cpus: int = _LEGACY_CPUS) -> dict[str, float]:
+    """Best recorded per-query times for this (sf, cores) snapshot."""
     try:
         with open(_BEST_PATH) as fh:
-            return dict(json.load(fh).get(sf, {}))
+            return dict(json.load(fh).get(_best_key(sf, cpus), {}))
     except (OSError, ValueError):
         return {}
 
@@ -383,7 +398,10 @@ def _check_regressions(
 
 
 def _persist_best(
-    sf: str, best: dict[str, float], timings: dict[str, float]
+    sf: str,
+    best: dict[str, float],
+    timings: dict[str, float],
+    cpus: int = _LEGACY_CPUS,
 ) -> None:
     """Fold improved timings into BENCH_BEST.json — one read-modify-write
     for the whole run, after the final regression pass."""
@@ -399,7 +417,7 @@ def _persist_best(
             best_all = json.load(fh)
     except (OSError, ValueError):
         best_all = {}
-    merged = best_all.setdefault(sf, {})
+    merged = best_all.setdefault(_best_key(sf, cpus), {})
     for name, t in improved.items():
         if merged.get(name) is None or t < merged[name]:
             merged[name] = t

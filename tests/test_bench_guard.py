@@ -83,6 +83,24 @@ def test_persist_best_single_write_keeps_minima(tmp_path, monkeypatch):
     assert best_path.stat().st_mtime_ns == before
 
 
+def test_best_snapshots_keyed_by_core_count(tmp_path, monkeypatch):
+    """An 8-core run must not be guarded against 32-core bests (it is
+    intentionally slower on parallel queries — the sf1 sweep's 8-core
+    leg flagged the BEST-scaling queries and exited nonzero). Legacy
+    plain-sf sections stay valid for the historical 32-core runs."""
+    bench = _load_bench()
+    monkeypatch.setattr(bench, "_BEST_PATH", str(tmp_path / "b.json"))
+    bench._persist_best("0.1", {}, {"q": 2.0}, cpus=32)
+    bench._persist_best("0.1", {}, {"q": 9.0}, cpus=8)
+    data = json.loads((tmp_path / "b.json").read_text())
+    assert data["0.1"] == {"q": 2.0}  # legacy key for 32 cores
+    assert data["0.1@c8"] == {"q": 9.0}
+    assert bench._load_best("0.1", 8) == {"q": 9.0}
+    assert bench._load_best("0.1", 32) == {"q": 2.0}
+    # and a fresh core count has no bests -> guard silent, not spurious
+    assert bench._load_best("0.1", 16) == {}
+
+
 def test_bench_json_line_fits_driver_tail_window():
     """The driver keeps the last ~2000 chars of MERGED stdout+stderr
     and parses the JSON from that tail. Rounds 6 AND 7 both recorded
