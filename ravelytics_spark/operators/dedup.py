@@ -441,8 +441,11 @@ def minhash_dedup_pairs(
     #   over the set) — the extra hash-agg layer only re-walked the
     #   shingle rows.
     # - NO explicit repartition: it was the pre-checkpoint reuse point;
-    #   with the checkpoint as the reuse point it was a pure extra
-    #   exchange (hash(id) -> hash(id) of the same rows).
+    #   with the checkpoint as the reuse point it is dead weight — the
+    #   committed plans (plans/r13/x2_sigstore_before.txt) show the
+    #   planner already collapsing it into the window's
+    #   hashpartitioning(__id) exchange, and the A/B agrees (A->B med
+    #   1.285 vs 1.284: neutral). Dropped as cleanup.
     # - Checkpoint stays EAGER. A lazy checkpoint measured ~5% faster
     #   still (med 1.151 vs 1.207) but the r12 warning proved right at
     #   scale: the three consumer stages race to materialize it inside
