@@ -178,12 +178,25 @@ def _d2_to_lits(f3_col, lits):
     """Exact BIGINT squared-L2 between a fixed-point array column and a
     literal vector, as ONE aggregate(zip_with()) fold — the x102 packed
     form whose codegen size is independent of how many of these the
-    plan holds."""
-    arr = F.array(*[F.lit(v).cast("long") for v in lits])
-    return F.aggregate(
-        F.zip_with(f3_col, arr, lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, t: acc + t,
+    plan holds.
+
+    Built as ONE parsed-SQL expression (r13): the previous
+    `F.array(*[F.lit(v).cast("long") ...])` chain was 64 py4j
+    round-trips per centroid — ~2.4 s of driver time per fresh x342/
+    x343 plan build (16 centroids × 64 dims, measured 3.0 s → 0.6 s
+    build), paid by every new session's gate/plan sweep. `NNL` long
+    literals are the same Literal(long) the lit().cast('long') chain
+    folded to; the fold itself is unchanged, so the analyzed expression
+    and results are bit-identical (oracle-verified)."""
+    if isinstance(f3_col, str):
+        col_sql = f3_col
+    else:
+        # a Column (e.g. x343's slice(f3, ...)): reuse its SQL form
+        col_sql = f3_col._jc.toString()
+    arr_sql = "array(" + ",".join(f"{int(v)}L" for v in lits) + ")"
+    return F.expr(
+        f"aggregate(zip_with({col_sql}, {arr_sql},"
+        " (x, y) -> (x - y) * (x - y)), 0L, (acc, t) -> acc + t)"
     )
 
 
