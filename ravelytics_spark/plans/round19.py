@@ -169,12 +169,43 @@ def portable_minhash_pairs(spark, docs):
     # exempt from coalescing.
     n_par = spark.sparkContext.defaultParallelism
     d = docs.repartition(n_par, "doc_id")
-    base = d.select(
-        "doc_id", F.explode(F.array_distinct(TX.shingles("text", 3))).alias("sh")
-    ).select(
+    # Shingle STRINGS via posexplode + lead-window + concat_ws instead
+    # of TX.shingles' transform/array_join/slice HOFs (r13): Spark runs
+    # higher-order-function lambdas INTERPRETED, and the sf1 stage
+    # trace showed this expansion at 97 CPU-seconds — the largest
+    # single compute in the suite (the dedup.py _hashed_shingles
+    # rationale, applied to the portable twin that must keep the
+    # oracle's md5-of-string hash family). Same strings: trim+split
+    # mirrors tokenize_ws on this corpus (no interior double spaces —
+    # the _hashed_shingles precondition), rows with a full 3-gram keep
+    # concat_ws(w,l1,l2), and the p==0 row is the whole-doc fallback
+    # for shorter docs (concat_ws skips the null leads). The dropped
+    # per-doc array_distinct is free: every consumer below dedups
+    # (collect_set / list(DISTINCT) / min over a multiset == over the
+    # set), certified by the unchanged DuckDB oracle. Interleaved A/B
+    # and gate evidence in OPTIMIZATION_r13.md.
+    words = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias(
+            "__p", "__w"
+        ),
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("__p")
+    l1 = F.lead("__w", 1).over(wdoc)
+    l2 = F.lead("__w", 2).over(wdoc)
+    sh_rows = words.select(
+        "doc_id", "__p", F.col("__w"), l1.alias("__l1"), l2.alias("__l2")
+    ).filter(F.col("__l2").isNotNull() | (F.col("__p") == 0))
+    base = sh_rows.select(
         "doc_id",
         (
-            F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long")
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", "__w", "__l1", "__l2")), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
             % F.lit(536870912)
         ).alias("h"),
     )
