@@ -188,15 +188,15 @@ def _d2_to_lits(f3_col, lits):
     literals are the same Literal(long) the lit().cast('long') chain
     folded to; the fold itself is unchanged, so the analyzed expression
     and results are bit-identical (oracle-verified)."""
-    if isinstance(f3_col, str):
-        col_sql = f3_col
-    else:
-        # a Column (e.g. x343's slice(f3, ...)): reuse its SQL form
-        col_sql = f3_col._jc.toString()
-    arr_sql = "array(" + ",".join(f"{int(v)}L" for v in lits) + ")"
-    return F.expr(
-        f"aggregate(zip_with({col_sql}, {arr_sql},"
-        " (x, y) -> (x - y) * (x - y)), 0L, (acc, t) -> acc + t)"
+    # Only the ARRAY is parsed SQL: the input can be any Column (the
+    # tests pass the raw _f3() transform, whose _jc.toString() is not
+    # re-parseable SQL), so the fold stays on the Column API — still
+    # one py4j call for the 64 literals instead of 64.
+    arr = F.expr("array(" + ",".join(f"{int(v)}L" for v in lits) + ")")
+    return F.aggregate(
+        F.zip_with(f3_col, arr, lambda x, y: (x - y) * (x - y)),
+        F.expr("0L"),
+        lambda acc, t: acc + t,
     )
 
 
